@@ -1,0 +1,104 @@
+"""QTensor — the packed quantized-tensor pytree used across the framework.
+
+Weight convention: a linear layer computing ``y = x @ W`` with ``x: [..., K]``
+stores ``W`` as a QTensor of logical shape ``[K, N]``:
+
+* INT8: ``codes`` int8 ``[K, N]``.
+* INT4: ``codes`` uint8 ``[K//2, N]`` in the split-K device layout
+  (:func:`quant_tpu.core.codec.pack_int4_matmul`): byte[i, n] holds code
+  (i, n) in the low nibble and (i + K/2, n) in the high nibble, so on-device
+  unpack is two nibble ops + concat along K — no sublane interleave.
+
+``scales`` is float32 ``[G, N]`` with ``G = K // group_size`` groups along
+the contraction axis (``G == 1`` → one scale per output channel, which
+commutes with the matmul: ``y = (x @ codes) * scales[0]``).
+
+Quantization itself uses the oracle-contract codec
+(:mod:`quant_tpu.core.codec`): symmetric absmax, round-half-even, so a
+converted checkpoint round-trips bit-exactly vs the C++ reference oracle.
+
+QTensor is registered as a JAX dataclass pytree: codes/scales are leaves
+(shardable with PartitionSpecs), bits/group_size/shape are static metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.core import codec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QTensor:
+    codes: Any  # int8 [K, N] | uint8 [K//2, N] (split-K int4)
+    scales: Any  # f32 [G, N]
+    bits: int = dataclasses.field(metadata=dict(static=True))
+    group_size: int = dataclasses.field(metadata=dict(static=True))
+    shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    @property
+    def num_groups(self) -> int:
+        return self.shape[0] // self.group_size
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Reference dequantization to a dense [K, N] array (jnp)."""
+        k, n = self.shape
+        if self.bits == 4:
+            p = self.codes
+            lo = (p & 0xF).astype(jnp.int8) - 8
+            hi = (p >> 4).astype(jnp.int8) - 8
+            c = jnp.concatenate([lo, hi], axis=0)
+        else:
+            c = self.codes
+        g = c.reshape(self.num_groups, self.group_size, n).astype(jnp.float32)
+        w = g * self.scales[:, None, :]
+        return w.reshape(k, n).astype(dtype)
+
+
+def quantize_tensor(
+    w: np.ndarray, bits: int, group_size: int | None = None
+) -> QTensor:
+    """Quantize a dense [K, N] weight into a QTensor (host-side, NumPy).
+
+    Scales are per (K-group, output-channel); ``group_size=None`` means one
+    group spanning all of K (pure per-output-channel).
+    """
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"expected [K, N] weight, got shape {w.shape}")
+    k, n = w.shape
+    gs = k if group_size is None else group_size
+    if k % gs != 0:
+        raise ValueError(f"group_size {gs} must divide K={k}")
+    # codec quantizes over the LAST axis → work in [N, K] then transpose back.
+    codes_nk, scales_ng = codec.quantize(w.T, bits, group_size=gs)
+    codes = np.ascontiguousarray(codes_nk.T)  # [K, N]
+    scales = np.ascontiguousarray(scales_ng.T).astype(np.float32)  # [G, N]
+    if bits == 4:
+        if k % 2:
+            raise ValueError("int4 requires even K")
+        codes = codec.pack_int4_matmul(codes)  # uint8 [K//2, N]
+    return QTensor(
+        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n)
+    )
+
+
+def to_device(qt: QTensor, sharding=None) -> QTensor:
+    """device_put the array leaves (optionally with a NamedSharding pair)."""
+    codes = jax.device_put(qt.codes, sharding[0] if sharding else None)
+    scales = jax.device_put(qt.scales, sharding[1] if sharding else None)
+    return dataclasses.replace(qt, codes=codes, scales=scales)
