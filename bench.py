@@ -1,0 +1,105 @@
+"""Headline benchmark (driver contract: prints ONE JSON line).
+
+Measures the fused dequant+matmul kernel's achieved weight-streaming
+bandwidth on the 4096x4096 INT8 weight-only GEMM at decode batch (m=16)
+(BASELINE.json:8) as a percent of the chip's nominal HBM roofline; target is
+>=85% of roofline (BASELINE.json:5) so ``vs_baseline`` = achieved_pct / 85.
+
+Measurement notes for THIS environment (axon relay to the TPU):
+* host<->device transfers run ~MB/s and ``block_until_ready`` does not
+  reliably wait, so the bench (a) generates + quantizes weights ON DEVICE
+  (``quantize_tensor_device``) and (b) uses DIFFERENTIAL timing: the kernel
+  chain runs R_hi vs R_lo times inside one jit with a scalar output fetched
+  to host; (T_hi - T_lo) / (R_hi - R_lo) cancels RPC latency and transfer
+  cost. Distinct weights per chain step prevent any caching/hoisting.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.core.qtensor import quantize_tensor_device
+from quant_tpu.kernels import dequant_matmul
+
+ROOFLINE_GBPS = {"TPU v5 lite": 819.0, "TPU v5p": 2765.0, "cpu": 50.0}
+K = N = 4096
+M = 16
+BITS = 8
+GROUP = 128
+NW = 8  # distinct weights per inner chain
+
+
+def _roofline_for(dev) -> float:
+    name = getattr(dev, "device_kind", dev.platform)
+    for key, v in ROOFLINE_GBPS.items():
+        if key.lower() in str(name).lower():
+            return v
+    return ROOFLINE_GBPS["cpu"]
+
+
+def _build():
+    keys = jax.random.split(jax.random.key(0), NW)
+    qts = [
+        quantize_tensor_device(
+            jax.random.normal(k, (K, N), jnp.float32), BITS, GROUP
+        )
+        for k in keys
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    x = jax.random.normal(jax.random.key(1), (M, K), jnp.float32
+                          ).astype(jnp.bfloat16)
+    return x, stacked
+
+
+def _chain_fn(outer: int):
+    @jax.jit
+    def run(x, qts):
+        def outer_body(_, a):
+            def body(c, qt):
+                y = dequant_matmul(c, qt)
+                return (y[:, :K] * 1e-3).astype(jnp.bfloat16), None
+            a, _ = jax.lax.scan(body, a, qts)
+            return a
+        a = jax.lax.fori_loop(0, outer, outer_body, x)
+        return jnp.sum(a.astype(jnp.float32))
+    return run
+
+
+def _time(fn, x, qts, iters=3):
+    ts = []
+    np.asarray(fn(x, qts))  # compile + warm
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(x, qts))  # scalar fetch forces real completion
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    dev = jax.devices()[0]
+    roof = _roofline_for(dev)
+    x, qts = _build()
+    r_lo, r_hi = 4, 64
+    t_lo = _time(_chain_fn(r_lo), x, qts)
+    t_hi = _time(_chain_fn(r_hi), x, qts)
+    per_mm = (t_hi - t_lo) / ((r_hi - r_lo) * NW)
+    per_mm = max(per_mm, 1e-9)
+    w_bytes = K * N * (1 if BITS == 8 else 0.5)
+    gbps = w_bytes / per_mm / 1e9
+    pct = 100.0 * gbps / roof
+    print(json.dumps({
+        "metric": "fused_dequant_matmul_weightstream_roofline_pct_int8_4096",
+        "value": round(pct, 2),
+        "unit": f"% of {roof:.0f} GB/s nominal HBM roofline "
+                f"({dev.device_kind}); achieved {gbps:.0f} GB/s",
+        "vs_baseline": round(pct / 85.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

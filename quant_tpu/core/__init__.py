@@ -8,7 +8,7 @@ from quant_tpu.core.codec import (
     unpack_int4,
     unpack_int4_matmul,
 )
-from quant_tpu.core.qtensor import QTensor, quantize_tensor
+from quant_tpu.core.qtensor import QTensor, quantize_tensor, quantize_tensor_device
 from quant_tpu.core import entropy
 
 __all__ = [
@@ -20,5 +20,6 @@ __all__ = [
     "unpack_int4_matmul",
     "QTensor",
     "quantize_tensor",
+    "quantize_tensor_device",
     "entropy",
 ]

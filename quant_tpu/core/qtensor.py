@@ -97,6 +97,39 @@ def quantize_tensor(
     )
 
 
+def quantize_tensor_device(
+    w: jax.Array, bits: int, group_size: int | None = None
+) -> QTensor:
+    """Quantize a dense [K, N] weight into a QTensor ON DEVICE (pure jnp).
+
+    Same codec semantics as :func:`quantize_tensor` (symmetric absmax,
+    round-half-even — jnp.round matches np.round); produces bit-identical
+    codes. Used when weights are already device-resident (on-device
+    quantization, benchmarks) — host↔device transfers can be slow, so
+    quantizing in place is the fast path.
+    """
+    if w.ndim != 2:
+        raise ValueError(f"expected [K, N] weight, got shape {w.shape}")
+    k, n = w.shape
+    gs = k if group_size is None else group_size
+    if k % gs != 0:
+        raise ValueError(f"group_size {gs} must divide K={k}")
+    qmax = float(codec.qmax_for_bits(bits))
+    g = w.astype(jnp.float32).reshape(k // gs, gs, n)
+    absmax = jnp.max(jnp.abs(g), axis=1)  # [G, N]
+    scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    q = jnp.round(g / scales[:, None, :])
+    codes = jnp.clip(q, -qmax, qmax).astype(jnp.int8).reshape(k, n)
+    if bits == 4:
+        if k % 2:
+            raise ValueError("int4 requires even K")
+        u = (codes.astype(jnp.int32) + 8).astype(jnp.uint8)
+        codes = (u[: k // 2] | (u[k // 2:] << 4)).astype(jnp.uint8)
+    return QTensor(
+        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n)
+    )
+
+
 def to_device(qt: QTensor, sharding=None) -> QTensor:
     """device_put the array leaves (optionally with a NamedSharding pair)."""
     codes = jax.device_put(qt.codes, sharding[0] if sharding else None)

@@ -1,0 +1,318 @@
+"""Fused dequantize + matmul Pallas TPU kernel.
+
+The hot op of the whole framework (BASELINE.json:5: "every hot kernel is a
+fused dequant(bin-lookup + scale)+matmul Pallas kernel hitting HBM-bandwidth
+roofline"). Computes ``y = x @ dequantize(W)`` where ``W`` is a
+:class:`quant_tpu.core.qtensor.QTensor` — codes stay packed in HBM (int8:
+1 byte/weight, int4: 0.5 byte/weight) and are unpacked + dequantized in VMEM
+tile-by-tile, feeding the MXU directly. At decode batch sizes the op is
+weight-bandwidth bound, so halving/quartering weight bytes is the entire win.
+
+Design notes (TPU-first, no reference counterpart — the C++ reference is a
+host codec; see SURVEY.md §2.2 #4):
+
+* Grid ``(M/TM, N/TN, K/TK)`` with K innermost ("arbitrary" semantics) and a
+  float32 VMEM accumulator, the canonical Pallas matmul schedule. M/N are
+  "parallel".
+* INT8: weight tile ``[TK, TN]`` int8 → x.dtype in VMEM → MXU.
+* INT4: codes are stored split-K (``codec.pack_int4_matmul``): byte row ``i``
+  of the ``[K/2, N]`` packed array holds code rows ``i`` (low nibble) and
+  ``i + K/2`` (high nibble). A packed tile therefore unpacks into TWO
+  contiguous logical-K ranges with no sublane interleave; the kernel takes two
+  x-slices (same array, two BlockSpecs at ``k·TK`` and ``K/2 + k·TK``) and
+  does two MXU dots per step.
+* Scales ``[G, N]``: the N-tile's scale columns ride along as a full-G block
+  (tiny; Mosaic's sublane-divisibility rule forbids short blocked rows) and
+  the kernel slices the row(s) for the current K-tile with ``pl.ds``. If a
+  K-tile sits inside one group (``group_size % TK == 0``) the scale applies
+  AFTER the dot (one f32 row-multiply — best precision, least VPU work);
+  if it spans several groups (``TK % group_size == 0``) the tile is
+  dequantized per-group in VMEM before the dot.
+
+The pure-XLA reference path (:func:`dequant_matmul_reference`) is both the
+test oracle and the fallback for shapes the kernel's divisibility rules
+reject.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quant_tpu.core.qtensor import QTensor
+
+__all__ = ["dequant_matmul", "dequant_matmul_reference"]
+
+
+def _sublane(dtype) -> int:
+    """Minimum second-to-minor tile dim for a dtype (pallas_guide 'Tiling')."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return {4: 8, 2: 16, 1: 32}[itemsize]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _largest_tile(dim: int, target: int, mult: int) -> int:
+    """Largest t <= target with t % mult == 0 and dim % t == 0."""
+    t = min(target, dim)
+    t -= t % mult
+    while t >= mult:
+        if dim % t == 0:
+            return t
+        t -= mult
+    raise ValueError(f"dim {dim} not tileable with multiple {mult}")
+
+
+# ── reference path (XLA) ────────────────────────────────────────────────
+
+
+def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None):
+    """y = x @ dequantize(W), pure XLA. Test oracle + shape fallback.
+
+    Matches the kernel's numerics: weights dequantized to x.dtype (bf16 in
+    production), matmul accumulated in float32.
+    """
+    out_dtype = out_dtype or x.dtype
+    w = qt.dequantize(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)
+
+
+# ── kernels ─────────────────────────────────────────────────────────────
+
+
+def _dequant_tile(codes, s_rows, tile_g, gsz, dtype):
+    """codes [TK, TN] (any int) * group scales [TILE_G, TN] → [TK, TN]."""
+    tk, tn = codes.shape
+    wf = codes.astype(jnp.float32).reshape(tile_g, gsz, tn)
+    wf = wf * s_rows.reshape(tile_g, 1, tn)
+    return wf.reshape(tk, tn).astype(dtype)
+
+
+def _gather_scale_rows(s_ref, start, rows):
+    """Rows [start, start+rows) of s_ref [G, TN] via a one-hot matmul.
+
+    Mosaic cannot prove dynamic sublane offsets are 8-aligned (vector.load
+    requires it), so instead of ``s_ref[pl.ds(start, rows)]`` we select rows
+    with a tiny [rows, G] x [G, TN] dot — exact (one-hot) and negligible cost
+    next to the weight tile.
+    """
+    g = s_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+    want = start + jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
+    onehot = (col == want).astype(jnp.float32)
+    return jnp.dot(onehot, s_ref[:], preferred_element_type=jnp.float32)
+
+
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz, tk, gs):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if tile_g == 1:
+        w = w_ref[:].astype(x_ref.dtype)
+        part = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        scale = _gather_scale_rows(s_ref, (k * tk) // gs, 1)
+        acc_ref[:] += part * scale
+    else:
+        s_rows = _gather_scale_rows(s_ref, k * tile_g, tile_g)
+        wf = _dequant_tile(w_ref[:], s_rows, tile_g, gsz, x_ref.dtype)
+        acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _kernel_int4(
+    x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_k, tile_g, gsz, tk, gs, k2,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wi = w_ref[:].astype(jnp.int32)
+    lo = ((wi & 0xF) - 8).astype(x_lo_ref.dtype)
+    hi = ((wi >> 4) - 8).astype(x_lo_ref.dtype)
+
+    if tile_g == 1:
+        p_lo = jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
+        p_hi = jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
+        s_lo = _gather_scale_rows(s_ref, (k * tk) // gs, 1)
+        s_hi = _gather_scale_rows(s_ref, (k2 + k * tk) // gs, 1)
+        acc_ref[:] += p_lo * s_lo + p_hi * s_hi
+    else:
+        s_lo = _gather_scale_rows(s_ref, k * tile_g, tile_g)
+        s_hi = _gather_scale_rows(s_ref, k2 // gs + k * tile_g, tile_g)
+        lo_f = _dequant_tile(lo, s_lo, tile_g, gsz, x_lo_ref.dtype)
+        hi_f = _dequant_tile(hi, s_hi, tile_g, gsz, x_lo_ref.dtype)
+        acc_ref[:] += jnp.dot(x_lo_ref[:], lo_f,
+                              preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(x_hi_ref[:], hi_f,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+# ── dispatcher ──────────────────────────────────────────────────────────
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k", "interpret"),
+)
+def dequant_matmul(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    out_dtype=None,
+    tile_m: int = 256,
+    tile_n: int = 512,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x [.., K] @ QTensor [K, N] -> [.., N]`` via the fused Pallas kernel.
+
+    x may have any number of leading dims (flattened to M). M is padded to
+    the dtype sublane multiple; K/N must satisfy the tile divisibility rules
+    or the XLA reference path is used instead (correct, slower).
+    """
+    out_dtype = out_dtype or x.dtype
+    k, n = qt.shape
+    if x.shape[-1] != k:
+        raise ValueError(f"x last dim {x.shape[-1]} != K {k}")
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    try:
+        y = _dequant_matmul_2d(
+            x2, qt, out_dtype=out_dtype, tile_m=tile_m, tile_n=tile_n,
+            tile_k=tile_k, interpret=interpret,
+        )
+    except _Untileable:
+        y = dequant_matmul_reference(x2, qt, out_dtype)
+    return y.reshape(*lead, n)
+
+
+class _Untileable(Exception):
+    pass
+
+
+def _dequant_matmul_2d(
+    x, qt, *, out_dtype, tile_m, tile_n, tile_k, interpret
+):
+    m, k = x.shape
+    _, n = qt.shape
+    gs = qt.group_size
+    bits = qt.bits
+    n_groups = qt.num_groups
+
+    sub = _sublane(x.dtype)
+    m_pad = _round_up(max(m, sub), sub)
+    tm = min(_round_up(tile_m, sub), m_pad)
+    if m_pad % tm != 0:
+        tm = m_pad  # few M tiles at decode sizes; just use one
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    # Logical K range handled per grid step (per nibble-half for int4).
+    k_eff = k // 2 if bits == 4 else k
+    try:
+        tn = _largest_tile(n, tile_n, 128)
+        tk = _largest_tile(k_eff, tile_k, 128)
+    except ValueError:
+        raise _Untileable()
+    # Scale-group alignment: a K-tile must cover whole groups or sit inside one.
+    if tk % gs != 0 and gs % tk != 0:
+        g = tk - tk % gs if tk > gs else 0
+        while g >= 128 and (k_eff % g or g % gs):
+            g -= 128
+        if g < 128:
+            raise _Untileable()
+        tk = g
+    if bits == 4 and (k // 2) % gs != 0 and gs % tk != 0 and gs != k:
+        # The hi-half's group offset K/2 must land on a group boundary (or
+        # everything is one group); otherwise a tile would straddle groups.
+        raise _Untileable()
+
+    n_m, n_n, n_k = m_pad // tm, n // tn, k_eff // tk
+    tile_g = max(1, tk // gs)
+    gsz = min(gs, tk)
+
+    acc = pltpu.VMEM((tm, tn), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
+    out_spec = pl.BlockSpec(
+        (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+    )
+    # Scales ride along as a full-G column block (height == array dim, so
+    # Mosaic's sublane rule is satisfied for any G); kernel slices rows.
+    s_spec = pl.BlockSpec((n_groups, tn), lambda i, j, kk: (0, j),
+                          memory_space=pltpu.VMEM)
+
+    if bits == 8:
+        kern = functools.partial(
+            _kernel_int8, n_k=n_k, tile_g=tile_g, gsz=gsz, tk=tk, gs=gs
+        )
+        in_specs = [
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ]
+        args = (x, qt.codes, qt.scales)
+        w_bytes = k * n
+    else:
+        k2 = k // 2
+        hi_x_off = k2 // tk  # x block index offset for the high-nibble half
+        kern = functools.partial(
+            _kernel_int4, n_k=n_k, tile_g=tile_g, gsz=gsz, tk=tk, gs=gs, k2=k2
+        )
+        in_specs = [
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk + hi_x_off),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ]
+        args = (x, x, qt.codes, qt.scales)
+        w_bytes = (k // 2) * n
+
+    x_bytes = m_pad * k * x.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * n * k,
+        bytes_accessed=w_bytes + x_bytes + m_pad * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=0,
+    )
+    y = pl.pallas_call(
+        kern,
+        grid=(n_m, n_n, n_k),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[acc],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return y[:m] if m_pad != m else y

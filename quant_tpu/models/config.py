@@ -1,0 +1,53 @@
+"""Model / quantization configs (frozen dataclasses — SURVEY.md §5 config).
+
+Presets cover the BASELINE.json config ladder: TinyLlama-1.1B (config 3),
+Llama-3-8B (config 4), Llama-3-70B (config 5), plus tiny test shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    intermediate: int
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    # quantization
+    bits: int = 4
+    group_size: int = 128
+    kv_bits: int = 8
+    # execution
+    kernel_mode: str = "pallas"  # pallas | pallas_interpret | xla
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+PRESETS: dict[str, ModelConfig] = {
+    # 2-layer toy for unit tests (dims aligned to 128 lanes).
+    "test-tiny": ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        intermediate=512, group_size=64, kernel_mode="xla",
+    ),
+    "tinyllama-1.1b": ModelConfig(
+        vocab_size=32000, dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+        intermediate=5632, rope_theta=10000.0,
+    ),
+    "llama-3-8b": ModelConfig(
+        vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+        intermediate=14336, rope_theta=500000.0,
+    ),
+    "llama-3-70b": ModelConfig(
+        vocab_size=128256, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
+        intermediate=28672, rope_theta=500000.0,
+    ),
+}

@@ -1,0 +1,305 @@
+"""Llama model family — pure JAX, INT4/INT8 weights, INT8 KV cache.
+
+Covers TinyLlama-1.1B / Llama-3-8B / Llama-3-70B (BASELINE.json:9-11):
+RMSNorm, rotate-half RoPE, GQA attention, SwiGLU MLP. No reference
+counterpart (the C++ reference is a host codec — SURVEY.md §0); the codec's
+scheme generalizes to the weight storage here (SURVEY.md §2.2 #6).
+
+TPU-first design:
+
+* Every projection is a :class:`QTensor` consumed by the fused
+  dequant+matmul Pallas kernel (``cfg.kernel_mode`` selects pallas /
+  interpret / pure-XLA paths — tests run xla+interpret on CPU).
+* Layers are STACKED (leading L axis on every leaf) and iterated with
+  ``lax.scan`` — one trace, O(1) compile time in depth, and clean pipeline
+  sharding later (the stacked axis is what PP splits).
+* KV cache is int8 with one float32 scale per (token, head): attention
+  applies the key scale AFTER the q·k dot and folds the value scale into the
+  softmax probs, so the int8 cache is never materialized as floats
+  (HBM traffic = 1 byte/elem + scales).
+* Shapes are static: caches are allocated at max_seq and masked by per-slot
+  lengths, so prefill/decode/continuous-batching never retrace.
+
+Weight convention: QTensor stores W as [K, N] for ``y = x @ W`` (the HF
+converter transposes torch's [out, in]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.core.qtensor import QTensor, quantize_tensor
+from quant_tpu.kernels.dequant_matmul import (
+    dequant_matmul,
+    dequant_matmul_reference,
+)
+from quant_tpu.models.config import ModelConfig
+
+__all__ = [
+    "LlamaParams", "LayerParams", "KVCache",
+    "init_params", "init_cache", "forward", "quantize_dense_params",
+]
+
+
+# ── params ──────────────────────────────────────────────────────────────
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LayerParams:
+    """One decoder layer; in LlamaParams these are stacked along axis 0."""
+    wq: QTensor
+    wk: QTensor
+    wv: QTensor
+    wo: QTensor
+    w_gate: QTensor
+    w_up: QTensor
+    w_down: QTensor
+    attn_norm: Any  # [D] (or [L, D] stacked)
+    mlp_norm: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LlamaParams:
+    embed: Any        # [V, D] activation dtype
+    layers: LayerParams  # leaves stacked [L, ...]
+    final_norm: Any   # [D]
+    lm_head: QTensor  # [D, V]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    """INT8 KV cache, static max_seq shapes, per-(token, head) scales.
+
+    lengths[b] = number of valid tokens for slot b (cache write position).
+    """
+    k_codes: Any   # int8 [L, B, S, Hkv, Dh]
+    k_scale: Any   # f32  [L, B, S, Hkv]
+    v_codes: Any   # int8 [L, B, S, Hkv, Dh]
+    v_scale: Any   # f32  [L, B, S, Hkv]
+    lengths: Any   # int32 [B]
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_codes.shape[2]
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
+    l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    return KVCache(
+        k_codes=jnp.zeros((l, batch, max_seq, h, d), jnp.int8),
+        k_scale=jnp.zeros((l, batch, max_seq, h), jnp.float32),
+        v_codes=jnp.zeros((l, batch, max_seq, h, d), jnp.int8),
+        v_scale=jnp.zeros((l, batch, max_seq, h), jnp.float32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _act_dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _mm(cfg: ModelConfig):
+    if cfg.kernel_mode == "xla":
+        return dequant_matmul_reference
+    if cfg.kernel_mode == "pallas_interpret":
+        return functools.partial(dequant_matmul, interpret=True)
+    return dequant_matmul
+
+
+# ── init / quantize ─────────────────────────────────────────────────────
+
+
+def _q(rng: np.random.Generator, k: int, n: int, cfg: ModelConfig) -> QTensor:
+    w = (rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k))
+    return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size)
+
+
+def init_params(cfg: ModelConfig, seed: int = 0) -> LlamaParams:
+    """Random-init quantized params (tests / benchmarks)."""
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.dim, cfg.head_dim
+    qd, kvd, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
+
+    def stack(make):
+        outs = [make(i) for i in range(cfg.n_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    layers = stack(lambda i: LayerParams(
+        wq=_q(rng, d, qd, cfg), wk=_q(rng, d, kvd, cfg),
+        wv=_q(rng, d, kvd, cfg), wo=_q(rng, qd, d, cfg),
+        w_gate=_q(rng, d, it, cfg), w_up=_q(rng, d, it, cfg),
+        w_down=_q(rng, it, d, cfg),
+        attn_norm=jnp.ones((d,), jnp.float32),
+        mlp_norm=jnp.ones((d,), jnp.float32),
+    ))
+    dt = _act_dtype(cfg)
+    return LlamaParams(
+        embed=jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, d), dtype=np.float32) * 0.02,
+            dt,
+        ),
+        layers=layers,
+        final_norm=jnp.ones((d,), jnp.float32),
+        lm_head=_q(rng, d, cfg.vocab_size, cfg),
+    )
+
+
+def quantize_dense_params(dense: dict, cfg: ModelConfig) -> LlamaParams:
+    """Build LlamaParams from a dict of dense numpy weights.
+
+    Expected keys: embed [V,D], final_norm [D], lm_head [D,V], and per layer
+    i: layers.i.{wq,wk,wv,wo,w_gate,w_up,w_down} as [K,N] float arrays plus
+    layers.i.{attn_norm,mlp_norm} [D].
+    """
+    def qz(w):
+        return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size)
+
+    per_layer = []
+    for i in range(cfg.n_layers):
+        g = lambda name: dense[f"layers.{i}.{name}"]
+        per_layer.append(LayerParams(
+            wq=qz(g("wq")), wk=qz(g("wk")), wv=qz(g("wv")), wo=qz(g("wo")),
+            w_gate=qz(g("w_gate")), w_up=qz(g("w_up")), w_down=qz(g("w_down")),
+            attn_norm=jnp.asarray(g("attn_norm"), jnp.float32),
+            mlp_norm=jnp.asarray(g("mlp_norm"), jnp.float32),
+        ))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    dt = _act_dtype(cfg)
+    return LlamaParams(
+        embed=jnp.asarray(dense["embed"], dt),
+        layers=layers,
+        final_norm=jnp.asarray(dense["final_norm"], jnp.float32),
+        lm_head=qz(dense["lm_head"]),
+    )
+
+
+# ── math blocks ─────────────────────────────────────────────────────────
+
+
+def rmsnorm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """Rotate-half RoPE. x [B, T, H, Dh], positions [B, T] int32."""
+    b, t, h, dh = x.shape
+    half = dh // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[:, :, None].astype(jnp.float32) * freqs  # [B, T, half]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def quantize_kv(x):
+    """Per-(token, head) symmetric int8: x [B, T, H, Dh] → codes, scales."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    codes = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return codes.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def _cache_insert(cache_codes, cache_scale, codes, scale, lengths):
+    """Write T new entries per slot at position lengths[b] (static shapes)."""
+    def per_slot(cc, cs, c, s, start):
+        cc = jax.lax.dynamic_update_slice(cc, c, (start, 0, 0))
+        cs = jax.lax.dynamic_update_slice(cs, s, (start, 0))
+        return cc, cs
+    return jax.vmap(per_slot)(cache_codes, cache_scale, codes, scale, lengths)
+
+
+def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg):
+    """GQA attention over the int8 cache.
+
+    q [B, T, Hq, Dh]; caches [B, S, Hkv, Dh]/[B, S, Hkv]; positions [B, T]
+    (absolute position of each query); lengths [B] = valid cache length
+    AFTER insertion. Causal: key s attends iff s <= position and s < length.
+    """
+    b, t, hq, dh = q.shape
+    s = k_codes.shape[1]
+    hkv = k_codes.shape[2]
+    rep = hq // hkv
+    qf = q.astype(jnp.float32) / np.sqrt(dh)
+    # [B, T, Hq, Dh] x [B, S, Hkv, Dh] → [B, Hkv, rep, T, S]
+    qg = qf.reshape(b, t, hkv, rep, dh)
+    kf = k_codes.astype(jnp.float32)
+    logits = jnp.einsum("bthrd,bshd->bhrts", qg, kf)
+    logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    key_pos = jnp.arange(s)[None, None, None, None, :]
+    qpos = positions[:, None, None, :, None]
+    valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
+    logits = jnp.where(valid, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # Fold v scales into probs, then one int8 dot.
+    pv = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhrts,bshd->bthrd", pv, v_codes.astype(jnp.float32))
+    return out.reshape(b, t, hq, dh).astype(q.dtype)
+
+
+# ── forward ─────────────────────────────────────────────────────────────
+
+
+def forward(
+    params: LlamaParams,
+    tokens: jax.Array,       # int32 [B, T]
+    cache: KVCache,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, KVCache]:
+    """One model step (prefill if T>1, decode if T==1).
+
+    Token t of slot b gets absolute position cache.lengths[b] + t; the cache
+    is updated in place (functionally) and lengths advance by T. Returns
+    (logits [B, T, V], new cache).
+    """
+    mm = _mm(cfg)
+    b, t = tokens.shape
+    dt = _act_dtype(cfg)
+    positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
+    h = params.embed[tokens].astype(dt)
+    new_lengths = cache.lengths + t
+
+    def layer_step(h, xs):
+        lp, kc, ks, vc, vs = xs
+        x = rmsnorm(h, lp.attn_norm, cfg.norm_eps)
+        q = mm(x, lp.wq).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = mm(x, lp.wk).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = mm(x, lp.wv).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        k_q, k_s = quantize_kv(k)
+        v_q, v_s = quantize_kv(v)
+        kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths)
+        vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths)
+        attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg)
+        h = h + mm(attn.reshape(b, t, -1), lp.wo)
+        x = rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
+        gate = mm(x, lp.w_gate)
+        up = mm(x, lp.w_up)
+        h = h + mm(jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+                   lp.w_down)
+        return h, (kc, ks, vc, vs)
+
+    h, (kc, ks, vc, vs) = jax.lax.scan(
+        layer_step, h,
+        (params.layers, cache.k_codes, cache.k_scale,
+         cache.v_codes, cache.v_scale),
+    )
+    h = rmsnorm(h, params.final_norm, cfg.norm_eps)
+    logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+    new_cache = KVCache(
+        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
+    )
+    return logits, new_cache

@@ -11,7 +11,10 @@ Env must be set before the first jax import, hence this conftest.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: /root/.axon_site/sitecustomize.py imports jax at interpreter start
+# (before conftest) with JAX_PLATFORMS=axon, so env vars alone are too late —
+# jax.config.update after import is the effective override. XLA_FLAGS still
+# works because the CPU backend initializes lazily (no devices created yet).
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
@@ -19,4 +22,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)  # enabled per-test where useful
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"

@@ -1,0 +1,99 @@
+"""Llama model tests (tiny config, CPU, XLA kernel mode)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.models import PRESETS, llama
+
+CFG = PRESETS["test-tiny"]
+
+
+def test_forward_shapes():
+    params = llama.init_params(CFG, seed=0)
+    cache = llama.init_cache(CFG, batch=2, max_seq=32)
+    tokens = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    logits, cache = llama.forward(params, tokens, cache, CFG)
+    assert logits.shape == (2, 4, CFG.vocab_size)
+    assert cache.lengths.tolist() == [4, 4]
+    assert cache.k_codes.shape == (
+        CFG.n_layers, 2, 32, CFG.n_kv_heads, CFG.head_dim
+    )
+
+
+def test_prefill_decode_matches_full_forward():
+    """prefill(T) then decode(1)*k must equal one forward over T+k tokens."""
+    params = llama.init_params(CFG, seed=1)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 8)), jnp.int32)
+
+    # One shot.
+    cache = llama.init_cache(CFG, batch=2, max_seq=16)
+    full_logits, _ = llama.forward(params, toks, cache, CFG)
+
+    # Prefill 5 then decode 3.
+    cache = llama.init_cache(CFG, batch=2, max_seq=16)
+    _, cache = llama.forward(params, toks[:, :5], cache, CFG)
+    outs = []
+    for i in range(5, 8):
+        lg, cache = llama.forward(params, toks[:, i:i + 1], cache, CFG)
+        outs.append(lg)
+    inc = jnp.concatenate(outs, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(inc, np.float32),
+        np.asarray(full_logits[:, 5:8], np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    # Same argmax (the observable that matters for greedy decode).
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(inc), -1),
+        np.argmax(np.asarray(full_logits[:, 5:8]), -1),
+    )
+
+
+def test_quantized_close_to_dense():
+    """INT8 quantized forward tracks an fp32-dequantized forward closely."""
+    cfg8 = dataclasses.replace(CFG, bits=8, dtype="float32")
+    params = llama.init_params(cfg8, seed=2)
+    cache = llama.init_cache(cfg8, batch=1, max_seq=8)
+    toks = jnp.array([[3, 1, 4, 1, 5]], jnp.int32)
+    logits, _ = llama.forward(params, toks, cache, cfg8)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_ragged_batch_positions():
+    """Slots with different lengths use per-slot positions."""
+    params = llama.init_params(CFG, seed=3)
+    cache = llama.init_cache(CFG, batch=2, max_seq=16)
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, CFG.vocab_size, (2, 6)),
+        jnp.int32,
+    )
+    # Advance slot 0 by 3 tokens first (slot 1 gets dummies, then reset).
+    _, cache1 = llama.forward(params, toks[:, :3], cache, CFG)
+    lengths = cache1.lengths.at[1].set(0)
+    cache1 = dataclasses.replace(cache1, lengths=lengths)
+    lg, cache2 = llama.forward(params, toks[:, 3:4], cache1, CFG)
+    assert cache2.lengths.tolist() == [4, 1]
+    # Slot-1 logits must equal a fresh single-token forward.
+    fresh = llama.init_cache(CFG, batch=1, max_seq=16)
+    lg_fresh, _ = llama.forward(params, toks[1:2, 3:4], fresh, CFG)
+    np.testing.assert_allclose(
+        np.asarray(lg[1], np.float32), np.asarray(lg_fresh[0], np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_jit_stable_no_retrace():
+    params = llama.init_params(CFG, seed=4)
+    cache = llama.init_cache(CFG, batch=2, max_seq=16)
+    fwd = jax.jit(llama.forward, static_argnames=("cfg",))
+    tok = jnp.ones((2, 1), jnp.int32)
+    _, cache = fwd(params, tok, cache, CFG)
+    n0 = fwd._cache_size()
+    for _ in range(3):
+        _, cache = fwd(params, tok, cache, CFG)
+    assert fwd._cache_size() == n0

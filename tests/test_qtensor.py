@@ -57,3 +57,18 @@ def test_quantization_error_bound():
         assert err.max() <= step / 2 + 1e-6
         rel = np.linalg.norm(err) / np.linalg.norm(w)
         assert rel < rtol * 20
+
+
+def test_device_quantize_bit_exact_vs_host():
+    """jnp on-device quantization must produce identical codes/scales."""
+    import jax.numpy as jnp
+    import numpy as np
+    from quant_tpu.core.qtensor import quantize_tensor, quantize_tensor_device
+
+    rng = np.random.default_rng(42)
+    w = rng.standard_normal((256, 128), dtype=np.float32)
+    for bits, gs in [(8, None), (8, 64), (4, None), (4, 128)]:
+        host = quantize_tensor(w, bits=bits, group_size=gs)
+        dev = quantize_tensor_device(jnp.asarray(w), bits=bits, group_size=gs)
+        np.testing.assert_array_equal(np.asarray(dev.codes), host.codes)
+        np.testing.assert_array_equal(np.asarray(dev.scales), host.scales)
