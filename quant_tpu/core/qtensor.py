@@ -41,6 +41,12 @@ class QTensor:
     bits: int = dataclasses.field(metadata=dict(static=True))
     group_size: int = dataclasses.field(metadata=dict(static=True))
     shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    # Tensor-parallel row-sharding: int4 nibble pairing must stay WITHIN a
+    # K-shard (a shard's x rows are contiguous, so its packed bytes must
+    # cover only its own K range). kshards=t means rows were packed in t
+    # independent K-blocks, concatenated along the packed axis; each shard's
+    # local view is then an ordinary kshards=1 QTensor.
+    kshards: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def k(self) -> int:
@@ -61,21 +67,52 @@ class QTensor:
             p = self.codes
             lo = (p & 0xF).astype(jnp.int8) - 8
             hi = (p >> 4).astype(jnp.int8) - 8
-            c = jnp.concatenate([lo, hi], axis=0)
+            if self.kshards == 1:
+                c = jnp.concatenate([lo, hi], axis=0)
+            else:
+                kb = k // self.kshards // 2  # packed rows per shard block
+                parts = [
+                    x
+                    for s in range(self.kshards)
+                    for x in (lo[s * kb:(s + 1) * kb], hi[s * kb:(s + 1) * kb])
+                ]
+                c = jnp.concatenate(parts, axis=0)
         else:
             c = self.codes
         g = c.reshape(self.num_groups, self.group_size, n).astype(jnp.float32)
         w = g * self.scales[:, None, :]
         return w.reshape(k, n).astype(dtype)
 
+    def local_view(self) -> "QTensor":
+        """Rebuild metadata from the (possibly shard-local) array shapes.
+
+        Inside ``shard_map`` the leaves are the per-device shards but the
+        static metadata still describes the global tensor. The local view
+        recomputes shape/group_size from the actual arrays: K_local from
+        codes, group size K_local // G_local (per-channel scales replicate
+        across row-shards, grouped scales shard along G), kshards resets to
+        1 (packing is per-shard by construction).
+        """
+        n = self.codes.shape[1]
+        k = self.codes.shape[0] * (2 if self.bits == 4 else 1)
+        if (k, n) == self.shape:
+            return self  # global view — metadata (incl. kshards) already true
+        gs = k // self.scales.shape[0]
+        return QTensor(
+            codes=self.codes, scales=self.scales, bits=self.bits,
+            group_size=gs, shape=(k, n), kshards=1,
+        )
+
 
 def quantize_tensor(
-    w: np.ndarray, bits: int, group_size: int | None = None
+    w: np.ndarray, bits: int, group_size: int | None = None, kshards: int = 1
 ) -> QTensor:
     """Quantize a dense [K, N] weight into a QTensor (host-side, NumPy).
 
     Scales are per (K-group, output-channel); ``group_size=None`` means one
-    group spanning all of K (pure per-output-channel).
+    group spanning all of K (pure per-output-channel). ``kshards`` packs int4
+    nibbles within K-blocks of K//kshards rows (see QTensor.kshards) so the
+    tensor can be row-sharded across ``kshards`` TP ranks.
     """
     w = np.asarray(w, dtype=np.float32)
     if w.ndim != 2:
@@ -89,11 +126,16 @@ def quantize_tensor(
     codes = np.ascontiguousarray(codes_nk.T)  # [K, N]
     scales = np.ascontiguousarray(scales_ng.T).astype(np.float32)  # [G, N]
     if bits == 4:
-        if k % 2:
-            raise ValueError("int4 requires even K")
-        codes = codec.pack_int4_matmul(codes)  # uint8 [K//2, N]
+        if k % (2 * kshards):
+            raise ValueError("int4 requires even K per shard block")
+        kb = k // kshards
+        codes = np.concatenate(
+            [codec.pack_int4_matmul(codes[s * kb:(s + 1) * kb])
+             for s in range(kshards)], axis=0,
+        )  # uint8 [K//2, N], shard-blocked
     return QTensor(
-        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n)
+        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n),
+        kshards=kshards,
     )
 
 

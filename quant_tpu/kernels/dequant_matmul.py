@@ -222,6 +222,10 @@ def _dequant_matmul_2d(
     gs = qt.group_size
     bits = qt.bits
     n_groups = qt.num_groups
+    if bits == 4 and qt.kshards != 1:
+        # Shard-blocked packing only makes sense consumed per-shard (where
+        # local_view restores kshards=1); a global matmul over it falls back.
+        raise _Untileable()
 
     sub = _sublane(x.dtype)
     m_pad = _round_up(max(m, sub), sub)

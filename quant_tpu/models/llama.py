@@ -109,22 +109,38 @@ def _act_dtype(cfg: ModelConfig):
 
 def _mm(cfg: ModelConfig):
     if cfg.kernel_mode == "xla":
-        return dequant_matmul_reference
-    if cfg.kernel_mode == "pallas_interpret":
-        return functools.partial(dequant_matmul, interpret=True)
-    return dequant_matmul
+        base = dequant_matmul_reference
+    elif cfg.kernel_mode == "pallas_interpret":
+        base = functools.partial(dequant_matmul, interpret=True)
+    else:
+        base = dequant_matmul
+
+    def mm(x, qt, **kw):
+        # local_view: inside shard_map the leaves are per-device shards but
+        # static metadata is global — rebuild it from the array shapes.
+        return base(x, qt.local_view(), **kw)
+
+    return mm
 
 
 # ── init / quantize ─────────────────────────────────────────────────────
 
 
-def _q(rng: np.random.Generator, k: int, n: int, cfg: ModelConfig) -> QTensor:
+def _q(
+    rng: np.random.Generator, k: int, n: int, cfg: ModelConfig,
+    kshards: int = 1,
+) -> QTensor:
     w = (rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k))
-    return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size)
+    return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size,
+                           kshards=kshards)
 
 
-def init_params(cfg: ModelConfig, seed: int = 0) -> LlamaParams:
-    """Random-init quantized params (tests / benchmarks)."""
+def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
+    """Random-init quantized params (tests / benchmarks).
+
+    ``tp``: intended tensor-parallel degree — row-split tensors (wo, w_down)
+    are int4-packed with kshards=tp so nibble pairs stay within a K-shard.
+    """
     rng = np.random.default_rng(seed)
     d, hd = cfg.dim, cfg.head_dim
     qd, kvd, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
@@ -135,9 +151,9 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> LlamaParams:
 
     layers = stack(lambda i: LayerParams(
         wq=_q(rng, d, qd, cfg), wk=_q(rng, d, kvd, cfg),
-        wv=_q(rng, d, kvd, cfg), wo=_q(rng, qd, d, cfg),
+        wv=_q(rng, d, kvd, cfg), wo=_q(rng, qd, d, cfg, kshards=tp),
         w_gate=_q(rng, d, it, cfg), w_up=_q(rng, d, it, cfg),
-        w_down=_q(rng, it, d, cfg),
+        w_down=_q(rng, it, d, cfg, kshards=tp),
         attn_norm=jnp.ones((d,), jnp.float32),
         mlp_norm=jnp.ones((d,), jnp.float32),
     ))
@@ -257,15 +273,23 @@ def forward(
     tokens: jax.Array,       # int32 [B, T]
     cache: KVCache,
     cfg: ModelConfig,
+    axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill if T>1, decode if T==1).
 
     Token t of slot b gets absolute position cache.lengths[b] + t; the cache
     is updated in place (functionally) and lengths advance by T. Returns
     (logits [B, T, V], new cache).
+
+    ``axis``: mesh axis name for tensor parallelism. When set, the function
+    runs INSIDE shard_map with column-split wq/wk/wv/gate/up and lm_head,
+    row-split wo/down: head counts come from the local shard shapes, partial
+    row-split outputs are psum'd, and logits are all-gathered over vocab
+    (Megatron-style TP, XLA collectives over ICI — SURVEY.md §2.2 #9/#10).
     """
     mm = _mm(cfg)
     b, t = tokens.shape
+    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
     dt = _act_dtype(cfg)
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
     h = params.embed[tokens].astype(dt)
@@ -274,9 +298,9 @@ def forward(
     def layer_step(h, xs):
         lp, kc, ks, vc, vs = xs
         x = rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        q = mm(x, lp.wq).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = mm(x, lp.wk).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = mm(x, lp.wv).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = mm(x, lp.wq).reshape(b, t, -1, cfg.head_dim)
+        k = mm(x, lp.wk).reshape(b, t, -1, cfg.head_dim)
+        v = mm(x, lp.wv).reshape(b, t, -1, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k)
@@ -284,12 +308,17 @@ def forward(
         kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths)
         vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths)
         attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg)
-        h = h + mm(attn.reshape(b, t, -1), lp.wo)
+        # Row-split partials psum in f32 (casting to bf16 before the
+        # cross-shard sum would make TP results drift from single-device).
+        h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,
+                        out_dtype=jnp.float32)).astype(dt)
         x = rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
         gate = mm(x, lp.w_gate)
         up = mm(x, lp.w_up)
-        h = h + mm(jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
-                   lp.w_down)
+        h = h + psum(mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up, lp.w_down,
+            out_dtype=jnp.float32,
+        )).astype(dt)
         return h, (kc, ks, vc, vs)
 
     h, (kc, ks, vc, vs) = jax.lax.scan(
@@ -299,6 +328,8 @@ def forward(
     )
     h = rmsnorm(h, params.final_norm, cfg.norm_eps)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+    if axis:
+        logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
     new_cache = KVCache(
         k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
     )

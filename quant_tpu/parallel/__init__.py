@@ -1,0 +1,19 @@
+"""Parallelism: device mesh, TP/DP sharding, sharded decode step."""
+
+from quant_tpu.parallel.mesh import make_mesh
+from quant_tpu.parallel.tp import (
+    cache_specs,
+    param_specs,
+    shard_params,
+    shard_cache,
+    make_sharded_forward,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_specs",
+    "cache_specs",
+    "shard_params",
+    "shard_cache",
+    "make_sharded_forward",
+]

@@ -1,0 +1,122 @@
+"""Tensor + data parallel sharding of the Llama step (SURVEY.md §2.2 #8/#9).
+
+Megatron-style TP over the ``model`` mesh axis, applied to PACKED quantized
+tensors (BASELINE.json:5 "quantized weights and KV-cache tensor-sharded
+across chips"):
+
+* column-split: wq/wk/wv/w_gate/w_up/lm_head — codes+scales shard along N.
+* row-split: wo/w_down — codes shard along (packed) K, scales shard along G
+  when grouped or replicate when per-channel; int4 tensors must be packed
+  with ``kshards=tp`` so nibble pairs stay within a shard.
+* KV cache shards along the kv-head axis; attention is fully local.
+* activations replicate over ``model``; one psum after wo and one after
+  w_down per layer; logits all-gather over vocab shards.
+
+``data`` axis shards batch slots (tokens, cache). The whole step runs under
+one ``jax.shard_map`` — XLA schedules the psums asynchronously against the
+next layer's compute (collective/compute overlap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quant_tpu.models import llama
+from quant_tpu.models.config import ModelConfig
+
+__all__ = [
+    "param_specs", "cache_specs", "shard_params", "shard_cache",
+    "make_sharded_forward",
+]
+
+_COL = ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")
+_ROW = ("wo", "w_down")
+
+
+def _path_names(path) -> list[str]:
+    names = []
+    for e in path:
+        if hasattr(e, "name"):
+            names.append(e.name)
+        elif hasattr(e, "key"):
+            names.append(str(e.key))
+    return names
+
+
+def _spec_for(path, leaf) -> P:
+    names = _path_names(path)
+    field = names[-1]          # codes | scales | embed | ...
+    owner = names[-2] if len(names) >= 2 else ""
+    stacked = owner != "lm_head" and "layers" in names
+    lead = (None,) if stacked else ()
+    if owner in _COL:
+        return P(*lead, None, "model")  # [L?, K(/2)|G, N] shard N
+    if owner in _ROW:
+        if field == "codes":
+            return P(*lead, "model", None)
+        # grouped scales shard along G; per-channel (G=1) replicate
+        g_axis = leaf.shape[1] if stacked else leaf.shape[0]
+        return P(*lead, "model", None) if g_axis > 1 else P()
+    return P()  # embed, norms: replicated
+
+
+def param_specs(params: llama.LlamaParams):
+    """PartitionSpec pytree (same treedef as params) for TP sharding."""
+    return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def cache_specs(cache: llama.KVCache):
+    """KV cache specs: [L, B, S, Hkv(, Dh)] → batch on data, heads on model."""
+    def spec(path, leaf):
+        field = _path_names(path)[-1]
+        if field == "lengths":
+            return P("data")
+        if field.endswith("codes"):
+            return P(None, "data", None, "model", None)
+        return P(None, "data", None, "model")
+    return jax.tree_util.tree_map_with_path(spec, cache)
+
+
+def shard_params(params: llama.LlamaParams, mesh: Mesh) -> llama.LlamaParams:
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache(cache: llama.KVCache, mesh: Mesh) -> llama.KVCache:
+    specs = cache_specs(cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
+    """jit(shard_map(llama.forward)) over the (data, model) mesh.
+
+    Returns ``step(params, tokens, cache) -> (logits, cache)``; tokens is
+    [B, T] int32 (B sharded over data). Validity: tp must divide n_kv_heads
+    and n_heads; int4 row-split tensors must be packed with kshards=tp.
+    """
+    tp = mesh.shape["model"]
+    if cfg.n_kv_heads % tp or cfg.n_heads % tp:
+        raise ValueError(
+            f"model axis {tp} must divide n_heads={cfg.n_heads} and "
+            f"n_kv_heads={cfg.n_kv_heads}"
+        )
+    p_specs = param_specs(params)
+    c_specs = cache_specs(cache)
+
+    fwd = functools.partial(llama.forward, cfg=cfg, axis="model")
+
+    sharded = jax.shard_map(
+        lambda pr, tok, ca: fwd(pr, tok, ca),
+        mesh=mesh,
+        in_specs=(p_specs, P("data", None), c_specs),
+        out_specs=(P("data", None, None), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2,))
