@@ -61,7 +61,11 @@ def _chain_fn(outer: int):
         def outer_body(_, a):
             def body(c, qt):
                 y = dequant_matmul(c, qt)
-                return (y[:, :K] * 1e-3).astype(jnp.bfloat16), None
+                # rms-renormalize so activations neither underflow nor blow
+                # up across hundreds of chained matmuls
+                yf = y.astype(jnp.float32)
+                y = yf * jax.lax.rsqrt(jnp.mean(yf * yf) + 1e-6)
+                return y[:, :K].astype(jnp.bfloat16), None
             a, _ = jax.lax.scan(body, a, qts)
             return a
         a = jax.lax.fori_loop(0, outer, outer_body, x)
@@ -69,7 +73,7 @@ def _chain_fn(outer: int):
     return run
 
 
-def _time(fn, x, qts, iters=3):
+def _time(fn, x, qts, iters=5):
     ts = []
     np.asarray(fn(x, qts))  # compile + warm
     for _ in range(iters):
@@ -83,7 +87,9 @@ def main():
     dev = jax.devices()[0]
     roof = _roofline_for(dev)
     x, qts = _build()
-    r_lo, r_hi = 4, 64
+    # Differential nested-loop timing: fixed RPC/dispatch cost cancels in
+    # (t_hi - t_lo); the spread is large enough to dominate RPC jitter.
+    r_lo, r_hi = 8, 512
     t_lo = _time(_chain_fn(r_lo), x, qts)
     t_hi = _time(_chain_fn(r_hi), x, qts)
     per_mm = (t_hi - t_lo) / ((r_hi - r_lo) * NW)

@@ -24,7 +24,7 @@ class ModelConfig:
     group_size: int = 128
     kv_bits: int = 8
     # execution
-    kernel_mode: str = "pallas"  # pallas | pallas_interpret | xla
+    kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
     dtype: str = "bfloat16"
 
     @property

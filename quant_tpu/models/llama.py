@@ -108,6 +108,12 @@ def _act_dtype(cfg: ModelConfig):
 
 
 def _mm(cfg: ModelConfig):
+    mode = cfg.kernel_mode
+    if mode == "auto":
+        # pallas on real TPU backends; XLA reference elsewhere (pallas can
+        # only interpret on CPU, and interpret mode is far slower than XLA).
+        mode = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    cfg = dataclasses.replace(cfg, kernel_mode=mode)
     if cfg.kernel_mode == "xla":
         base = dequant_matmul_reference
     elif cfg.kernel_mode == "pallas_interpret":
@@ -169,22 +175,28 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
     )
 
 
-def quantize_dense_params(dense: dict, cfg: ModelConfig) -> LlamaParams:
+def quantize_dense_params(
+    dense: dict, cfg: ModelConfig, tp: int = 1
+) -> LlamaParams:
     """Build LlamaParams from a dict of dense numpy weights.
 
     Expected keys: embed [V,D], final_norm [D], lm_head [D,V], and per layer
     i: layers.i.{wq,wk,wv,wo,w_gate,w_up,w_down} as [K,N] float arrays plus
-    layers.i.{attn_norm,mlp_norm} [D].
+    layers.i.{attn_norm,mlp_norm} [D]. ``tp``: row-split tensors (wo,
+    w_down) are packed with kshards=tp for tensor-parallel row sharding.
     """
-    def qz(w):
-        return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size)
+    def qz(w, kshards=1):
+        return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size,
+                               kshards=kshards)
 
     per_layer = []
     for i in range(cfg.n_layers):
         g = lambda name: dense[f"layers.{i}.{name}"]
         per_layer.append(LayerParams(
-            wq=qz(g("wq")), wk=qz(g("wk")), wv=qz(g("wv")), wo=qz(g("wo")),
-            w_gate=qz(g("w_gate")), w_up=qz(g("w_up")), w_down=qz(g("w_down")),
+            wq=qz(g("wq")), wk=qz(g("wk")), wv=qz(g("wv")),
+            wo=qz(g("wo"), tp),
+            w_gate=qz(g("w_gate")), w_up=qz(g("w_up")),
+            w_down=qz(g("w_down"), tp),
             attn_norm=jnp.asarray(g("attn_norm"), jnp.float32),
             mlp_norm=jnp.asarray(g("mlp_norm"), jnp.float32),
         ))

@@ -1,0 +1,92 @@
+"""Continuous-batching engine vs per-prompt reference decode (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.engine import Engine, Request, SamplingConfig
+from quant_tpu.models import PRESETS, llama
+
+CFG = PRESETS["test-tiny"]
+
+
+def _reference_greedy(params, prompt, max_new, max_seq=64):
+    cache = llama.init_cache(CFG, batch=1, max_seq=max_seq)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, cache = llama.forward(params, toks, cache, CFG)
+    out = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(max_new - 1):
+        lg, cache = llama.forward(
+            params, jnp.asarray([[out[-1]]], jnp.int32), cache, CFG
+        )
+        out.append(int(jnp.argmax(lg[0, -1])))
+    return out
+
+
+def test_generate_matches_reference():
+    params = llama.init_params(CFG, seed=0)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(3, CFG.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 6), (p, o)
+
+
+def test_more_requests_than_slots():
+    params = llama.init_params(CFG, seed=1)
+    rng = np.random.default_rng(1)
+    prompts = [list(map(int, rng.integers(3, CFG.vocab_size, 4)))
+               for _ in range(5)]
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    outs = eng.generate(prompts, max_new_tokens=4)
+    assert all(len(o) == 4 for o in outs)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 4, max_seq=32)
+
+
+def test_staggered_admission():
+    """Admitting mid-decode must not disturb other slots' streams."""
+    params = llama.init_params(CFG, seed=2)
+    rng = np.random.default_rng(2)
+    p1 = list(map(int, rng.integers(3, CFG.vocab_size, 6)))
+    p2 = list(map(int, rng.integers(3, CFG.vocab_size, 4)))
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    r1 = Request(req_id=0, prompt=p1, max_new_tokens=8)
+    eng.add_request(r1)
+    eng.step()
+    eng.step()  # r1 decodes alone for 2 steps
+    r2 = Request(req_id=1, prompt=p2, max_new_tokens=5)
+    eng.add_request(r2)
+    while eng.has_work():
+        eng.step()
+    assert r1.output == _reference_greedy(params, p1, 8, max_seq=32)
+    assert r2.output == _reference_greedy(params, p2, 5, max_seq=32)
+
+
+def test_capacity_rejection():
+    params = llama.init_params(CFG, seed=0)
+    eng = Engine(params, CFG, max_slots=1, max_seq=16, eos_id=-1)
+    import pytest
+    with pytest.raises(ValueError, match="exceeds max_seq"):
+        eng.add_request(Request(req_id=0, prompt=[1] * 10, max_new_tokens=10))
+
+
+def test_eos_stops_early():
+    params = llama.init_params(CFG, seed=3)
+    # Find what token gets produced, then use it as the EOS id.
+    probe = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)
+    out = probe.generate([[5, 6, 7]], max_new_tokens=4)[0]
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=out[1])
+    out2 = eng.generate([[5, 6, 7]], max_new_tokens=10)[0]
+    assert out2 == out[:2]
+
+
+def test_stats():
+    params = llama.init_params(CFG, seed=0)
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    eng.add_request(Request(req_id=0, prompt=[1, 2], max_new_tokens=3))
+    eng.step()
+    s = eng.stats
+    assert s["occupancy"] == 1 and s["steps"] == 1
