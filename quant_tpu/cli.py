@@ -1,0 +1,143 @@
+"""CLI (SURVEY.md §2.2 #18): convert / generate / bench / eval / selftest.
+
+    python -m quant_tpu convert  <hf_dir> <out_dir> --bits 4 --group-size 128
+    python -m quant_tpu generate <ckpt_dir> --prompt-ids 1,2,3 --max-new 32
+    python -m quant_tpu bench    [--preset llama-3-8b] [--layers 4]
+    python -m quant_tpu eval     <ckpt_dir> --text file.txt [--tokenizer dir]
+    python -m quant_tpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_convert(args):
+    from quant_tpu.checkpoint import convert_hf_llama
+
+    cfg = convert_hf_llama(
+        args.hf_dir, args.out_dir, bits=args.bits,
+        group_size=args.group_size, tp=args.tp,
+    )
+    print(json.dumps({"converted": args.out_dir, "config": cfg.__dict__}))
+
+
+def _cmd_generate(args):
+    from quant_tpu.checkpoint import load_checkpoint
+    from quant_tpu.engine import Engine, SamplingConfig
+
+    params, cfg = load_checkpoint(args.ckpt)
+    eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
+                 eos_id=args.eos_id)
+    prompts = [
+        [int(t) for t in p.split(",")] for p in args.prompt_ids.split(";")
+    ]
+    outs = eng.generate(
+        prompts, max_new_tokens=args.max_new,
+        sampling=SamplingConfig(temperature=args.temperature,
+                                top_k=args.top_k, top_p=args.top_p),
+    )
+    for p, o in zip(prompts, outs):
+        print(json.dumps({"prompt": p, "output": o}))
+    print(json.dumps({"stats": eng.stats}), file=sys.stderr)
+
+
+def _cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def _cmd_eval(args):
+    from quant_tpu.checkpoint import load_checkpoint
+    from quant_tpu.eval import perplexity
+    from quant_tpu.eval.perplexity import tokens_from_file
+
+    params, cfg = load_checkpoint(args.ckpt)
+    toks = tokens_from_file(args.text, args.tokenizer)
+    res = perplexity(params, cfg, toks, window=args.window,
+                     limit_windows=args.limit_windows)
+    print(json.dumps(res))
+
+
+def _cmd_selftest(args):
+    """Codec bit-exactness vs the C++ oracle + a tiny e2e generate."""
+    import numpy as np
+
+    from quant_tpu.core import codec, oracle
+    from quant_tpu.engine import Engine
+    from quant_tpu.models import PRESETS, llama
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1 << 20).astype(np.float32)  # 1M floats [B:7]
+    ok = True
+    if oracle.available():
+        c_codes, c_scale = oracle.quantize(x, 8)
+        p_codes, p_scale = codec.quantize(x, 8)
+        ok &= bool(np.array_equal(c_codes, p_codes))
+        ok &= c_scale == float(p_scale)
+        rec = oracle.dequantize(c_codes, c_scale)
+        mse = oracle.mse(x, rec)
+        delta = (c_scale / 2) ** 2  # uniform-quantization MSE bound
+        ok &= mse <= delta
+        print(json.dumps({"oracle": True, "codes_bit_exact": ok,
+                          "mse": mse, "delta_bound": delta}))
+    else:
+        print(json.dumps({"oracle": False}))
+
+    cfg = PRESETS["test-tiny"]
+    eng = Engine(llama.init_params(cfg, seed=0), cfg, max_slots=2,
+                 max_seq=32, eos_id=-1)
+    outs = eng.generate([[1, 2, 3]], max_new_tokens=4)
+    ok &= len(outs[0]) == 4
+    print(json.dumps({"e2e_generate": len(outs[0]) == 4, "ok": ok}))
+    return 0 if ok else 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="quant_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="HF dir -> packed quantized ckpt")
+    c.add_argument("hf_dir")
+    c.add_argument("out_dir")
+    c.add_argument("--bits", type=int, default=4)
+    c.add_argument("--group-size", type=int, default=128)
+    c.add_argument("--tp", type=int, default=1)
+    c.set_defaults(fn=_cmd_convert)
+
+    g = sub.add_parser("generate", help="generate from a packed ckpt")
+    g.add_argument("ckpt")
+    g.add_argument("--prompt-ids", required=True,
+                   help="comma-separated ids; ';' separates prompts")
+    g.add_argument("--max-new", type=int, default=32)
+    g.add_argument("--max-seq", type=int, default=1024)
+    g.add_argument("--slots", type=int, default=8)
+    g.add_argument("--eos-id", type=int, default=2)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.set_defaults(fn=_cmd_generate)
+
+    b = sub.add_parser("bench", help="roofline bench (one JSON line)")
+    b.set_defaults(fn=_cmd_bench)
+
+    e = sub.add_parser("eval", help="perplexity on a text file")
+    e.add_argument("ckpt")
+    e.add_argument("--text", required=True)
+    e.add_argument("--tokenizer", default=None)
+    e.add_argument("--window", type=int, default=512)
+    e.add_argument("--limit-windows", type=int, default=None)
+    e.set_defaults(fn=_cmd_eval)
+
+    s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")
+    s.set_defaults(fn=_cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

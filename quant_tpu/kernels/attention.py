@@ -1,0 +1,146 @@
+"""INT8-KV flash-decode attention Pallas kernel (SURVEY.md §2.2 #5).
+
+Decode-step attention (T=1) over the quantized KV cache: KV tiles stream
+from HBM as int8 + per-(token, head) f32 scales and are dequantized inline
+in VMEM — the float cache is never materialized, so HBM traffic is
+1 byte/elem, which is the whole point of the INT8 cache (BASELINE.json:5).
+
+Shape/layout choices:
+* q is viewed [B, Hkv, rep, Dh] (GQA: the ``rep`` query heads sharing one
+  kv head form the sublane dim of a small MXU operand).
+* grid (B, Hkv, S/S_BLK) with the sequence dim innermost ("arbitrary") and
+  an online-softmax state (m, l, acc) in VMEM scratch — classic
+  flash-decoding, one pass over the cache.
+* k/v scales multiply the int8 tile along its sublane (S) dim before the
+  dot — exact (scales are per token+head) and lane-broadcast-free.
+* Blocks past a slot's ``length`` are skipped entirely (@pl.when), so cost
+  scales with actual context, not max_seq.
+
+Prefill (T>1) uses the XLA path in models/llama.py — decode is the
+bandwidth-critical loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_decode_int8"]
+
+
+def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
+            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale):
+    s_idx = pl.program_id(2)
+    length = len_ref[0]
+    start = s_idx * s_blk
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start < length)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale        # [rep, Dh]
+        kf = kc_ref[0, 0].astype(jnp.float32)              # [S_blk, Dh]
+        kf = kf * ks_ref[0, 0]                             # scale per token
+        logits = jax.lax.dot_general(
+            q, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [rep, S_blk]
+        pos = start + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1
+        )
+        logits = jnp.where(pos < length, logits, -1e30)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                        # [rep, S_blk]
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        vf = vc_ref[0, 0].astype(jnp.float32)
+        vf = vf * vs_ref[0, 0]
+        pv = jnp.dot(p, vf, preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(s_idx == n_s - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-20)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_blk", "interpret")
+)
+def flash_decode_int8(
+    q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
+    k_codes: jax.Array,  # int8 [B, Hkv, S, Dh]
+    k_scale: jax.Array,  # f32  [B, Hkv, S]
+    v_codes: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,  # int32 [B] — valid cache length per slot
+    *,
+    s_blk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns attention output [B, Hq, Dh] (q.dtype)."""
+    b, hq, dh = q.shape
+    _, hkv, s, _ = k_codes.shape
+    rep = hq // hkv
+    if s % s_blk:
+        s_blk = s if s < s_blk else max(
+            g for g in range(32, s_blk + 1, 32) if s % g == 0
+        )
+    n_s = s // s_blk
+    qg = q.reshape(b, hkv, rep, dh)
+    ks4 = k_scale[..., None]  # [B, Hkv, S, 1] — lane-dim broadcastable
+    vs4 = v_scale[..., None]
+
+    kern = functools.partial(
+        _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, hkv, n_s),
+        in_specs=[
+            pl.BlockSpec((1,), lambda bb, h, ss: (bb,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_blk, dh), lambda bb, h, ss: (bb, h, ss, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_blk, 1), lambda bb, h, ss: (bb, h, ss, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_blk, dh), lambda bb, h, ss: (bb, h, ss, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_blk, 1), lambda bb, h, ss: (bb, h, ss, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((rep, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, qg, k_codes, ks4, v_codes, vs4)
+    return out.reshape(b, hq, dh)

@@ -87,14 +87,6 @@ def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None):
 # ── kernels ─────────────────────────────────────────────────────────────
 
 
-def _dequant_tile(codes, s_rows, tile_g, gsz, dtype):
-    """codes [TK, TN] (any int) * group scales [TILE_G, TN] → [TK, TN]."""
-    tk, tn = codes.shape
-    wf = codes.astype(jnp.float32).reshape(tile_g, gsz, tn)
-    wf = wf * s_rows.reshape(tile_g, 1, tn)
-    return wf.reshape(tk, tn).astype(dtype)
-
-
 def _gather_scale_rows(s_ref, start, rows):
     """Rows [start, start+rows) of s_ref [G, TN] via a one-hot matmul.
 
@@ -111,25 +103,44 @@ def _gather_scale_rows(s_ref, start, rows):
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz, tk, gs):
+    """Per-group post-dot scaling: dequant multiplies land on the [M, TN]
+    partials (M is tiny at decode), never on the [TK, TN] weight tile —
+    the kernel's VPU work is just the int8→bf16 cast."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if tile_g == 1:
-        w = w_ref[:].astype(x_ref.dtype)
-        part = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-        scale = _gather_scale_rows(s_ref, (k * tk) // gs, 1)
-        acc_ref[:] += part * scale
-    else:
-        s_rows = _gather_scale_rows(s_ref, k * tile_g, tile_g)
-        wf = _dequant_tile(w_ref[:], s_rows, tile_g, gsz, x_ref.dtype)
-        acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+    start = (k * tk) // gs if tile_g == 1 else k * tile_g
+    s_rows = _gather_scale_rows(s_ref, start, tile_g)  # [tile_g, TN]
+    w = w_ref[:].astype(x_ref.dtype)
+    acc = acc_ref[:]
+    for g in range(tile_g):
+        part = jnp.dot(
+            x_ref[:, g * gsz:(g + 1) * gsz], w[g * gsz:(g + 1) * gsz],
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + part * s_rows[g:g + 1]
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _half_int4(x_ref, nib, s_rows, tile_g, gsz, acc):
+    """One nibble half: dot the BIASED codes (0..15, cast is the only
+    per-element op) and correct with 8 * rowsum(x) per group:
+        x @ (nib - 8) * s = (x @ nib - 8 * sum_k x) * s
+    """
+    for g in range(tile_g):
+        xg = x_ref[:, g * gsz:(g + 1) * gsz]
+        part = jnp.dot(xg, nib[g * gsz:(g + 1) * gsz],
+                       preferred_element_type=jnp.float32)
+        corr = 8.0 * jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (part - corr) * s_rows[g:g + 1]
+    return acc
 
 
 def _kernel_int4(
@@ -142,25 +153,19 @@ def _kernel_int4(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wi = w_ref[:].astype(jnp.int32)
-    lo = ((wi & 0xF) - 8).astype(x_lo_ref.dtype)
-    hi = ((wi >> 4) - 8).astype(x_lo_ref.dtype)
+    w = w_ref[:]
+    lo = jnp.bitwise_and(w, jnp.uint8(0xF)).astype(x_lo_ref.dtype)
+    hi = jnp.right_shift(w, jnp.uint8(4)).astype(x_lo_ref.dtype)
 
-    if tile_g == 1:
-        p_lo = jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
-        p_hi = jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
-        s_lo = _gather_scale_rows(s_ref, (k * tk) // gs, 1)
-        s_hi = _gather_scale_rows(s_ref, (k2 + k * tk) // gs, 1)
-        acc_ref[:] += p_lo * s_lo + p_hi * s_hi
-    else:
-        s_lo = _gather_scale_rows(s_ref, k * tile_g, tile_g)
-        s_hi = _gather_scale_rows(s_ref, k2 // gs + k * tile_g, tile_g)
-        lo_f = _dequant_tile(lo, s_lo, tile_g, gsz, x_lo_ref.dtype)
-        hi_f = _dequant_tile(hi, s_hi, tile_g, gsz, x_lo_ref.dtype)
-        acc_ref[:] += jnp.dot(x_lo_ref[:], lo_f,
-                              preferred_element_type=jnp.float32)
-        acc_ref[:] += jnp.dot(x_hi_ref[:], hi_f,
-                              preferred_element_type=jnp.float32)
+    lo_start = (k * tk) // gs if tile_g == 1 else k * tile_g
+    hi_start = (k2 + k * tk) // gs if tile_g == 1 else k2 // gs + k * tile_g
+    s_lo = _gather_scale_rows(s_ref, lo_start, tile_g)
+    s_hi = _gather_scale_rows(s_ref, hi_start, tile_g)
+
+    acc = acc_ref[:]
+    acc = _half_int4(x_lo_ref, lo, s_lo, tile_g, gsz, acc)
+    acc = _half_int4(x_hi_ref, hi, s_hi, tile_g, gsz, acc)
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():

@@ -81,24 +81,24 @@ class KVCache:
 
     lengths[b] = number of valid tokens for slot b (cache write position).
     """
-    k_codes: Any   # int8 [L, B, S, Hkv, Dh]
-    k_scale: Any   # f32  [L, B, S, Hkv]
-    v_codes: Any   # int8 [L, B, S, Hkv, Dh]
-    v_scale: Any   # f32  [L, B, S, Hkv]
+    k_codes: Any   # int8 [L, B, Hkv, S, Dh]
+    k_scale: Any   # f32  [L, B, Hkv, S]
+    v_codes: Any   # int8 [L, B, Hkv, S, Dh]
+    v_scale: Any   # f32  [L, B, Hkv, S]
     lengths: Any   # int32 [B]
 
     @property
     def max_seq(self) -> int:
-        return self.k_codes.shape[2]
+        return self.k_codes.shape[3]
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
     l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
     return KVCache(
-        k_codes=jnp.zeros((l, batch, max_seq, h, d), jnp.int8),
-        k_scale=jnp.zeros((l, batch, max_seq, h), jnp.float32),
-        v_codes=jnp.zeros((l, batch, max_seq, h, d), jnp.int8),
-        v_scale=jnp.zeros((l, batch, max_seq, h), jnp.float32),
+        k_codes=jnp.zeros((l, batch, h, max_seq, d), jnp.int8),
+        k_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
+        v_codes=jnp.zeros((l, batch, h, max_seq, d), jnp.int8),
+        v_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -241,39 +241,44 @@ def quantize_kv(x):
 
 
 def _cache_insert(cache_codes, cache_scale, codes, scale, lengths):
-    """Write T new entries per slot at position lengths[b] (static shapes)."""
+    """Write T new entries per slot at position lengths[b] (static shapes).
+
+    cache [B, H, S, D]/[B, H, S]; new entries [B, T, H, D]/[B, T, H].
+    """
+    codes_h = codes.transpose(0, 2, 1, 3)   # [B, H, T, D]
+    scale_h = scale.transpose(0, 2, 1)      # [B, H, T]
     def per_slot(cc, cs, c, s, start):
-        cc = jax.lax.dynamic_update_slice(cc, c, (start, 0, 0))
-        cs = jax.lax.dynamic_update_slice(cs, s, (start, 0))
+        cc = jax.lax.dynamic_update_slice(cc, c, (0, start, 0))
+        cs = jax.lax.dynamic_update_slice(cs, s, (0, start))
         return cc, cs
-    return jax.vmap(per_slot)(cache_codes, cache_scale, codes, scale, lengths)
+    return jax.vmap(per_slot)(cache_codes, cache_scale, codes_h, scale_h,
+                              lengths)
 
 
 def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg):
-    """GQA attention over the int8 cache.
+    """GQA attention over the int8 cache (XLA path; prefill + fallback).
 
-    q [B, T, Hq, Dh]; caches [B, S, Hkv, Dh]/[B, S, Hkv]; positions [B, T]
+    q [B, T, Hq, Dh]; caches [B, Hkv, S, Dh]/[B, Hkv, S]; positions [B, T]
     (absolute position of each query); lengths [B] = valid cache length
     AFTER insertion. Causal: key s attends iff s <= position and s < length.
     """
     b, t, hq, dh = q.shape
-    s = k_codes.shape[1]
-    hkv = k_codes.shape[2]
+    hkv, s = k_codes.shape[1], k_codes.shape[2]
     rep = hq // hkv
     qf = q.astype(jnp.float32) / np.sqrt(dh)
-    # [B, T, Hq, Dh] x [B, S, Hkv, Dh] → [B, Hkv, rep, T, S]
+    # [B, T, Hq, Dh] x [B, Hkv, S, Dh] → [B, Hkv, rep, T, S]
     qg = qf.reshape(b, t, hkv, rep, dh)
     kf = k_codes.astype(jnp.float32)
-    logits = jnp.einsum("bthrd,bshd->bhrts", qg, kf)
-    logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    logits = jnp.einsum("bthrd,bhsd->bhrts", qg, kf)
+    logits = logits * k_scale[:, :, None, None, :]
     key_pos = jnp.arange(s)[None, None, None, None, :]
     qpos = positions[:, None, None, :, None]
     valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
     logits = jnp.where(valid, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     # Fold v scales into probs, then one int8 dot.
-    pv = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
-    out = jnp.einsum("bhrts,bshd->bthrd", pv, v_codes.astype(jnp.float32))
+    pv = probs * v_scale[:, :, None, None, :]
+    out = jnp.einsum("bhrts,bhsd->bthrd", pv, v_codes.astype(jnp.float32))
     return out.reshape(b, t, hq, dh).astype(q.dtype)
 
 

@@ -69,14 +69,14 @@ def param_specs(params: llama.LlamaParams):
 
 
 def cache_specs(cache: llama.KVCache):
-    """KV cache specs: [L, B, S, Hkv(, Dh)] → batch on data, heads on model."""
+    """KV cache specs: [L, B, Hkv, S(, Dh)] → batch on data, heads on model."""
     def spec(path, leaf):
         field = _path_names(path)[-1]
         if field == "lengths":
             return P("data")
         if field.endswith("codes"):
-            return P(None, "data", None, "model", None)
-        return P(None, "data", None, "model")
+            return P(None, "data", "model", None, None)
+        return P(None, "data", "model", None)
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 

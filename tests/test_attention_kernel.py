@@ -1,0 +1,62 @@
+"""flash_decode_int8 Pallas kernel vs XLA attention (interpret mode, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_tpu.kernels.attention import flash_decode_int8
+from quant_tpu.models import PRESETS, llama
+
+CFG = PRESETS["test-tiny"]
+
+
+def _setup(b, s, hq, hkv, dh, lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    kq, ks = llama.quantize_kv(k)
+    vq, vs = llama.quantize_kv(v)
+    # to cache layout [B, H, S, D] / [B, H, S]
+    kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+    ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    return q, kq, ks, vq, vs, lengths
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 2), (4, 4), (8, 2)])
+@pytest.mark.parametrize("dh", [64, 128])
+def test_kernel_matches_xla(hq, hkv, dh):
+    b, s = 2, 128
+    lengths = [100, 37]
+    q, kq, ks, vq, vs, ln = _setup(b, s, hq, hkv, dh, lengths)
+    positions = (ln - 1)[:, None]
+    ref = llama.attention(q, kq, ks, vq, vs, positions, ln, CFG)
+    out = flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln, s_blk=64,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_blocks_beyond_length_skipped_are_equal():
+    # length 1 (fresh slot) and full-length slot in one batch
+    q, kq, ks, vq, vs, ln = _setup(2, 256, 4, 2, 64, [1, 256], seed=3)
+    positions = (ln - 1)[:, None]
+    ref = llama.attention(q, kq, ks, vq, vs, positions, ln, CFG)
+    out = flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln, s_blk=64,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_nondividing_sblk():
+    q, kq, ks, vq, vs, ln = _setup(1, 96, 4, 2, 64, [50], seed=5)
+    positions = (ln - 1)[:, None]
+    ref = llama.attention(q, kq, ks, vq, vs, positions, ln, CFG)
+    out = flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln, s_blk=64,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+    )

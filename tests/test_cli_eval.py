@@ -1,0 +1,73 @@
+"""CLI + perplexity tests (CPU; drives the public command surface)."""
+
+import json
+
+import numpy as np
+
+from quant_tpu import cli
+from quant_tpu.eval import perplexity
+from quant_tpu.models import PRESETS, llama
+
+CFG = PRESETS["test-tiny"]
+
+
+def test_perplexity_runs_and_is_sane():
+    params = llama.init_params(CFG, seed=0)
+    toks = np.random.default_rng(0).integers(0, CFG.vocab_size, 200)
+    res = perplexity(params, CFG, toks, window=64)
+    assert res["tokens"] == 3 * 64
+    # random model on random tokens → ppl near vocab size, far from 1
+    assert 10 < res["ppl"] < CFG.vocab_size * 10
+
+
+def test_perplexity_lower_on_model_generated_stream():
+    """A greedy self-generated continuation is (near-)argmax at every step,
+    so its NLL must be far below a random stream's."""
+    from quant_tpu.engine import Engine
+
+    params = llama.init_params(CFG, seed=0)
+    eng = Engine(params, CFG, max_slots=1, max_seq=128, eos_id=-1)
+    gen = eng.generate([[1, 2, 3]], max_new_tokens=120)[0]
+    stream = np.asarray([1, 2, 3] + gen, np.int32)
+    rand = np.random.default_rng(0).integers(0, CFG.vocab_size, stream.size)
+    r_gen = perplexity(params, CFG, stream, window=64)
+    r_rand = perplexity(params, CFG, rand, window=64)
+    assert r_gen["ppl"] < r_rand["ppl"] / 2
+
+
+def test_cli_convert_generate_eval(tmp_path, capsys):
+    from tests.test_checkpoint import _write_fake_hf
+
+    hf = tmp_path / "hf"
+    _write_fake_hf(hf, CFG)
+    rc = cli.main([
+        "convert", str(hf), str(tmp_path / "ckpt"), "--bits", "4",
+        "--group-size", "64",
+    ])
+    assert rc is None
+    out = capsys.readouterr().out
+    assert json.loads(out.splitlines()[-1])["converted"]
+
+    cli.main([
+        "generate", str(tmp_path / "ckpt"), "--prompt-ids", "1,2,3;4,5",
+        "--max-new", "3", "--max-seq", "32", "--eos-id", "-1",
+    ])
+    lines = capsys.readouterr().out.strip().splitlines()
+    outs = [json.loads(l) for l in lines]
+    assert len(outs) == 2 and all(len(o["output"]) == 3 for o in outs)
+
+    text = tmp_path / "t.txt"
+    text.write_text("hello world " * 40)
+    cli.main([
+        "eval", str(tmp_path / "ckpt"), "--text", str(text),
+        "--window", "64", "--limit-windows", "2",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ppl"] > 1.0
+
+
+def test_cli_selftest(capsys):
+    rc = cli.main(["selftest"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["ok"]

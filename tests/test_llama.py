@@ -19,7 +19,7 @@ def test_forward_shapes():
     assert logits.shape == (2, 4, CFG.vocab_size)
     assert cache.lengths.tolist() == [4, 4]
     assert cache.k_codes.shape == (
-        CFG.n_layers, 2, 32, CFG.n_kv_heads, CFG.head_dim
+        CFG.n_layers, 2, CFG.n_kv_heads, 32, CFG.head_dim
     )
 
 
