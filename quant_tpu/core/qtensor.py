@@ -139,6 +139,25 @@ def quantize_tensor(
     )
 
 
+def concat_columns(parts: list[np.ndarray], shards: int = 1) -> np.ndarray:
+    """Concatenate dense [K, Ni] weights along N, interleaved per TP shard.
+
+    With ``shards=t`` the column order is [p0_s0 | p1_s0 | ... | p0_s1 | ...]
+    so an even column-split over t ranks gives every rank its own slice of
+    EACH part (Megatron fused-QKV layout). Ni must all be divisible by t.
+    """
+    if shards == 1:
+        return np.concatenate(parts, axis=1)
+    chunks = []
+    for s in range(shards):
+        for p in parts:
+            w = p.shape[1]
+            if w % shards:
+                raise ValueError(f"column count {w} not divisible by {shards}")
+            chunks.append(p[:, s * (w // shards):(s + 1) * (w // shards)])
+    return np.concatenate(chunks, axis=1)
+
+
 def quantize_tensor_device(
     w: jax.Array, bits: int, group_size: int | None = None
 ) -> QTensor:

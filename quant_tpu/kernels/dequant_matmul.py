@@ -153,9 +153,12 @@ def _kernel_int4(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]
-    lo = jnp.bitwise_and(w, jnp.uint8(0xF)).astype(x_lo_ref.dtype)
-    hi = jnp.right_shift(w, jnp.uint8(4)).astype(x_lo_ref.dtype)
+    # Mosaic has no uint8 bitwise lowering — go through int16 (one cast);
+    # nibbles stay BIASED (0..15): the -8 is folded into the rowsum
+    # correction below, so no per-element subtract.
+    w16 = w_ref[:].astype(jnp.int16)
+    lo = (w16 & 0xF).astype(x_lo_ref.dtype)
+    hi = ((w16 >> 4) & 0xF).astype(x_lo_ref.dtype)
 
     lo_start = (k * tk) // gs if tile_g == 1 else k * tile_g
     hi_start = (k2 + k * tk) // gs if tile_g == 1 else k2 // gs + k * tile_g

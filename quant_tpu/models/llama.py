@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quant_tpu.core.qtensor import QTensor, quantize_tensor
+from quant_tpu.core.qtensor import QTensor, concat_columns, quantize_tensor
 from quant_tpu.kernels.dequant_matmul import (
     dequant_matmul,
     dequant_matmul_reference,
@@ -53,15 +53,18 @@ __all__ = [
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LayerParams:
-    """One decoder layer; in LlamaParams these are stacked along axis 0."""
-    wq: QTensor
-    wk: QTensor
-    wv: QTensor
-    wo: QTensor
-    w_gate: QTensor
-    w_up: QTensor
-    w_down: QTensor
-    attn_norm: Any  # [D] (or [L, D] stacked)
+    """One decoder layer; in LlamaParams these are stacked along axis 0.
+
+    Projections are FUSED column-wise (one kernel launch each): wqkv packs
+    q|k|v, w_gate_up packs gate|up — interleaved per TP shard when packed
+    with tp>1 (see core.qtensor.concat_columns), so a column split gives
+    every rank its slice of each part.
+    """
+    wqkv: QTensor       # [D, (Hq + 2*Hkv) * Dh]
+    wo: QTensor         # [Hq*Dh, D]
+    w_gate_up: QTensor  # [D, 2*I]
+    w_down: QTensor     # [I, D]
+    attn_norm: Any      # [D] (or [L, D] stacked)
     mlp_norm: Any
 
 
@@ -132,20 +135,16 @@ def _mm(cfg: ModelConfig):
 # ── init / quantize ─────────────────────────────────────────────────────
 
 
-def _q(
-    rng: np.random.Generator, k: int, n: int, cfg: ModelConfig,
-    kshards: int = 1,
-) -> QTensor:
-    w = (rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k))
-    return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size,
-                           kshards=kshards)
+def _dense(rng: np.random.Generator, k: int, n: int) -> np.ndarray:
+    return rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k)
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
     """Random-init quantized params (tests / benchmarks).
 
     ``tp``: intended tensor-parallel degree — row-split tensors (wo, w_down)
-    are int4-packed with kshards=tp so nibble pairs stay within a K-shard.
+    are int4-packed with kshards=tp, column-fused tensors are interleaved
+    per shard.
     """
     rng = np.random.default_rng(seed)
     d, hd = cfg.dim, cfg.head_dim
@@ -155,11 +154,18 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         outs = [make(i) for i in range(cfg.n_layers)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
+    def q(w, kshards=1):
+        return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size,
+                               kshards=kshards)
+
     layers = stack(lambda i: LayerParams(
-        wq=_q(rng, d, qd, cfg), wk=_q(rng, d, kvd, cfg),
-        wv=_q(rng, d, kvd, cfg), wo=_q(rng, qd, d, cfg, kshards=tp),
-        w_gate=_q(rng, d, it, cfg), w_up=_q(rng, d, it, cfg),
-        w_down=_q(rng, it, d, cfg, kshards=tp),
+        wqkv=q(concat_columns(
+            [_dense(rng, d, qd), _dense(rng, d, kvd), _dense(rng, d, kvd)],
+            tp)),
+        wo=q(_dense(rng, qd, d), kshards=tp),
+        w_gate_up=q(concat_columns(
+            [_dense(rng, d, it), _dense(rng, d, it)], tp)),
+        w_down=q(_dense(rng, it, d), kshards=tp),
         attn_norm=jnp.ones((d,), jnp.float32),
         mlp_norm=jnp.ones((d,), jnp.float32),
     ))
@@ -171,7 +177,7 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         ),
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
-        lm_head=_q(rng, d, cfg.vocab_size, cfg),
+        lm_head=q(_dense(rng, d, cfg.vocab_size)),
     )
 
 
@@ -191,11 +197,11 @@ def quantize_dense_params(
 
     per_layer = []
     for i in range(cfg.n_layers):
-        g = lambda name: dense[f"layers.{i}.{name}"]
+        g = lambda name: np.asarray(dense[f"layers.{i}.{name}"], np.float32)
         per_layer.append(LayerParams(
-            wq=qz(g("wq")), wk=qz(g("wk")), wv=qz(g("wv")),
+            wqkv=qz(concat_columns([g("wq"), g("wk"), g("wv")], tp)),
             wo=qz(g("wo"), tp),
-            w_gate=qz(g("w_gate")), w_up=qz(g("w_up")),
+            w_gate_up=qz(concat_columns([g("w_gate"), g("w_up")], tp)),
             w_down=qz(g("w_down"), tp),
             attn_norm=jnp.asarray(g("attn_norm"), jnp.float32),
             mlp_norm=jnp.asarray(g("mlp_norm"), jnp.float32),
@@ -315,9 +321,13 @@ def forward(
     def layer_step(h, xs):
         lp, kc, ks, vc, vs = xs
         x = rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        q = mm(x, lp.wq).reshape(b, t, -1, cfg.head_dim)
-        k = mm(x, lp.wk).reshape(b, t, -1, cfg.head_dim)
-        v = mm(x, lp.wv).reshape(b, t, -1, cfg.head_dim)
+        qkv = mm(x, lp.wqkv)
+        units = cfg.n_heads + 2 * cfg.n_kv_heads
+        nq = (qkv.shape[-1] * cfg.n_heads) // units
+        nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
+        q = qkv[..., :nq].reshape(b, t, -1, cfg.head_dim)
+        k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
+        v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k)
@@ -330,8 +340,8 @@ def forward(
         h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,
                         out_dtype=jnp.float32)).astype(dt)
         x = rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
-        gate = mm(x, lp.w_gate)
-        up = mm(x, lp.w_up)
+        gu = mm(x, lp.w_gate_up)
+        gate, up = jnp.split(gu, 2, axis=-1)
         h = h + psum(mm(
             jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up, lp.w_down,
             out_dtype=jnp.float32,

@@ -32,7 +32,7 @@ __all__ = [
     "make_sharded_forward",
 ]
 
-_COL = ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")
+_COL = ("wqkv", "w_gate_up", "lm_head")
 _ROW = ("wo", "w_down")
 
 

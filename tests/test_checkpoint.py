@@ -27,8 +27,8 @@ def test_save_load_roundtrip(tmp_path):
             np.asarray(x, np.float32), np.asarray(y, np.float32)
         )
     # entropy stage must actually shrink the int4 code payloads
-    wq = manifest["tensors"]["layers.wq"]
-    assert wq["codes"]["size"] < np.prod(wq["codes"]["shape"])
+    wqkv = manifest["tensors"]["layers.wqkv"]
+    assert wqkv["codes"]["size"] < np.prod(wqkv["codes"]["shape"])
 
 
 def test_loaded_params_forward_identical(tmp_path):
@@ -89,8 +89,8 @@ def test_hf_convert_and_generate(tmp_path):
     # Dequantized wq must be close to the HF dense weight (int4 error bound:
     # |err| <= scale/2, scale = absmax/7 per group).
     w_hf = tensors["model.layers.0.self_attn.q_proj.weight"].T
-    wq = jax.tree.map(lambda a: a[0], params.layers.wq)  # layer 0
-    deq = np.asarray(wq.local_view().dequantize())
+    wqkv = jax.tree.map(lambda a: a[0], params.layers.wqkv)  # layer 0
+    deq = np.asarray(wqkv.local_view().dequantize())[:, :w_hf.shape[1]]
     assert np.max(np.abs(deq - w_hf)) <= np.max(np.abs(w_hf)) / 7.0
     # And the model must actually run end-to-end.
     from quant_tpu.engine import Engine

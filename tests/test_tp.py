@@ -22,6 +22,11 @@ CFG = PRESETS["test-tiny"]
 
 
 def _run_pair(cfg, data, model, tp_pack, batch=4, steps=2):
+    # tp-packed params interleave fused columns per shard — mathematically
+    # the same weights as tp=1 packing (init_params draws identical dense
+    # weights for any tp), but only consumable under the matching shard_map.
+    # The reference therefore uses the tp=1 packing.
+    params_ref = llama.init_params(cfg, seed=0, tp=1)
     params = llama.init_params(cfg, seed=0, tp=tp_pack)
     cache0 = llama.init_cache(cfg, batch=batch, max_seq=16)
     toks = jnp.asarray(
@@ -29,7 +34,7 @@ def _run_pair(cfg, data, model, tp_pack, batch=4, steps=2):
         jnp.int32,
     )
 
-    ref_logits, ref_cache = llama.forward(params, toks, cache0, cfg)
+    ref_logits, ref_cache = llama.forward(params_ref, toks, cache0, cfg)
 
     mesh = make_mesh(data=data, model=model)
     sp = shard_params(params, mesh)
@@ -43,7 +48,7 @@ def _run_pair(cfg, data, model, tp_pack, batch=4, steps=2):
     )
     # Decode a step on top to exercise cache reuse under sharding.
     nxt = jnp.argmax(ref_logits[:, -1:], axis=-1).astype(jnp.int32)
-    ref2, _ = llama.forward(params, nxt, ref_cache, cfg)
+    ref2, _ = llama.forward(params_ref, nxt, ref_cache, cfg)
     out2, _ = step(sp, nxt, out_cache)
     np.testing.assert_allclose(
         np.asarray(out2, np.float32), np.asarray(ref2, np.float32),
