@@ -8,26 +8,27 @@ roofline"). Computes ``y = x @ dequantize(W)`` where ``W`` is a
 tile-by-tile, feeding the MXU directly. At decode batch sizes the op is
 weight-bandwidth bound, so halving/quartering weight bytes is the entire win.
 
-Design notes (TPU-first, no reference counterpart — the C++ reference is a
-host codec; see SURVEY.md §2.2 #4):
+Design notes (TPU-first; no reference counterpart — the C++ reference is a
+host codec, SURVEY.md §2.2 #4). Measured on the axon v5e (scripts/
+tpu_variant_probe*.py): the XLA bf16 dense ceiling is ~730 GB/s; the
+kernel's floor is the int→bf16 cast + MXU dots, so every other per-element
+op was moved out of the kernel:
 
-* Grid ``(M/TM, N/TN, K/TK)`` with K innermost ("arbitrary" semantics) and a
-  float32 VMEM accumulator, the canonical Pallas matmul schedule. M/N are
-  "parallel".
-* INT8: weight tile ``[TK, TN]`` int8 → x.dtype in VMEM → MXU.
-* INT4: codes are stored split-K (``codec.pack_int4_matmul``): byte row ``i``
-  of the ``[K/2, N]`` packed array holds code rows ``i`` (low nibble) and
-  ``i + K/2`` (high nibble). A packed tile therefore unpacks into TWO
-  contiguous logical-K ranges with no sublane interleave; the kernel takes two
-  x-slices (same array, two BlockSpecs at ``k·TK`` and ``K/2 + k·TK``) and
-  does two MXU dots per step.
-* Scales ``[G, N]``: the N-tile's scale columns ride along as a full-G block
-  (tiny; Mosaic's sublane-divisibility rule forbids short blocked rows) and
-  the kernel slices the row(s) for the current K-tile with ``pl.ds``. If a
-  K-tile sits inside one group (``group_size % TK == 0``) the scale applies
-  AFTER the dot (one f32 row-multiply — best precision, least VPU work);
-  if it spans several groups (``TK % group_size == 0``) the tile is
-  dequantized per-group in VMEM before the dot.
+* Grid ``(M/TM, N/TN, K/TK)``, K innermost ("arbitrary"), f32 VMEM
+  accumulator — the canonical Pallas matmul schedule.
+* Scales are PRE-GATHERED by the dispatcher into per-K-step rows
+  ``[n_k, tile_g, TN]`` (one cheap XLA gather per call), so the kernel does
+  zero index arithmetic — it reads block ``(1, tile_g, TN)`` and applies
+  scales AFTER each group's dot on the tiny ``[M, TN]`` partial, never on
+  the ``[TK, TN]`` weight tile.
+* INT4 codes are stored split-K (``codec.pack_int4_matmul``): byte row i of
+  ``[K/2, N]`` holds code rows i (low nibble) and i + K/2 (high nibble), so
+  a packed tile unpacks into TWO contiguous logical-K ranges with no
+  sublane interleave; the kernel takes two x-slices (same array, two
+  BlockSpecs) and dots each half. Unpack goes through int32 (Mosaic has no
+  uint8 bitwise lowering; int16 paths ICE'd the Mosaic compiler on axon).
+* A K-tile must cover whole scale groups or sit inside one
+  (``TK % group_size == 0`` or ``group_size % TK == 0``).
 
 The pure-XLA reference path (:func:`dequant_matmul_reference`) is both the
 test oracle and the fallback for shapes the kernel's divisibility rules
@@ -40,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -87,65 +89,33 @@ def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None):
 # ── kernels ─────────────────────────────────────────────────────────────
 
 
-def _gather_scale_rows(s_ref, start, rows):
-    """Rows [start, start+rows) of s_ref [G, TN] via a one-hot matmul.
-
-    Mosaic cannot prove dynamic sublane offsets are 8-aligned (vector.load
-    requires it), so instead of ``s_ref[pl.ds(start, rows)]`` we select rows
-    with a tiny [rows, G] x [G, TN] dot — exact (one-hot) and negligible cost
-    next to the weight tile.
-    """
-    g = s_ref.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
-    want = start + jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
-    onehot = (col == want).astype(jnp.float32)
-    return jnp.dot(onehot, s_ref[:], preferred_element_type=jnp.float32)
+def _scaled_dots(x_ref, w, s, tile_g, gsz, acc, x_col0=0):
+    """acc += sum_g (x[:, g] @ w[g]) * s[g] — scales on [M, TN] partials."""
+    for g in range(tile_g):
+        c0 = x_col0 + g * gsz
+        part = jnp.dot(x_ref[:, c0:c0 + gsz], w[g * gsz:(g + 1) * gsz],
+                       preferred_element_type=jnp.float32)
+        acc = acc + part * s[g:g + 1]
+    return acc
 
 
-def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz, tk, gs):
-    """Per-group post-dot scaling: dequant multiplies land on the [M, TN]
-    partials (M is tiny at decode), never on the [TK, TN] weight tile —
-    the kernel's VPU work is just the int8→bf16 cast."""
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    start = (k * tk) // gs if tile_g == 1 else k * tile_g
-    s_rows = _gather_scale_rows(s_ref, start, tile_g)  # [tile_g, TN]
     w = w_ref[:].astype(x_ref.dtype)
-    acc = acc_ref[:]
-    for g in range(tile_g):
-        part = jnp.dot(
-            x_ref[:, g * gsz:(g + 1) * gsz], w[g * gsz:(g + 1) * gsz],
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + part * s_rows[g:g + 1]
-    acc_ref[:] = acc
+    acc_ref[:] = _scaled_dots(x_ref, w, s_ref[0], tile_g, gsz, acc_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _half_int4(x_ref, nib, s_rows, tile_g, gsz, acc):
-    """One nibble half: dot the BIASED codes (0..15, cast is the only
-    per-element op) and correct with 8 * rowsum(x) per group:
-        x @ (nib - 8) * s = (x @ nib - 8 * sum_k x) * s
-    """
-    for g in range(tile_g):
-        xg = x_ref[:, g * gsz:(g + 1) * gsz]
-        part = jnp.dot(xg, nib[g * gsz:(g + 1) * gsz],
-                       preferred_element_type=jnp.float32)
-        corr = 8.0 * jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + (part - corr) * s_rows[g:g + 1]
-    return acc
-
-
 def _kernel_int4(
-    x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref,
-    *, n_k, tile_g, gsz, tk, gs, k2,
+    x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
 ):
     k = pl.program_id(2)
 
@@ -153,21 +123,14 @@ def _kernel_int4(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic has no uint8 bitwise lowering — go through int16 (one cast);
-    # nibbles stay BIASED (0..15): the -8 is folded into the rowsum
-    # correction below, so no per-element subtract.
-    w16 = w_ref[:].astype(jnp.int16)
-    lo = (w16 & 0xF).astype(x_lo_ref.dtype)
-    hi = ((w16 >> 4) & 0xF).astype(x_lo_ref.dtype)
-
-    lo_start = (k * tk) // gs if tile_g == 1 else k * tile_g
-    hi_start = (k2 + k * tk) // gs if tile_g == 1 else k2 // gs + k * tile_g
-    s_lo = _gather_scale_rows(s_ref, lo_start, tile_g)
-    s_hi = _gather_scale_rows(s_ref, hi_start, tile_g)
+    wi = w_ref[:].astype(jnp.int32)
+    lo = ((wi & 0xF) - 8).astype(x_lo_ref.dtype)
+    hi = ((wi >> 4) - 8).astype(x_lo_ref.dtype)
+    s = s_ref[0]  # [2*tile_g, TN]: lo rows then hi rows
 
     acc = acc_ref[:]
-    acc = _half_int4(x_lo_ref, lo, s_lo, tile_g, gsz, acc)
-    acc = _half_int4(x_hi_ref, hi, s_hi, tile_g, gsz, acc)
+    acc = _scaled_dots(x_lo_ref, lo, s[:tile_g], tile_g, gsz, acc)
+    acc = _scaled_dots(x_hi_ref, hi, s[tile_g:], tile_g, gsz, acc)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -188,7 +151,7 @@ def dequant_matmul(
     *,
     out_dtype=None,
     tile_m: int = 256,
-    tile_n: int = 512,
+    tile_n: int = 2048,
     tile_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -229,7 +192,6 @@ def _dequant_matmul_2d(
     _, n = qt.shape
     gs = qt.group_size
     bits = qt.bits
-    n_groups = qt.num_groups
     if bits == 4 and qt.kshards != 1:
         # Shard-blocked packing only makes sense consumed per-shard (where
         # local_view restores kshards=1); a global matmul over it falls back.
@@ -267,20 +229,27 @@ def _dequant_matmul_2d(
     tile_g = max(1, tk // gs)
     gsz = min(gs, tk)
 
+    # Pre-gather per-K-step scale rows: [n_k, tile_g(, x2 for int4), N].
+    starts = (np.arange(n_k) * tk) // gs              # group row per step
+    idx = starts[:, None] + np.arange(tile_g)[None, :]
+    if bits == 4:
+        hi_starts = (k // 2 + np.arange(n_k) * tk) // gs
+        hi_idx = hi_starts[:, None] + np.arange(tile_g)[None, :]
+        idx = np.concatenate([idx, hi_idx], axis=1)   # [n_k, 2*tile_g]
+    s_steps = qt.scales[jnp.asarray(idx)]             # [n_k, rows, N]
+    s_rows = idx.shape[1]
+
     acc = pltpu.VMEM((tm, tn), jnp.float32)
     out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
     out_spec = pl.BlockSpec(
         (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
     )
-    # Scales ride along as a full-G column block (height == array dim, so
-    # Mosaic's sublane rule is satisfied for any G); kernel slices rows.
-    s_spec = pl.BlockSpec((n_groups, tn), lambda i, j, kk: (0, j),
+    s_spec = pl.BlockSpec((1, s_rows, tn), lambda i, j, kk: (kk, 0, j),
                           memory_space=pltpu.VMEM)
 
     if bits == 8:
-        kern = functools.partial(
-            _kernel_int8, n_k=n_k, tile_g=tile_g, gsz=gsz, tk=tk, gs=gs
-        )
+        kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,
+                                 gsz=gsz)
         in_specs = [
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
@@ -288,14 +257,13 @@ def _dequant_matmul_2d(
                          memory_space=pltpu.VMEM),
             s_spec,
         ]
-        args = (x, qt.codes, qt.scales)
+        args = (x, qt.codes, s_steps)
         w_bytes = k * n
     else:
         k2 = k // 2
         hi_x_off = k2 // tk  # x block index offset for the high-nibble half
-        kern = functools.partial(
-            _kernel_int4, n_k=n_k, tile_g=tile_g, gsz=gsz, tk=tk, gs=gs, k2=k2
-        )
+        kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
+                                 gsz=gsz)
         in_specs = [
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
@@ -305,13 +273,14 @@ def _dequant_matmul_2d(
                          memory_space=pltpu.VMEM),
             s_spec,
         ]
-        args = (x, x, qt.codes, qt.scales)
+        args = (x, x, qt.codes, s_steps)
         w_bytes = (k // 2) * n
 
     x_bytes = m_pad * k * x.dtype.itemsize
     cost = pl.CostEstimate(
         flops=2 * m_pad * n * k,
-        bytes_accessed=w_bytes + x_bytes + m_pad * n * jnp.dtype(out_dtype).itemsize,
+        bytes_accessed=w_bytes + x_bytes
+        + m_pad * n * jnp.dtype(out_dtype).itemsize,
         transcendentals=0,
     )
     y = pl.pallas_call(

@@ -246,27 +246,50 @@ def quantize_kv(x):
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def _cache_insert(cache_codes, cache_scale, codes, scale, lengths):
-    """Write T new entries per slot at position lengths[b] (static shapes).
+def _cache_insert(cache_codes, cache_scale, codes, scale, lengths, s0=0):
+    """Write T new entries per slot at global position lengths[b].
 
-    cache [B, H, S, D]/[B, H, S]; new entries [B, T, H, D]/[B, T, H].
+    cache [B, H, S_loc, D]/[B, H, S_loc]; new entries [B, T, H, D]/[B, T, H].
+    ``s0``: this shard's global offset under sequence sharding — a shard
+    only commits the write when the whole T-range falls inside its slice
+    (read-modify-write of T rows, O(T) traffic; insert ranges must not
+    straddle shard boundaries — decode T=1 never does, prefill chunks must
+    align). Writes past the local capacity are dropped.
     """
     codes_h = codes.transpose(0, 2, 1, 3)   # [B, H, T, D]
     scale_h = scale.transpose(0, 2, 1)      # [B, H, T]
+    t = codes_h.shape[2]
+    s_loc = cache_codes.shape[2]
+
     def per_slot(cc, cs, c, s, start):
-        cc = jax.lax.dynamic_update_slice(cc, c, (0, start, 0))
-        cs = jax.lax.dynamic_update_slice(cs, s, (0, start))
+        rel = start - s0
+        owned = (rel >= 0) & (rel <= s_loc - t)
+        lp = jnp.clip(rel, 0, s_loc - t)
+        cur_c = jax.lax.dynamic_slice(cc, (0, lp, 0), (cc.shape[0], t,
+                                                       cc.shape[2]))
+        cur_s = jax.lax.dynamic_slice(cs, (0, lp), (cs.shape[0], t))
+        cc = jax.lax.dynamic_update_slice(
+            cc, jnp.where(owned, c, cur_c), (0, lp, 0))
+        cs = jax.lax.dynamic_update_slice(
+            cs, jnp.where(owned, s, cur_s), (0, lp))
         return cc, cs
     return jax.vmap(per_slot)(cache_codes, cache_scale, codes_h, scale_h,
                               lengths)
 
 
-def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg):
+def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
+              seq_axis=None, key_offset=0):
     """GQA attention over the int8 cache (XLA path; prefill + fallback).
 
     q [B, T, Hq, Dh]; caches [B, Hkv, S, Dh]/[B, Hkv, S]; positions [B, T]
     (absolute position of each query); lengths [B] = valid cache length
     AFTER insertion. Causal: key s attends iff s <= position and s < length.
+
+    Sequence parallelism (SURVEY.md §2.2 #11): with ``seq_axis`` set the
+    caches hold only this shard's S-slice (global key positions start at
+    ``key_offset``); each shard computes a partial softmax over its local
+    keys and the shards merge with one log-sum-exp reduction (pmax + two
+    psums) — queries are replicated over the axis, KV traffic stays local.
     """
     b, t, hq, dh = q.shape
     hkv, s = k_codes.shape[1], k_codes.shape[2]
@@ -277,15 +300,30 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg):
     kf = k_codes.astype(jnp.float32)
     logits = jnp.einsum("bthrd,bhsd->bhrts", qg, kf)
     logits = logits * k_scale[:, :, None, None, :]
-    key_pos = jnp.arange(s)[None, None, None, None, :]
+    key_pos = key_offset + jnp.arange(s)[None, None, None, None, :]
     qpos = positions[:, None, None, :, None]
     valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
     logits = jnp.where(valid, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    # Fold v scales into probs, then one int8 dot.
-    pv = probs * v_scale[:, :, None, None, :]
-    out = jnp.einsum("bhrts,bhsd->bthrd", pv, v_codes.astype(jnp.float32))
-    return out.reshape(b, t, hq, dh).astype(q.dtype)
+    if seq_axis is None:
+        probs = jax.nn.softmax(logits, axis=-1)
+        pv = probs * v_scale[:, :, None, None, :]
+        out = jnp.einsum("bhrts,bhsd->bthrd", pv,
+                         v_codes.astype(jnp.float32))
+        return out.reshape(b, t, hq, dh).astype(q.dtype)
+    # Partial (flash-style) stats over the local shard, then LSE-merge.
+    m_loc = jnp.max(logits, axis=-1, keepdims=True)          # [b,h,r,t,1]
+    p = jnp.where(valid, jnp.exp(logits - m_loc), 0.0)
+    l_loc = jnp.sum(p, axis=-1, keepdims=True)
+    pv = p * v_scale[:, :, None, None, :]
+    o_loc = jnp.einsum("bhrts,bhsd->bhrtd", pv, v_codes.astype(jnp.float32))
+    m_glob = jax.lax.pmax(m_loc, seq_axis)
+    w = jnp.exp(m_loc - m_glob)
+    l_glob = jax.lax.psum(l_loc * w, seq_axis)
+    o_glob = jax.lax.psum(o_loc * w, seq_axis)
+    out = o_glob / jnp.maximum(l_glob, 1e-20)
+    # [b,h,r,t,d] → [b,t,h,r,d]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dh)
+    return out.astype(q.dtype)
 
 
 # ── forward ─────────────────────────────────────────────────────────────
@@ -297,6 +335,7 @@ def forward(
     cache: KVCache,
     cfg: ModelConfig,
     axis: str | None = None,
+    seq_axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill if T>1, decode if T==1).
 
@@ -313,6 +352,11 @@ def forward(
     mm = _mm(cfg)
     b, t = tokens.shape
     psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
+    if seq_axis is not None:
+        s_loc = cache.k_codes.shape[3]
+        s0 = jax.lax.axis_index(seq_axis) * s_loc
+    else:
+        s0 = 0
     dt = _act_dtype(cfg)
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
     h = params.embed[tokens].astype(dt)
@@ -332,9 +376,10 @@ def forward(
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k)
         v_q, v_s = quantize_kv(v)
-        kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths)
-        vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths)
-        attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg)
+        kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths, s0)
+        vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths, s0)
+        attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg,
+                         seq_axis=seq_axis, key_offset=s0)
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,

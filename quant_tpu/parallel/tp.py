@@ -69,14 +69,15 @@ def param_specs(params: llama.LlamaParams):
 
 
 def cache_specs(cache: llama.KVCache):
-    """KV cache specs: [L, B, Hkv, S(, Dh)] → batch on data, heads on model."""
+    """KV cache specs: [L, B, Hkv, S(, Dh)] → batch on data, kv-heads on
+    model, sequence on seq (mesh axes of size 1 are no-ops)."""
     def spec(path, leaf):
         field = _path_names(path)[-1]
         if field == "lengths":
             return P("data")
         if field.endswith("codes"):
-            return P(None, "data", "model", None, None)
-        return P(None, "data", "model", None)
+            return P(None, "data", "model", "seq", None)
+        return P(None, "data", "model", "seq")
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
@@ -95,22 +96,31 @@ def shard_cache(cache: llama.KVCache, mesh: Mesh) -> llama.KVCache:
 
 
 def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
-    """jit(shard_map(llama.forward)) over the (data, model) mesh.
+    """jit(shard_map(llama.forward)) over the (data, model, seq) mesh.
 
     Returns ``step(params, tokens, cache) -> (logits, cache)``; tokens is
     [B, T] int32 (B sharded over data). Validity: tp must divide n_kv_heads
-    and n_heads; int4 row-split tensors must be packed with kshards=tp.
+    and n_heads; int4 row-split tensors must be packed with kshards=tp;
+    with a seq axis, the cache's max_seq must divide by it and prefill
+    chunks must not straddle S/seq boundaries (decode never does).
     """
     tp = mesh.shape["model"]
+    sp = mesh.shape.get("seq", 1)
     if cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(
             f"model axis {tp} must divide n_heads={cfg.n_heads} and "
             f"n_kv_heads={cfg.n_kv_heads}"
         )
+    if cache.max_seq % max(sp, 1):
+        raise ValueError(f"seq axis {sp} must divide max_seq "
+                         f"{cache.max_seq}")
     p_specs = param_specs(params)
     c_specs = cache_specs(cache)
 
-    fwd = functools.partial(llama.forward, cfg=cfg, axis="model")
+    fwd = functools.partial(
+        llama.forward, cfg=cfg, axis="model",
+        seq_axis="seq" if sp > 1 else None,
+    )
 
     sharded = jax.shard_map(
         lambda pr, tok, ca: fwd(pr, tok, ca),
