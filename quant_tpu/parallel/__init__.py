@@ -8,6 +8,12 @@ from quant_tpu.parallel.tp import (
     shard_cache,
     make_sharded_forward,
 )
+from quant_tpu.parallel.pp import (
+    make_pp_forward,
+    shard_params_pp,
+    shard_cache_pp,
+)
+from quant_tpu.parallel import sp
 
 __all__ = [
     "make_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "shard_params",
     "shard_cache",
     "make_sharded_forward",
+    "make_pp_forward",
+    "shard_params_pp",
+    "shard_cache_pp",
+    "sp",
 ]

@@ -27,20 +27,25 @@ def make_mesh(
     data: int = 1,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (data, model, seq) mesh over the available devices."""
+    """Build a (pipe, data, model, seq) mesh over the available devices.
+
+    Axis order puts pipe/data outermost (DCN-friendly: stage/batch traffic
+    is sparse) and model/seq innermost (ICI: dense psum/permute traffic).
+    """
     devices = devices if devices is not None else jax.devices()
-    n = data * model * seq
+    n = data * model * seq * pipe
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{model}x{seq} needs {n} devices, "
-                         f"have {len(devices)}")
+        raise ValueError(f"mesh {pipe}x{data}x{model}x{seq} needs {n} "
+                         f"devices, have {len(devices)}")
     devices = devices[:n]
     if jax.process_count() > 1:
         arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data // jax.process_count(), model, seq),
-            dcn_mesh_shape=(jax.process_count(), 1, 1),
+            mesh_shape=(pipe, data // jax.process_count(), model, seq),
+            dcn_mesh_shape=(1, jax.process_count(), 1, 1),
         )
     else:
-        arr = np.asarray(devices).reshape(data, model, seq)
-    return Mesh(arr, axis_names=("data", "model", "seq"))
+        arr = np.asarray(devices).reshape(pipe, data, model, seq)
+    return Mesh(arr, axis_names=("pipe", "data", "model", "seq"))

@@ -1,0 +1,178 @@
+"""Pipeline parallelism over the ``pipe`` mesh axis (SURVEY.md §2.2 #13).
+
+The stacked layer axis (every LayerParams leaf and the cache's L dim) shards
+over ``pipe``; stage s holds layers [s*L/pp, (s+1)*L/pp) and their KV pages.
+One decode/prefill step runs the stages IN TURN inside a single shard_map:
+each stage applies its local ``lax.scan`` when its turn comes
+(``lax.cond`` on axis_index) and the [B, T, D] activation hops to the next
+stage via ``lax.ppermute`` — the payload is tiny next to weights/KV, which
+never move. Embedding/final-norm/lm_head replicate across pipe; the final
+hidden state broadcasts back with one masked psum.
+
+This is memory-capacity PP (fit 70B+ by spreading layers; BASELINE.json:11);
+stages idle while others compute, so combine with data parallelism for
+throughput. Composes with the ``model``/``seq`` axes: the inner layer step
+is the same TP/SP-aware code as llama.forward's.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quant_tpu.models import llama
+from quant_tpu.models.config import ModelConfig
+from quant_tpu.parallel import tp as tp_mod
+
+__all__ = ["pp_param_specs", "pp_cache_specs", "shard_params_pp",
+           "shard_cache_pp", "make_pp_forward"]
+
+
+def _with_pipe(spec: P, stacked: bool) -> P:
+    if not stacked:
+        return spec
+    rest = tuple(spec)[1:] if len(spec) else ()
+    return P("pipe", *rest)
+
+
+def pp_param_specs(params: llama.LlamaParams):
+    """TP specs + layer-stack axis sharded over pipe."""
+    base = tp_mod.param_specs(params)
+
+    def fix(path, spec):
+        names = tp_mod._path_names(path)
+        return _with_pipe(spec, "layers" in names)
+    return jax.tree_util.tree_map_with_path(fix, base)
+
+
+def pp_cache_specs(cache: llama.KVCache):
+    def spec(path, leaf):
+        field = tp_mod._path_names(path)[-1]
+        if field == "lengths":
+            return P("data")
+        if field.endswith("codes"):
+            return P("pipe", "data", "model", "seq", None)
+        return P("pipe", "data", "model", "seq")
+    return jax.tree_util.tree_map_with_path(spec, cache)
+
+
+def shard_params_pp(params, mesh: Mesh):
+    specs = pp_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache_pp(cache, mesh: Mesh):
+    specs = pp_cache_specs(cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def forward_pp(params, tokens, cache, cfg: ModelConfig,
+               pipe_axis: str = "pipe", axis: str | None = None,
+               seq_axis: str | None = None):
+    """llama.forward equivalent with layer stages over ``pipe_axis``."""
+    mm = llama._mm(cfg)
+    b, t = tokens.shape
+    dt = llama._act_dtype(cfg)
+    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
+    if seq_axis is not None:
+        s_loc = cache.k_codes.shape[3]
+        s0 = jax.lax.axis_index(seq_axis) * s_loc
+    else:
+        s0 = 0
+    positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
+    new_lengths = cache.lengths + t
+    my = jax.lax.axis_index(pipe_axis)
+    pp = jax.lax.axis_size(pipe_axis)
+
+    def layer_step(h, xs):
+        lp, kc, ks, vc, vs = xs
+        x = llama.rmsnorm(h, lp.attn_norm, cfg.norm_eps)
+        qkv = mm(x, lp.wqkv)
+        units = cfg.n_heads + 2 * cfg.n_kv_heads
+        nq = (qkv.shape[-1] * cfg.n_heads) // units
+        nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
+        q = qkv[..., :nq].reshape(b, t, -1, cfg.head_dim)
+        k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
+        v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
+        q = llama._rope(q, positions, cfg.rope_theta)
+        k = llama._rope(k, positions, cfg.rope_theta)
+        k_q, k_s = llama.quantize_kv(k)
+        v_q, v_s = llama.quantize_kv(v)
+        kc, ks = llama._cache_insert(kc, ks, k_q, k_s, cache.lengths, s0)
+        vc, vs = llama._cache_insert(vc, vs, v_q, v_s, cache.lengths, s0)
+        attn = llama.attention(q, kc, ks, vc, vs, positions, new_lengths,
+                               cfg, seq_axis=seq_axis, key_offset=s0)
+        h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,
+                        out_dtype=jnp.float32)).astype(dt)
+        x = llama.rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
+        gu = mm(x, lp.w_gate_up)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        h = h + psum(mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+            lp.w_down, out_dtype=jnp.float32,
+        )).astype(dt)
+        return h, (kc, ks, vc, vs)
+
+    def run_local(h):
+        return jax.lax.scan(
+            layer_step, h,
+            (params.layers, cache.k_codes, cache.k_scale,
+             cache.v_codes, cache.v_scale),
+        )
+
+    h = params.embed[tokens].astype(dt)
+    kc, ks = cache.k_codes, cache.k_scale
+    vc, vs = cache.v_codes, cache.v_scale
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+    for s in range(pp):
+        h2, (kc2, ks2, vc2, vs2) = jax.lax.cond(
+            my == s,
+            lambda h: run_local(h),
+            lambda h: (h, (kc, ks, vc, vs)),
+            h,
+        )
+        kc, ks, vc, vs = kc2, ks2, vc2, vs2
+        h = jax.lax.ppermute(h2, pipe_axis, perm)
+    # Final h sits on stage 0 after the wrap-around hop; broadcast it.
+    h = jax.lax.psum(jnp.where(my == 0, h, jnp.zeros_like(h)), pipe_axis)
+    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
+    logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+    if axis:
+        logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    new_cache = llama.KVCache(
+        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
+    )
+    return logits, new_cache
+
+
+def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
+    """jit(shard_map(forward_pp)) over a (pipe, data, model, seq) mesh."""
+    pp = mesh.shape["pipe"]
+    tp = mesh.shape["model"]
+    sp = mesh.shape.get("seq", 1)
+    if cfg.n_layers % pp:
+        raise ValueError(f"pipe axis {pp} must divide n_layers "
+                         f"{cfg.n_layers}")
+    if cfg.n_kv_heads % tp or cfg.n_heads % tp:
+        raise ValueError(f"model axis {tp} must divide head counts")
+    p_specs = pp_param_specs(params)
+    c_specs = pp_cache_specs(cache)
+    fwd = functools.partial(
+        forward_pp, cfg=cfg, pipe_axis="pipe", axis="model",
+        seq_axis="seq" if sp > 1 else None,
+    )
+    sharded = jax.shard_map(
+        lambda pr, tok, ca: fwd(pr, tok, ca),
+        mesh=mesh,
+        in_specs=(p_specs, P("data", None), c_specs),
+        out_specs=(P("data", None, None), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2,))

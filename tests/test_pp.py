@@ -1,0 +1,55 @@
+"""Pipeline-parallel forward vs single-device (CPU 8-device mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_tpu.models import PRESETS, llama
+from quant_tpu.parallel import (
+    make_mesh, make_pp_forward, shard_params_pp, shard_cache_pp,
+)
+
+CFG = PRESETS["test-tiny"]  # 2 layers
+
+
+def _run(pipe, data=1, model=1, tp_pack=1):
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    params = llama.init_params(CFG, seed=0, tp=tp_pack)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, CFG.vocab_size, (2 * data, 6)),
+        jnp.int32,
+    )
+    cache0 = llama.init_cache(CFG, 2 * data, 16)
+    ref1, ref_cache = llama.forward(params_ref, toks, cache0, CFG)
+    ref2, _ = llama.forward(params_ref, toks[:, :1], ref_cache, CFG)
+
+    mesh = make_mesh(data=data, model=model, pipe=pipe)
+    sp_params = shard_params_pp(params, mesh)
+    sc = shard_cache_pp(llama.init_cache(CFG, 2 * data, 16), mesh)
+    step = make_pp_forward(CFG, mesh, sp_params, sc)
+    out1, out_cache = step(sp_params, toks, sc)
+    out2, _ = step(sp_params, toks[:, :1], out_cache)
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               np.asarray(ref1, np.float32),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pipe,data,model,tp_pack", [
+    (2, 1, 1, 1),   # pure PP
+    (2, 2, 1, 1),   # PP x DP
+    (2, 1, 2, 2),   # PP x TP
+    (2, 2, 2, 2),   # PP x DP x TP (8 devices)
+])
+def test_pp_matches_single_device(pipe, data, model, tp_pack):
+    _run(pipe, data, model, tp_pack)
+
+
+def test_pp_requires_layer_divisibility():
+    mesh = make_mesh(pipe=4)  # 2 layers % 4 != 0
+    params = llama.init_params(CFG, seed=0)
+    cache = llama.init_cache(CFG, 2, 16)
+    with pytest.raises(ValueError, match="must divide n_layers"):
+        make_pp_forward(CFG, mesh, params, cache)
