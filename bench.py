@@ -16,14 +16,13 @@ Measurement notes for THIS environment (axon relay to the TPU):
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from quant_tpu.core.qtensor import quantize_tensor_device
 from quant_tpu.kernels import dequant_matmul
+from quant_tpu.utils.timing import differential_time
 
 ROOFLINE_GBPS = {"TPU v5 lite": 819.0, "TPU v5p": 2765.0, "cpu": 50.0}
 K = N = 4096
@@ -73,27 +72,14 @@ def _chain_fn(outer: int):
     return run
 
 
-def _time(fn, x, qts, iters=5):
-    ts = []
-    np.asarray(fn(x, qts))  # compile + warm
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fn(x, qts))  # scalar fetch forces real completion
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
 def main():
     dev = jax.devices()[0]
     roof = _roofline_for(dev)
     x, qts = _build()
     # Differential nested-loop timing: fixed RPC/dispatch cost cancels in
     # (t_hi - t_lo); the spread is large enough to dominate RPC jitter.
-    r_lo, r_hi = 8, 512
-    t_lo = _time(_chain_fn(r_lo), x, qts)
-    t_hi = _time(_chain_fn(r_hi), x, qts)
-    per_mm = (t_hi - t_lo) / ((r_hi - r_lo) * NW)
-    per_mm = max(per_mm, 1e-9)
+    per_chain = differential_time(_chain_fn, (x, qts), 8, 512, iters=5)
+    per_mm = per_chain / NW
     w_bytes = K * N * (1 if BITS == 8 else 0.5)
     gbps = w_bytes / per_mm / 1e9
     pct = 100.0 * gbps / roof

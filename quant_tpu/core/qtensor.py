@@ -159,7 +159,7 @@ def concat_columns(parts: list[np.ndarray], shards: int = 1) -> np.ndarray:
 
 
 def quantize_tensor_device(
-    w: jax.Array, bits: int, group_size: int | None = None
+    w: jax.Array, bits: int, group_size: int | None = None, kshards: int = 1
 ) -> QTensor:
     """Quantize a dense [K, N] weight into a QTensor ON DEVICE (pure jnp).
 
@@ -182,12 +182,19 @@ def quantize_tensor_device(
     q = jnp.round(g / scales[:, None, :])
     codes = jnp.clip(q, -qmax, qmax).astype(jnp.int8).reshape(k, n)
     if bits == 4:
-        if k % 2:
-            raise ValueError("int4 requires even K")
-        u = (codes.astype(jnp.int32) + 8).astype(jnp.uint8)
-        codes = (u[: k // 2] | (u[k // 2:] << 4)).astype(jnp.uint8)
+        if k % (2 * kshards):
+            raise ValueError("int4 requires even K per shard block")
+        u = (codes.astype(jnp.int32) + 8)
+        kb = k // kshards
+        blocks = [
+            (u[s * kb: s * kb + kb // 2]
+             | (u[s * kb + kb // 2:(s + 1) * kb] << 4))
+            for s in range(kshards)
+        ]
+        codes = jnp.concatenate(blocks, axis=0).astype(jnp.uint8)
     return QTensor(
-        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n)
+        codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n),
+        kshards=kshards,
     )
 
 

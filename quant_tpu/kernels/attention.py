@@ -35,7 +35,7 @@ __all__ = ["flash_decode_int8"]
 def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             m_ref, l_ref, acc_ref, *, s_blk, n_s, scale):
     s_idx = pl.program_id(2)
-    length = len_ref[0]
+    length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
 
     @pl.when(s_idx == 0)
@@ -111,7 +111,9 @@ def flash_decode_int8(
         num_scalar_prefetch=0,
         grid=(b, hkv, n_s),
         in_specs=[
-            pl.BlockSpec((1,), lambda bb, h, ss: (bb,),
+            # whole lengths vector in SMEM (rank-1 blocks must cover the
+            # array on TPU); kernel indexes it by the batch program id
+            pl.BlockSpec((b,), lambda bb, h, ss: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
                          memory_space=pltpu.VMEM),

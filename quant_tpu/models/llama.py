@@ -43,7 +43,8 @@ from quant_tpu.models.config import ModelConfig
 
 __all__ = [
     "LlamaParams", "LayerParams", "KVCache",
-    "init_params", "init_cache", "forward", "quantize_dense_params",
+    "init_params", "init_params_device", "init_cache", "forward",
+    "quantize_dense_params",
 ]
 
 
@@ -110,13 +111,17 @@ def _act_dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.dtype)
 
 
-def _mm(cfg: ModelConfig):
+def _resolve_mode(cfg: ModelConfig) -> str:
     mode = cfg.kernel_mode
     if mode == "auto":
         # pallas on real TPU backends; XLA reference elsewhere (pallas can
         # only interpret on CPU, and interpret mode is far slower than XLA).
         mode = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-    cfg = dataclasses.replace(cfg, kernel_mode=mode)
+    return mode
+
+
+def _mm(cfg: ModelConfig):
+    cfg = dataclasses.replace(cfg, kernel_mode=_resolve_mode(cfg))
     if cfg.kernel_mode == "xla":
         base = dequant_matmul_reference
     elif cfg.kernel_mode == "pallas_interpret":
@@ -178,6 +183,66 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
         lm_head=q(_dense(rng, d, cfg.vocab_size)),
+    )
+
+
+def init_params_device(cfg: ModelConfig, seed: int = 0,
+                       tp: int = 1) -> LlamaParams:
+    """Random-init quantized params ON DEVICE (pure jnp).
+
+    Benchmarks on the axon relay need this: host→device uploads run at
+    ~MB/s, so multi-GB models must be generated and quantized in HBM.
+    Identical structure to :func:`init_params` (weights differ — jax PRNG).
+    """
+    from quant_tpu.core.qtensor import quantize_tensor_device
+
+    d, hd = cfg.dim, cfg.head_dim
+    qd, kvd, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
+    key = jax.random.key(seed)
+
+    def dense(key, k, n):
+        return jax.random.normal(key, (k, n), jnp.float32) / np.sqrt(k)
+
+    def cat(keys_dims, kshards=1):
+        parts = [dense(kk, d0, n0) for kk, (d0, n0) in keys_dims]
+        if tp == 1:
+            return jnp.concatenate(parts, axis=1)
+        chunks = []
+        for s in range(tp):
+            for p in parts:
+                wdt = p.shape[1] // tp
+                chunks.append(p[:, s * wdt:(s + 1) * wdt])
+        return jnp.concatenate(chunks, axis=1)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def make_layer(key):
+        ks = jax.random.split(key, 7)
+        qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
+                               group_size=cfg.group_size)
+        return LayerParams(
+            wqkv=qz(cat([(ks[0], (d, qd)), (ks[1], (d, kvd)),
+                         (ks[2], (d, kvd))])),
+            wo=qz(dense(ks[3], qd, d), kshards=tp),
+            w_gate_up=qz(cat([(ks[4], (d, it)), (ks[5], (d, it))])),
+            w_down=qz(dense(ks[6], it, d), kshards=tp),
+            attn_norm=jnp.ones((d,), jnp.float32),
+            mlp_norm=jnp.ones((d,), jnp.float32),
+        )
+
+    lkeys = jax.random.split(key, cfg.n_layers + 3)
+    layers = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[make_layer(lkeys[i]) for i in range(cfg.n_layers)],
+    )
+    dt = _act_dtype(cfg)
+    return LlamaParams(
+        embed=(jax.random.normal(lkeys[-1], (cfg.vocab_size, d), jnp.float32)
+               * 0.02).astype(dt),
+        layers=layers,
+        final_norm=jnp.ones((d,), jnp.float32),
+        lm_head=quantize_tensor_device(
+            dense(lkeys[-2], d, cfg.vocab_size), cfg.bits, cfg.group_size
+        ),
     )
 
 
@@ -378,8 +443,18 @@ def forward(
         v_q, v_s = quantize_kv(v)
         kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths, s0)
         vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths, s0)
-        attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg,
-                         seq_axis=seq_axis, key_offset=s0)
+        mode = _resolve_mode(cfg)
+        if t == 1 and seq_axis is None and mode in ("pallas",
+                                                    "pallas_interpret"):
+            # Decode hot path: Pallas flash kernel streams the int8 cache.
+            from quant_tpu.kernels.attention import flash_decode_int8
+            attn = flash_decode_int8(
+                q[:, 0], kc, ks, vc, vs, new_lengths,
+                interpret=(mode == "pallas_interpret"),
+            )[:, None]
+        else:
+            attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg,
+                             seq_axis=seq_axis, key_offset=s0)
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,

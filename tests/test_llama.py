@@ -97,3 +97,22 @@ def test_jit_stable_no_retrace():
     for _ in range(3):
         _, cache = fwd(params, tok, cache, CFG)
     assert fwd._cache_size() == n0
+
+
+def test_pallas_interpret_decode_matches_xla():
+    """Full decode step through the Pallas kernels (interpret) == XLA path."""
+    cfg_x = dataclasses.replace(CFG, kernel_mode="xla")
+    cfg_p = dataclasses.replace(CFG, kernel_mode="pallas_interpret")
+    params = llama.init_params(cfg_x, seed=5)
+    toks = jnp.array([[3, 1, 4, 1, 5]], jnp.int32)
+    cache_x = llama.init_cache(cfg_x, 1, 16)
+    cache_p = llama.init_cache(cfg_p, 1, 16)
+    _, cache_x = llama.forward(params, toks, cache_x, cfg_x)
+    _, cache_p = llama.forward(params, toks, cache_p, cfg_p)
+    lx, _ = llama.forward(params, toks[:, -1:], cache_x, cfg_x)
+    lp, _ = llama.forward(params, toks[:, -1:], cache_p, cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(lp, np.float32), np.asarray(lx, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    assert np.argmax(np.asarray(lp)) == np.argmax(np.asarray(lx))

@@ -72,3 +72,16 @@ def test_device_quantize_bit_exact_vs_host():
         dev = quantize_tensor_device(jnp.asarray(w), bits=bits, group_size=gs)
         np.testing.assert_array_equal(np.asarray(dev.codes), host.codes)
         np.testing.assert_array_equal(np.asarray(dev.scales), host.scales)
+
+
+def test_device_quantize_kshards_matches_host():
+    import jax.numpy as jnp
+    import numpy as np
+    from quant_tpu.core.qtensor import quantize_tensor, quantize_tensor_device
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((128, 64), dtype=np.float32)
+    host = quantize_tensor(w, bits=4, group_size=32, kshards=4)
+    dev = quantize_tensor_device(jnp.asarray(w), 4, 32, kshards=4)
+    np.testing.assert_array_equal(np.asarray(dev.codes), host.codes)
+    assert dev.kshards == 4
