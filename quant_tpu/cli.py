@@ -62,6 +62,17 @@ def _cmd_eval(args):
     print(json.dumps(res))
 
 
+def _cmd_serve(args):
+    from quant_tpu.checkpoint import load_checkpoint
+    from quant_tpu.engine import Engine
+    from quant_tpu.engine.server import serve
+
+    params, cfg = load_checkpoint(args.ckpt)
+    eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
+                 eos_id=args.eos_id)
+    serve(eng, host=args.host, port=args.port)
+
+
 def _cmd_selftest(args):
     """Codec bit-exactness vs the C++ oracle + a tiny e2e generate."""
     import numpy as np
@@ -131,6 +142,15 @@ def main(argv=None):
     e.add_argument("--window", type=int, default=512)
     e.add_argument("--limit-windows", type=int, default=None)
     e.set_defaults(fn=_cmd_eval)
+
+    sv = sub.add_parser("serve", help="HTTP serving frontend")
+    sv.add_argument("ckpt")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8400)
+    sv.add_argument("--slots", type=int, default=8)
+    sv.add_argument("--max-seq", type=int, default=1024)
+    sv.add_argument("--eos-id", type=int, default=2)
+    sv.set_defaults(fn=_cmd_serve)
 
     s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")
     s.set_defaults(fn=_cmd_selftest)

@@ -1,0 +1,137 @@
+"""Minimal HTTP serving frontend over the continuous-batching engine.
+
+JSON API (stdlib http.server — zero deps, one background scheduler thread):
+
+    POST /generate   {"prompt_ids": [...], "max_new_tokens": N,
+                      "temperature": T, "top_k": K, "top_p": P}
+        → {"req_id": i, "output_ids": [...]}
+    GET  /healthz    → {"ok": true, ...engine stats}
+
+The HTTP handler enqueues into the Engine and waits on a per-request event;
+the scheduler thread drives ``Engine.step()`` continuously, so concurrent
+requests batch together automatically (continuous batching across the
+socket boundary).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from quant_tpu.engine.engine import Engine, Request
+from quant_tpu.engine.sampler import SamplingConfig
+
+log = logging.getLogger("quant_tpu.server")
+
+__all__ = ["serve", "EngineServer"]
+
+
+class EngineServer:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.lock = threading.Lock()
+        self.events: dict[int, threading.Event] = {}
+        self.next_id = 0
+        self.stop_flag = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self.stop_flag.set()
+        self.thread.join(timeout=10)
+
+    def _loop(self):
+        import time
+        while not self.stop_flag.is_set():
+            with self.lock:
+                busy = self.engine.has_work()
+                finished = self.engine.step() if busy else []
+            for req in finished:
+                ev = self.events.pop(req.req_id, None)
+                if ev:
+                    ev.set()
+            if not busy:
+                time.sleep(0.005)
+
+    def submit(self, prompt_ids, max_new_tokens, sampling) -> Request:
+        ev = threading.Event()
+        with self.lock:
+            rid = self.next_id
+            self.next_id += 1
+            req = Request(req_id=rid, prompt=list(prompt_ids),
+                          max_new_tokens=max_new_tokens, sampling=sampling)
+            self.events[rid] = ev
+            self.engine.add_request(req)
+        ev.wait()
+        return req
+
+
+def _make_handler(srv: EngineServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            log.debug(fmt, *args)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **srv.engine.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n))
+                sampling = SamplingConfig(
+                    temperature=float(body.get("temperature", 0.0)),
+                    top_k=int(body.get("top_k", 0)),
+                    top_p=float(body.get("top_p", 1.0)),
+                )
+                req = srv.submit(
+                    body["prompt_ids"],
+                    int(body.get("max_new_tokens", 32)),
+                    sampling,
+                )
+                self._json(200, {"req_id": req.req_id,
+                                 "output_ids": req.output})
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8400):
+    """Blocking serve loop; returns the (already started) HTTPServer when
+    called with ``port=0`` probing in tests via serve_async."""
+    srv = EngineServer(engine)
+    srv.start()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
+    log.info("serving on %s:%d", host, httpd.server_address[1])
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.stop()
+
+
+def serve_async(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    """Start server in a background thread; returns (httpd, engine_server)."""
+    srv = EngineServer(engine)
+    srv.start()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, srv

@@ -20,7 +20,30 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh"]
+__all__ = ["make_mesh", "init_distributed"]
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (SURVEY.md §3e): ``jax.distributed.initialize``.
+
+    Call once per host before building the hybrid mesh; with no arguments
+    the TPU runtime's own discovery is used (the normal pod-slice path).
+    No-op when already initialized or single-process.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
 
 
 def make_mesh(

@@ -1,0 +1,60 @@
+"""HTTP serving frontend test: concurrent requests through a real socket."""
+
+import json
+import threading
+import urllib.request
+
+from quant_tpu.engine import Engine
+from quant_tpu.engine.server import serve_async
+from quant_tpu.models import PRESETS, llama
+
+CFG = PRESETS["test-tiny"]
+
+
+def test_http_generate_and_health():
+    params = llama.init_params(CFG, seed=0)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        results = {}
+
+        def post(i, prompt):
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"prompt_ids": prompt,
+                                 "max_new_tokens": 4}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [
+            threading.Thread(target=post, args=(i, [3 + i, 5, 7]))
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 3
+        assert all(len(r["output_ids"]) == 4 for r in results.values())
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"]
+
+        # malformed request → 400
+        req = urllib.request.Request(
+            base + "/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
