@@ -46,6 +46,8 @@ def _load_hf_tensors(model_dir: pathlib.Path) -> dict[str, np.ndarray]:
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
     hf = json.loads((pathlib.Path(model_dir) / "config.json").read_text())
     kw = dict(
+        qkv_bias=bool(hf.get("attention_bias", False)
+                      or hf.get("model_type") == "qwen2"),
         vocab_size=hf["vocab_size"],
         dim=hf["hidden_size"],
         n_layers=hf["num_hidden_layers"],
@@ -97,6 +99,12 @@ def convert_hf_llama(
         pre = f"model.layers.{i}."
         for ours, theirs in _LAYER_MAP.items():
             dense[f"layers.{i}.{ours}"] = t(pre + theirs + ".weight")
+        if pre + "self_attn.q_proj.bias" in hf:  # Qwen2 family
+            for ours, theirs in (("q_bias", "q_proj"), ("k_bias", "k_proj"),
+                                 ("v_bias", "v_proj")):
+                dense[f"layers.{i}.{ours}"] = hf[
+                    pre + f"self_attn.{theirs}.bias"
+                ].astype(np.float32)
         dense[f"layers.{i}.attn_norm"] = hf[
             pre + "input_layernorm.weight"
         ].astype(np.float32)

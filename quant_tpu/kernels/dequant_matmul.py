@@ -89,25 +89,30 @@ def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None):
 # ── kernels ─────────────────────────────────────────────────────────────
 
 
-def _scaled_dots(x_ref, w, s, tile_g, gsz, acc, x_col0=0):
+def _scaled_dots(x, w, s, tile_g, gsz, acc):
     """acc += sum_g (x[:, g] @ w[g]) * s[g] — scales on [M, TN] partials."""
     for g in range(tile_g):
-        c0 = x_col0 + g * gsz
-        part = jnp.dot(x_ref[:, c0:c0 + gsz], w[g * gsz:(g + 1) * gsz],
+        part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
+                       w[g * gsz:(g + 1) * gsz],
                        preferred_element_type=jnp.float32)
         acc = acc + part * s[g:g + 1]
     return acc
 
 
-def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz):
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
+                 cdt):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:].astype(x_ref.dtype)
-    acc_ref[:] = _scaled_dots(x_ref, w, s_ref[0], tile_g, gsz, acc_ref[:])
+    # cdt: f32 compute at decode M (int8→f32 converts measure faster than
+    # →bf16 on this chip and the MXU is nowhere near the limit at small M);
+    # bf16 for large-M prefill where MXU rate matters.
+    w = w_ref[:].astype(cdt)
+    acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w, s_ref[0],
+                              tile_g, gsz, acc_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -116,6 +121,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz):
 
 def _kernel_int4(
     x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
+    cdt,
 ):
     k = pl.program_id(2)
 
@@ -124,13 +130,15 @@ def _kernel_int4(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     wi = w_ref[:].astype(jnp.int32)
-    lo = ((wi & 0xF) - 8).astype(x_lo_ref.dtype)
-    hi = ((wi >> 4) - 8).astype(x_lo_ref.dtype)
+    lo = ((wi & 0xF) - 8).astype(cdt)
+    hi = ((wi >> 4) - 8).astype(cdt)
     s = s_ref[0]  # [2*tile_g, TN]: lo rows then hi rows
 
     acc = acc_ref[:]
-    acc = _scaled_dots(x_lo_ref, lo, s[:tile_g], tile_g, gsz, acc)
-    acc = _scaled_dots(x_hi_ref, hi, s[tile_g:], tile_g, gsz, acc)
+    acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s[:tile_g], tile_g, gsz,
+                       acc)
+    acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s[tile_g:], tile_g, gsz,
+                       acc)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -247,9 +255,10 @@ def _dequant_matmul_2d(
     s_spec = pl.BlockSpec((1, s_rows, tn), lambda i, j, kk: (kk, 0, j),
                           memory_space=pltpu.VMEM)
 
+    cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz)
+                                 gsz=gsz, cdt=cdt)
         in_specs = [
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
@@ -263,7 +272,7 @@ def _dequant_matmul_2d(
         k2 = k // 2
         hi_x_off = k2 // tk  # x block index offset for the high-nibble half
         kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz)
+                                 gsz=gsz, cdt=cdt)
         in_specs = [
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),

@@ -19,6 +19,7 @@ class ModelConfig:
     intermediate: int
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
+    qkv_bias: bool = False  # Qwen2 family
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -45,6 +46,11 @@ PRESETS: dict[str, ModelConfig] = {
     "llama-3-8b": ModelConfig(
         vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
         intermediate=14336, rope_theta=500000.0,
+    ),
+    "qwen2-7b": ModelConfig(
+        vocab_size=152064, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
+        intermediate=18944, rope_theta=1000000.0, norm_eps=1e-6,
+        qkv_bias=True,
     ),
     "llama-3-70b": ModelConfig(
         vocab_size=128256, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,

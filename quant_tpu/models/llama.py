@@ -67,6 +67,9 @@ class LayerParams:
     w_down: QTensor     # [I, D]
     attn_norm: Any      # [D] (or [L, D] stacked)
     mlp_norm: Any
+    # QKV bias (Qwen2 family); zeros for Llama. Same interleaved column
+    # order as wqkv so TP column splits stay aligned.
+    qkv_bias: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -173,6 +176,14 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         w_down=q(_dense(rng, it, d), kshards=tp),
         attn_norm=jnp.ones((d,), jnp.float32),
         mlp_norm=jnp.ones((d,), jnp.float32),
+        qkv_bias=(
+            concat_columns(
+                [rng.standard_normal((1, qd), dtype=np.float32) * 0.02,
+                 rng.standard_normal((1, kvd), dtype=np.float32) * 0.02,
+                 rng.standard_normal((1, kvd), dtype=np.float32) * 0.02],
+                tp)[0]
+            if cfg.qkv_bias else jnp.zeros((qd + 2 * kvd,), jnp.float32)
+        ),
     ))
     dt = _act_dtype(cfg)
     return LlamaParams(
@@ -227,6 +238,7 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
             w_down=qz(dense(ks[6], it, d), kshards=tp),
             attn_norm=jnp.ones((d,), jnp.float32),
             mlp_norm=jnp.ones((d,), jnp.float32),
+            qkv_bias=jnp.zeros((qd + 2 * kvd,), jnp.float32),
         )
 
     lkeys = jax.random.split(key, cfg.n_layers + 3)
@@ -270,6 +282,16 @@ def quantize_dense_params(
             w_down=qz(g("w_down"), tp),
             attn_norm=jnp.asarray(g("attn_norm"), jnp.float32),
             mlp_norm=jnp.asarray(g("mlp_norm"), jnp.float32),
+            qkv_bias=jnp.asarray(
+                concat_columns(
+                    [g("q_bias")[None, :], g("k_bias")[None, :],
+                     g("v_bias")[None, :]], tp)[0]
+                if f"layers.{i}.q_bias" in dense
+                else np.zeros(
+                    (dense[f"layers.{i}.wq"].shape[1]
+                     + 2 * dense[f"layers.{i}.wk"].shape[1],), np.float32),
+                jnp.float32,
+            ),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     dt = _act_dtype(cfg)
@@ -430,7 +452,7 @@ def forward(
     def layer_step(h, xs):
         lp, kc, ks, vc, vs = xs
         x = rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        qkv = mm(x, lp.wqkv)
+        qkv = mm(x, lp.wqkv) + lp.qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
         nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units

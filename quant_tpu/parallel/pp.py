@@ -94,7 +94,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     def layer_step(h, xs):
         lp, kc, ks, vc, vs = xs
         x = llama.rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        qkv = mm(x, lp.wqkv)
+        qkv = mm(x, lp.wqkv) + lp.qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
         nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units

@@ -52,6 +52,8 @@ def _spec_for(path, leaf) -> P:
     owner = names[-2] if len(names) >= 2 else ""
     stacked = owner != "lm_head" and "layers" in names
     lead = (None,) if stacked else ()
+    if field == "qkv_bias":    # column-fused bias shards with wqkv's N
+        return P(*lead, "model")
     if owner in _COL:
         return P(*lead, None, "model")  # [L?, K(/2)|G, N] shard N
     if owner in _ROW:
