@@ -93,11 +93,11 @@ class QTensor:
         across row-shards, grouped scales shard along G), kshards resets to
         1 (packing is per-shard by construction).
         """
-        n = self.codes.shape[1]
-        k = self.codes.shape[0] * (2 if self.bits == 4 else 1)
+        n = self.codes.shape[-1]
+        k = self.codes.shape[-2] * (2 if self.bits == 4 else 1)
         if (k, n) == self.shape:
             return self  # global view — metadata (incl. kshards) already true
-        gs = k // self.scales.shape[0]
+        gs = k // self.scales.shape[-2]
         return QTensor(
             codes=self.codes, scales=self.scales, bits=self.bits,
             group_size=gs, shape=(k, n), kshards=1,

@@ -33,10 +33,11 @@ __all__ = ["flash_decode_int8"]
 
 
 def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale):
+            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, stacked=False):
     s_idx = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
+    kv = (lambda r: r[0, 0, 0]) if stacked else (lambda r: r[0, 0])
 
     @pl.when(s_idx == 0)
     def _():
@@ -47,8 +48,8 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
     @pl.when(start < length)
     def _():
         q = q_ref[0, 0].astype(jnp.float32) * scale        # [rep, Dh]
-        kf = kc_ref[0, 0].astype(jnp.float32)              # [S_blk, Dh]
-        kf = kf * ks_ref[0, 0]                             # scale per token
+        kf = kv(kc_ref).astype(jnp.float32)                # [S_blk, Dh]
+        kf = kf * kv(ks_ref)                               # scale per token
         logits = jax.lax.dot_general(
             q, kf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -64,8 +65,8 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
         p = jnp.exp(logits - m_new)                        # [rep, S_blk]
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
-        vf = vc_ref[0, 0].astype(jnp.float32)
-        vf = vf * vs_ref[0, 0]
+        vf = kv(vc_ref).astype(jnp.float32)
+        vf = vf * kv(vs_ref)
         pv = jnp.dot(p, vf, preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -82,18 +83,23 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 )
 def flash_decode_int8(
     q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
-    k_codes: jax.Array,  # int8 [B, Hkv, S, Dh]
+    k_codes: jax.Array,  # int8 [B, Hkv, S, Dh] (or [L, ...] with ``layer``)
     k_scale: jax.Array,  # f32  [B, Hkv, S]
     v_codes: jax.Array,
     v_scale: jax.Array,
     lengths: jax.Array,  # int32 [B] — valid cache length per slot
+    layer=None,          # traced layer index for stacked [L, ...] caches —
+                         # selected inside the BlockSpec index maps (scalar
+                         # prefetch), so scan-over-layers never copies the
+                         # cache (same trick as dequant_matmul)
     *,
     s_blk: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns attention output [B, Hq, Dh] (q.dtype)."""
+    stacked = k_codes.ndim == 5
     b, hq, dh = q.shape
-    _, hkv, s, _ = k_codes.shape
+    hkv, s = k_codes.shape[-3], k_codes.shape[-2]
     rep = hq // hkv
     if s % s_blk:
         s_blk = s if s < s_blk else max(
@@ -105,37 +111,77 @@ def flash_decode_int8(
     vs4 = v_scale[..., None]
 
     kern = functools.partial(
-        _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5)
+        _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
+        stacked=stacked,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(b, hkv, n_s),
-        in_specs=[
-            # whole lengths vector in SMEM (rank-1 blocks must cover the
-            # array on TPU); kernel indexes it by the batch program id
-            pl.BlockSpec((b,), lambda bb, h, ss: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+    scratch = [
+        pltpu.VMEM((rep, 128), jnp.float32),
+        pltpu.VMEM((rep, 128), jnp.float32),
+        pltpu.VMEM((rep, dh), jnp.float32),
+    ]
+    if not stacked:
+        kv_specs = [
             pl.BlockSpec((1, 1, s_blk, dh), lambda bb, h, ss: (bb, h, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s_blk, 1), lambda bb, h, ss: (bb, h, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, dh), lambda bb, h, ss: (bb, h, ss, 0),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, hkv, n_s),
+            in_specs=[
+                # whole lengths vector in SMEM (rank-1 blocks must cover
+                # the array); kernel indexes it by the batch program id
+                pl.BlockSpec((b,), lambda bb, h, ss: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, rep, dh),
+                             lambda bb, h, ss: (bb, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        args = (lengths, qg, k_codes, ks4, v_codes, vs4)
+    else:
+        kv_specs = [
+            pl.BlockSpec((1, 1, 1, s_blk, dh),
+                         lambda bb, h, ss, lr: (lr[0], bb, h, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, 1), lambda bb, h, ss: (bb, h, ss, 0),
+            pl.BlockSpec((1, 1, 1, s_blk, 1),
+                         lambda bb, h, ss, lr: (lr[0], bb, h, ss, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rep, 128), jnp.float32),
-            pltpu.VMEM((rep, 128), jnp.float32),
-            pltpu.VMEM((rep, dh), jnp.float32),
-        ],
-    )
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv, n_s),
+            in_specs=[
+                pl.BlockSpec((b,), lambda bb, h, ss, lr: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, rep, dh),
+                             lambda bb, h, ss, lr: (bb, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rep, dh), lambda bb, h, ss, lr: (bb, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        lr = jnp.asarray(layer, jnp.int32).reshape(1)
+        args = (lr, lengths, qg, k_codes, ks4, v_codes, vs4)
+
+        base = kern
+
+        def kern_p(lr_ref, *rest):
+            del lr_ref
+            return base(*rest)
+
+        kern = kern_p
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -144,5 +190,5 @@ def flash_decode_int8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, qg, k_codes, ks4, v_codes, vs4)
+    )(*args)
     return out.reshape(b, hq, dh)

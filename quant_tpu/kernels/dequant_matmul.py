@@ -100,7 +100,7 @@ def _scaled_dots(x, w, s, tile_g, gsz, acc):
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-                 cdt):
+                 cdt, stacked=False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -110,7 +110,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
     # cdt: f32 compute at decode M (int8→f32 converts measure faster than
     # →bf16 on this chip and the MXU is nowhere near the limit at small M);
     # bf16 for large-M prefill where MXU rate matters.
-    w = w_ref[:].astype(cdt)
+    w = (w_ref[0] if stacked else w_ref[:]).astype(cdt)
     acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w, s_ref[0],
                               tile_g, gsz, acc_ref[:])
 
@@ -121,7 +121,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
 
 def _kernel_int4(
     x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-    cdt,
+    cdt, stacked=False,
 ):
     k = pl.program_id(2)
 
@@ -129,7 +129,7 @@ def _kernel_int4(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wi = w_ref[:].astype(jnp.int32)
+    wi = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)
     lo = ((wi & 0xF) - 8).astype(cdt)
     hi = ((wi >> 4) - 8).astype(cdt)
     s = s_ref[0]  # [2*tile_g, TN]: lo rows then hi rows
@@ -156,6 +156,7 @@ def _kernel_int4(
 def dequant_matmul(
     x: jax.Array,
     qt: QTensor,
+    layer=None,
     *,
     out_dtype=None,
     tile_m: int = 256,
@@ -168,6 +169,12 @@ def dequant_matmul(
     x may have any number of leading dims (flattened to M). M is padded to
     the dtype sublane multiple; K/N must satisfy the tile divisibility rules
     or the XLA reference path is used instead (correct, slower).
+
+    ``layer``: when qt's leaves carry a stacked leading axis [L, ...] (the
+    scan-over-layers case), pass the traced layer index — the kernel selects
+    the layer INSIDE its BlockSpec index maps (scalar prefetch), so XLA
+    never materializes a per-layer copy of the packed weights. Weight HBM
+    traffic per decode step is exactly the codes once.
     """
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
@@ -181,10 +188,18 @@ def dequant_matmul(
 
     try:
         y = _dequant_matmul_2d(
-            x2, qt, out_dtype=out_dtype, tile_m=tile_m, tile_n=tile_n,
+            x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m, tile_n=tile_n,
             tile_k=tile_k, interpret=interpret,
         )
     except _Untileable:
+        if layer is not None:
+            qt = QTensor(
+                codes=jax.lax.dynamic_index_in_dim(qt.codes, layer, 0, False),
+                scales=jax.lax.dynamic_index_in_dim(qt.scales, layer, 0,
+                                                    False),
+                bits=qt.bits, group_size=qt.group_size, shape=qt.shape,
+                kshards=qt.kshards,
+            )
         y = dequant_matmul_reference(x2, qt, out_dtype)
     return y.reshape(*lead, n)
 
@@ -194,8 +209,11 @@ class _Untileable(Exception):
 
 
 def _dequant_matmul_2d(
-    x, qt, *, out_dtype, tile_m, tile_n, tile_k, interpret
+    x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret
 ):
+    stacked = qt.codes.ndim == 3
+    if stacked and layer is None:
+        raise ValueError("stacked QTensor requires a layer index")
     m, k = x.shape
     _, n = qt.shape
     gs = qt.group_size
@@ -244,7 +262,10 @@ def _dequant_matmul_2d(
         hi_starts = (k // 2 + np.arange(n_k) * tk) // gs
         hi_idx = hi_starts[:, None] + np.arange(tile_g)[None, :]
         idx = np.concatenate([idx, hi_idx], axis=1)   # [n_k, 2*tile_g]
-    s_steps = qt.scales[jnp.asarray(idx)]             # [n_k, rows, N]
+    scales = qt.scales
+    if stacked:
+        scales = jax.lax.dynamic_index_in_dim(scales, layer, 0, False)
+    s_steps = scales[jnp.asarray(idx)]                # [n_k, rows, N]
     s_rows = idx.shape[1]
 
     acc = pltpu.VMEM((tm, tn), jnp.float32)
@@ -258,30 +279,33 @@ def _dequant_matmul_2d(
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt)
-        in_specs = [
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            s_spec,
-        ]
+                                 gsz=gsz, cdt=cdt, stacked=stacked)
+        if stacked:
+            w_spec = pl.BlockSpec(
+                (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
+                memory_space=pltpu.VMEM)
+        else:
+            w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                                  memory_space=pltpu.VMEM)
+        x_maps = [lambda i, j, kk: (i, kk)]
+        in_specs_tail = [w_spec, s_spec]
         args = (x, qt.codes, s_steps)
         w_bytes = k * n
     else:
         k2 = k // 2
         hi_x_off = k2 // tk  # x block index offset for the high-nibble half
         kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt)
-        in_specs = [
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk + hi_x_off),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            s_spec,
-        ]
+                                 gsz=gsz, cdt=cdt, stacked=stacked)
+        if stacked:
+            w_spec = pl.BlockSpec(
+                (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
+                memory_space=pltpu.VMEM)
+        else:
+            w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                                  memory_space=pltpu.VMEM)
+        x_maps = [lambda i, j, kk: (i, kk),
+                  lambda i, j, kk: (i, kk + hi_x_off)]
+        in_specs_tail = [w_spec, s_spec]
         args = (x, x, qt.codes, s_steps)
         w_bytes = (k // 2) * n
 
@@ -292,17 +316,48 @@ def _dequant_matmul_2d(
         + m_pad * n * jnp.dtype(out_dtype).itemsize,
         transcendentals=0,
     )
-    y = pl.pallas_call(
-        kern,
-        grid=(n_m, n_n, n_k),
-        in_specs=in_specs,
-        out_specs=out_spec,
+    params = dict(
         out_shape=out_shape,
-        scratch_shapes=[acc],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(*args)
+    )
+    if not stacked:
+        in_specs = [pl.BlockSpec((tm, tk), xm, memory_space=pltpu.VMEM)
+                    for xm in x_maps] + in_specs_tail
+        y = pl.pallas_call(
+            kern, grid=(n_m, n_n, n_k), in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=[acc], **params,
+        )(*args)
+    else:
+        # Scalar-prefetched layer index: every index map takes the
+        # prefetch ref first; non-weight inputs ignore it.
+        def lift(f):
+            return lambda i, j, kk, lr: f(i, j, kk)
+        in_specs = [
+            pl.BlockSpec((tm, tk), lift(xm), memory_space=pltpu.VMEM)
+            for xm in x_maps
+        ] + [
+            in_specs_tail[0],  # weight spec already takes the prefetch ref
+            pl.BlockSpec((1, s_rows, tn), lambda i, j, kk, lr: (kk, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_m, n_n, n_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn),
+                                   lambda i, j, kk, lr: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[acc],
+        )
+
+        def kern_p(lr_ref, *rest):
+            del lr_ref
+            return kern(*rest)
+
+        lr = jnp.asarray(layer, jnp.int32).reshape(1)
+        y = pl.pallas_call(kern_p, grid_spec=grid_spec, **params)(lr, *args)
     return y[:m] if m_pad != m else y

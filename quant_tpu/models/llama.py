@@ -132,10 +132,23 @@ def _mm(cfg: ModelConfig):
     else:
         base = dequant_matmul
 
-    def mm(x, qt, **kw):
+    xla = cfg.kernel_mode == "xla"
+
+    def mm(x, qt, layer=None, **kw):
         # local_view: inside shard_map the leaves are per-device shards but
         # static metadata is global — rebuild it from the array shapes.
-        return base(x, qt.local_view(), **kw)
+        qt = qt.local_view()
+        if xla:
+            if layer is not None and qt.codes.ndim == 3:
+                qt = dataclasses.replace(
+                    qt,
+                    codes=jax.lax.dynamic_index_in_dim(
+                        qt.codes, layer, 0, False),
+                    scales=jax.lax.dynamic_index_in_dim(
+                        qt.scales, layer, 0, False),
+                )
+            return base(x, qt, **kw)
+        return base(x, qt, layer, **kw)
 
     return mm
 
@@ -333,6 +346,37 @@ def quantize_kv(x):
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
+def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
+                           s0=0):
+    """Write T entries for layer ``layer`` into the FULL [L, B, H, S, D]
+    cache at per-slot position lengths[b] (O(T) traffic — the full cache is
+    carried through the layer scan and updated in place by XLA's loop DUS
+    optimization; it is never sliced per layer, which would copy it).
+    """
+    codes_h = codes.transpose(0, 2, 1, 3)   # [B, H, T, D]
+    scale_h = scale.transpose(0, 2, 1)      # [B, H, T]
+    t = codes_h.shape[2]
+    s_loc = cc_full.shape[3]
+    h = cc_full.shape[2]
+
+    def per_slot(cc, cs, c, sc, start):     # cc [L, H, S, D], c [H, T, D]
+        rel = start - s0
+        owned = (rel >= 0) & (rel <= s_loc - t)
+        lp = jnp.clip(rel, 0, s_loc - t)
+        cur_c = jax.lax.dynamic_slice(
+            cc, (layer, 0, lp, 0), (1, h, t, cc.shape[3]))
+        cur_s = jax.lax.dynamic_slice(cs, (layer, 0, lp), (1, h, t))
+        cc = jax.lax.dynamic_update_slice(
+            cc, jnp.where(owned, c[None], cur_c), (layer, 0, lp, 0))
+        cs = jax.lax.dynamic_update_slice(
+            cs, jnp.where(owned, sc[None], cur_s), (layer, 0, lp))
+        return cc, cs
+
+    return jax.vmap(per_slot, in_axes=(1, 1, 0, 0, 0), out_axes=(1, 1))(
+        cc_full, cs_full, codes_h, scale_h, lengths
+    )
+
+
 def _cache_insert(cache_codes, cache_scale, codes, scale, lengths, s0=0):
     """Write T new entries per slot at global position lengths[b].
 
@@ -438,7 +482,6 @@ def forward(
     """
     mm = _mm(cfg)
     b, t = tokens.shape
-    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
     if seq_axis is not None:
         s_loc = cache.k_codes.shape[3]
         s0 = jax.lax.axis_index(seq_axis) * s_loc
@@ -449,10 +492,46 @@ def forward(
     h = params.embed[tokens].astype(dt)
     new_lengths = cache.lengths + t
 
-    def layer_step(h, xs):
-        lp, kc, ks, vc, vs = xs
-        x = rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        qkv = mm(x, lp.wqkv) + lp.qkv_bias.astype(dt)
+    layer_step = make_layer_step(
+        params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
+        s0, axis, dt, seq_axis,
+    )
+    (h, kc, ks, vc, vs), _ = jax.lax.scan(
+        layer_step,
+        (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
+        (params.layers.attn_norm, params.layers.mlp_norm,
+         params.layers.qkv_bias, jnp.arange(cfg.n_layers)),
+    )
+    h = rmsnorm(h, params.final_norm, cfg.norm_eps)
+    logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+    if axis:
+        logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    new_cache = KVCache(
+        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
+    )
+    return logits, new_cache
+
+
+def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
+                    s0, axis, dt, seq_axis):
+    """Scan body over the stacked layer axis, carrying the FULL caches.
+
+    The carry is (h, k_codes, k_scale, v_codes, v_scale) with caches at
+    their full [L, ...] shapes; xs supplies only the small per-layer leaves
+    (norms, bias) plus the layer index. Packed weights and KV tiles are
+    selected INSIDE the Pallas kernels via scalar-prefetched index maps —
+    per-step HBM traffic is exactly codes-once + O(T) cache writes, with no
+    per-layer weight/cache materialization (the dominant overhead of the
+    naive scan-over-slices formulation, measured at >3x on the axon v5e).
+    """
+    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
+    mode = _resolve_mode(cfg)
+
+    def layer_step(carry, xs):
+        h, kc, ks, vc, vs = carry
+        attn_norm, mlp_norm, qkv_bias, idx = xs
+        x = rmsnorm(h, attn_norm, cfg.norm_eps)
+        qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
         nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
@@ -463,43 +542,33 @@ def forward(
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k)
         v_q, v_s = quantize_kv(v)
-        kc, ks = _cache_insert(kc, ks, k_q, k_s, cache.lengths, s0)
-        vc, vs = _cache_insert(vc, vs, v_q, v_s, cache.lengths, s0)
-        mode = _resolve_mode(cfg)
+        kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, idx, s0)
+        vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, idx, s0)
         if t == 1 and seq_axis is None and mode in ("pallas",
                                                     "pallas_interpret"):
-            # Decode hot path: Pallas flash kernel streams the int8 cache.
+            # Decode hot path: Pallas flash kernel streams the int8 cache
+            # straight from the stacked buffer (layer via scalar prefetch).
             from quant_tpu.kernels.attention import flash_decode_int8
             attn = flash_decode_int8(
-                q[:, 0], kc, ks, vc, vs, new_lengths,
+                q[:, 0], kc, ks, vc, vs, new_lengths, idx,
                 interpret=(mode == "pallas_interpret"),
             )[:, None]
         else:
-            attn = attention(q, kc, ks, vc, vs, positions, new_lengths, cfg,
-                             seq_axis=seq_axis, key_offset=s0)
+            sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, False)
+            attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs), positions,
+                             new_lengths, cfg, seq_axis=seq_axis,
+                             key_offset=s0)
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
-        h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,
+        h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)
-        x = rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
-        gu = mm(x, lp.w_gate_up)
+        x = rmsnorm(h, mlp_norm, cfg.norm_eps)
+        gu = mm(x, layers.w_gate_up, idx)
         gate, up = jnp.split(gu, 2, axis=-1)
         h = h + psum(mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up, lp.w_down,
-            out_dtype=jnp.float32,
+            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+            layers.w_down, idx, out_dtype=jnp.float32,
         )).astype(dt)
-        return h, (kc, ks, vc, vs)
+        return (h, kc, ks, vc, vs), None
 
-    h, (kc, ks, vc, vs) = jax.lax.scan(
-        layer_step, h,
-        (params.layers, cache.k_codes, cache.k_scale,
-         cache.v_codes, cache.v_scale),
-    )
-    h = rmsnorm(h, params.final_norm, cfg.norm_eps)
-    logits = mm(h, params.lm_head, out_dtype=jnp.float32)
-    if axis:
-        logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
-    new_cache = KVCache(
-        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
-    )
-    return logits, new_cache
+    return layer_step

@@ -91,41 +91,20 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     my = jax.lax.axis_index(pipe_axis)
     pp = jax.lax.axis_size(pipe_axis)
 
-    def layer_step(h, xs):
-        lp, kc, ks, vc, vs = xs
-        x = llama.rmsnorm(h, lp.attn_norm, cfg.norm_eps)
-        qkv = mm(x, lp.wqkv) + lp.qkv_bias.astype(dt)
-        units = cfg.n_heads + 2 * cfg.n_kv_heads
-        nq = (qkv.shape[-1] * cfg.n_heads) // units
-        nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
-        q = qkv[..., :nq].reshape(b, t, -1, cfg.head_dim)
-        k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
-        v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
-        q = llama._rope(q, positions, cfg.rope_theta)
-        k = llama._rope(k, positions, cfg.rope_theta)
-        k_q, k_s = llama.quantize_kv(k)
-        v_q, v_s = llama.quantize_kv(v)
-        kc, ks = llama._cache_insert(kc, ks, k_q, k_s, cache.lengths, s0)
-        vc, vs = llama._cache_insert(vc, vs, v_q, v_s, cache.lengths, s0)
-        attn = llama.attention(q, kc, ks, vc, vs, positions, new_lengths,
-                               cfg, seq_axis=seq_axis, key_offset=s0)
-        h = h + psum(mm(attn.reshape(b, t, -1), lp.wo,
-                        out_dtype=jnp.float32)).astype(dt)
-        x = llama.rmsnorm(h, lp.mlp_norm, cfg.norm_eps)
-        gu = mm(x, lp.w_gate_up)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        h = h + psum(mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
-            lp.w_down, out_dtype=jnp.float32,
-        )).astype(dt)
-        return h, (kc, ks, vc, vs)
+    l_local = cache.k_codes.shape[0]
+    layer_step = llama.make_layer_step(
+        params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
+        s0, axis, dt, seq_axis,
+    )
 
     def run_local(h):
-        return jax.lax.scan(
-            layer_step, h,
-            (params.layers, cache.k_codes, cache.k_scale,
-             cache.v_codes, cache.v_scale),
+        (h, kc, ks, vc, vs), _ = jax.lax.scan(
+            layer_step,
+            (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
+            (params.layers.attn_norm, params.layers.mlp_norm,
+             params.layers.qkv_bias, jnp.arange(l_local)),
         )
+        return h, (kc, ks, vc, vs)
 
     h = params.embed[tokens].astype(dt)
     kc, ks = cache.k_codes, cache.k_scale

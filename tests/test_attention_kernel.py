@@ -60,3 +60,24 @@ def test_nondividing_sblk():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_stacked_layer_cache():
+    import jax
+
+    layers = []
+    for i in range(3):
+        layers.append(_setup(2, 128, 4, 2, 64, [100, 37], seed=20 + i))
+    q0, _, _, _, _, ln = layers[0]
+    stack = lambda j: jnp.stack([layers[i][j] for i in range(3)])
+    kqs, kss, vqs, vss = stack(1), stack(2), stack(3), stack(4)
+    for i in range(3):
+        q, kq, ks, vq, vs, ln = layers[i]
+        positions = (ln - 1)[:, None]
+        from quant_tpu.models import llama
+        ref = llama.attention(q, kq, ks, vq, vs, positions, ln,
+                              PRESETS["test-tiny"])
+        out = flash_decode_int8(q[:, 0], kqs, kss, vqs, vss, ln,
+                                jnp.int32(i), s_blk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]),
+                                   rtol=2e-5, atol=2e-5)

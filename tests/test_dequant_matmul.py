@@ -77,3 +77,43 @@ def test_unpack_int4_device_matches_host():
     packed = codec.pack_int4_matmul(codes)
     out = unpack_int4_device(jnp.asarray(packed), interpret=True)
     np.testing.assert_array_equal(np.asarray(out), codes)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_stacked_layer_select(bits):
+    """Stacked [L, ...] QTensor + traced layer index == per-layer matmul."""
+    import jax
+
+    qts = [_mk(4, 256, 128, bits, 64, jnp.float32, seed=100 + i)[1]
+           for i in range(3)]
+    x = _mk(4, 256, 128, bits, 64, jnp.float32, seed=0)[0]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *qts)
+    for i, qt in enumerate(qts):
+        ref = dequant_matmul_reference(x, qt)
+        out = dequant_matmul(x, stacked, jnp.int32(i), tile_n=128,
+                             tile_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_stacked_inside_scan():
+    import jax
+
+    qts = [_mk(4, 256, 128, 8, 64, jnp.float32, seed=200 + i)[1]
+           for i in range(3)]
+    x = _mk(4, 256, 128, 8, 64, jnp.float32, seed=1)[0]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *qts)
+
+    def body(c, i):
+        y = dequant_matmul(c[:, :256], stacked, i, tile_n=128, tile_k=128,
+                           interpret=True)
+        return jnp.concatenate([y, y], axis=-1)[:, :256], y
+
+    _, ys = jax.lax.scan(body, x, jnp.arange(3))
+    c = x
+    for i in range(3):
+        ref = dequant_matmul_reference(c[:, :256], qts[i])
+        # accumulation-order noise compounds through the chain
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(ref),
+                                   rtol=5e-3, atol=1e-2)
+        c = jnp.concatenate([ref, ref], axis=-1)[:, :256]
