@@ -80,7 +80,6 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     mm = llama._mm(cfg)
     b, t = tokens.shape
     dt = llama._act_dtype(cfg)
-    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
     if seq_axis is not None:
         s_loc = cache.k_codes.shape[3]
         s0 = jax.lax.axis_index(seq_axis) * s_loc
