@@ -20,6 +20,7 @@ Observability: per-step structured stats (occupancy, tokens/s EMA) via
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Any
@@ -89,6 +90,24 @@ class Engine:
             return logits[:, -1], cache, keyn, sub
 
         self._decode = decode_step
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def decode_block(params, tokens, cache, n):
+            # n greedy steps fused in one dispatch (device-side loop) —
+            # amortizes host dispatch latency; used by step_block().
+            def body(_, carry):
+                tok, cache, out, i = carry
+                logits, cache = llama.forward(params, tok, cache, cfg_static)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
+                return nxt, cache, out, i + 1
+            out = jnp.zeros((tokens.shape[0], n), jnp.int32)
+            _, cache, out, _ = jax.lax.fori_loop(
+                0, n, body, (tokens, cache, out, 0)
+            )
+            return out, cache
+
+        self._decode_block = decode_block
 
         # per-bucket prefill: operates on ONE slot's cache view
         self._prefills: dict[int, Any] = {}
@@ -206,6 +225,42 @@ class Engine:
         rate = len(active) / max(now - self._last_t, 1e-6)
         self._tok_ema = 0.9 * self._tok_ema + 0.1 * rate
         self._last_t = now
+        return finished
+
+    def step_block(self, n: int) -> list[Request]:
+        """Up to n greedy decode steps fused into ONE device dispatch.
+
+        Amortizes host dispatch latency (critical on high-latency links);
+        trades admission granularity — pending requests wait for the block.
+        Greedy only; per-slot streams are trimmed at EOS/max_new on host.
+        """
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        for i in active:
+            req = self.slots[i]
+            used = len(req.prompt) + len(req.output)
+            n = min(n, req.max_new_tokens - len(req.output),
+                    self.max_seq - used)
+        n = max(n, 1)
+        tokens = jnp.asarray(self.last_tokens[:, None])
+        toks, self.cache = self._decode_block(
+            self.params, tokens, self.cache, n
+        )
+        toks = np.asarray(toks)
+        finished: list[Request] = []
+        for i in active:
+            req = self.slots[i]
+            for j in range(n):
+                tok = int(toks[i, j])
+                req.output.append(tok)
+                self.last_tokens[i] = tok
+                self._maybe_finish(i, tok)
+                if req.finished:
+                    finished.append(req)
+                    break
+        self._steps += n
         return finished
 
     @property

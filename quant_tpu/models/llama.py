@@ -349,32 +349,26 @@ def quantize_kv(x):
 def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
                            s0=0):
     """Write T entries for layer ``layer`` into the FULL [L, B, H, S, D]
-    cache at per-slot position lengths[b] (O(T) traffic — the full cache is
-    carried through the layer scan and updated in place by XLA's loop DUS
-    optimization; it is never sliced per layer, which would copy it).
+    cache at per-slot position lengths[b].
+
+    One native scatter with unique indices — XLA keeps it in-place when the
+    buffer is threaded through the layer scan, so per-step traffic is O(T),
+    never a cache copy. ``mode="drop"`` discards rows outside this shard's
+    S-slice, which implements sequence-shard ownership for free.
     """
-    codes_h = codes.transpose(0, 2, 1, 3)   # [B, H, T, D]
-    scale_h = scale.transpose(0, 2, 1)      # [B, H, T]
-    t = codes_h.shape[2]
-    s_loc = cc_full.shape[3]
-    h = cc_full.shape[2]
-
-    def per_slot(cc, cs, c, sc, start):     # cc [L, H, S, D], c [H, T, D]
-        rel = start - s0
-        owned = (rel >= 0) & (rel <= s_loc - t)
-        lp = jnp.clip(rel, 0, s_loc - t)
-        cur_c = jax.lax.dynamic_slice(
-            cc, (layer, 0, lp, 0), (1, h, t, cc.shape[3]))
-        cur_s = jax.lax.dynamic_slice(cs, (layer, 0, lp), (1, h, t))
-        cc = jax.lax.dynamic_update_slice(
-            cc, jnp.where(owned, c[None], cur_c), (layer, 0, lp, 0))
-        cs = jax.lax.dynamic_update_slice(
-            cs, jnp.where(owned, sc[None], cur_s), (layer, 0, lp))
-        return cc, cs
-
-    return jax.vmap(per_slot, in_axes=(1, 1, 0, 0, 0), out_axes=(1, 1))(
-        cc_full, cs_full, codes_h, scale_h, lengths
-    )
+    b, t = codes.shape[0], codes.shape[1]
+    b_ix = jnp.arange(b)[:, None]                       # [B, 1]
+    pos = lengths[:, None] + jnp.arange(t)[None, :] - s0  # [B, T]
+    # negative indices would WRAP before the bounds check — push them
+    # out-of-bounds high so "drop" discards them
+    pos = jnp.where(pos < 0, cc_full.shape[3], pos)
+    # advanced-index result for [L,B,H,S,D][layer, b_ix, :, pos] is
+    # [B, T, H, D] — exactly quantize_kv's layout.
+    cc_full = cc_full.at[layer, b_ix, :, pos].set(
+        codes, mode="drop", unique_indices=True)
+    cs_full = cs_full.at[layer, b_ix, :, pos].set(
+        scale, mode="drop", unique_indices=True)
+    return cc_full, cs_full
 
 
 def _cache_insert(cache_codes, cache_scale, codes, scale, lengths, s0=0):

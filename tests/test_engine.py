@@ -90,3 +90,22 @@ def test_stats():
     eng.step()
     s = eng.stats
     assert s["occupancy"] == 1 and s["steps"] == 1
+
+
+def test_step_block_matches_stepwise():
+    params = llama.init_params(CFG, seed=5)
+    rng = np.random.default_rng(5)
+    prompts = [list(map(int, rng.integers(3, CFG.vocab_size, n)))
+               for n in (4, 7)]
+    ref = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    ref_out = ref.generate(prompts, max_new_tokens=9)
+
+    eng2 = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    reqs = [Request(req_id=i, prompt=p, max_new_tokens=9)
+            for i, p in enumerate(prompts)]
+    for r in reqs:
+        eng2.add_request(r)
+    while eng2.has_work():
+        eng2.step_block(4)
+    for r, expect in zip(reqs, ref_out):
+        assert r.output == expect, (r.output, expect)
