@@ -8,13 +8,19 @@ in VMEM — the float cache is never materialized, so HBM traffic is
 Shape/layout choices:
 * q is viewed [B, Hkv, rep, Dh] (GQA: the ``rep`` query heads sharing one
   kv head form the sublane dim of a small MXU operand).
-* grid (B, Hkv, S/S_BLK) with the sequence dim innermost ("arbitrary") and
-  an online-softmax state (m, l, acc) in VMEM scratch — classic
+* grid (B, S/S_BLK) with ALL kv heads handled inside one program (static
+  head loop over the VMEM-resident [Hkv, S_blk, Dh] tile) — a (B, Hkv, S)
+  grid would mean hundreds of micro-programs whose fixed overhead dominates
+  at decode sizes. The sequence dim is innermost ("arbitrary") with an
+  online-softmax state (m, l, acc) in VMEM scratch — classic
   flash-decoding, one pass over the cache.
 * k/v scales multiply the int8 tile along its sublane (S) dim before the
   dot — exact (scales are per token+head) and lane-broadcast-free.
 * Blocks past a slot's ``length`` are skipped entirely (@pl.when), so cost
   scales with actual context, not max_seq.
+* With a stacked [L, ...] cache and a ``layer`` index, the layer is
+  selected inside the BlockSpec index maps via scalar prefetch — the
+  scan-over-layers never materializes a per-layer cache copy.
 
 Prefill (T>1) uses the XLA path in models/llama.py — decode is the
 bandwidth-critical loop.
@@ -33,11 +39,13 @@ __all__ = ["flash_decode_int8"]
 
 
 def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, stacked=False):
-    s_idx = pl.program_id(2)
+            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, hkv, rep,
+            stacked=False):
+    s_idx = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
-    kv = (lambda r: r[0, 0, 0]) if stacked else (lambda r: r[0, 0])
+    kv = (lambda r, h: r[0, 0, h]) if stacked else (lambda r, h: r[0, h])
+    stride = max(rep, 8)  # 8-aligned per-head scratch blocks (sublane rule)
 
     @pl.when(s_idx == 0)
     def _():
@@ -47,35 +55,40 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
     @pl.when(start < length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale        # [rep, Dh]
-        kf = kv(kc_ref).astype(jnp.float32)                # [S_blk, Dh]
-        kf = kf * kv(ks_ref)                               # scale per token
-        logits = jax.lax.dot_general(
-            q, kf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # [rep, S_blk]
-        pos = start + jax.lax.broadcasted_iota(
-            jnp.int32, logits.shape, 1
-        )
-        logits = jnp.where(pos < length, logits, -1e30)
+        for h in range(hkv):
+            r0 = h * stride
+            q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
+            kf = kv(kc_ref, h).astype(jnp.float32)         # [S_blk, Dh]
+            kf = kf * kv(ks_ref, h)                        # scale per token
+            logits = jax.lax.dot_general(
+                q, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [rep, S_blk]
+            pos = start + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(pos < length, logits, -1e30)
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                        # [rep, S_blk]
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            m_prev = m_ref[r0:r0 + rep, :1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)                    # [rep, S_blk]
+            l_new = (alpha * l_ref[r0:r0 + rep, :1]
+                     + jnp.sum(p, axis=1, keepdims=True))
 
-        vf = kv(vc_ref).astype(jnp.float32)
-        vf = vf * kv(vs_ref)
-        pv = jnp.dot(p, vf, preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+            vf = kv(vc_ref, h).astype(jnp.float32)
+            vf = vf * kv(vs_ref, h)
+            pv = jnp.dot(p, vf, preferred_element_type=jnp.float32)
+            acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
+            m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
+            l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
 
     @pl.when(s_idx == n_s - 1)
     def _():
         out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-20)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        out = out.reshape(hkv, stride, -1)[:, :rep]
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -88,10 +101,7 @@ def flash_decode_int8(
     v_codes: jax.Array,
     v_scale: jax.Array,
     lengths: jax.Array,  # int32 [B] — valid cache length per slot
-    layer=None,          # traced layer index for stacked [L, ...] caches —
-                         # selected inside the BlockSpec index maps (scalar
-                         # prefetch), so scan-over-layers never copies the
-                         # cache (same trick as dequant_matmul)
+    layer=None,          # traced layer index for stacked [L, ...] caches
     *,
     s_blk: int = 256,
     interpret: bool = False,
@@ -107,40 +117,42 @@ def flash_decode_int8(
         )
     n_s = s // s_blk
     qg = q.reshape(b, hkv, rep, dh)
-    ks4 = k_scale[..., None]  # [B, Hkv, S, 1] — lane-dim broadcastable
+    ks4 = k_scale[..., None]  # [..., Hkv, S, 1] — lane-dim broadcastable
     vs4 = v_scale[..., None]
 
     kern = functools.partial(
         _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
-        stacked=stacked,
+        hkv=hkv, rep=rep, stacked=stacked,
     )
+    stride = max(rep, 8)
     scratch = [
-        pltpu.VMEM((rep, 128), jnp.float32),
-        pltpu.VMEM((rep, 128), jnp.float32),
-        pltpu.VMEM((rep, dh), jnp.float32),
+        pltpu.VMEM((hkv * stride, 128), jnp.float32),
+        pltpu.VMEM((hkv * stride, 128), jnp.float32),
+        pltpu.VMEM((hkv * stride, dh), jnp.float32),
     ]
+    out_shape = jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype)
     if not stacked:
         kv_specs = [
-            pl.BlockSpec((1, 1, s_blk, dh), lambda bb, h, ss: (bb, h, ss, 0),
+            pl.BlockSpec((1, hkv, s_blk, dh), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, 1), lambda bb, h, ss: (bb, h, ss, 0),
+            pl.BlockSpec((1, hkv, s_blk, 1), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(b, hkv, n_s),
+            grid=(b, n_s),
             in_specs=[
                 # whole lengths vector in SMEM (rank-1 blocks must cover
                 # the array); kernel indexes it by the batch program id
-                pl.BlockSpec((b,), lambda bb, h, ss: (0,),
+                pl.BlockSpec((b,), lambda bb, ss: (0,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, rep, dh),
-                             lambda bb, h, ss: (bb, h, 0, 0),
+                pl.BlockSpec((1, hkv, rep, dh),
+                             lambda bb, ss: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, rep, dh), lambda bb, h, ss: (bb, h, 0, 0),
+                (1, hkv, rep, dh), lambda bb, ss: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
@@ -148,33 +160,30 @@ def flash_decode_int8(
         args = (lengths, qg, k_codes, ks4, v_codes, vs4)
     else:
         kv_specs = [
-            pl.BlockSpec((1, 1, 1, s_blk, dh),
-                         lambda bb, h, ss, lr: (lr[0], bb, h, ss, 0),
+            pl.BlockSpec((1, 1, hkv, s_blk, dh),
+                         lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s_blk, 1),
-                         lambda bb, h, ss, lr: (lr[0], bb, h, ss, 0),
+            pl.BlockSpec((1, 1, hkv, s_blk, 1),
+                         lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, hkv, n_s),
+            grid=(b, n_s),
             in_specs=[
-                pl.BlockSpec((b,), lambda bb, h, ss, lr: (0,),
+                pl.BlockSpec((b,), lambda bb, ss, lr: (0,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, rep, dh),
-                             lambda bb, h, ss, lr: (bb, h, 0, 0),
+                pl.BlockSpec((1, hkv, rep, dh),
+                             lambda bb, ss, lr: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, rep, dh), lambda bb, h, ss, lr: (bb, h, 0, 0),
+                (1, hkv, rep, dh), lambda bb, ss, lr: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
         )
-        lr = jnp.asarray(layer, jnp.int32).reshape(1)
-        args = (lr, lengths, qg, k_codes, ks4, v_codes, vs4)
-
         base = kern
 
         def kern_p(lr_ref, *rest):
@@ -182,12 +191,16 @@ def flash_decode_int8(
             return base(*rest)
 
         kern = kern_p
+        lr = jnp.asarray(layer, jnp.int32).reshape(1)
+    args = (lengths, qg, k_codes, ks4, v_codes, vs4) if not stacked else (
+        lr, lengths, qg, k_codes, ks4, v_codes, vs4
+    )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
