@@ -1,0 +1,133 @@
+"""Ablation probe: which part of the decode step burns the time?
+
+Small model (fast compiles), B=8, S=1024. Variants toggle cache insert,
+attention, and matmul paths to isolate costs on the real chip.
+"""
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.models import llama
+from quant_tpu.models.config import ModelConfig
+from quant_tpu.utils.timing import differential_time
+
+CFG = ModelConfig(
+    vocab_size=4096, dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
+    intermediate=14336, group_size=128, kernel_mode="pallas",
+)
+B, S = 8, 1024
+
+
+def build():
+    params = llama.init_params_device(CFG, seed=0)
+    jax.block_until_ready(params.layers.wqkv.codes)
+    cache = llama.init_cache(CFG, B, S)
+    cache = dataclasses.replace(
+        cache, lengths=jnp.full((B,), 900, jnp.int32))
+    return params, cache
+
+
+def make_step(variant):
+    cfg = CFG
+
+    def step_fn(params, tok, cache):
+        mm = llama._mm(cfg)
+        b, t = tok.shape
+        dt = llama._act_dtype(cfg)
+        positions = cache.lengths[:, None]
+        new_lengths = cache.lengths + 1
+        h = params.embed[tok].astype(dt)
+
+        def layer_step(carry, xs):
+            h, kc, ks, vc, vs = carry
+            attn_norm, mlp_norm, qkv_bias, idx = xs
+            x = llama.rmsnorm(h, attn_norm, cfg.norm_eps)
+            qkv = mm(x, params.layers.wqkv, idx)
+            units = cfg.n_heads + 2 * cfg.n_kv_heads
+            nq = (qkv.shape[-1] * cfg.n_heads) // units
+            nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
+            q = qkv[..., :nq].reshape(b, t, -1, cfg.head_dim)
+            k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
+            v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
+            q = llama._rope(q, positions, cfg.rope_theta)
+            k = llama._rope(k, positions, cfg.rope_theta)
+            k_q, k_s = llama.quantize_kv(k)
+            v_q, v_s = llama.quantize_kv(v)
+            if variant != "noinsert":
+                kc, ks = llama._cache_insert_at_layer(
+                    kc, ks, k_q, k_s, cache.lengths, idx)
+                vc, vs = llama._cache_insert_at_layer(
+                    vc, vs, v_q, v_s, cache.lengths, idx)
+            if variant == "noattn":
+                attn = q
+            elif variant == "xla_attn":
+                sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, False)
+                attn = llama.attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
+                                       positions, new_lengths, cfg)
+            else:
+                from quant_tpu.kernels.attention import flash_decode_int8
+                attn = flash_decode_int8(q[:, 0], kc, ks, vc, vs,
+                                         new_lengths, idx)[:, None]
+            h = h + mm(attn.reshape(b, t, -1), params.layers.wo, idx,
+                       out_dtype=jnp.float32).astype(dt)
+            x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps)
+            gu = mm(x, params.layers.w_gate_up, idx)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            h = h + mm(jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+                       params.layers.w_down, idx,
+                       out_dtype=jnp.float32).astype(dt)
+            return (h, kc, ks, vc, vs), None
+
+        if variant == "nolayers":
+            kc, ks, vc, vs = (cache.k_codes, cache.k_scale, cache.v_codes,
+                              cache.v_scale)
+        else:
+            (h, kc, ks, vc, vs), _ = jax.lax.scan(
+                layer_step,
+                (h, cache.k_codes, cache.k_scale, cache.v_codes,
+                 cache.v_scale),
+                (params.layers.attn_norm, params.layers.mlp_norm,
+                 params.layers.qkv_bias, jnp.arange(cfg.n_layers)),
+            )
+        h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
+        logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+        cache2 = llama.KVCache(k_codes=kc, k_scale=ks, v_codes=vc,
+                               v_scale=vs, lengths=new_lengths)
+        return logits, cache2
+
+    def make(n):
+        @jax.jit
+        def run(params, tok, cache):
+            def body(_, carry):
+                tok, cache = carry
+                logits, cache = step_fn(params, tok, cache)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                cache = dataclasses.replace(
+                    cache, lengths=cache.lengths - 1)  # keep S fixed
+                return nxt, cache
+            tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
+            return jnp.sum(tok)
+        return run
+    return make
+
+
+def main():
+    params, cache = build()
+    tok = jnp.ones((B, 1), jnp.int32)
+    for variant in ["full", "noinsert", "noattn", "xla_attn", "nolayers"]:
+        try:
+            t0 = time.perf_counter()
+            per = differential_time(
+                make_step(variant), (params, tok, cache), 2, 14, iters=3)
+            print(f"{variant:10s}: {per*1e3:.2f} ms/step "
+                  f"(compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"{variant:10s}: FAIL {repr(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
