@@ -120,17 +120,19 @@ class Engine:
         cfg = self.cfg
 
         @jax.jit
-        def prefill(params, tokens, cache, slot, true_len):
-            # Slice slot b's cache as a batch-1 cache, reset its length.
+        def prefill(params, tokens, cache, slot, true_len, first):
+            # Slice slot b's cache as a batch-1 cache; the first chunk
+            # resets its length, later chunks append.
             view = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+            start = jnp.where(first, 0, cache.lengths[slot])[None]
             sub = llama.KVCache(
                 k_codes=view(cache.k_codes), k_scale=view(cache.k_scale),
                 v_codes=view(cache.v_codes), v_scale=view(cache.v_scale),
-                lengths=jnp.zeros((1,), jnp.int32),
+                lengths=start,
             )
             logits, sub = llama.forward(params, tokens, sub, cfg)
             # Write back with the TRUE length (pad rows sit beyond it and
-            # get overwritten by subsequent decode steps).
+            # get overwritten by subsequent chunks/decode steps).
             put = lambda a, s: jax.lax.dynamic_update_slice_in_dim(
                 a, s, slot, axis=1
             )
@@ -139,7 +141,7 @@ class Engine:
                 k_scale=put(cache.k_scale, sub.k_scale),
                 v_codes=put(cache.v_codes, sub.v_codes),
                 v_scale=put(cache.v_scale, sub.v_scale),
-                lengths=cache.lengths.at[slot].set(true_len),
+                lengths=cache.lengths.at[slot].set(start[0] + true_len),
             )
             last = logits[0, true_len - 1]
             return last, cache
@@ -157,18 +159,30 @@ class Engine:
             )
         self.pending.append(req)
 
+    PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
+
     def _admit(self) -> None:
         for i in range(self.max_slots):
             if self.slots[i] is not None or not self.pending:
                 continue
             req = self.pending.pop(0)
-            t_pad = _bucket(len(req.prompt))
-            toks = np.zeros((1, t_pad), np.int32)
-            toks[0, : len(req.prompt)] = req.prompt
-            last_logits, self.cache = self._prefill_fn(t_pad)(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.int32(i), jnp.int32(len(req.prompt)),
-            )
+            # Chunked prefill: long prompts stream through fixed-shape
+            # buckets; each chunk appends to the slot's cache (first chunk
+            # resets it), so attention memory stays bounded.
+            prompt = req.prompt
+            chunks = [prompt[o:o + self.PREFILL_CHUNK]
+                      for o in range(0, len(prompt), self.PREFILL_CHUNK)]
+            done = 0
+            for ci, chunk in enumerate(chunks):
+                t_pad = _bucket(len(chunk))
+                toks = np.zeros((1, t_pad), np.int32)
+                toks[0, : len(chunk)] = chunk
+                last_logits, self.cache = self._prefill_fn(t_pad)(
+                    self.params, jnp.asarray(toks), self.cache,
+                    jnp.int32(i), jnp.int32(len(chunk)),
+                    jnp.bool_(ci == 0),
+                )
+                done += len(chunk)
             self.key, sub = jax.random.split(self.key)
             tok = int(sample(last_logits[None], sub, req.sampling)[0])
             req.output.append(tok)

@@ -109,3 +109,15 @@ def test_step_block_matches_stepwise():
         eng2.step_block(4)
     for r, expect in zip(reqs, ref_out):
         assert r.output == expect, (r.output, expect)
+
+
+def test_chunked_prefill_long_prompt():
+    """Prompts longer than PREFILL_CHUNK stream through chunks and match
+    the reference decode exactly."""
+    params = llama.init_params(CFG, seed=6)
+    rng = np.random.default_rng(6)
+    prompt = list(map(int, rng.integers(3, CFG.vocab_size, 40)))
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    eng.PREFILL_CHUNK = 16  # force chunking
+    out = eng.generate([prompt], max_new_tokens=5)[0]
+    assert out == _reference_greedy(params, prompt, 5)
