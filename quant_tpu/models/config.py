@@ -26,6 +26,12 @@ class ModelConfig:
     kv_bits: int = 8
     # execution
     kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
+    # decode attention: "xla" fuses the int8-cache read into the dot and
+    # keeps the cache-insert scatter in-place (measured faster at moderate
+    # context); "flash" uses the Pallas flash-decode kernel (a pallas
+    # consumer of the cache forces XLA to copy it per layer — use when a
+    # future aliased-insert kernel lands or for very long context).
+    attn_kernel: str = "xla"
     dtype: str = "bfloat16"
 
     @property

@@ -538,8 +538,8 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         v_q, v_s = quantize_kv(v)
         kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, idx, s0)
         vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, idx, s0)
-        if t == 1 and seq_axis is None and mode in ("pallas",
-                                                    "pallas_interpret"):
+        if (t == 1 and seq_axis is None and cfg.attn_kernel == "flash"
+                and mode in ("pallas", "pallas_interpret")):
             # Decode hot path: Pallas flash kernel streams the int8 cache
             # straight from the stacked buffer (layer via scalar prefetch).
             from quant_tpu.kernels.attention import flash_decode_int8
