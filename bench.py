@@ -58,14 +58,17 @@ def _chain_fn(outer: int):
     @jax.jit
     def run(x, qts):
         def outer_body(_, a):
-            def body(c, qt):
-                y = dequant_matmul(c, qt)
+            def body(c, i):
+                # stacked weights + layer index: the kernel selects the
+                # layer inside its index maps (production path — a scan
+                # over QTensor slices would copy each weight first)
+                y = dequant_matmul(c, qts, i)
                 # rms-renormalize so activations neither underflow nor blow
                 # up across hundreds of chained matmuls
                 yf = y.astype(jnp.float32)
                 y = yf * jax.lax.rsqrt(jnp.mean(yf * yf) + 1e-6)
                 return y[:, :K].astype(jnp.bfloat16), None
-            a, _ = jax.lax.scan(body, a, qts)
+            a, _ = jax.lax.scan(body, a, jnp.arange(NW))
             return a
         a = jax.lax.fori_loop(0, outer, outer_body, x)
         return jnp.sum(a.astype(jnp.float32))
