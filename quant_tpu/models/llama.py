@@ -536,10 +536,23 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k)
         v_q, v_s = quantize_kv(v)
-        kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, idx, s0)
-        vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, idx, s0)
-        if (t == 1 and seq_axis is None and cfg.attn_kernel == "flash"
-                and mode in ("pallas", "pallas_interpret")):
+        flash = (t == 1 and seq_axis is None and cfg.attn_kernel == "flash"
+                 and mode in ("pallas", "pallas_interpret"))
+        if flash:
+            # Aliased Pallas insert: an XLA scatter feeding the (opaque)
+            # flash kernel would force a full cache copy per layer — the
+            # DMA kernel updates the buffers in place instead.
+            from quant_tpu.kernels.cache_insert import cache_insert_int8
+            kc, ks, vc, vs = cache_insert_int8(
+                kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, idx, s0,
+                interpret=(mode == "pallas_interpret"),
+            )
+        else:
+            kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, idx,
+                                            s0)
+            vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, idx,
+                                            s0)
+        if flash:
             # Decode hot path: Pallas flash kernel streams the int8 cache
             # straight from the stacked buffer (layer via scalar prefetch).
             from quant_tpu.kernels.attention import flash_decode_int8

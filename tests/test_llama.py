@@ -116,3 +116,24 @@ def test_pallas_interpret_decode_matches_xla():
         rtol=5e-2, atol=5e-2,
     )
     assert np.argmax(np.asarray(lp)) == np.argmax(np.asarray(lx))
+
+
+def test_flash_path_with_aliased_insert_matches_xla():
+    """attn_kernel=flash (pallas flash + aliased insert) == xla path."""
+    cfg_x = dataclasses.replace(CFG, kernel_mode="xla", attn_kernel="xla")
+    cfg_f = dataclasses.replace(CFG, kernel_mode="pallas_interpret",
+                                attn_kernel="flash")
+    params = llama.init_params(cfg_x, seed=7)
+    toks = jnp.array([[3, 1, 4, 1, 5]], jnp.int32)
+    cache_x = llama.init_cache(cfg_x, 1, 16)
+    cache_f = llama.init_cache(cfg_f, 1, 16)
+    _, cache_x = llama.forward(params, toks, cache_x, cfg_x)
+    _, cache_f = llama.forward(params, toks, cache_f, cfg_f)
+    for _ in range(3):
+        lx, cache_x = llama.forward(params, toks[:, -1:], cache_x, cfg_x)
+        lf, cache_f = llama.forward(params, toks[:, -1:], cache_f, cfg_f)
+        np.testing.assert_allclose(
+            np.asarray(lf, np.float32), np.asarray(lx, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+        assert np.argmax(np.asarray(lf)) == np.argmax(np.asarray(lx))
