@@ -38,18 +38,20 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     @pl.when((rel >= 0) & (rel <= s_loc - t))
     def _():
         pos = jnp.maximum(rel, 0)
+        # sources are per-batch BLOCKS ([1, H, T, D]); slicing only their
+        # leading (untiled) dim keeps Mosaic's tiling rules satisfied
         copies = [
             pltpu.make_async_copy(
-                kn_ref.at[b], kc_ref.at[lr, b, :, pl.ds(pos, t), :],
+                kn_ref.at[0], kc_ref.at[lr, b, :, pl.ds(pos, t), :],
                 sems.at[0]),
             pltpu.make_async_copy(
-                ksn_ref.at[b], ks_ref.at[lr, b, :, pl.ds(pos, t)],
+                ksn_ref.at[0], ks_ref.at[lr, b, :, pl.ds(pos, t)],
                 sems.at[1]),
             pltpu.make_async_copy(
-                vn_ref.at[b], vc_ref.at[lr, b, :, pl.ds(pos, t), :],
+                vn_ref.at[0], vc_ref.at[lr, b, :, pl.ds(pos, t), :],
                 sems.at[2]),
             pltpu.make_async_copy(
-                vsn_ref.at[b], vs_ref.at[lr, b, :, pl.ds(pos, t)],
+                vsn_ref.at[0], vs_ref.at[lr, b, :, pl.ds(pos, t)],
                 sems.at[3]),
         ]
         for c in copies:
@@ -79,18 +81,26 @@ def cache_insert_int8(
     lr = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(s0, jnp.int32)])
 
+    h, d = kn.shape[1], kn.shape[3]
     kern = functools.partial(_kernel, t=t, s_loc=s_loc)
-    any_spec = lambda nd: pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((b,), lambda bb, lr: (0,),
                          memory_space=pltpu.SMEM),
-            any_spec(4), any_spec(3), any_spec(4), any_spec(3),
-            any_spec(5), any_spec(4), any_spec(5), any_spec(4),
+            pl.BlockSpec((1, h, t, d), lambda bb, lr: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t), lambda bb, lr: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, d), lambda bb, lr: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t), lambda bb, lr: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            any_spec(), any_spec(), any_spec(), any_spec(),
         ],
-        out_specs=(any_spec(5), any_spec(4), any_spec(5), any_spec(4)),
+        out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
         scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
     )
     out_shape = tuple(
