@@ -75,8 +75,14 @@ def shard_cache_pp(cache, mesh: Mesh):
 
 def forward_pp(params, tokens, cache, cfg: ModelConfig,
                pipe_axis: str = "pipe", axis: str | None = None,
-               seq_axis: str | None = None):
-    """llama.forward equivalent with layer stages over ``pipe_axis``."""
+               seq_axis: str | None = None, n_micro: int = 1):
+    """llama.forward equivalent with layer stages over ``pipe_axis``.
+
+    ``n_micro > 1`` enables a GPipe-style microbatch schedule: the batch
+    splits into n_micro microbatches that flow through the stages with a
+    tick loop of ``n_micro + pp - 1`` steps, so stages overlap (utilization
+    n_micro/(n_micro+pp-1) instead of 1/pp). Batch must divide n_micro.
+    """
     mm = llama._mm(cfg)
     b, t = tokens.shape
     dt = llama._act_dtype(cfg)
@@ -91,35 +97,78 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     pp = jax.lax.axis_size(pipe_axis)
 
     l_local = cache.k_codes.shape[0]
-    layer_step = llama.make_layer_step(
-        params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
-        s0, axis, dt, seq_axis,
-    )
+    xs = (params.layers.attn_norm, params.layers.mlp_norm,
+          params.layers.qkv_bias, jnp.arange(l_local))
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
 
-    def run_local(h):
+    def scan_local(layer_step, h, kc, ks, vc, vs):
         (h, kc, ks, vc, vs), _ = jax.lax.scan(
-            layer_step,
-            (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
-            (params.layers.attn_norm, params.layers.mlp_norm,
-             params.layers.qkv_bias, jnp.arange(l_local)),
-        )
-        return h, (kc, ks, vc, vs)
+            layer_step, (h, kc, ks, vc, vs), xs)
+        return h, kc, ks, vc, vs
 
-    h = params.embed[tokens].astype(dt)
     kc, ks = cache.k_codes, cache.k_scale
     vc, vs = cache.v_codes, cache.v_scale
-    perm = [(i, (i + 1) % pp) for i in range(pp)]
-    for s in range(pp):
-        h2, (kc2, ks2, vc2, vs2) = jax.lax.cond(
-            my == s,
-            lambda h: run_local(h),
-            lambda h: (h, (kc, ks, vc, vs)),
-            h,
+
+    if n_micro == 1:
+        layer_step = llama.make_layer_step(
+            params.layers, cache.lengths, cfg, mm, b, t, positions,
+            new_lengths, s0, axis, dt, seq_axis,
         )
-        kc, ks, vc, vs = kc2, ks2, vc2, vs2
-        h = jax.lax.ppermute(h2, pipe_axis, perm)
-    # Final h sits on stage 0 after the wrap-around hop; broadcast it.
-    h = jax.lax.psum(jnp.where(my == 0, h, jnp.zeros_like(h)), pipe_axis)
+        h = params.embed[tokens].astype(dt)
+        for s in range(pp):
+            h2, kc2, ks2, vc2, vs2 = jax.lax.cond(
+                my == s,
+                lambda h: scan_local(layer_step, h, kc, ks, vc, vs),
+                lambda h: (h, kc, ks, vc, vs),
+                h,
+            )
+            kc, ks, vc, vs = kc2, ks2, vc2, vs2
+            h = jax.lax.ppermute(h2, pipe_axis, perm)
+        # Final h sits on stage 0 after the wrap-around hop; broadcast it.
+        h = jax.lax.psum(jnp.where(my == 0, h, jnp.zeros_like(h)),
+                         pipe_axis)
+    else:
+        if b % n_micro:
+            raise ValueError(f"batch {b} must divide n_micro {n_micro}")
+        b_mb = b // n_micro
+        h_all = params.embed[tokens].astype(dt)
+        h0_buf = h_all.reshape(n_micro, b_mb, t, -1)
+        out_buf = jnp.zeros_like(h0_buf)
+        h_recv = jnp.zeros_like(h0_buf[0])
+        for tick in range(n_micro + pp - 1):
+            m = tick - my
+            active = (m >= 0) & (m < n_micro)
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            b0 = m_c * b_mb
+            h_in = jnp.where(
+                my == 0,
+                jax.lax.dynamic_index_in_dim(h0_buf, m_c, 0, False),
+                h_recv,
+            )
+            layer_step = llama.make_layer_step(
+                params.layers, cache.lengths, cfg, mm, b_mb, t, positions,
+                new_lengths, s0, axis, dt, seq_axis, batch0=b0,
+            )
+            h_out, kc2, ks2, vc2, vs2 = jax.lax.cond(
+                active,
+                lambda h: scan_local(layer_step, h, kc, ks, vc, vs),
+                lambda h: (h, kc, ks, vc, vs),
+                h_in,
+            )
+            kc, ks, vc, vs = kc2, ks2, vc2, vs2
+            out_buf = jnp.where(
+                (my == pp - 1) & active,
+                jax.lax.dynamic_update_index_in_dim(
+                    out_buf, h_out, m_c, 0),
+                out_buf,
+            )
+            h_recv = jax.lax.ppermute(h_out, pipe_axis, perm)
+        out_buf = jax.lax.psum(
+            jnp.where(my == pp - 1, out_buf, jnp.zeros_like(out_buf)),
+            pipe_axis,
+        )
+        h = out_buf.reshape(b, t, -1)
+
     h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
@@ -130,7 +179,8 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     return logits, new_cache
 
 
-def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
+def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache,
+                    n_micro: int = 1):
     """jit(shard_map(forward_pp)) over a (pipe, data, model, seq) mesh."""
     pp = mesh.shape["pipe"]
     tp = mesh.shape["model"]
@@ -144,7 +194,7 @@ def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
     c_specs = pp_cache_specs(cache)
     fwd = functools.partial(
         forward_pp, cfg=cfg, pipe_axis="pipe", axis="model",
-        seq_axis="seq" if sp > 1 else None,
+        seq_axis="seq" if sp > 1 else None, n_micro=n_micro,
     )
     sharded = jax.shard_map(
         lambda pr, tok, ca: fwd(pr, tok, ca),

@@ -53,3 +53,31 @@ def test_pp_requires_layer_divisibility():
     cache = llama.init_cache(CFG, 2, 16)
     with pytest.raises(ValueError, match="must divide n_layers"):
         make_pp_forward(CFG, mesh, params, cache)
+
+
+@pytest.mark.parametrize("n_micro", [2, 4])
+def test_pp_microbatched_matches_single_device(n_micro):
+    """GPipe microbatch schedule == single-device forward."""
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    params = llama.init_params(CFG, seed=0, tp=1)
+    batch = 4
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, CFG.vocab_size, (batch, 5)),
+        jnp.int32,
+    )
+    cache0 = llama.init_cache(CFG, batch, 16)
+    ref1, ref_cache = llama.forward(params_ref, toks, cache0, CFG)
+    ref2, _ = llama.forward(params_ref, toks[:, :1], ref_cache, CFG)
+
+    mesh = make_mesh(pipe=2)
+    sp_params = shard_params_pp(params, mesh)
+    sc = shard_cache_pp(llama.init_cache(CFG, batch, 16), mesh)
+    step = make_pp_forward(CFG, mesh, sp_params, sc, n_micro=n_micro)
+    out1, out_cache = step(sp_params, toks, sc)
+    out2, _ = step(sp_params, toks[:, :1], out_cache)
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               np.asarray(ref1, np.float32),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               rtol=2e-4, atol=2e-4)
