@@ -2,14 +2,18 @@
 
 Writes the decode step's new K/V rows into the stacked [L, B, H, S, D]
 int8 cache at per-slot positions — with ``input_output_aliases`` the cache
-buffers pass through unchanged except for the T written rows, so a chain of
+buffers pass through unchanged except for the written rows, so a chain of
 insert → flash-attention → insert ... through the layer scan never copies
 the cache (an XLA scatter feeding a Pallas consumer does — measured in
 scripts/tpu_ablate_probe.py).
 
-Grid (B,); each program DMAs its slot's [H, T, D] codes (and [H, T] scales)
-from VMEM into the HBM-resident cache at (layer, b, :, pos_b). Skips slots
-whose row range falls outside this shard's S-slice (sequence sharding).
+The cache's S axis is physically tiled in HBM (int8: sublane 8; the f32
+scales: lane 128), so arbitrary-position single-row DMA is not expressible
+— each program does an aligned read-modify-write instead: DMA the aligned
+tile covering the target row into VMEM, overwrite the row with a masked
+select (no dynamic sublane stores), DMA the tile back. Aligned offsets are
+asserted to Mosaic with ``pl.multiple_of``. Grid (B,); T=1 (decode) per
+call — the engine's chunked prefill uses the XLA scatter path instead.
 """
 
 from __future__ import annotations
@@ -23,10 +27,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cache_insert_int8"]
 
+_ROWS = 8     # int8 sublane tile along S
+_LANES = 128  # f32 lane tile along S
+
 
 def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
             kc_in, ks_in, vc_in, vs_in,
-            kc_ref, ks_ref, vc_ref, vs_ref, sems, *, t, s_loc):
+            kc_ref, ks_ref, vc_ref, vs_ref,
+            ctile, stile, sems, *, s_loc):
     # cache inputs are aliased to the outputs — write through the output
     # refs; the input refs exist only to satisfy the aliasing contract
     del kc_in, ks_in, vc_in, vs_in
@@ -35,54 +43,65 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     s0 = lr_ref[1]
     rel = len_ref[b] - s0
 
-    @pl.when((rel >= 0) & (rel <= s_loc - t))
+    @pl.when((rel >= 0) & (rel < s_loc))
     def _():
         pos = jnp.maximum(rel, 0)
-        # sources are per-batch BLOCKS ([1, H, T, D]); slicing only their
-        # leading (untiled) dim keeps Mosaic's tiling rules satisfied
-        copies = [
-            pltpu.make_async_copy(
-                kn_ref.at[0], kc_ref.at[lr, b, :, pl.ds(pos, t), :],
-                sems.at[0]),
-            pltpu.make_async_copy(
-                ksn_ref.at[0], ks_ref.at[lr, b, :, pl.ds(pos, t)],
-                sems.at[1]),
-            pltpu.make_async_copy(
-                vn_ref.at[0], vc_ref.at[lr, b, :, pl.ds(pos, t), :],
-                sems.at[2]),
-            pltpu.make_async_copy(
-                vsn_ref.at[0], vs_ref.at[lr, b, :, pl.ds(pos, t)],
-                sems.at[3]),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+
+        def rmw(new_ref, cache_ref, tile, rows, sem, is_codes):
+            base = pl.multiple_of((pos // rows) * rows, rows)
+            off = pos - base
+            rd = pltpu.make_async_copy(
+                cache_ref.at[lr, b, :, pl.ds(base, rows)], tile, sem)
+            rd.start()
+            rd.wait()
+            if is_codes:
+                row_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, tile.shape, 1)            # [H, rows, D]
+                new = new_ref[0, 0][:, None, :]          # [H, 1, D]
+                tile[:] = jnp.where(row_ids == off, new, tile[:])
+            else:
+                col_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, tile.shape, 1)            # [H, rows]
+                new = new_ref[0, 0][:, None]             # [H, 1]
+                tile[:] = jnp.where(col_ids == off, new, tile[:])
+            wr = pltpu.make_async_copy(
+                tile, cache_ref.at[lr, b, :, pl.ds(base, rows)], sem)
+            wr.start()
+            wr.wait()
+
+        rmw(kn_ref, kc_ref, ctile, ctile.shape[1], sems.at[0], True)
+        rmw(vn_ref, vc_ref, ctile, ctile.shape[1], sems.at[1], True)
+        rmw(ksn_ref, ks_ref, stile, stile.shape[1], sems.at[2], False)
+        rmw(vsn_ref, vs_ref, stile, stile.shape[1], sems.at[3], False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def cache_insert_int8(
     kc, ks, vc, vs,        # stacked caches [L, B, H, S, D] / [L, B, H, S]
-    k_new, k_s, v_new, v_s,  # [B, T, H, D] int8 / [B, T, H] f32
+    k_new, k_s, v_new, v_s,  # [B, 1, H, D] int8 / [B, 1, H] f32 (T=1)
     lengths,               # [B] int32 — write position per slot
     layer,                 # traced layer index
     s0=0,                  # this shard's S offset (sequence sharding)
     *,
     interpret: bool = False,
 ):
-    """Returns the four cache arrays with the new rows written in place."""
+    """Returns the four cache arrays with the new row written in place."""
     b, t = k_new.shape[0], k_new.shape[1]
+    if t != 1:
+        raise ValueError("cache_insert_int8 is the decode (T=1) path")
     s_loc = kc.shape[3]
-    kn = k_new.transpose(0, 2, 1, 3)   # [B, H, T, D]
-    ksn = k_s.transpose(0, 2, 1)       # [B, H, T]
-    vn = v_new.transpose(0, 2, 1, 3)
-    vsn = v_s.transpose(0, 2, 1)
+    crows = _ROWS if s_loc % _ROWS == 0 else s_loc
+    srows = s_loc if s_loc < _LANES else _LANES
+    if s_loc % srows or s_loc % crows:
+        raise ValueError(
+            f"max_seq per shard ({s_loc}) must divide by {_LANES} (or be "
+            f"smaller than it) for aligned RMW tiles")
+    h, d = k_new.shape[2], k_new.shape[3]
 
     lr = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(s0, jnp.int32)])
 
-    h, d = kn.shape[1], kn.shape[3]
-    kern = functools.partial(_kernel, t=t, s_loc=s_loc)
+    kern = functools.partial(_kernel, s_loc=s_loc)
     any_spec = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -90,18 +109,22 @@ def cache_insert_int8(
         in_specs=[
             pl.BlockSpec((b,), lambda bb, lr: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, t, d), lambda bb, lr: (bb, 0, 0, 0),
+            pl.BlockSpec((1, 1, h, d), lambda bb, lr: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t), lambda bb, lr: (bb, 0, 0),
+            pl.BlockSpec((1, 1, h), lambda bb, lr: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t, d), lambda bb, lr: (bb, 0, 0, 0),
+            pl.BlockSpec((1, 1, h, d), lambda bb, lr: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t), lambda bb, lr: (bb, 0, 0),
+            pl.BlockSpec((1, 1, h), lambda bb, lr: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=[
+            pltpu.VMEM((h, crows, d), kc.dtype),
+            pltpu.VMEM((h, srows), ks.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (kc, ks, vc, vs)
@@ -115,4 +138,4 @@ def cache_insert_int8(
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lr, lengths, kn, ksn, vn, vsn, kc, ks, vc, vs)
+    )(lr, lengths, k_new, k_s, v_new, v_s, kc, ks, vc, vs)
