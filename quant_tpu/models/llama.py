@@ -453,6 +453,62 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     return out.astype(q.dtype)
 
 
+def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
+                        lengths, cfg, block: int = 1024):
+    """Flash-style prefill attention in pure XLA: lax.scan over KV blocks
+    with an online softmax, so peak memory is O(T·block) instead of the
+    O(T·S) logits the one-shot einsum materializes — this is what makes
+    long-context chunked prefill viable (SURVEY.md §5 long-context).
+
+    Same contract as :func:`attention` (no seq_axis support — compose with
+    the LSE-merge path instead).
+    """
+    b, t, hq, dh = q.shape
+    hkv, s = k_codes.shape[1], k_codes.shape[2]
+    if s <= block:
+        return attention(q, k_codes, k_scale, v_codes, v_scale, positions,
+                         lengths, cfg)
+    if s % block:
+        block = s  # fall back to one-shot for awkward sizes
+    rep = hq // hkv
+    qg = (q.astype(jnp.float32) / np.sqrt(dh)).reshape(b, t, hkv, rep, dh)
+    n_blk = s // block
+    kb = jnp.moveaxis(k_codes.reshape(b, hkv, n_blk, block, dh), 2, 0)
+    ksb = jnp.moveaxis(k_scale.reshape(b, hkv, n_blk, block), 2, 0)
+    vb = jnp.moveaxis(v_codes.reshape(b, hkv, n_blk, block, dh), 2, 0)
+    vsb = jnp.moveaxis(v_scale.reshape(b, hkv, n_blk, block), 2, 0)
+    qpos = positions[:, None, None, :, None]
+    lim = lengths[:, None, None, None, None]
+
+    def body(carry, xs):
+        m, l, o, blk_idx = carry
+        kcb, kscb, vcb, vscb = xs
+        logits = jnp.einsum("bthrd,bhsd->bhrts", qg,
+                            kcb.astype(jnp.float32))
+        logits = logits * kscb[:, :, None, None, :]
+        key_pos = blk_idx * block + jnp.arange(block)[None, None, None,
+                                                      None, :]
+        valid = (key_pos <= qpos) & (key_pos < lim)
+        logits = jnp.where(valid, logits, -1e30)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p * vscb[:, :, None, None, :]
+        o = o * alpha + jnp.einsum("bhrts,bhsd->bhrtd", pv,
+                                   vcb.astype(jnp.float32))
+        return (m_new, l, o, blk_idx + 1), None
+
+    m0 = jnp.full((b, hkv, rep, t, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, hkv, rep, t, 1), jnp.float32)
+    o0 = jnp.zeros((b, hkv, rep, t, dh), jnp.float32)
+    (m, l, o, _), _ = jax.lax.scan(body, (m0, l0, o0, jnp.int32(0)),
+                                   (kb, ksb, vb, vsb))
+    out = o / jnp.maximum(l, 1e-20)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dh)
+    return out.astype(q.dtype)
+
+
 # ── forward ─────────────────────────────────────────────────────────────
 
 
@@ -577,9 +633,16 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 if batch0 is not None:
                     a = jax.lax.dynamic_slice_in_dim(a, batch0, b, axis=0)
                 return a
-            attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs), positions,
-                             new_lengths, cfg, seq_axis=seq_axis,
-                             key_offset=s0)
+            if t > 1 and seq_axis is None:
+                # chunked-prefill path: blockwise online softmax bounds
+                # memory at O(T*block) regardless of context length
+                attn = attention_blockwise(q, sl(kc), sl(ks), sl(vc),
+                                           sl(vs), positions, new_lengths,
+                                           cfg)
+            else:
+                attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
+                                 positions, new_lengths, cfg,
+                                 seq_axis=seq_axis, key_offset=s0)
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,

@@ -137,3 +137,22 @@ def test_flash_path_with_aliased_insert_matches_xla():
             rtol=5e-2, atol=5e-2,
         )
         assert np.argmax(np.asarray(lf)) == np.argmax(np.asarray(lx))
+
+
+def test_blockwise_attention_matches_oneshot():
+    rng = np.random.default_rng(9)
+    b, t, hq, hkv, dh, s = 2, 8, 4, 2, 64, 64
+    q = jnp.asarray(rng.standard_normal((b, t, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    kq, ks = llama.quantize_kv(k)
+    vq, vs = llama.quantize_kv(v)
+    kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+    ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+    positions = jnp.broadcast_to(jnp.arange(40, 48)[None, :], (b, t))
+    lengths = jnp.asarray([48, 45], jnp.int32)
+    ref = llama.attention(q, kq, ks, vq, vs, positions, lengths, CFG)
+    out = llama.attention_blockwise(q, kq, ks, vq, vs, positions, lengths,
+                                    CFG, block=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
