@@ -213,18 +213,17 @@ class Engine:
             logits, self.cache, self.key, sub = self._decode(
                 self.params, tokens, self.cache, self.key
             )
-            # per-slot sampling configs may differ; group greedy vs sampled
-            toks = np.asarray(
-                sample(logits, sub, SamplingConfig())
-            )  # greedy default
-            sampled_needed = [
-                i for i in active if not self.slots[i].sampling.greedy
-            ]
-            if sampled_needed:
-                toks2 = np.asarray(
-                    sample(logits, sub, self.slots[sampled_needed[0]].sampling)
-                )
-                for i in sampled_needed:
+            # per-slot sampling configs may differ: sample once per DISTINCT
+            # config (usually 1-2) and scatter tokens back to its slots
+            toks = np.asarray(sample(logits, sub, SamplingConfig()))
+            groups: dict = {}
+            for i in active:
+                sc = self.slots[i].sampling
+                if not sc.greedy:
+                    groups.setdefault(sc, []).append(i)
+            for sc, slots in groups.items():
+                toks2 = np.asarray(sample(logits, sub, sc))
+                for i in slots:
                     toks[i] = toks2[i]
             for i in active:
                 req = self.slots[i]

@@ -160,7 +160,7 @@ def dequant_matmul(
     *,
     out_dtype=None,
     tile_m: int = 256,
-    tile_n: int = 2048,
+    tile_n: int = 4096,
     tile_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
