@@ -215,7 +215,7 @@ class Engine:
             )
             # per-slot sampling configs may differ: sample once per DISTINCT
             # config (usually 1-2) and scatter tokens back to its slots
-            toks = np.asarray(sample(logits, sub, SamplingConfig()))
+            toks = np.array(sample(logits, sub, SamplingConfig()))
             groups: dict = {}
             for i in active:
                 sc = self.slots[i].sampling

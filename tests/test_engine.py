@@ -121,3 +121,26 @@ def test_chunked_prefill_long_prompt():
     eng.PREFILL_CHUNK = 16  # force chunking
     out = eng.generate([prompt], max_new_tokens=5)[0]
     assert out == _reference_greedy(params, prompt, 5)
+
+
+def test_mixed_sampling_configs():
+    """Slots with different sampling configs each use their own."""
+    from quant_tpu.engine import SamplingConfig
+
+    params = llama.init_params(CFG, seed=7)
+    eng = Engine(params, CFG, max_slots=3, max_seq=32, eos_id=-1)
+    reqs = [
+        Request(req_id=0, prompt=[5, 6], max_new_tokens=4),  # greedy
+        Request(req_id=1, prompt=[5, 6], max_new_tokens=4,
+                sampling=SamplingConfig(temperature=5.0, top_k=50)),
+        Request(req_id=2, prompt=[5, 6], max_new_tokens=4,
+                sampling=SamplingConfig(temperature=0.7, top_p=0.9)),
+    ]
+    for r in reqs:
+        eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    assert all(len(r.output) == 4 for r in reqs)
+    # greedy slot must equal the pure-greedy reference
+    assert reqs[0].output == _reference_greedy(params, [5, 6], 4,
+                                               max_seq=32)
