@@ -233,6 +233,11 @@ def _dequant_matmul_2d(
 
     # Logical K range handled per grid step (per nibble-half for int4).
     k_eff = k // 2 if bits == 4 else k
+    if tm > 32:
+        # large-M (prefill) tiles: cap TN — the wide-TN decode config's
+        # VMEM footprint (acc + unpack intermediates) ICEs Mosaic at
+        # prefill block sizes (measured; no diagnostics from the compiler)
+        tile_n = min(tile_n, 2048)
     try:
         tn = _largest_tile(n, tile_n, 128)
         tk = _largest_tile(k_eff, tile_k, 128)

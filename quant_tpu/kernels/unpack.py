@@ -33,10 +33,8 @@ def _kernel(p_ref, o_ref):
 def unpack_int4_device(packed: jax.Array, *, interpret: bool = False):
     """[K//2, N] uint8 split-K packed → [K, N] int8 codes, on device."""
     k2, n = packed.shape
-    tk = k2 if k2 % 128 else k2  # whole rows; tile N only
-    tn = n if n <= 512 or n % 512 else 512
-    if n % tn:
-        tn = n
+    tk = k2  # whole packed-row range per program; tile N only
+    tn = 512 if (n > 512 and n % 512 == 0) else n
     out = pl.pallas_call(
         _kernel,
         grid=(k2 // tk, n // tn),
