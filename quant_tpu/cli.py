@@ -29,18 +29,32 @@ def _cmd_generate(args):
     from quant_tpu.engine import Engine, SamplingConfig
 
     params, cfg = load_checkpoint(args.ckpt)
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
-                 eos_id=args.eos_id)
-    prompts = [
-        [int(t) for t in p.split(",")] for p in args.prompt_ids.split(";")
-    ]
+                 eos_id=(tok.eos_token_id if tok and args.eos_id == 2
+                         else args.eos_id))
+    if args.prompt is not None:
+        if tok is None:
+            raise SystemExit("--prompt requires --tokenizer")
+        prompts = [tok(p)["input_ids"] for p in args.prompt]
+    else:
+        prompts = [
+            [int(t) for t in p.split(",")]
+            for p in args.prompt_ids.split(";")
+        ]
     outs = eng.generate(
         prompts, max_new_tokens=args.max_new,
         sampling=SamplingConfig(temperature=args.temperature,
                                 top_k=args.top_k, top_p=args.top_p),
     )
     for p, o in zip(prompts, outs):
-        print(json.dumps({"prompt": p, "output": o}))
+        rec = {"prompt": p, "output": o}
+        if tok is not None:
+            rec["text"] = tok.decode(o)
+        print(json.dumps(rec))
     print(json.dumps({"stats": eng.stats}), file=sys.stderr)
 
 
@@ -121,8 +135,12 @@ def main(argv=None):
 
     g = sub.add_parser("generate", help="generate from a packed ckpt")
     g.add_argument("ckpt")
-    g.add_argument("--prompt-ids", required=True,
+    g.add_argument("--prompt-ids",
                    help="comma-separated ids; ';' separates prompts")
+    g.add_argument("--prompt", action="append",
+                   help="text prompt (repeatable); needs --tokenizer")
+    g.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir for text prompts/decoding")
     g.add_argument("--max-new", type=int, default=32)
     g.add_argument("--max-seq", type=int, default=1024)
     g.add_argument("--slots", type=int, default=8)
