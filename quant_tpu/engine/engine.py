@@ -203,6 +203,22 @@ class Engine:
             self.slots[i] = None
             log.info("finish req=%d generated=%d", req.req_id, len(req.output))
 
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a pending or in-flight request; returns True if found."""
+        for i, r in enumerate(self.pending):
+            if r.req_id == req_id:
+                self.pending.pop(i)
+                r.finished = True
+                log.info("cancel pending req=%d", req_id)
+                return True
+        for i, r in enumerate(self.slots):
+            if r is not None and r.req_id == req_id:
+                r.finished = True
+                self.slots[i] = None
+                log.info("cancel active req=%d slot=%d", req_id, i)
+                return True
+        return False
+
     def step(self) -> list[Request]:
         """Admit pending, decode one token for all active slots."""
         self._admit()

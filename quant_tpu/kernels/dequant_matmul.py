@@ -99,20 +99,42 @@ def _scaled_dots(x, w, s, tile_g, gsz, acc):
     return acc
 
 
+def _scaled_dots_aq(x, w_i8, s, tile_g, gsz, acc):
+    """W8A8 path: dynamic per-(row, group) int8 activation quantization,
+    int8 x int8 MXU dots (2x bf16 rate, no weight cast):
+        y_g = (round(x_g/sx) @ w_g) * sx * s_g
+    """
+    for g in range(tile_g):
+        xg = x[:, g * gsz:(g + 1) * gsz].astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xg), axis=1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, 1.0, sx)
+        xq = jnp.round(xg / sx).astype(jnp.int8)
+        pi = jax.lax.dot_general(
+            xq, w_i8[g * gsz:(g + 1) * gsz],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + pi.astype(jnp.float32) * sx * s[g:g + 1]
+    return acc
+
+
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-                 cdt, stacked=False):
+                 cdt, stacked=False, aq=False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # cdt: f32 compute at decode M (int8→f32 converts measure faster than
-    # →bf16 on this chip and the MXU is nowhere near the limit at small M);
-    # bf16 for large-M prefill where MXU rate matters.
-    w = (w_ref[0] if stacked else w_ref[:]).astype(cdt)
-    acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w, s_ref[0],
-                              tile_g, gsz, acc_ref[:])
+    w = w_ref[0] if stacked else w_ref[:]
+    if aq:
+        # W8A8: int8 weights feed the MXU directly
+        acc_ref[:] = _scaled_dots_aq(x_ref[:], w, s_ref[0], tile_g, gsz,
+                                     acc_ref[:])
+    else:
+        # cdt: f32 compute at decode M (int8→f32 converts measure faster
+        # than →bf16 on this chip and the MXU is nowhere near the limit at
+        # small M); bf16 for large-M prefill where MXU rate matters.
+        acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w.astype(cdt),
+                                  s_ref[0], tile_g, gsz, acc_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -121,7 +143,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
 
 def _kernel_int4(
     x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-    cdt, stacked=False,
+    cdt, stacked=False, aq=False,
 ):
     k = pl.program_id(2)
 
@@ -130,15 +152,20 @@ def _kernel_int4(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     wi = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)
-    lo = ((wi & 0xF) - 8).astype(cdt)
-    hi = ((wi >> 4) - 8).astype(cdt)
+    odt = jnp.int8 if aq else cdt
+    lo = ((wi & 0xF) - 8).astype(odt)
+    hi = ((wi >> 4) - 8).astype(odt)
     s = s_ref[0]  # [2*tile_g, TN]: lo rows then hi rows
 
     acc = acc_ref[:]
-    acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s[:tile_g], tile_g, gsz,
-                       acc)
-    acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s[tile_g:], tile_g, gsz,
-                       acc)
+    if aq:
+        acc = _scaled_dots_aq(x_lo_ref[:], lo, s[:tile_g], tile_g, gsz, acc)
+        acc = _scaled_dots_aq(x_hi_ref[:], hi, s[tile_g:], tile_g, gsz, acc)
+    else:
+        acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s[:tile_g], tile_g,
+                           gsz, acc)
+        acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s[tile_g:], tile_g,
+                           gsz, acc)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -151,7 +178,8 @@ def _kernel_int4(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k", "interpret"),
+    static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k", "interpret",
+                     "act_quant"),
 )
 def dequant_matmul(
     x: jax.Array,
@@ -163,12 +191,18 @@ def dequant_matmul(
     tile_n: int = 4096,
     tile_k: int = 512,
     interpret: bool = False,
+    act_quant: bool = False,
 ) -> jax.Array:
     """``x [.., K] @ QTensor [K, N] -> [.., N]`` via the fused Pallas kernel.
 
     x may have any number of leading dims (flattened to M). M is padded to
     the dtype sublane multiple; K/N must satisfy the tile divisibility rules
     or the XLA reference path is used instead (correct, slower).
+
+    ``act_quant``: W8A8 mode — activations dynamically quantized to int8
+    per (row, K-group) inside the kernel and the MXU runs int8 x int8 at
+    2x the bf16 rate with no weight cast. Small accuracy cost (~1e-2
+    relative on the partials); opt-in via ModelConfig.act_quant.
 
     ``layer``: when qt's leaves carry a stacked leading axis [L, ...] (the
     scan-over-layers case), pass the traced layer index — the kernel selects
@@ -189,7 +223,7 @@ def dequant_matmul(
     try:
         y = _dequant_matmul_2d(
             x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m, tile_n=tile_n,
-            tile_k=tile_k, interpret=interpret,
+            tile_k=tile_k, interpret=interpret, act_quant=act_quant,
         )
     except _Untileable:
         if layer is not None:
@@ -209,7 +243,8 @@ class _Untileable(Exception):
 
 
 def _dequant_matmul_2d(
-    x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret
+    x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret,
+    act_quant=False,
 ):
     stacked = qt.codes.ndim == 3
     if stacked and layer is None:
@@ -284,7 +319,8 @@ def _dequant_matmul_2d(
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt, stacked=stacked)
+                                 gsz=gsz, cdt=cdt, stacked=stacked,
+                                 aq=act_quant)
         if stacked:
             w_spec = pl.BlockSpec(
                 (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
@@ -300,7 +336,8 @@ def _dequant_matmul_2d(
         k2 = k // 2
         hi_x_off = k2 // tk  # x block index offset for the high-nibble half
         kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt, stacked=stacked)
+                                 gsz=gsz, cdt=cdt, stacked=stacked,
+                                 aq=act_quant)
         if stacked:
             w_spec = pl.BlockSpec(
                 (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),

@@ -26,6 +26,10 @@ class ModelConfig:
     kv_bits: int = 8
     # execution
     kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
+    # W8A8/W4A8: dynamically quantize activations to int8 inside the
+    # matmul kernels (2x MXU rate, no weight cast) — small accuracy cost;
+    # mostly a prefill-throughput lever (prefill is MXU-bound).
+    act_quant: bool = False
     # decode attention: "xla" fuses the int8-cache read into the dot and
     # keeps the cache-insert scatter in-place (measured faster at moderate
     # context); "flash" uses the Pallas flash-decode kernel (a pallas

@@ -128,9 +128,10 @@ def _mm(cfg: ModelConfig):
     if cfg.kernel_mode == "xla":
         base = dequant_matmul_reference
     elif cfg.kernel_mode == "pallas_interpret":
-        base = functools.partial(dequant_matmul, interpret=True)
+        base = functools.partial(dequant_matmul, interpret=True,
+                                 act_quant=cfg.act_quant)
     else:
-        base = dequant_matmul
+        base = functools.partial(dequant_matmul, act_quant=cfg.act_quant)
 
     xla = cfg.kernel_mode == "xla"
 

@@ -117,3 +117,18 @@ def test_stacked_inside_scan():
         np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(ref),
                                    rtol=5e-3, atol=1e-2)
         c = jnp.concatenate([ref, ref], axis=-1)[:, :256]
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_act_quant_mode(bits):
+    """W8A8/W4A8 kernels track the fp reference within activation-quant
+    error."""
+    x, qt = _mk(8, 512, 256, bits, 128, jnp.float32, seed=42)
+    ref = dequant_matmul_reference(x, qt)
+    out = dequant_matmul(x, qt, tile_n=256, tile_k=256, interpret=True,
+                         act_quant=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-2, atol=5e-1)
+    # correlation sanity — errors are small perturbations, not structure
+    c = np.corrcoef(np.asarray(out).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert c > 0.999

@@ -144,3 +144,18 @@ def test_mixed_sampling_configs():
     # greedy slot must equal the pure-greedy reference
     assert reqs[0].output == _reference_greedy(params, [5, 6], 4,
                                                max_seq=32)
+
+
+def test_cancel():
+    params = llama.init_params(CFG, seed=8)
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)
+    r1 = Request(req_id=0, prompt=[1, 2], max_new_tokens=20)
+    r2 = Request(req_id=1, prompt=[3, 4], max_new_tokens=5)
+    eng.add_request(r1)
+    eng.add_request(r2)  # waits (1 slot)
+    eng.step()
+    assert eng.cancel(1)            # cancel while pending
+    eng.step()
+    assert eng.cancel(0)            # cancel while active
+    assert not eng.has_work()
+    assert not eng.cancel(99)
