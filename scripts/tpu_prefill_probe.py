@@ -42,6 +42,23 @@ def main():
     print(f"prefill {per*1e3:.1f} ms/chunk → {toks_per_s:.0f} tok/s "
           f"(compile {time.perf_counter()-t0:.0f}s)", flush=True)
 
+    # W4A8 prefill
+    cfg = dataclasses.replace(cfg, act_quant=True)
+
+    def make_aq(n):
+        @jax.jit
+        def run(params, toks, cache):
+            def body(i, acc):
+                logits, c2 = llama.forward(params, toks, cache, cfg)
+                return acc + logits[0, -1, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return run
+
+    t0 = time.perf_counter()
+    per = differential_time(make_aq, (params, toks, cache0), 1, 5, iters=3)
+    print(f"prefill W4A8 {per*1e3:.1f} ms/chunk → {b*t/per:.0f} tok/s "
+          f"(compile {time.perf_counter()-t0:.0f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()
