@@ -83,7 +83,7 @@ class Engine:
 
         cfg_static = cfg
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, cache, key):
             logits, cache = llama.forward(params, tokens, cache, cfg_static)
             keyn, sub = jax.random.split(key)
@@ -91,7 +91,8 @@ class Engine:
 
         self._decode = decode_step
 
-        @functools.partial(jax.jit, static_argnames=("n",))
+        @functools.partial(jax.jit, static_argnames=("n",),
+                           donate_argnums=(2,))
         def decode_block(params, tokens, cache, n):
             # n greedy steps fused in one dispatch (device-side loop) —
             # amortizes host dispatch latency; used by step_block().
@@ -119,7 +120,7 @@ class Engine:
             return self._prefills[t_pad]
         cfg = self.cfg
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill(params, tokens, cache, slot, true_len, first):
             # Slice slot b's cache as a batch-1 cache; the first chunk
             # resets its length, later chunks append.
