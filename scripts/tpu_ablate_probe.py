@@ -15,11 +15,13 @@ from quant_tpu.models import llama
 from quant_tpu.models.config import ModelConfig
 from quant_tpu.utils.timing import differential_time
 
+import os
 CFG = ModelConfig(
     vocab_size=4096, dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
     intermediate=14336, group_size=128, kernel_mode="pallas",
 )
 B, S = 8, 1024
+T = int(os.environ.get("ABLATE_T", "1"))
 
 
 def build():
@@ -27,7 +29,7 @@ def build():
     jax.block_until_ready(params.layers.wqkv.codes)
     cache = llama.init_cache(CFG, B, S)
     cache = dataclasses.replace(
-        cache, lengths=jnp.full((B,), 900, jnp.int32))
+        cache, lengths=jnp.full((B,), 1024 - T - 2, jnp.int32))
     return params, cache
 
 
@@ -36,7 +38,8 @@ def make_step(variant):
 
     def step_fn(params, tok, cache):
         mm = llama._mm(cfg)
-        b, t = tok.shape
+        b, _ = tok.shape
+        t = tok.shape[1]
         dt = llama._act_dtype(cfg)
         positions = cache.lengths[:, None]
         new_lengths = cache.lengths + 1
@@ -66,8 +69,11 @@ def make_step(variant):
                 attn = q
             elif variant == "xla_attn":
                 sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, False)
-                attn = llama.attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
-                                       positions, new_lengths, cfg)
+                attn = llama.attention_blockwise(
+                    q, sl(kc), sl(ks), sl(vc), sl(vs),
+                    positions, new_lengths, cfg) if t > 1 else \
+                    llama.attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
+                                    positions, new_lengths, cfg)
             else:
                 from quant_tpu.kernels.attention import flash_decode_int8
                 attn = flash_decode_int8(q[:, 0], kc, ks, vc, vs,
@@ -105,10 +111,9 @@ def make_step(variant):
             def body(_, carry):
                 tok, cache = carry
                 logits, cache = step_fn(params, tok, cache)
-                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
                 cache = dataclasses.replace(
-                    cache, lengths=cache.lengths - 1)  # keep S fixed
-                return nxt, cache
+                    cache, lengths=cache.lengths - T)  # keep S fixed
+                return tok + (logits[0, -1, 0] * 0).astype(jnp.int32), cache
             tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
             return jnp.sum(tok)
         return run
@@ -117,7 +122,7 @@ def make_step(variant):
 
 def main():
     params, cache = build()
-    tok = jnp.ones((B, 1), jnp.int32)
+    tok = jnp.ones((B, T), jnp.int32)
     for variant in ["full", "noinsert", "noattn", "xla_attn", "nolayers"]:
         try:
             t0 = time.perf_counter()
