@@ -47,19 +47,34 @@ def test_requests_complete(ckpt):
 
 
 def test_fault_injection_worker_killed(ckpt):
+    import queue as queue_mod
+    import time
+
     sup = Supervisor(ckpt, n_workers=2, max_seq=32)
     sup.start()
     try:
         reqs = _reqs(6, seed=1)
         for r in reqs:
             sup.submit(r)
-        # Let worker 0 pick something up, then kill it hard.
-        import time
-        time.sleep(5)
-        sup.kill_worker(0)
+        # Deterministic fault injection: wait until a worker CLAIMS a
+        # request, then hard-kill that worker while its request is in
+        # flight — the supervisor must re-enqueue it and respawn.
+        victim = None
+        deadline = time.time() + 120
+        while victim is None and time.time() < deadline:
+            try:
+                ev = sup.event_q.get(timeout=0.5)
+            except queue_mod.Empty:
+                continue
+            sup._handle_event(ev)
+            if ev[0] == "claim" and sup.results.get(ev[2]) is None:
+                victim = ev[1]
+        assert victim is not None, "no claim observed"
+        sup.kill_worker(victim)
         results = sup.wait_all(timeout=300)
         assert len(results) == 6
         assert all(len(v) == 3 for v in results.values())
+        sup._check_workers()  # ensure detection even if results beat it
         assert sup.restarts >= 1  # the dead worker was detected + respawned
     finally:
         sup.stop()
