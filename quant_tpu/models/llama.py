@@ -161,6 +161,23 @@ def _dense(rng: np.random.Generator, k: int, n: int) -> np.ndarray:
     return rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k)
 
 
+def _pad_vocab(n: int) -> int:
+    """lm_head column padding: awkward vocab sizes (e.g. 128256) only admit
+    tiny N-tiles in the matmul kernel; padding to a 4096 multiple restores
+    full-width streaming for the single biggest matmul. forward() slices
+    logits back to vocab_size."""
+    return (n + 4095) // 4096 * 4096 if n >= 4096 else n
+
+
+def _pad_cols(w, n_pad: int):
+    n = w.shape[1]
+    if n == n_pad:
+        return w
+    if isinstance(w, np.ndarray):
+        return np.pad(w, ((0, 0), (0, n_pad - n)))
+    return jnp.pad(w, ((0, 0), (0, n_pad - n)))
+
+
 def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
     """Random-init quantized params (tests / benchmarks).
 
@@ -207,7 +224,8 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         ),
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
-        lm_head=q(_dense(rng, d, cfg.vocab_size)),
+        lm_head=q(_pad_cols(_dense(rng, d, cfg.vocab_size),
+                          _pad_vocab(cfg.vocab_size))),
     )
 
 
@@ -267,7 +285,9 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
         lm_head=quantize_tensor_device(
-            dense(lkeys[-2], d, cfg.vocab_size), cfg.bits, cfg.group_size
+            _pad_cols(dense(lkeys[-2], d, cfg.vocab_size),
+                      _pad_vocab(cfg.vocab_size)),
+            cfg.bits, cfg.group_size,
         ),
     )
 
@@ -313,7 +333,9 @@ def quantize_dense_params(
         embed=jnp.asarray(dense["embed"], dt),
         layers=layers,
         final_norm=jnp.asarray(dense["final_norm"], jnp.float32),
-        lm_head=qz(dense["lm_head"]),
+        lm_head=qz(_pad_cols(np.asarray(dense["lm_head"],
+                                        np.float32),
+                             _pad_vocab(cfg.vocab_size))),
     )
 
 
@@ -559,6 +581,7 @@ def forward(
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    logits = logits[..., :cfg.vocab_size]  # drop lm_head tile padding
     new_cache = KVCache(
         k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
     )

@@ -173,6 +173,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    logits = logits[..., :cfg.vocab_size]  # drop lm_head tile padding
     new_cache = llama.KVCache(
         k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
     )

@@ -156,3 +156,16 @@ def test_blockwise_attention_matches_oneshot():
                                     CFG, block=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_lm_head_vocab_padding():
+    """Awkward vocab sizes pad to a tileable width; logits slice back."""
+    cfg = dataclasses.replace(CFG, vocab_size=4224)  # pads to 8192
+    params = llama.init_params(cfg, seed=11)
+    assert params.lm_head.shape == (cfg.dim, 8192)
+    cache = llama.init_cache(cfg, 1, 8)
+    logits, _ = llama.forward(params, jnp.array([[1, 2]], jnp.int32),
+                              cache, cfg)
+    assert logits.shape == (1, 2, 4224)
+    # greedy never picks a padding column
+    assert int(jnp.argmax(logits[0, -1])) < 4224
