@@ -27,7 +27,7 @@ import numpy as np
 from quant_tpu.core import entropy
 from quant_tpu.core.qtensor import QTensor
 from quant_tpu.models.config import ModelConfig
-from quant_tpu.models.llama import LayerParams, LlamaParams
+from quant_tpu.models.llama import LayerParams, LlamaParams, QEmbed
 
 FORMAT = "quant-tpu-ckpt-v1"
 
@@ -82,7 +82,13 @@ def save_checkpoint(path, params: LlamaParams, cfg: ModelConfig) -> dict:
         }
 
     for name, leaf in _flatten_params(params).items():
-        if isinstance(leaf, QTensor):
+        if isinstance(leaf, QEmbed):
+            tensors[name] = {
+                "kind": "qembed",
+                "codes": put(np.asarray(leaf.codes), "qref-huffman"),
+                "scales": put(np.asarray(leaf.scales), "raw"),
+            }
+        elif isinstance(leaf, QTensor):
             tensors[name] = {
                 "kind": "qtensor",
                 "bits": leaf.bits, "group_size": leaf.group_size,
@@ -131,6 +137,11 @@ def load_checkpoint(path, device: bool = True
 
     def get(name):
         meta = manifest["tensors"][name]
+        if meta["kind"] == "qembed":
+            return QEmbed(
+                codes=_read(blob, meta["codes"]),
+                scales=_read(blob, meta["scales"]),
+            )
         if meta["kind"] == "qtensor":
             return QTensor(
                 codes=_read(blob, meta["codes"]),

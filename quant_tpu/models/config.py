@@ -24,6 +24,7 @@ class ModelConfig:
     bits: int = 4
     group_size: int = 128
     kv_bits: int = 8
+    embed_bits: int = 16  # 8 → int8 per-row quantized embedding table
     # execution
     kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
     # W8A8/W4A8: dynamically quantize activations to int8 inside the
@@ -51,19 +52,19 @@ PRESETS: dict[str, ModelConfig] = {
     ),
     "tinyllama-1.1b": ModelConfig(
         vocab_size=32000, dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
-        intermediate=5632, rope_theta=10000.0,
+        intermediate=5632, rope_theta=10000.0, embed_bits=8,
     ),
     "llama-3-8b": ModelConfig(
         vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
-        intermediate=14336, rope_theta=500000.0,
+        intermediate=14336, rope_theta=500000.0, embed_bits=8,
     ),
     "qwen2-7b": ModelConfig(
         vocab_size=152064, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
         intermediate=18944, rope_theta=1000000.0, norm_eps=1e-6,
-        qkv_bias=True,
+        qkv_bias=True, embed_bits=8,
     ),
     "llama-3-70b": ModelConfig(
         vocab_size=128256, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
-        intermediate=28672, rope_theta=500000.0,
+        intermediate=28672, rope_theta=500000.0, embed_bits=8,
     ),
 }

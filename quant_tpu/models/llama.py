@@ -74,8 +74,35 @@ class LayerParams:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class QEmbed:
+    """INT8 per-row quantized embedding table (embed_bits=8): halves the
+    single biggest fp tensor of a quantized checkpoint; lookup dequantizes
+    only the gathered rows."""
+    codes: Any   # int8 [V, D]
+    scales: Any  # f32  [V]
+
+
+def _make_embed(table, cfg):
+    if cfg.embed_bits == 8:
+        t = jnp.asarray(table, jnp.float32)
+        absmax = jnp.max(jnp.abs(t), axis=1)
+        scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        codes = jnp.round(t / scales[:, None]).astype(jnp.int8)
+        return QEmbed(codes=codes, scales=scales.astype(jnp.float32))
+    return jnp.asarray(table, jnp.dtype(cfg.dtype))
+
+
+def _embed_lookup(embed, tokens, dt):
+    if isinstance(embed, QEmbed):
+        rows = embed.codes[tokens].astype(jnp.float32)
+        return (rows * embed.scales[tokens][..., None]).astype(dt)
+    return embed[tokens].astype(dt)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class LlamaParams:
-    embed: Any        # [V, D] activation dtype
+    embed: Any        # [V, D] activation dtype, or QEmbed (embed_bits=8)
     layers: LayerParams  # leaves stacked [L, ...]
     final_norm: Any   # [D]
     lm_head: QTensor  # [D, V]
@@ -216,11 +243,10 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
             if cfg.qkv_bias else jnp.zeros((qd + 2 * kvd,), jnp.float32)
         ),
     ))
-    dt = _act_dtype(cfg)
     return LlamaParams(
-        embed=jnp.asarray(
+        embed=_make_embed(
             rng.standard_normal((cfg.vocab_size, d), dtype=np.float32) * 0.02,
-            dt,
+            cfg,
         ),
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
@@ -278,10 +304,11 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
         lambda *xs: jnp.stack(xs),
         *[make_layer(lkeys[i]) for i in range(cfg.n_layers)],
     )
-    dt = _act_dtype(cfg)
     return LlamaParams(
-        embed=(jax.random.normal(lkeys[-1], (cfg.vocab_size, d), jnp.float32)
-               * 0.02).astype(dt),
+        embed=_make_embed(
+            jax.random.normal(lkeys[-1], (cfg.vocab_size, d), jnp.float32)
+            * 0.02, cfg,
+        ),
         layers=layers,
         final_norm=jnp.ones((d,), jnp.float32),
         lm_head=quantize_tensor_device(
@@ -328,9 +355,8 @@ def quantize_dense_params(
             ),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
-    dt = _act_dtype(cfg)
     return LlamaParams(
-        embed=jnp.asarray(dense["embed"], dt),
+        embed=_make_embed(np.asarray(dense["embed"], np.float32), cfg),
         layers=layers,
         final_norm=jnp.asarray(dense["final_norm"], jnp.float32),
         lm_head=qz(_pad_cols(np.asarray(dense["lm_head"],
@@ -564,7 +590,7 @@ def forward(
         s0 = 0
     dt = _act_dtype(cfg)
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
-    h = params.embed[tokens].astype(dt)
+    h = _embed_lookup(params.embed, tokens, dt)
     new_lengths = cache.lengths + t
 
     layer_step = make_layer_step(

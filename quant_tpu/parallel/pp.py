@@ -114,7 +114,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
             params.layers, cache.lengths, cfg, mm, b, t, positions,
             new_lengths, s0, axis, dt, seq_axis,
         )
-        h = params.embed[tokens].astype(dt)
+        h = llama._embed_lookup(params.embed, tokens, dt)
         for s in range(pp):
             h2, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 my == s,

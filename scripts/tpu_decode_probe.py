@@ -52,12 +52,24 @@ def main():
         return run
 
     tok = jnp.ones((batch, 1), jnp.int32)
-    cache = llama.init_cache(cfg, batch, max_seq)
-    # warm the cache with ~128 tokens so attention reads something real
-    prefill = jnp.ones((batch, 128), jnp.int32)
-    _, cache = jax.jit(
-        lambda p, t, c: llama.forward(p, t, c, cfg))(params, prefill, cache)
-    jax.block_until_ready(cache.lengths)
+    # warm the cache with ~128 tokens so attention reads something real;
+    # sub-batched to keep transient memory small (prefill logits + the
+    # second full cache would otherwise double-allocate)
+    sub = min(batch, 4)
+    pre = jnp.ones((sub, 128), jnp.int32)
+    pf = jax.jit(lambda p, t, c: llama.forward(p, t, c, cfg))
+    small = llama.init_cache(cfg, sub, max_seq)
+    _, small = pf(params, pre, small)
+    jax.block_until_ready(small.lengths)
+    reps = batch // sub
+    cache = llama.KVCache(
+        k_codes=jnp.tile(small.k_codes, (1, reps, 1, 1, 1)),
+        k_scale=jnp.tile(small.k_scale, (1, reps, 1, 1)),
+        v_codes=jnp.tile(small.v_codes, (1, reps, 1, 1, 1)),
+        v_scale=jnp.tile(small.v_scale, (1, reps, 1, 1)),
+        lengths=jnp.tile(small.lengths, (reps,)),
+    )
+    del small
     print("prefill done", flush=True)
 
     n_lo, n_hi = 2, 18

@@ -169,3 +169,19 @@ def test_lm_head_vocab_padding():
     assert logits.shape == (1, 2, 4224)
     # greedy never picks a padding column
     assert int(jnp.argmax(logits[0, -1])) < 4224
+
+
+def test_int8_embedding():
+    cfg = dataclasses.replace(CFG, embed_bits=8)
+    params = llama.init_params(cfg, seed=12)
+    assert isinstance(params.embed, llama.QEmbed)
+    cache = llama.init_cache(cfg, 1, 8)
+    toks = jnp.array([[1, 2, 3]], jnp.int32)
+    lg, _ = llama.forward(params, toks, cache, cfg)
+    assert lg.shape == (1, 3, cfg.vocab_size)
+    # int8 per-row embedding error is tiny; logits track the fp-embed model
+    params16 = llama.init_params(CFG, seed=12)
+    lg16, _ = llama.forward(params16, toks, llama.init_cache(CFG, 1, 8), CFG)
+    c = np.corrcoef(np.asarray(lg, np.float32).ravel(),
+                    np.asarray(lg16, np.float32).ravel())[0, 1]
+    assert c > 0.999
