@@ -109,3 +109,17 @@ def test_hf_tied_embeddings(tmp_path):
     cfg = convert_hf_llama(hf_dir, tmp_path / "out2", bits=8, group_size=64)
     params, _ = load_checkpoint(tmp_path / "out2")
     assert params.lm_head.shape == (CFG.dim, CFG.vocab_size)
+
+
+def test_hf_convert_padded_vocab_e2e(tmp_path):
+    """Converter + vocab padding + engine compose at awkward vocab sizes."""
+    cfg_big = dataclasses.replace(CFG, vocab_size=4224)
+    hf_dir = tmp_path / "hf"
+    _write_fake_hf(hf_dir, cfg_big)
+    cfg = convert_hf_llama(hf_dir, tmp_path / "out3", bits=4, group_size=64)
+    params, cfg2 = load_checkpoint(tmp_path / "out3")
+    assert params.lm_head.shape == (cfg_big.dim, 8192)  # padded
+    from quant_tpu.engine import Engine
+    eng = Engine(params, cfg2, max_slots=1, max_seq=16, eos_id=-1)
+    out = eng.generate([[1, 2, 3]], max_new_tokens=3)[0]
+    assert len(out) == 3 and all(t < 4224 for t in out)
