@@ -54,6 +54,7 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         n_heads=hf["num_attention_heads"],
         n_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
         intermediate=hf["intermediate_size"],
+        head_dim=int(hf.get("head_dim") or 0),
         rope_theta=hf.get("rope_theta", 10000.0),
         norm_eps=hf.get("rms_norm_eps", 1e-5),
     )

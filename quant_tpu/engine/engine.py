@@ -76,6 +76,9 @@ class Engine:
         self.slots: list[Request | None] = [None] * max_slots
         self.last_tokens = np.zeros((max_slots,), np.int32)
         self.pending: list[Request] = []
+        # Requests that finish DURING admission (max_new=1 / immediate EOS)
+        # are staged here so step()/step_block() still report them.
+        self._admit_finished: list[Request] = []
         self.key = jax.random.key(0)
         self._steps = 0
         self._tok_ema = 0.0
@@ -190,6 +193,8 @@ class Engine:
             self.slots[i] = req
             self.last_tokens[i] = tok
             self._maybe_finish(i, tok)
+            if req.finished:
+                self._admit_finished.append(req)
             log.info("admit req=%d slot=%d prompt_len=%d",
                      req.req_id, i, len(req.prompt))
 
@@ -224,7 +229,7 @@ class Engine:
         """Admit pending, decode one token for all active slots."""
         self._admit()
         active = [i for i, s in enumerate(self.slots) if s is not None]
-        finished: list[Request] = []
+        finished, self._admit_finished = self._admit_finished, []
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
             logits, self.cache, self.key, sub = self._decode(
@@ -266,8 +271,9 @@ class Engine:
         """
         self._admit()
         active = [i for i, s in enumerate(self.slots) if s is not None]
+        finished, self._admit_finished = self._admit_finished, []
         if not active:
-            return []
+            return finished
         for i in active:
             req = self.slots[i]
             used = len(req.prompt) + len(req.output)
@@ -279,7 +285,6 @@ class Engine:
             self.params, tokens, self.cache, n
         )
         toks = np.asarray(toks)
-        finished: list[Request] = []
         for i in active:
             req = self.slots[i]
             for j in range(n):

@@ -64,8 +64,11 @@ class EngineServer:
             self.next_id += 1
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling)
-            self.events[rid] = ev
+            # add_request may reject (oversized prompt) — only register the
+            # event once the request is actually enqueued, or the events
+            # dict leaks an entry per failed submit.
             self.engine.add_request(req)
+            self.events[rid] = ev
         ev.wait()
         return req
 

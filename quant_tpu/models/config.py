@@ -17,6 +17,9 @@ class ModelConfig:
     n_heads: int
     n_kv_heads: int
     intermediate: int
+    # 0 → derive dim // n_heads; models with a decoupled head_dim (some
+    # newer Qwen/Llama variants) set it explicitly (ADVICE r1).
+    head_dim: int = 0
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2 family
@@ -39,9 +42,9 @@ class ModelConfig:
     attn_kernel: str = "xla"
     dtype: str = "bfloat16"
 
-    @property
-    def head_dim(self) -> int:
-        return self.dim // self.n_heads
+    def __post_init__(self):
+        if self.head_dim == 0:
+            object.__setattr__(self, "head_dim", self.dim // self.n_heads)
 
 
 PRESETS: dict[str, ModelConfig] = {

@@ -131,7 +131,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
         if b % n_micro:
             raise ValueError(f"batch {b} must divide n_micro {n_micro}")
         b_mb = b // n_micro
-        h_all = params.embed[tokens].astype(dt)
+        h_all = llama._embed_lookup(params.embed, tokens, dt)
         h0_buf = h_all.reshape(n_micro, b_mb, t, -1)
         out_buf = jnp.zeros_like(h0_buf)
         h_recv = jnp.zeros_like(h0_buf[0])

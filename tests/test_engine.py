@@ -146,6 +146,25 @@ def test_mixed_sampling_configs():
                                                max_seq=32)
 
 
+def test_finish_during_admission_is_reported():
+    """A request that completes inside _admit (max_new_tokens=1) must still
+    come back from step() — the server blocks forever otherwise (ADVICE r1).
+    """
+    params = llama.init_params(CFG, seed=9)
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    r = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=1)
+    eng.add_request(r)
+    finished = eng.step()
+    assert r.finished and r in finished
+
+    # same through step_block, including with no other active slots
+    eng2 = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    r2 = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=1)
+    eng2.add_request(r2)
+    finished2 = eng2.step_block(4)
+    assert r2.finished and r2 in finished2
+
+
 def test_cancel():
     params = llama.init_params(CFG, seed=8)
     eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)

@@ -55,9 +55,14 @@ def test_pp_requires_layer_divisibility():
         make_pp_forward(CFG, mesh, params, cache)
 
 
-@pytest.mark.parametrize("n_micro", [2, 4])
-def test_pp_microbatched_matches_single_device(n_micro):
+@pytest.mark.parametrize("n_micro,embed_bits", [
+    (2, 16), (4, 16),
+    (2, 8),   # embed_bits=8 is the PRODUCTION default (r1 crash regression)
+])
+def test_pp_microbatched_matches_single_device(n_micro, embed_bits):
     """GPipe microbatch schedule == single-device forward."""
+    import dataclasses
+    CFG = dataclasses.replace(PRESETS["test-tiny"], embed_bits=embed_bits)
     params_ref = llama.init_params(CFG, seed=0, tp=1)
     params = llama.init_params(CFG, seed=0, tp=1)
     batch = 4
