@@ -1,17 +1,27 @@
-"""Continuous-batching inference engine (SURVEY.md §2.2 #15).
+"""Continuous-batching inference engine (SURVEY.md §2.2 #15, #8).
 
-Slot-based scheduler over a fixed-shape decode step — the TPU analogue of
-the reference-northstar's "continuous batching" (BASELINE.json:5): admission
-and eviction happen in host Python between steps, but every device step is
-the SAME jit'd computation (fixed [B, 1] decode, bucketed [1, T] prefill),
-so nothing ever retraces.
+Slot-based scheduler over fixed-shape device programs — the TPU analogue of
+the reference-northstar's "continuous batching across hosts"
+(BASELINE.json:5). The engine runs THREE jitted programs, the classic
+TPU-serving split (prefill / insert / decode), so admission never stalls
+decode by more than one prefill chunk:
 
-* Admit: a pending request takes a free slot; its prompt prefills into that
-  slot's KV pages via a per-slot prefill (prompt padded to a power-of-two
-  bucket; pad garbage sits beyond ``lengths`` and is masked/overwritten).
-* Step: all slots decode one token together; inactive slots compute masked
-  garbage (cost is shape-static anyway) and are ignored.
-* Evict: EOS / max_new_tokens / cache-capacity exhaustion frees the slot.
+* **prefill** — batch-1 forward of one prompt chunk (power-of-two bucket)
+  into a standalone single-slot cache. One chunk per ``step()`` call
+  (admission budget): active slots keep decoding between chunks.
+* **insert** — scatters the completed single-slot cache into slot ``i`` of
+  the decode cache (one device program, O(prompt·L·H·D) traffic).
+* **decode** — all slots advance one token (or ``step_block``: n tokens in
+  ONE dispatch with on-device per-slot sampling, amortizing host dispatch
+  latency). Inactive slots compute masked garbage (shape-static) and their
+  out-of-range cache writes are dropped by the scatter's ``mode="drop"``.
+
+Multi-chip (``mesh=``): the same three programs run under ``shard_map``
+over a (pipe, data, model) mesh — packed weights TP-column/row-split, KV
+cache batch-sharded over ``data`` and head-sharded over ``model``, layers
+over ``pipe`` (BASELINE.json:5 "quantized weights and KV tensor-sharded
+across chips"; config 4's v5e-8 host). The batch-1 prefill cache replicates
+over ``data`` and the insert program writes only the owning data shard.
 
 Observability: per-step structured stats (occupancy, tokens/s EMA) via
 ``Engine.stats`` (SURVEY.md §5 metrics).
@@ -28,8 +38,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from quant_tpu.engine.sampler import SamplingConfig, sample
+from quant_tpu.engine.sampler import SamplingConfig, sample, sample_batch
 from quant_tpu.models import llama
 from quant_tpu.models.config import ModelConfig
 
@@ -57,7 +68,15 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 
 class Engine:
-    """Single-host engine; ``mesh`` extends it across chips (TP/DP)."""
+    """Continuous-batching engine; ``mesh`` extends it across chips.
+
+    ``mesh``: a ``parallel.make_mesh`` (pipe, data, model, seq) mesh. The
+    engine shards params/caches itself (idempotent if already sharded).
+    ``seq`` must be 1 — long-context sequence parallelism applies to
+    prefill via parallel.sp, not to slot decode.
+    """
+
+    PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
 
     def __init__(
         self,
@@ -66,16 +85,19 @@ class Engine:
         max_slots: int = 8,
         max_seq: int = 1024,
         eos_id: int = 2,
+        mesh=None,
+        pp_micro: int = 1,
     ):
-        self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         self.max_slots = max_slots
         self.max_seq = max_seq
         self.eos_id = eos_id
-        self.cache = llama.init_cache(cfg, max_slots, max_seq)
         self.slots: list[Request | None] = [None] * max_slots
         self.last_tokens = np.zeros((max_slots,), np.int32)
         self.pending: list[Request] = []
+        # in-flight admission: [req, slot, chunks_done_offset, last_logits]
+        self._prefilling: list | None = None
         # Requests that finish DURING admission (max_new=1 / immediate EOS)
         # are staged here so step()/step_block() still report them.
         self._admit_finished: list[Request] = []
@@ -84,71 +106,154 @@ class Engine:
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
 
-        cfg_static = cfg
+        cache0 = llama.init_cache(cfg, max_slots, max_seq)
+        pf0 = llama.init_cache(cfg, 1, max_seq)
+
+        if mesh is not None:
+            from quant_tpu.parallel import pp as pp_mod
+            from quant_tpu.parallel import tp as tp_mod
+
+            if mesh.shape.get("seq", 1) != 1:
+                raise ValueError(
+                    "engine meshes must have seq=1 (use parallel.sp for "
+                    "long-context prefill sharding)")
+            pipe = mesh.shape.get("pipe", 1)
+            if max_slots % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_slots {max_slots} must divide data axis "
+                    f"{mesh.shape['data']}")
+            if pipe > 1:
+                params = pp_mod.shard_params_pp(params, mesh)
+                self.cache = pp_mod.shard_cache_pp(cache0, mesh)
+                pf_specs = pp_mod.pp_cache_specs(pf0, batch_axis=None)
+                fwd_full = pp_mod.pp_forward_fn(
+                    cfg, mesh, params, cache0, n_micro=pp_micro)
+                fwd_one = pp_mod.pp_forward_fn(
+                    cfg, mesh, params, pf0, n_micro=1, batch_axis=None)
+                full_specs = pp_mod.pp_cache_specs(cache0)
+            else:
+                params = tp_mod.shard_params(params, mesh)
+                self.cache = tp_mod.shard_cache(cache0, mesh)
+                pf_specs = tp_mod.cache_specs(pf0, batch_axis=None)
+                fwd_full = tp_mod.sharded_forward_fn(
+                    cfg, mesh, params, cache0)
+                fwd_one = tp_mod.sharded_forward_fn(
+                    cfg, mesh, params, pf0, batch_axis=None)
+                full_specs = tp_mod.cache_specs(cache0)
+            self.pf_cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                pf0, pf_specs)
+            insert_inner = jax.shard_map(
+                self._insert_local,
+                mesh=mesh,
+                in_specs=(full_specs, pf_specs, P()),
+                out_specs=full_specs,
+                check_vma=False,
+            )
+        else:
+            self.cache = cache0
+            self.pf_cache = pf0
+            fwd_full = fwd_one = functools.partial(llama.forward, cfg=cfg)
+            insert_inner = self._insert_single
+        self.params = params
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, cache, key):
-            logits, cache = llama.forward(params, tokens, cache, cfg_static)
+            logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
             return logits[:, -1], cache, keyn, sub
 
         self._decode = decode_step
 
-        @functools.partial(jax.jit, static_argnames=("n",),
+        @functools.partial(jax.jit, static_argnames=("n", "sampled"),
                            donate_argnums=(2,))
-        def decode_block(params, tokens, cache, n):
-            # n greedy steps fused in one dispatch (device-side loop) —
-            # amortizes host dispatch latency; used by step_block().
+        def decode_block(params, tokens, cache, key, temps, topks, topps,
+                         n, sampled):
+            # n decode steps fused in one dispatch (device-side loop) with
+            # on-device per-slot sampling — amortizes host dispatch latency
+            # (critical on high-latency links); used by step_block().
             def body(_, carry):
-                tok, cache, out, i = carry
-                logits, cache = llama.forward(params, tok, cache, cfg_static)
-                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                tok, cache, key, out, i = carry
+                logits, cache = fwd_full(params, tok, cache)
+                key, sub = jax.random.split(key)
+                lg = logits[:, -1]
+                if sampled:
+                    nxt = sample_batch(lg, sub, temps, topks, topps)[:, None]
+                else:
+                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
-                return nxt, cache, out, i + 1
+                return nxt, cache, key, out, i + 1
             out = jnp.zeros((tokens.shape[0], n), jnp.int32)
-            _, cache, out, _ = jax.lax.fori_loop(
-                0, n, body, (tokens, cache, out, 0)
+            _, cache, key, out, _ = jax.lax.fori_loop(
+                0, n, body, (tokens, cache, key, out, 0)
             )
-            return out, cache
+            return out, cache, key
 
         self._decode_block = decode_block
-
-        # per-bucket prefill: operates on ONE slot's cache view
+        self._insert = jax.jit(insert_inner, donate_argnums=(0,))
+        # per-bucket prefill jits
         self._prefills: dict[int, Any] = {}
+        self._fwd_one = fwd_one
 
-    # ── prefill ─────────────────────────────────────────────────────
+    # ── device programs ─────────────────────────────────────────────
+
+    @staticmethod
+    def _insert_single(cache, sub, slot):
+        """Copy the single-slot prefill cache into decode-cache slot."""
+        put = lambda f, s: jax.lax.dynamic_update_slice_in_dim(
+            f, s, slot, axis=1)
+        return llama.KVCache(
+            k_codes=put(cache.k_codes, sub.k_codes),
+            k_scale=put(cache.k_scale, sub.k_scale),
+            v_codes=put(cache.v_codes, sub.v_codes),
+            v_scale=put(cache.v_scale, sub.v_scale),
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, sub.lengths, (slot,)),
+        )
+
+    @staticmethod
+    def _insert_local(cache, sub, slot):
+        """Per-shard insert under shard_map: the decode cache's batch is
+        sharded over ``data`` while ``sub`` replicates — only the shard
+        owning ``slot`` commits the write (clamped RMW, no collectives)."""
+        b_loc = cache.k_codes.shape[1]
+        di = jax.lax.axis_index("data")
+        rel = slot - di * b_loc
+        owned = (rel >= 0) & (rel < b_loc)
+        lp = jnp.clip(rel, 0, b_loc - 1)
+
+        def put(f, s):
+            cur = jax.lax.dynamic_slice_in_dim(f, lp, 1, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                f, jnp.where(owned, s, cur), lp, axis=1)
+
+        cur_len = jax.lax.dynamic_slice_in_dim(cache.lengths, lp, 1)
+        return llama.KVCache(
+            k_codes=put(cache.k_codes, sub.k_codes),
+            k_scale=put(cache.k_scale, sub.k_scale),
+            v_codes=put(cache.v_codes, sub.v_codes),
+            v_scale=put(cache.v_scale, sub.v_scale),
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, jnp.where(owned, sub.lengths, cur_len),
+                (lp,)),
+        )
 
     def _prefill_fn(self, t_pad: int):
         if t_pad in self._prefills:
             return self._prefills[t_pad]
-        cfg = self.cfg
+        fwd_one = self._fwd_one
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill(params, tokens, cache, slot, true_len, first):
-            # Slice slot b's cache as a batch-1 cache; the first chunk
-            # resets its length, later chunks append.
-            view = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
-            start = jnp.where(first, 0, cache.lengths[slot])[None]
-            sub = llama.KVCache(
-                k_codes=view(cache.k_codes), k_scale=view(cache.k_scale),
-                v_codes=view(cache.v_codes), v_scale=view(cache.v_scale),
-                lengths=start,
-            )
-            logits, sub = llama.forward(params, tokens, sub, cfg)
-            # Write back with the TRUE length (pad rows sit beyond it and
-            # get overwritten by subsequent chunks/decode steps).
-            put = lambda a, s: jax.lax.dynamic_update_slice_in_dim(
-                a, s, slot, axis=1
-            )
-            cache = llama.KVCache(
-                k_codes=put(cache.k_codes, sub.k_codes),
-                k_scale=put(cache.k_scale, sub.k_scale),
-                v_codes=put(cache.v_codes, sub.v_codes),
-                v_scale=put(cache.v_scale, sub.v_scale),
-                lengths=cache.lengths.at[slot].set(start[0] + true_len),
-            )
-            last = logits[0, true_len - 1]
-            return last, cache
+        def prefill(params, tokens, pfc, true_len):
+            start = pfc.lengths
+            logits, pfc = fwd_one(params, tokens, pfc)
+            # forward advanced lengths by the PADDED chunk; rewind to the
+            # true length (pad rows sit beyond it, masked / overwritten by
+            # the next chunk).
+            pfc = dataclasses.replace(pfc, lengths=start + true_len)
+            last = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, 0, False)
+            return last, pfc
 
         self._prefills[t_pad] = prefill
         return prefill
@@ -163,40 +268,53 @@ class Engine:
             )
         self.pending.append(req)
 
-    PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
-
-    def _admit(self) -> None:
-        for i in range(self.max_slots):
-            if self.slots[i] is not None or not self.pending:
-                continue
+    def _advance_admission(self) -> None:
+        """Run at most ONE prefill chunk (admission budget: decode slots
+        never stall longer than one chunked-prefill dispatch)."""
+        if self._prefilling is None:
+            if not self.pending:
+                return
+            free = next(
+                (i for i, s in enumerate(self.slots) if s is None), None)
+            if free is None:
+                return
             req = self.pending.pop(0)
-            # Chunked prefill: long prompts stream through fixed-shape
-            # buckets; each chunk appends to the slot's cache (first chunk
-            # resets it), so attention memory stays bounded.
-            prompt = req.prompt
-            chunks = [prompt[o:o + self.PREFILL_CHUNK]
-                      for o in range(0, len(prompt), self.PREFILL_CHUNK)]
-            done = 0
-            for ci, chunk in enumerate(chunks):
-                t_pad = _bucket(len(chunk))
-                toks = np.zeros((1, t_pad), np.int32)
-                toks[0, : len(chunk)] = chunk
-                last_logits, self.cache = self._prefill_fn(t_pad)(
-                    self.params, jnp.asarray(toks), self.cache,
-                    jnp.int32(i), jnp.int32(len(chunk)),
-                    jnp.bool_(ci == 0),
-                )
-                done += len(chunk)
-            self.key, sub = jax.random.split(self.key)
-            tok = int(sample(last_logits[None], sub, req.sampling)[0])
-            req.output.append(tok)
-            self.slots[i] = req
-            self.last_tokens[i] = tok
-            self._maybe_finish(i, tok)
-            if req.finished:
-                self._admit_finished.append(req)
-            log.info("admit req=%d slot=%d prompt_len=%d",
-                     req.req_id, i, len(req.prompt))
+            self.pf_cache = dataclasses.replace(
+                self.pf_cache,
+                lengths=jnp.zeros_like(self.pf_cache.lengths))
+            self._prefilling = [req, free, 0, None]
+        req, slot, off, _ = self._prefilling
+        chunk = req.prompt[off:off + self.PREFILL_CHUNK]
+        t_pad = _bucket(len(chunk))
+        toks = np.zeros((1, t_pad), np.int32)
+        toks[0, : len(chunk)] = chunk
+        last, self.pf_cache = self._prefill_fn(t_pad)(
+            self.params, jnp.asarray(toks), self.pf_cache,
+            jnp.int32(len(chunk)))
+        off += len(chunk)
+        if off < len(req.prompt):
+            self._prefilling = [req, slot, off, None]
+            return
+        # prompt complete: insert into the decode cache + first token
+        self.cache = self._insert(self.cache, self.pf_cache,
+                                  jnp.int32(slot))
+        self.key, sub = jax.random.split(self.key)
+        tok = int(sample(last[None], sub, req.sampling)[0])
+        req.output.append(tok)
+        self.slots[slot] = req
+        self.last_tokens[slot] = tok
+        self._maybe_finish(slot, tok)
+        if req.finished:
+            self._admit_finished.append(req)
+        self._prefilling = None
+        log.info("admit req=%d slot=%d prompt_len=%d",
+                 req.req_id, slot, len(req.prompt))
+
+    def _drain_admission(self) -> None:
+        """Complete all possible admissions (block mode)."""
+        while (self._prefilling is not None
+               or (self.pending and any(s is None for s in self.slots))):
+            self._advance_admission()
 
     def _maybe_finish(self, i: int, tok: int) -> None:
         req = self.slots[i]
@@ -207,16 +325,23 @@ class Engine:
                 or used >= self.max_seq):
             req.finished = True
             self.slots[i] = None
-            log.info("finish req=%d generated=%d", req.req_id, len(req.output))
+            log.info("finish req=%d generated=%d", req.req_id,
+                     len(req.output))
 
     def cancel(self, req_id: int) -> bool:
-        """Cancel a pending or in-flight request; returns True if found."""
+        """Cancel a pending, prefilling or in-flight request."""
         for i, r in enumerate(self.pending):
             if r.req_id == req_id:
                 self.pending.pop(i)
                 r.finished = True
                 log.info("cancel pending req=%d", req_id)
                 return True
+        if self._prefilling is not None \
+                and self._prefilling[0].req_id == req_id:
+            self._prefilling[0].finished = True
+            self._prefilling = None
+            log.info("cancel prefilling req=%d", req_id)
+            return True
         for i, r in enumerate(self.slots):
             if r is not None and r.req_id == req_id:
                 r.finished = True
@@ -226,8 +351,9 @@ class Engine:
         return False
 
     def step(self) -> list[Request]:
-        """Admit pending, decode one token for all active slots."""
-        self._admit()
+        """One prefill chunk of admission (budgeted) + one decode token
+        for all active slots."""
+        self._advance_admission()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         finished, self._admit_finished = self._admit_finished, []
         if active:
@@ -263,26 +389,40 @@ class Engine:
         return finished
 
     def step_block(self, n: int) -> list[Request]:
-        """Up to n greedy decode steps fused into ONE device dispatch.
+        """Up to n decode steps fused into ONE device dispatch, with
+        on-device per-slot sampling (greedy / temperature / top-k / top-p).
 
-        Amortizes host dispatch latency (critical on high-latency links);
-        trades admission granularity — pending requests wait for the block.
-        Greedy only; per-slot streams are trimmed at EOS/max_new on host.
+        Amortizes host dispatch latency; trades admission granularity —
+        pending requests are fully admitted before the block. ``n`` is
+        capped by the LONGEST-remaining active slot (not the shortest:
+        nearly-done slots finish mid-block and get trimmed on host, so one
+        short request no longer collapses the batch to 1-step dispatches).
+        Over-capacity cache writes of finished slots are dropped by the
+        scatter and their lengths reset at the next insert.
         """
-        self._admit()
+        self._drain_admission()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         finished, self._admit_finished = self._admit_finished, []
         if not active:
             return finished
+        n = max(1, min(n, max(
+            self.slots[i].max_new_tokens - len(self.slots[i].output)
+            for i in active)))
+        temps = np.zeros((self.max_slots,), np.float32)
+        topks = np.zeros((self.max_slots,), np.int32)
+        topps = np.ones((self.max_slots,), np.float32)
+        sampled = False
         for i in active:
-            req = self.slots[i]
-            used = len(req.prompt) + len(req.output)
-            n = min(n, req.max_new_tokens - len(req.output),
-                    self.max_seq - used)
-        n = max(n, 1)
+            sc = self.slots[i].sampling
+            temps[i] = sc.temperature
+            topks[i] = sc.top_k
+            topps[i] = sc.top_p
+            sampled = sampled or not sc.greedy
         tokens = jnp.asarray(self.last_tokens[:, None])
-        toks, self.cache = self._decode_block(
-            self.params, tokens, self.cache, n
+        toks, self.cache, self.key = self._decode_block(
+            self.params, tokens, self.cache, self.key,
+            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
+            n=n, sampled=sampled,
         )
         toks = np.asarray(toks)
         for i in active:
@@ -303,12 +443,14 @@ class Engine:
         return {
             "steps": self._steps,
             "occupancy": sum(s is not None for s in self.slots),
-            "pending": len(self.pending),
+            "pending": len(self.pending)
+            + (1 if self._prefilling is not None else 0),
             "tokens_per_s_ema": round(self._tok_ema, 1),
         }
 
     def has_work(self) -> bool:
-        return bool(self.pending) or any(s is not None for s in self.slots)
+        return (bool(self.pending) or self._prefilling is not None
+                or any(s is not None for s in self.slots))
 
     def generate(
         self,

@@ -28,7 +28,7 @@ from quant_tpu.models.config import ModelConfig
 from quant_tpu.parallel import tp as tp_mod
 
 __all__ = ["pp_param_specs", "pp_cache_specs", "shard_params_pp",
-           "shard_cache_pp", "make_pp_forward"]
+           "shard_cache_pp", "pp_forward_fn", "make_pp_forward"]
 
 
 def _with_pipe(spec: P, stacked: bool) -> P:
@@ -48,14 +48,14 @@ def pp_param_specs(params: llama.LlamaParams):
     return jax.tree_util.tree_map_with_path(fix, base)
 
 
-def pp_cache_specs(cache: llama.KVCache):
+def pp_cache_specs(cache: llama.KVCache, batch_axis: str | None = "data"):
     def spec(path, leaf):
         field = tp_mod._path_names(path)[-1]
         if field == "lengths":
-            return P("data")
+            return P(batch_axis)
         if field.endswith("codes"):
-            return P("pipe", "data", "model", "seq", None)
-        return P("pipe", "data", "model", "seq")
+            return P("pipe", batch_axis, "model", "seq", None)
+        return P("pipe", batch_axis, "model", "seq")
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
@@ -180,9 +180,11 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     return logits, new_cache
 
 
-def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache,
-                    n_micro: int = 1):
-    """jit(shard_map(forward_pp)) over a (pipe, data, model, seq) mesh."""
+def pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
+                  n_micro: int = 1, batch_axis: str | None = "data"):
+    """shard_map(forward_pp) over a (pipe, data, model, seq) mesh — NOT
+    jitted (see tp.sharded_forward_fn); ``batch_axis=None`` replicates the
+    batch (engine batch-1 prefill)."""
     pp = mesh.shape["pipe"]
     tp = mesh.shape["model"]
     sp = mesh.shape.get("seq", 1)
@@ -192,16 +194,22 @@ def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache,
     if cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(f"model axis {tp} must divide head counts")
     p_specs = pp_param_specs(params)
-    c_specs = pp_cache_specs(cache)
+    c_specs = pp_cache_specs(cache, batch_axis)
     fwd = functools.partial(
         forward_pp, cfg=cfg, pipe_axis="pipe", axis="model",
         seq_axis="seq" if sp > 1 else None, n_micro=n_micro,
     )
-    sharded = jax.shard_map(
+    return jax.shard_map(
         lambda pr, tok, ca: fwd(pr, tok, ca),
         mesh=mesh,
-        in_specs=(p_specs, P("data", None), c_specs),
-        out_specs=(P("data", None, None), c_specs),
+        in_specs=(p_specs, P(batch_axis, None), c_specs),
+        out_specs=(P(batch_axis, None, None), c_specs),
         check_vma=False,
     )
+
+
+def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache,
+                    n_micro: int = 1):
+    """jit(shard_map(forward_pp)) over a (pipe, data, model, seq) mesh."""
+    sharded = pp_forward_fn(cfg, mesh, params, cache, n_micro)
     return jax.jit(sharded, donate_argnums=(2,))

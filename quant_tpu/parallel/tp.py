@@ -29,7 +29,7 @@ from quant_tpu.models.config import ModelConfig
 
 __all__ = [
     "param_specs", "cache_specs", "shard_params", "shard_cache",
-    "make_sharded_forward",
+    "sharded_forward_fn", "make_sharded_forward",
 ]
 
 _COL = ("wqkv", "w_gate_up", "lm_head")
@@ -70,16 +70,21 @@ def param_specs(params: llama.LlamaParams):
     return jax.tree_util.tree_map_with_path(_spec_for, params)
 
 
-def cache_specs(cache: llama.KVCache):
+def cache_specs(cache: llama.KVCache, batch_axis: str | None = "data"):
     """KV cache specs: [L, B, Hkv, S(, Dh)] → batch on data, kv-heads on
-    model, sequence on seq (mesh axes of size 1 are no-ops)."""
+    model, sequence on seq (mesh axes of size 1 are no-ops).
+
+    ``batch_axis=None`` replicates the batch dim — used for the engine's
+    batch-1 prefill cache, which every data shard computes redundantly and
+    then inserts into its own slot range.
+    """
     def spec(path, leaf):
         field = _path_names(path)[-1]
         if field == "lengths":
-            return P("data")
+            return P(batch_axis)
         if field.endswith("codes"):
-            return P(None, "data", "model", "seq", None)
-        return P(None, "data", "model", "seq")
+            return P(None, batch_axis, "model", "seq", None)
+        return P(None, batch_axis, "model", "seq")
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
@@ -97,14 +102,17 @@ def shard_cache(cache: llama.KVCache, mesh: Mesh) -> llama.KVCache:
     )
 
 
-def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
-    """jit(shard_map(llama.forward)) over the (data, model, seq) mesh.
+def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
+                       batch_axis: str | None = "data"):
+    """shard_map(llama.forward) over the (data, model, seq) mesh — NOT
+    jitted, so callers (the engine) can fuse sampling/bookkeeping into the
+    same jit. Validity: tp must divide n_kv_heads and n_heads; int4
+    row-split tensors must be packed with kshards=tp; with a seq axis, the
+    cache's max_seq must divide by it and prefill chunks must not straddle
+    S/seq boundaries (decode never does).
 
-    Returns ``step(params, tokens, cache) -> (logits, cache)``; tokens is
-    [B, T] int32 (B sharded over data). Validity: tp must divide n_kv_heads
-    and n_heads; int4 row-split tensors must be packed with kshards=tp;
-    with a seq axis, the cache's max_seq must divide by it and prefill
-    chunks must not straddle S/seq boundaries (decode never does).
+    ``batch_axis=None``: batch replicated over data (the batch-1 prefill
+    program).
     """
     tp = mesh.shape["model"]
     sp = mesh.shape.get("seq", 1)
@@ -117,18 +125,23 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
         raise ValueError(f"seq axis {sp} must divide max_seq "
                          f"{cache.max_seq}")
     p_specs = param_specs(params)
-    c_specs = cache_specs(cache)
+    c_specs = cache_specs(cache, batch_axis)
 
     fwd = functools.partial(
         llama.forward, cfg=cfg, axis="model",
         seq_axis="seq" if sp > 1 else None,
     )
 
-    sharded = jax.shard_map(
+    return jax.shard_map(
         lambda pr, tok, ca: fwd(pr, tok, ca),
         mesh=mesh,
-        in_specs=(p_specs, P("data", None), c_specs),
-        out_specs=(P("data", None, None), c_specs),
+        in_specs=(p_specs, P(batch_axis, None), c_specs),
+        out_specs=(P(batch_axis, None, None), c_specs),
         check_vma=False,
     )
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):
+    """jit(shard_map(llama.forward)); see :func:`sharded_forward_fn`."""
+    sharded = sharded_forward_fn(cfg, mesh, params, cache)
     return jax.jit(sharded, donate_argnums=(2,))

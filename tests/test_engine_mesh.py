@@ -1,0 +1,199 @@
+"""Multi-chip continuous batching: Engine(mesh=...) vs per-prompt reference
+on the 8-virtual-device CPU mesh (VERDICT r1 #1; BASELINE.json:5,10).
+
+The engine's three device programs (prefill / insert / decode) run under
+shard_map with TP column/row-split packed weights, the KV cache
+batch-sharded over ``data`` and kv-head-sharded over ``model`` (and layers
+over ``pipe``); outputs must equal the single-device engine exactly
+(greedy decode: fp drift below the argmax decision boundary).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_tpu.engine import Engine, Request, SamplingConfig
+from quant_tpu.models import llama
+from quant_tpu.models.config import ModelConfig
+from quant_tpu.parallel import make_mesh
+
+# test-tiny has only 2 kv heads; the engine-mesh tests need tp=4.
+CFG = ModelConfig(
+    vocab_size=512, dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+    intermediate=512, group_size=64, kernel_mode="xla",
+)
+
+
+def _reference_greedy(params, prompt, max_new, max_seq=64):
+    cache = llama.init_cache(CFG, batch=1, max_seq=max_seq)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, cache = llama.forward(params, toks, cache, CFG)
+    out = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(max_new - 1):
+        lg, cache = llama.forward(
+            params, jnp.asarray([[out[-1]]], jnp.int32), cache, CFG
+        )
+        out.append(int(jnp.argmax(lg[0, -1])))
+    return out
+
+
+def _prompts(n, rng_seed=0, lens=(5, 11, 3, 8)):
+    rng = np.random.default_rng(rng_seed)
+    return [list(map(int, rng.integers(3, CFG.vocab_size, lens[i % 4])))
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("mesh_kw,tp_pack", [
+    (dict(data=2, model=4), 4),   # DP x TP (8 devices)
+    (dict(pipe=2, model=2), 2),   # PP x TP (4 devices)
+    (dict(data=2, model=2), 2),   # DP x TP (4 devices)
+])
+def test_mesh_engine_matches_reference(mesh_kw, tp_pack):
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    params = llama.init_params(CFG, seed=0, tp=tp_pack)
+    mesh = make_mesh(**mesh_kw)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    prompts = _prompts(3)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 6), (p, o)
+
+
+def test_mesh_engine_step_block():
+    """Fused multi-step decode on the mesh == single-device reference."""
+    params_ref = llama.init_params(CFG, seed=1, tp=1)
+    params = llama.init_params(CFG, seed=1, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    prompts = _prompts(2, rng_seed=1)
+    reqs = [Request(req_id=i, prompt=p, max_new_tokens=7)
+            for i, p in enumerate(prompts)]
+    for r in reqs:
+        eng.add_request(r)
+    while eng.has_work():
+        eng.step_block(3)
+    for r, p in zip(reqs, prompts):
+        assert r.output == _reference_greedy(params_ref, p, 7)
+
+
+def test_mesh_engine_staggered_admission():
+    """Admitting mid-decode on the mesh must not disturb other slots."""
+    params_ref = llama.init_params(CFG, seed=2, tp=1)
+    params = llama.init_params(CFG, seed=2, tp=4)
+    mesh = make_mesh(data=2, model=4)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    p1, p2 = _prompts(2, rng_seed=2)
+    r1 = Request(req_id=0, prompt=p1, max_new_tokens=8)
+    eng.add_request(r1)
+    eng.step()
+    eng.step()
+    r2 = Request(req_id=1, prompt=p2, max_new_tokens=5)
+    eng.add_request(r2)
+    while eng.has_work():
+        eng.step()
+    assert r1.output == _reference_greedy(params_ref, p1, 8)
+    assert r2.output == _reference_greedy(params_ref, p2, 5)
+
+
+def test_mesh_requires_seq_1_and_slot_divisibility():
+    params = llama.init_params(CFG, seed=0, tp=2)
+    with pytest.raises(ValueError, match="seq=1"):
+        Engine(params, CFG, max_slots=4, mesh=make_mesh(model=2, seq=2))
+    with pytest.raises(ValueError, match="must divide data"):
+        Engine(params, CFG, max_slots=3, mesh=make_mesh(data=2, model=2))
+
+
+def test_admission_budget_no_decode_stall():
+    """While a long prompt admits chunk-by-chunk, active slots must keep
+    producing one token per step (no head-of-line blocking; VERDICT r1 #9).
+    """
+    params = llama.init_params(CFG, seed=3)
+    eng = Engine(params, CFG, max_slots=2, max_seq=128, eos_id=-1)
+    eng.PREFILL_CHUNK = 16
+    r1 = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=40)
+    eng.add_request(r1)
+    eng.step()  # admits r1 (single chunk) — no decode yet this step
+    long_prompt = list(np.random.default_rng(3).integers(3, 500, 48))
+    r2 = Request(req_id=1, prompt=long_prompt, max_new_tokens=4)
+    eng.add_request(r2)
+    for k in range(3):  # 3 chunks of 16 — r1 must decode through all
+        before = len(r1.output)
+        eng.step()
+        assert len(r1.output) == before + 1, "decode stalled during admission"
+    assert eng.stats["occupancy"] == 2  # r2 now admitted
+    # both streams still correct end-to-end
+    while eng.has_work():
+        eng.step()
+    assert r1.output == _reference_greedy(params, [5, 6, 7], 40, max_seq=128)
+    assert r2.output == _reference_greedy(params, long_prompt, 4,
+                                          max_seq=128)
+
+
+def test_step_block_horizon_not_clamped_by_short_slot():
+    """One nearly-finished request must not collapse the block to 1-step
+    dispatches (VERDICT r1 weak #7)."""
+    params = llama.init_params(CFG, seed=4)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    p1, p2 = _prompts(2, rng_seed=4)
+    r_short = Request(req_id=0, prompt=p1, max_new_tokens=2)
+    r_long = Request(req_id=1, prompt=p2, max_new_tokens=10)
+    eng.add_request(r_short)
+    eng.add_request(r_long)
+    steps0 = eng.stats["steps"]
+    eng.step_block(8)
+    # the block ran 8 fused steps (not clamped to r_short's 1 remaining)
+    assert eng.stats["steps"] - steps0 == 8
+    assert len(r_short.output) == 2 and r_short.finished
+    assert len(r_long.output) == 9
+    while eng.has_work():
+        eng.step_block(8)
+    assert r_short.output == _reference_greedy(params, p1, 2)
+    assert r_long.output == _reference_greedy(params, p2, 10)
+
+
+def test_step_block_device_sampling():
+    """step_block samples on device: greedy slots in a mixed batch still
+    match the greedy reference; sampled slots respect max_new_tokens."""
+    params = llama.init_params(CFG, seed=5)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    p1, p2 = _prompts(2, rng_seed=5)
+    r_greedy = Request(req_id=0, prompt=p1, max_new_tokens=6)
+    r_sampled = Request(req_id=1, prompt=p2, max_new_tokens=6,
+                        sampling=SamplingConfig(temperature=1.5, top_k=50,
+                                                top_p=0.9))
+    eng.add_request(r_greedy)
+    eng.add_request(r_sampled)
+    while eng.has_work():
+        eng.step_block(3)
+    assert r_greedy.output == _reference_greedy(params, p1, 6)
+    assert len(r_sampled.output) == 6
+    assert all(0 <= t < CFG.vocab_size for t in r_sampled.output)
+
+
+def test_sample_batch_matches_sample_per_slot():
+    """sample_batch (traced per-slot knobs) == sample (static config)."""
+    import jax
+
+    from quant_tpu.engine.sampler import sample, sample_batch
+
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32) * 3
+    key = jax.random.key(7)
+    configs = [
+        SamplingConfig(),                                  # greedy
+        SamplingConfig(temperature=0.8),
+        SamplingConfig(temperature=1.2, top_k=10),
+        SamplingConfig(temperature=0.5, top_k=20, top_p=0.8),
+    ]
+    temps = jnp.asarray([c.temperature for c in configs], jnp.float32)
+    topks = jnp.asarray([c.top_k for c in configs], jnp.int32)
+    topps = jnp.asarray([c.top_p for c in configs], jnp.float32)
+    batch = np.asarray(sample_batch(logits, key, temps, topks, topps))
+    for i, c in enumerate(configs):
+        expect = np.asarray(sample(logits, key, c))
+        assert batch[i] == expect[i], (i, c)
