@@ -3,10 +3,22 @@
 The packed checkpoint IS the at-rest format: quantized codes are
 entropy-coded (canonical Huffman, QREF frames — the codec contract from
 cpp/quantref.h) on top of the nibble/byte packing; scales and fp arrays are
-stored raw. Layout:
+stored raw. v2 layout (VERDICT r1 #6 — sharded + streaming):
 
     <dir>/manifest.json   — format version, ModelConfig, tensor index
     <dir>/data.bin        — concatenated blobs addressed by (offset, size)
+
+* Tensors are stored PER LAYER (``layers.{i}.wqkv`` ...) so pipeline stages
+  load only their own layer range, and each tensor's codes/scales are split
+  into ``tp`` blobs along its tensor-parallel axis (column tensors along N,
+  row tensors along packed-K / scale-groups) so a TP rank reads only its
+  own slice. Replicated leaves (norms, embed) are single blobs.
+* :class:`CheckpointWriter` appends tensors ONE AT A TIME — the streaming
+  HF converter never materializes the whole model in RAM (70B path,
+  BASELINE.json:11).
+* ``load_checkpoint(mesh=...)`` builds sharded global arrays via
+  ``jax.make_array_from_callback``: each process decodes only the blobs its
+  addressable devices need (per-host shard loading over DCN-sharded pods).
 
 Load path (call stack §3b): read blob → host entropy-decode (C++
 ``libquantref`` when available, Python mirror otherwise) → device_put the
@@ -29,7 +41,10 @@ from quant_tpu.core.qtensor import QTensor
 from quant_tpu.models.config import ModelConfig
 from quant_tpu.models.llama import LayerParams, LlamaParams, QEmbed
 
-FORMAT = "quant-tpu-ckpt-v1"
+FORMAT = "quant-tpu-ckpt-v2"
+_FORMAT_V1 = "quant-tpu-ckpt-v1"
+
+__all__ = ["CheckpointWriter", "save_checkpoint", "load_checkpoint"]
 
 
 def _entropy_encode(data: np.ndarray) -> bytes:
@@ -52,67 +67,299 @@ def _entropy_decode(comp: bytes) -> bytes:
     return entropy.decode(comp)
 
 
+# Tensor-parallel shard axis per leaf, mirroring parallel.tp._spec_for:
+# (codes_axis, scales_axis); None → replicated. Row-split scales shard along
+# groups only when grouped (G > 1) — checked at write time.
+_COL = {"wqkv", "w_gate_up", "lm_head"}
+_ROW = {"wo", "w_down"}
+
+
+def _shard_axes(name: str, qt: QTensor) -> tuple[int | None, int | None]:
+    owner = name.split(".")[-1]
+    if owner in _COL:
+        return 1, 1
+    if owner in _ROW:
+        return 0, (0 if qt.scales.shape[0] > 1 else None)
+    return None, None
+
+
+class CheckpointWriter:
+    """Streaming checkpoint writer: add tensors one at a time, in any
+    order; peak RSS is one tensor (+ its encoded payload)."""
+
+    def __init__(self, path, cfg: ModelConfig, tp: int = 1):
+        self.path = pathlib.Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg
+        self.tp = tp
+        self.tensors: dict = {}
+        self._f = open(self.path / "data.bin", "wb")
+        self._off = 0
+
+    def _put_blob(self, payload: bytes) -> dict:
+        off = self._off
+        self._f.write(payload)
+        self._off += len(payload)
+        return {"offset": off, "size": len(payload)}
+
+    def _put(self, data: np.ndarray, codec: str, axis: int | None) -> dict:
+        raw = np.ascontiguousarray(data)
+        n_shards = self.tp if axis is not None else 1
+        if axis is not None and raw.shape[axis] % n_shards:
+            raise ValueError(
+                f"dim {raw.shape[axis]} not divisible by tp={n_shards}")
+        shards = []
+        for s in range(n_shards):
+            part = raw if n_shards == 1 else np.ascontiguousarray(
+                np.split(raw, n_shards, axis=axis)[s])
+            payload = (_entropy_encode(part.view(np.uint8).reshape(-1))
+                       if codec == "qref-huffman" else part.tobytes())
+            shards.append(self._put_blob(payload))
+        return {
+            "codec": codec, "dtype": str(raw.dtype),
+            "shape": list(raw.shape), "axis": axis, "shards": shards,
+        }
+
+    def add(self, name: str, leaf) -> None:
+        if isinstance(leaf, QEmbed):
+            self.tensors[name] = {
+                "kind": "qembed",
+                "codes": self._put(np.asarray(leaf.codes), "qref-huffman",
+                                   None),
+                "scales": self._put(np.asarray(leaf.scales), "raw", None),
+            }
+        elif isinstance(leaf, QTensor):
+            ca, sa = _shard_axes(name, leaf)
+            self.tensors[name] = {
+                "kind": "qtensor",
+                "bits": leaf.bits, "group_size": leaf.group_size,
+                "kshards": leaf.kshards, "shape": list(leaf.shape),
+                "codes": self._put(np.asarray(leaf.codes), "qref-huffman",
+                                   ca),
+                "scales": self._put(np.asarray(leaf.scales), "raw", sa),
+            }
+        else:
+            self.tensors[name] = {
+                "kind": "array",
+                "data": self._put(np.asarray(leaf), "raw", None),
+            }
+
+    def finish(self) -> dict:
+        self._f.close()
+        manifest = {
+            "format": FORMAT,
+            "config": dataclasses.asdict(self.cfg),
+            "tp": self.tp,
+            "tensors": self.tensors,
+        }
+        (self.path / "manifest.json").write_text(
+            json.dumps(manifest, indent=1))
+        return manifest
+
+
 def _flatten_params(params: LlamaParams) -> dict:
+    """Per-layer flattening: stacked leaves are sliced along L."""
     out = {
         "embed": params.embed,
         "final_norm": params.final_norm,
         "lm_head": params.lm_head,
     }
-    for f in dataclasses.fields(LayerParams):
-        out[f"layers.{f.name}"] = getattr(params.layers, f.name)
+    n_layers = params.layers.attn_norm.shape[0]
+    for i in range(n_layers):
+        for f in dataclasses.fields(LayerParams):
+            leaf = getattr(params.layers, f.name)
+            out[f"layers.{i}.{f.name}"] = jax.tree.map(
+                lambda a: a[i], leaf)
     return out
 
 
-def save_checkpoint(path, params: LlamaParams, cfg: ModelConfig) -> dict:
-    """Write the packed checkpoint; returns the manifest (with sizes)."""
-    path = pathlib.Path(path)
-    path.mkdir(parents=True, exist_ok=True)
-    tensors = {}
-    blob = bytearray()
-
-    def put(data: np.ndarray, codec: str) -> dict:
-        raw = np.ascontiguousarray(data)
-        payload = _entropy_encode(raw.view(np.uint8).reshape(-1)) \
-            if codec == "qref-huffman" else raw.tobytes()
-        off = len(blob)
-        blob.extend(payload)
-        return {
-            "offset": off, "size": len(payload), "codec": codec,
-            "dtype": str(raw.dtype), "shape": list(raw.shape),
-        }
-
+def save_checkpoint(path, params: LlamaParams, cfg: ModelConfig,
+                    tp: int = 1) -> dict:
+    """Write the packed checkpoint from in-memory params; returns the
+    manifest. ``tp``: blob shard count (must match the packing's tp)."""
+    w = CheckpointWriter(path, cfg, tp=tp)
     for name, leaf in _flatten_params(params).items():
-        if isinstance(leaf, QEmbed):
-            tensors[name] = {
-                "kind": "qembed",
-                "codes": put(np.asarray(leaf.codes), "qref-huffman"),
-                "scales": put(np.asarray(leaf.scales), "raw"),
-            }
-        elif isinstance(leaf, QTensor):
-            tensors[name] = {
-                "kind": "qtensor",
-                "bits": leaf.bits, "group_size": leaf.group_size,
-                "kshards": leaf.kshards, "shape": list(leaf.shape),
-                "codes": put(np.asarray(leaf.codes), "qref-huffman"),
-                "scales": put(np.asarray(leaf.scales), "raw"),
-            }
+        w.add(name, leaf)
+    return w.finish()
+
+
+# ── loading ─────────────────────────────────────────────────────────────
+
+
+class _BlobReader:
+    def __init__(self, path: pathlib.Path, manifest: dict):
+        self.path = path
+        self.manifest = manifest
+        self._f = open(path / "data.bin", "rb")
+
+    def _read_shard(self, meta: dict, idx: int) -> np.ndarray:
+        blob = meta["shards"][idx]
+        self._f.seek(blob["offset"])
+        payload = self._f.read(blob["size"])
+        if meta["codec"] == "qref-huffman":
+            payload = _entropy_decode(payload)
+        shape = list(meta["shape"])
+        axis = meta["axis"]
+        if axis is not None:
+            shape[axis] //= len(meta["shards"])
+        return np.frombuffer(payload, np.dtype(meta["dtype"])).reshape(shape)
+
+    def full(self, meta: dict) -> np.ndarray:
+        parts = [self._read_shard(meta, i)
+                 for i in range(len(meta["shards"]))]
+        if len(parts) == 1:
+            return parts[0]
+        return np.concatenate(parts, axis=meta["axis"])
+
+    def ranged(self, meta: dict, index: tuple) -> np.ndarray:
+        """Read the sub-array selected by a tuple of slices (global
+        coords), touching only overlapping blobs."""
+        axis = meta["axis"]
+        n_shards = len(meta["shards"])
+        if axis is None or n_shards == 1:
+            return self.full(meta)[index]
+        width = meta["shape"][axis] // n_shards
+        sl = index[axis]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else meta["shape"][axis]
+        s0, s1 = start // width, (stop - 1) // width
+        parts = [self._read_shard(meta, s) for s in range(s0, s1 + 1)]
+        arr = parts[0] if len(parts) == 1 else np.concatenate(parts, axis)
+        local = list(index)
+        local[axis] = slice(start - s0 * width, stop - s0 * width)
+        return arr[tuple(local)]
+
+
+def _get_leaf(rd: _BlobReader, name: str):
+    meta = rd.manifest["tensors"][name]
+    if meta["kind"] == "qembed":
+        return QEmbed(codes=rd.full(meta["codes"]),
+                      scales=rd.full(meta["scales"]))
+    if meta["kind"] == "qtensor":
+        return QTensor(
+            codes=rd.full(meta["codes"]), scales=rd.full(meta["scales"]),
+            bits=meta["bits"], group_size=meta["group_size"],
+            shape=tuple(meta["shape"]), kshards=meta["kshards"],
+        )
+    return rd.full(meta["data"])
+
+
+def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
+    def stack(field):
+        leaves = [_get_leaf(rd, f"layers.{i}.{field}")
+                  for i in range(cfg.n_layers)]
+        return jax.tree.map(lambda *xs: np.stack(xs), *leaves)
+
+    layers = LayerParams(**{
+        f.name: stack(f.name) for f in dataclasses.fields(LayerParams)
+    })
+    return LlamaParams(
+        embed=_get_leaf(rd, "embed"), layers=layers,
+        final_norm=_get_leaf(rd, "final_norm"),
+        lm_head=_get_leaf(rd, "lm_head"),
+    )
+
+
+def _sds(meta: dict) -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct(tuple(meta["shape"]),
+                                np.dtype(meta["dtype"]))
+
+
+def _template_from_manifest(manifest: dict, cfg: ModelConfig
+                            ) -> LlamaParams:
+    """Abstract (shapes-only) LlamaParams matching the checkpoint — used to
+    derive shardings without allocating anything."""
+    tm = manifest["tensors"]
+
+    def leaf(meta):
+        if meta["kind"] == "qembed":
+            return QEmbed(codes=_sds(meta["codes"]),
+                          scales=_sds(meta["scales"]))
+        if meta["kind"] == "qtensor":
+            return QTensor(
+                codes=_sds(meta["codes"]), scales=_sds(meta["scales"]),
+                bits=meta["bits"], group_size=meta["group_size"],
+                shape=tuple(meta["shape"]), kshards=meta["kshards"])
+        return _sds(meta["data"])
+
+    def stacked(field):
+        l0 = leaf(tm[f"layers.0.{field}"])
+        return jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct((cfg.n_layers,) + s.shape,
+                                           s.dtype), l0)
+
+    layers = LayerParams(**{
+        f.name: stacked(f.name) for f in dataclasses.fields(LayerParams)
+    })
+    return LlamaParams(embed=leaf(tm["embed"]), layers=layers,
+                       final_norm=leaf(tm["final_norm"]),
+                       lm_head=leaf(tm["lm_head"]))
+
+
+def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
+    """Shard-native load: every array leaf is built with
+    jax.make_array_from_callback — only the blobs covering THIS process's
+    addressable shards are read/decoded (per-host loading)."""
+    from jax.sharding import NamedSharding
+
+    from quant_tpu.parallel import pp as pp_mod
+    from quant_tpu.parallel import tp as tp_mod
+
+    pipe = mesh.shape.get("pipe", 1)
+    tp = mesh.shape.get("model", 1)
+    save_tp = rd.manifest.get("tp", 1)
+    if save_tp not in (1, tp):
+        # fused column tensors bake the interleaving of their packing tp —
+        # a different runtime tp cannot consume them (see concat_columns)
+        raise ValueError(
+            f"checkpoint packed for tp={save_tp}, mesh model axis is {tp}")
+
+    # Template (shapes only) + specs from the runtime sharding rules.
+    template = _template_from_manifest(rd.manifest, cfg)
+    specs = (pp_mod.pp_param_specs(template) if pipe > 1
+             else tp_mod.param_specs(template))
+
+    tmeta = rd.manifest["tensors"]
+
+    def build(path_names, struct, spec):
+        name = path_names[0]
+        sharding = NamedSharding(mesh, spec)
+        if name == "layers":
+            field, leaf_field = path_names[1], path_names[-1]
+            is_qt = tmeta[f"layers.0.{field}"]["kind"] in ("qtensor",
+                                                           "qembed")
+
+            def cb(index):  # index[0] = layer range (pipe sharding)
+                lsl = index[0]
+                rows = []
+                for li in range(lsl.start or 0,
+                                lsl.stop or struct.shape[0]):
+                    meta = tmeta[f"layers.{li}.{field}"]
+                    meta = meta[leaf_field] if is_qt else meta["data"]
+                    rows.append(rd.ranged(meta, index[1:]))
+                return np.stack(rows)
         else:
-            tensors[name] = {
-                "kind": "array",
-                "data": put(np.asarray(leaf), "raw"),
-            }
+            meta = tmeta[name]
+            meta = meta.get(path_names[-1]) if meta["kind"] in (
+                "qtensor", "qembed") else meta["data"]
 
-    manifest = {
-        "format": FORMAT,
-        "config": dataclasses.asdict(cfg),
-        "tensors": tensors,
-    }
-    (path / "data.bin").write_bytes(bytes(blob))
-    (path / "manifest.json").write_text(json.dumps(manifest, indent=1))
-    return manifest
+            def cb(index):
+                return rd.ranged(meta, index)
+
+        return jax.make_array_from_callback(struct.shape, sharding, cb)
+
+    def walk(path, struct, spec):
+        names = tp_mod._path_names(path)
+        return build(names, struct, spec)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, s, sp: walk(p, s, sp), template, specs)
 
 
-def _read(blob: bytes, meta: dict) -> np.ndarray:
+# ── legacy v1 reader (stacked single-blob format) ───────────────────────
+
+
+def _read_v1(blob: bytes, meta: dict) -> np.ndarray:
     payload = blob[meta["offset"]: meta["offset"] + meta["size"]]
     if meta["codec"] == "qref-huffman":
         payload = _entropy_decode(payload)
@@ -121,49 +368,63 @@ def _read(blob: bytes, meta: dict) -> np.ndarray:
     )
 
 
-def load_checkpoint(path, device: bool = True
-                    ) -> tuple[LlamaParams, ModelConfig]:
-    """Read a packed checkpoint → (LlamaParams, ModelConfig).
-
-    ``device=True`` device_puts leaves (packed codes stay packed — nibble
-    unpack happens in the matmul kernel / unpack_int4_device at use time).
-    """
-    path = pathlib.Path(path)
-    manifest = json.loads((path / "manifest.json").read_text())
-    if manifest["format"] != FORMAT:
-        raise ValueError(f"unknown checkpoint format {manifest['format']}")
-    cfg = ModelConfig(**manifest["config"])
+def _load_v1(path: pathlib.Path, manifest: dict) -> LlamaParams:
     blob = (path / "data.bin").read_bytes()
 
     def get(name):
         meta = manifest["tensors"][name]
         if meta["kind"] == "qembed":
             return QEmbed(
-                codes=_read(blob, meta["codes"]),
-                scales=_read(blob, meta["scales"]),
+                codes=_read_v1(blob, meta["codes"]),
+                scales=_read_v1(blob, meta["scales"]),
             )
         if meta["kind"] == "qtensor":
             return QTensor(
-                codes=_read(blob, meta["codes"]),
-                scales=_read(blob, meta["scales"]),
+                codes=_read_v1(blob, meta["codes"]),
+                scales=_read_v1(blob, meta["scales"]),
                 bits=meta["bits"], group_size=meta["group_size"],
                 shape=tuple(meta["shape"]), kshards=meta["kshards"],
             )
-        return _read(blob, meta["data"])
+        return _read_v1(blob, meta["data"])
 
     layers = LayerParams(**{
         f.name: get(f"layers.{f.name}")
         for f in dataclasses.fields(LayerParams)
     })
-    params = LlamaParams(
+    return LlamaParams(
         embed=get("embed"), layers=layers,
         final_norm=get("final_norm"), lm_head=get("lm_head"),
     )
+
+
+def load_checkpoint(path, device: bool = True, mesh=None
+                    ) -> tuple[LlamaParams, ModelConfig]:
+    """Read a packed checkpoint → (LlamaParams, ModelConfig).
+
+    ``device=True`` device_puts leaves (packed codes stay packed — nibble
+    unpack happens in the matmul kernel at use time). ``mesh``: build the
+    params SHARDED over a (pipe, data, model) mesh, reading only the blobs
+    this process's devices need (implies device placement).
+    """
+    path = pathlib.Path(path)
+    manifest = json.loads((path / "manifest.json").read_text())
+    cfg = ModelConfig(**manifest["config"])
+    if manifest["format"] == _FORMAT_V1:
+        if mesh is not None:
+            raise ValueError("mesh loading requires a v2 checkpoint")
+        params = _load_v1(path, manifest)
+    elif manifest["format"] == FORMAT:
+        rd = _BlobReader(path, manifest)
+        if mesh is not None:
+            return _load_v2_mesh(rd, cfg, mesh), cfg
+        params = _load_v2_host(rd, cfg)
+    else:
+        raise ValueError(f"unknown checkpoint format {manifest['format']}")
     if device:
-        dt = jnp.dtype(cfg.dtype)
         params = jax.tree.map(
             lambda x: jax.device_put(
-                jnp.asarray(x, dt) if x.dtype == np.float64 else jnp.asarray(x)
+                jnp.asarray(x, jnp.dtype(cfg.dtype))
+                if x.dtype == np.float64 else jnp.asarray(x)
             ),
             params,
         )

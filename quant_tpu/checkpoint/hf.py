@@ -1,10 +1,12 @@
 """HF Llama checkpoint → packed quantized checkpoint (SURVEY.md §3a).
 
-Reads safetensors shards from a HuggingFace model directory, transposes
-torch's [out, in] linear layout to our [K, N] (y = x @ W) convention,
-quantizes each projection with the oracle-contract codec, and writes the
-entropy-packed checkpoint. Offline, host-only; the hot loop is the entropy
-coder (C++ ``libquantref`` when available).
+STREAMING conversion (VERDICT r1 #6): safetensors tensors are read lazily,
+one at a time, quantized, entropy-packed and appended to the checkpoint via
+:class:`CheckpointWriter` — peak RSS stays at a couple of tensors, so the
+70B path (BASELINE.json:11, ~140 GB dense) converts on an ordinary host.
+Transposes torch's [out, in] linear layout to our [K, N] (y = x @ W)
+convention; the hot loop is the entropy coder (C++ ``libquantref`` when
+available).
 """
 
 from __future__ import annotations
@@ -14,9 +16,10 @@ import pathlib
 
 import numpy as np
 
-from quant_tpu.checkpoint.format import save_checkpoint
+from quant_tpu.checkpoint.format import CheckpointWriter
+from quant_tpu.core.qtensor import concat_columns, quantize_tensor
 from quant_tpu.models.config import ModelConfig
-from quant_tpu.models.llama import quantize_dense_params
+from quant_tpu.models.llama import QEmbed, _pad_cols, _pad_vocab
 
 _LAYER_MAP = {
     "wq": "self_attn.q_proj",
@@ -29,18 +32,26 @@ _LAYER_MAP = {
 }
 
 
-def _load_hf_tensors(model_dir: pathlib.Path) -> dict[str, np.ndarray]:
-    from safetensors import safe_open
+class _HFReader:
+    """Lazy safetensors reader: one tensor in RAM at a time."""
 
-    files = sorted(model_dir.glob("*.safetensors"))
-    if not files:
-        raise FileNotFoundError(f"no .safetensors under {model_dir}")
-    out: dict[str, np.ndarray] = {}
-    for f in files:
-        with safe_open(str(f), framework="np") as sf:
-            for key in sf.keys():
-                out[key] = sf.get_tensor(key)
-    return out
+    def __init__(self, model_dir: pathlib.Path):
+        from safetensors import safe_open
+
+        files = sorted(model_dir.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no .safetensors under {model_dir}")
+        self._handles = [safe_open(str(f), framework="np") for f in files]
+        self._index = {}
+        for h in self._handles:
+            for key in h.keys():
+                self._index[key] = h
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index
+
+    def get(self, name: str) -> np.ndarray:
+        return self._index[name].get_tensor(name)
 
 
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
@@ -62,6 +73,19 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
     return ModelConfig(**kw)
 
 
+def _embed_host(table: np.ndarray, cfg: ModelConfig):
+    """Numpy mirror of llama._make_embed (the converter must stay off the
+    accelerator — host→device paths can be MB/s-slow on relayed setups)."""
+    if cfg.embed_bits == 8:
+        t = table.astype(np.float32)
+        absmax = np.max(np.abs(t), axis=1)
+        scales = np.where(absmax == 0, 1.0, absmax / 127.0).astype(
+            np.float32)
+        codes = np.round(t / scales[:, None]).astype(np.int8)
+        return QEmbed(codes=codes, scales=scales)
+    return table.astype(np.dtype(cfg.dtype))
+
+
 def convert_hf_llama(
     model_dir,
     out_dir,
@@ -70,49 +94,68 @@ def convert_hf_llama(
     tp: int = 1,
     cfg: ModelConfig | None = None,
 ) -> ModelConfig:
-    """Convert a HF Llama directory to a packed quantized checkpoint.
+    """Convert a HF Llama directory to a packed quantized checkpoint,
+    streaming tensor-by-tensor (bounded RSS).
 
-    ``tp``: intended tensor-parallel degree (int4 row-split tensors are
-    packed with kshards=tp; see QTensor.kshards).
+    ``tp``: intended tensor-parallel degree — column-fused tensors are
+    interleaved per shard, int4 row-split tensors packed with kshards=tp,
+    and the checkpoint's blobs are split per TP rank (see format.py).
     """
     model_dir = pathlib.Path(model_dir)
     if cfg is None:
         cfg = config_from_hf(model_dir, bits=bits, group_size=group_size)
-    hf = _load_hf_tensors(model_dir)
+    hf = _HFReader(model_dir)
     hf_cfg = json.loads((model_dir / "config.json").read_text())
+    w = CheckpointWriter(out_dir, cfg, tp=tp)
 
     def t(name):  # [out, in] -> [K, N]
-        return np.ascontiguousarray(
-            hf[name].astype(np.float32).T
-        )
+        return np.ascontiguousarray(hf.get(name).astype(np.float32).T)
 
-    dense: dict[str, np.ndarray] = {
-        "embed": hf["model.embed_tokens.weight"].astype(np.float32),
-        "final_norm": hf["model.norm.weight"].astype(np.float32),
-    }
+    def qz(arr, kshards=1):
+        return quantize_tensor(arr, cfg.bits, cfg.group_size,
+                               kshards=kshards)
+
+    embed = hf.get("model.embed_tokens.weight").astype(np.float32)
+    w.add("embed", _embed_host(embed, cfg))
+    w.add("final_norm", hf.get("model.norm.weight").astype(np.float32))
     if hf_cfg.get("tie_word_embeddings") or "lm_head.weight" not in hf:
-        dense["lm_head"] = np.ascontiguousarray(
-            dense["embed"].T
-        )
+        lm = np.ascontiguousarray(embed.T)
     else:
-        dense["lm_head"] = t("lm_head.weight")
+        lm = t("lm_head.weight")
+    del embed
+    w.add("lm_head", qz(_pad_cols(lm, _pad_vocab(cfg.vocab_size))))
+    del lm
+
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
-        for ours, theirs in _LAYER_MAP.items():
-            dense[f"layers.{i}.{ours}"] = t(pre + theirs + ".weight")
+        w.add(f"layers.{i}.wqkv", qz(concat_columns(
+            [t(pre + "self_attn.q_proj.weight"),
+             t(pre + "self_attn.k_proj.weight"),
+             t(pre + "self_attn.v_proj.weight")], tp)))
+        w.add(f"layers.{i}.wo",
+              qz(t(pre + "self_attn.o_proj.weight"), kshards=tp))
+        w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
+            [t(pre + "mlp.gate_proj.weight"),
+             t(pre + "mlp.up_proj.weight")], tp)))
+        w.add(f"layers.{i}.w_down",
+              qz(t(pre + "mlp.down_proj.weight"), kshards=tp))
+        w.add(f"layers.{i}.attn_norm",
+              hf.get(pre + "input_layernorm.weight").astype(np.float32))
+        w.add(f"layers.{i}.mlp_norm",
+              hf.get(pre + "post_attention_layernorm.weight").astype(
+                  np.float32))
         if pre + "self_attn.q_proj.bias" in hf:  # Qwen2 family
-            for ours, theirs in (("q_bias", "q_proj"), ("k_bias", "k_proj"),
-                                 ("v_bias", "v_proj")):
-                dense[f"layers.{i}.{ours}"] = hf[
-                    pre + f"self_attn.{theirs}.bias"
-                ].astype(np.float32)
-        dense[f"layers.{i}.attn_norm"] = hf[
-            pre + "input_layernorm.weight"
-        ].astype(np.float32)
-        dense[f"layers.{i}.mlp_norm"] = hf[
-            pre + "post_attention_layernorm.weight"
-        ].astype(np.float32)
-
-    params = quantize_dense_params(dense, cfg, tp=tp)
-    save_checkpoint(out_dir, params, cfg)
+            bias = concat_columns(
+                [hf.get(pre + "self_attn.q_proj.bias")[None, :].astype(
+                    np.float32),
+                 hf.get(pre + "self_attn.k_proj.bias")[None, :].astype(
+                     np.float32),
+                 hf.get(pre + "self_attn.v_proj.bias")[None, :].astype(
+                     np.float32)], tp)[0]
+        else:
+            nq = cfg.n_heads * cfg.head_dim
+            nkv = cfg.n_kv_heads * cfg.head_dim
+            bias = np.zeros((nq + 2 * nkv,), np.float32)
+        w.add(f"layers.{i}.qkv_bias", bias)
+    w.finish()
     return cfg

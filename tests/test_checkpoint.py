@@ -27,8 +27,9 @@ def test_save_load_roundtrip(tmp_path):
             np.asarray(x, np.float32), np.asarray(y, np.float32)
         )
     # entropy stage must actually shrink the int4 code payloads
-    wqkv = manifest["tensors"]["layers.wqkv"]
-    assert wqkv["codes"]["size"] < np.prod(wqkv["codes"]["shape"])
+    wqkv = manifest["tensors"]["layers.0.wqkv"]
+    packed = sum(s["size"] for s in wqkv["codes"]["shards"])
+    assert packed < np.prod(wqkv["codes"]["shape"])
 
 
 def test_loaded_params_forward_identical(tmp_path):
@@ -78,6 +79,99 @@ def _write_fake_hf(path, cfg):
         "rms_norm_eps": cfg.norm_eps, "tie_word_embeddings": False,
     }))
     return tensors
+
+
+def test_sharded_save_mesh_load_forward(tmp_path):
+    """tp-sharded blobs + load_checkpoint(mesh=...) == single-device
+    forward (VERDICT r1 #6: per-host shard loading)."""
+    from quant_tpu.parallel import make_mesh, shard_cache
+    from quant_tpu.parallel.tp import sharded_forward_fn
+
+    params_ref = llama.init_params(CFG, seed=3, tp=1)
+    params = llama.init_params(CFG, seed=3, tp=2)
+    save_checkpoint(tmp_path / "s", params, CFG, tp=2)
+
+    mesh = make_mesh(data=2, model=2)
+    loaded, cfg = load_checkpoint(tmp_path / "s", mesh=mesh)
+    # every TP-shardable leaf must actually be sharded over `model`
+    assert "model" in str(loaded.layers.wqkv.codes.sharding.spec)
+    assert "model" in str(loaded.layers.w_down.codes.sharding.spec)
+
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, CFG.vocab_size, (2, 4)),
+        jnp.int32)
+    cache = shard_cache(llama.init_cache(cfg, 2, 16), mesh)
+    step = jax.jit(sharded_forward_fn(cfg, mesh, loaded, cache))
+    out, _ = step(loaded, toks, cache)
+    ref, _ = llama.forward(params_ref, toks, llama.init_cache(CFG, 2, 16),
+                           CFG)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_load_pp(tmp_path):
+    """pipe-sharded load: layer stack split over the pipe axis."""
+    from quant_tpu.parallel import make_mesh, make_pp_forward, shard_cache_pp
+
+    params_ref = llama.init_params(CFG, seed=4, tp=1)
+    save_checkpoint(tmp_path / "p", params_ref, CFG, tp=1)
+    mesh = make_mesh(pipe=2, model=1)
+    loaded, cfg = load_checkpoint(tmp_path / "p", mesh=mesh)
+    assert "pipe" in str(loaded.layers.wqkv.codes.sharding.spec)
+    toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+    sc = shard_cache_pp(llama.init_cache(cfg, 1, 16), mesh)
+    step = make_pp_forward(cfg, mesh, loaded, sc)
+    out, _ = step(loaded, toks, sc)
+    ref, _ = llama.forward(params_ref, toks, llama.init_cache(CFG, 1, 16),
+                           CFG)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_load_rejects_tp_mismatch(tmp_path):
+    from quant_tpu.parallel import make_mesh
+    import pytest
+
+    params = llama.init_params(CFG, seed=0, tp=2)
+    save_checkpoint(tmp_path / "m", params, CFG, tp=2)
+    with pytest.raises(ValueError, match="packed for tp=2"):
+        load_checkpoint(tmp_path / "m", mesh=make_mesh(model=1))
+
+
+def test_streaming_convert_bounded_rss(tmp_path):
+    """The converter must stream: RSS growth during convert stays within a
+    few tensors, NOT the whole model (70B feasibility, VERDICT r1 #6)."""
+    import resource
+
+    cfg = dataclasses.replace(
+        CFG, n_layers=8, dim=512, intermediate=1024, vocab_size=2048)
+    hf_dir = tmp_path / "hf"
+    _write_fake_hf(hf_dir, cfg)
+    model_bytes = sum(
+        a.nbytes for a in _read_all_safetensors(hf_dir).values())
+    largest = max(
+        a.nbytes for a in _read_all_safetensors(hf_dir).values())
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    convert_hf_llama(hf_dir, tmp_path / "out", bits=4, group_size=64)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    growth = rss1 - rss0
+    # Streaming bound: well under the full model; generous multiple of the
+    # largest tensor to absorb allocator slack at this tiny scale.
+    assert growth < max(8 * largest, model_bytes // 2), (
+        growth, largest, model_bytes)
+
+
+def _read_all_safetensors(path):
+    from safetensors import safe_open
+
+    out = {}
+    for f in sorted(path.glob("*.safetensors")):
+        with safe_open(str(f), framework="np") as sf:
+            for k in sf.keys():
+                out[k] = sf.get_tensor(k)
+    return out
 
 
 def test_hf_convert_and_generate(tmp_path):
