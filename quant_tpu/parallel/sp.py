@@ -23,10 +23,12 @@ Three SP modes for long context, all over the ``seq`` mesh axis:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ring_attention", "ulysses_attention"]
+__all__ = ["ring_attention", "ulysses_attention", "make_sp_prefill"]
 
 
 def _block_attend(q, k, v, q_pos, k_pos, scale):
@@ -119,3 +121,161 @@ def ulysses_attention(q, k, v, q_pos, k_pos, axis: str):
     out = jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2,
                              tiled=True)
     return out.astype(q.dtype)
+
+
+# ── model-level q-sharded prefill (VERDICT r1 #7) ───────────────────────
+
+
+def _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s, start, layer, s0,
+                 axis):
+    """Populate this rank's cache S-shard with EVERY rank's freshly
+    quantized KV rows by rotating the int8 blocks once around the ring —
+    the drop-semantics scatter keeps only rows in [s0, s0 + S_loc), so no
+    gather of the full sequence ever materializes. Payload is int8 codes +
+    f32 scales (the quantization synergy: 2-4x smaller than fp rotation).
+    """
+    from quant_tpu.models import llama
+
+    n = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def ins(kc, ks, vc, vs, kq, kss, vq, vss, st):
+        kc, ks = llama._cache_insert_at_layer(kc, ks, kq, kss, st, layer,
+                                              s0)
+        vc, vs = llama._cache_insert_at_layer(vc, vs, vq, vss, st, layer,
+                                              s0)
+        return kc, ks, vc, vs
+
+    kc, ks, vc, vs = ins(kc, ks, vc, vs, k_q, k_s, v_q, v_s, start)
+
+    def step(i, carry):
+        kc, ks, vc, vs, kq, kss, vq, vss, st = carry
+        rot = lambda a: jax.lax.ppermute(a, axis, perm)
+        kq, kss, vq, vss, st = rot(kq), rot(kss), rot(vq), rot(vss), rot(st)
+        kc, ks, vc, vs = ins(kc, ks, vc, vs, kq, kss, vq, vss, st)
+        return kc, ks, vc, vs, kq, kss, vq, vss, st
+
+    kc, ks, vc, vs, *_ = jax.lax.fori_loop(
+        0, n - 1, step, (kc, ks, vc, vs, k_q, k_s, v_q, v_s, start))
+    return kc, ks, vc, vs
+
+
+def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
+                       mode: str = "ring", axis: str | None = None):
+    """Long-context prefill with the PROMPT sharded over ``seq_axis`` —
+    runs inside shard_map. tokens [B, T_loc] is this rank's slice of the
+    prompt; attention over the full (quantized) K/V goes through
+    :func:`ring_attention` or :func:`ulysses_attention`; each rank's cache
+    S-shard fills via the int8 ring insert. Composes with TP (``axis``).
+
+    Contract: fresh cache (lengths 0 — whole-prompt prefill), global T =
+    n_seq * T_loc, T <= max_seq. Attention consumes the int8-quantized
+    K/V (identical numerics to the single-device forward, which attends
+    over the quantized cache). Returns (logits [B, T_loc, V] — this rank's
+    token slice, updated cache).
+    """
+    from quant_tpu.models import llama
+
+    mm = llama._mm(cfg)
+    b, t_loc = tokens.shape
+    dt = llama._act_dtype(cfg)
+    n_seq = jax.lax.axis_size(seq_axis)
+    ri = jax.lax.axis_index(seq_axis)
+    s_loc = cache.k_codes.shape[3]
+    s0 = ri * s_loc
+    t_glob = t_loc * n_seq
+    # global positions of this rank's queries / new keys
+    q_pos = (ri * t_loc + jnp.arange(t_loc))[None, :] + 0 * cache.lengths[
+        :, None]
+    start = cache.lengths + ri * t_loc          # [B] write position
+
+    attend = ring_attention if mode == "ring" else ulysses_attention
+    psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
+
+    h = llama._embed_lookup(params.embed, tokens, dt)
+    layers = params.layers
+
+    def layer_step(carry, xs):
+        h, kc, ks, vc, vs = carry
+        attn_norm, mlp_norm, qkv_bias, idx = xs
+        x = llama.rmsnorm(h, attn_norm, cfg.norm_eps)
+        qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
+        units = cfg.n_heads + 2 * cfg.n_kv_heads
+        nq = (qkv.shape[-1] * cfg.n_heads) // units
+        nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
+        q = qkv[..., :nq].reshape(b, t_loc, -1, cfg.head_dim)
+        k = qkv[..., nq:nq + nkv].reshape(b, t_loc, -1, cfg.head_dim)
+        v = qkv[..., nq + nkv:].reshape(b, t_loc, -1, cfg.head_dim)
+        q = llama._rope(q, q_pos, cfg.rope_theta)
+        k = llama._rope(k, q_pos, cfg.rope_theta)
+        k_q, k_s = llama.quantize_kv(k)
+        v_q, v_s = llama.quantize_kv(v)
+        kc, ks, vc, vs = _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s,
+                                      start, idx, s0, seq_axis)
+        # attend over the QUANTIZED kv (single-device forward parity)
+        k_hat = k_q.astype(jnp.float32) * k_s[..., None]
+        v_hat = v_q.astype(jnp.float32) * v_s[..., None]
+        attn = attend(q, k_hat, v_hat, q_pos, q_pos, seq_axis)
+        h = h + psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
+                        out_dtype=jnp.float32)).astype(dt)
+        x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps)
+        gu = mm(x, layers.w_gate_up, idx)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        h = h + psum(mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+            layers.w_down, idx, out_dtype=jnp.float32,
+        )).astype(dt)
+        return (h, kc, ks, vc, vs), None
+
+    (h, kc, ks, vc, vs), _ = jax.lax.scan(
+        layer_step,
+        (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
+        (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
+         jnp.arange(cfg.n_layers)),
+    )
+    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
+    logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+    if axis:
+        logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    logits = logits[..., :cfg.vocab_size]
+    new_cache = llama.KVCache(
+        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+        lengths=cache.lengths + t_glob,
+    )
+    return logits, new_cache
+
+
+def make_sp_prefill(cfg, mesh, params, cache, mode: str = "ring"):
+    """jit(shard_map(sp_prefill_forward)): q-sharded long-context prefill.
+
+    tokens [B, T] shard over (data, seq); the returned cache is S-sharded
+    over ``seq`` exactly as llama.forward's LSE-merge decode expects, so a
+    ring/Ulysses prefill composes with KV-sharded decode. Mode "ulysses"
+    needs (local) head count divisible by the seq axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from quant_tpu.parallel import tp as tp_mod
+
+    sp = mesh.shape["seq"]
+    tp = mesh.shape.get("model", 1)
+    if sp < 2:
+        raise ValueError("make_sp_prefill needs a seq axis >= 2")
+    if mode == "ulysses" and (cfg.n_heads // tp) % sp:
+        raise ValueError(
+            f"ulysses needs local heads {cfg.n_heads}/{tp} divisible by "
+            f"seq={sp}")
+    p_specs = tp_mod.param_specs(params)
+    c_specs = tp_mod.cache_specs(cache)
+    fwd = functools.partial(
+        sp_prefill_forward, cfg=cfg, seq_axis="seq", mode=mode,
+        axis="model" if tp > 1 else None,
+    )
+    sharded = jax.shard_map(
+        lambda pr, tok, ca: fwd(pr, tok, ca),
+        mesh=mesh,
+        in_specs=(p_specs, P("data", "seq"), c_specs),
+        out_specs=(P("data", "seq", None), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2,))

