@@ -87,12 +87,17 @@ class Engine:
         eos_id: int = 2,
         mesh=None,
         pp_micro: int = 1,
+        paged: bool = False,
+        page_size: int = 128,
+        n_pages: int | None = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.max_slots = max_slots
         self.max_seq = max_seq
         self.eos_id = eos_id
+        self.paged = paged
+        self.page_size = page_size
         self.slots: list[Request | None] = [None] * max_slots
         self.last_tokens = np.zeros((max_slots,), np.int32)
         self.pending: list[Request] = []
@@ -106,7 +111,32 @@ class Engine:
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
 
-        cache0 = llama.init_cache(cfg, max_slots, max_seq)
+        if paged:
+            # Paged KV pool (VERDICT r1 #4): HBM bounded by allocated
+            # pages. Page 0 is RESERVED scratch — freed slots park their
+            # table rows there and lengths at 0, so stale decode writes
+            # can never corrupt reallocated pages.
+            if mesh is not None:
+                raise ValueError("paged engine is single-host for now "
+                                 "(mesh composes in a later round)")
+            if max_seq % page_size:
+                raise ValueError(f"max_seq {max_seq} must divide by "
+                                 f"page_size {page_size}")
+            if n_pages is None:
+                n_pages = 1 + max_slots * (max_seq // page_size)
+            self.n_pages = n_pages
+            self._free_pages = list(range(n_pages - 1, 0, -1))
+            self._page_tbl = np.zeros(
+                (max_slots, max_seq // page_size), np.int32)
+            self._n_alloc = np.zeros((max_slots,), np.int64)
+            self._admit_seq = np.zeros((max_slots,), np.int64)
+            self._admit_counter = 0
+            self._release_pending: list[int] = []
+            self._tbl_dirty = False
+            cache0 = llama.init_paged_cache(cfg, max_slots, max_seq,
+                                            n_pages, page_size)
+        else:
+            cache0 = llama.init_cache(cfg, max_slots, max_seq)
         pf0 = llama.init_cache(cfg, 1, max_seq)
 
         if mesh is not None:
@@ -154,7 +184,8 @@ class Engine:
             self.cache = cache0
             self.pf_cache = pf0
             fwd_full = fwd_one = functools.partial(llama.forward, cfg=cfg)
-            insert_inner = self._insert_single
+            insert_inner = (self._insert_paged if paged
+                            else self._insert_single)
         self.params = params
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -212,6 +243,38 @@ class Engine:
         )
 
     @staticmethod
+    def _insert_paged(cache, sub, slot, page_ids):
+        """Copy the contiguous single-slot prefill cache into the slot's
+        POOL pages: the prefill S axis reshapes into [n_pages, page] blocks
+        scattered at ``page_ids`` (sentinel n_pages entries drop — pages
+        beyond the prompt stay untouched/free)."""
+        page = cache.page_size
+
+        def blocks(a, codes):
+            # [L, 1, H, S(, D)] → [L, S/page, H, page(, D)]
+            a = a[:, 0]
+            l, h, s = a.shape[:3]
+            if codes:
+                a = a.reshape(l, h, s // page, page, -1)
+                return a.transpose(0, 2, 1, 3, 4)
+            a = a.reshape(l, h, s // page, page)
+            return a.transpose(0, 2, 1, 3)
+
+        def put(pool, a, codes):
+            return pool.at[:, page_ids].set(
+                blocks(a, codes), mode="drop", unique_indices=True)
+
+        return llama.PagedKVCache(
+            k_codes=put(cache.k_codes, sub.k_codes, True),
+            k_scale=put(cache.k_scale, sub.k_scale, False),
+            v_codes=put(cache.v_codes, sub.v_codes, True),
+            v_scale=put(cache.v_scale, sub.v_scale, False),
+            page_tbl=cache.page_tbl,
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, sub.lengths, (slot,)),
+        )
+
+    @staticmethod
     def _insert_local(cache, sub, slot):
         """Per-shard insert under shard_map: the decode cache's batch is
         sharded over ``data`` while ``sub`` replicates — only the shard
@@ -258,6 +321,78 @@ class Engine:
         self._prefills[t_pad] = prefill
         return prefill
 
+    # ── paged allocator (free list over the page pool) ───────────────
+
+    def _pages_for(self, n_tokens: int) -> int:
+        return -(-n_tokens // self.page_size)
+
+    def _ensure_pages(self, slot: int, upto_len: int) -> bool:
+        need = self._pages_for(min(upto_len, self.max_seq))
+        while self._n_alloc[slot] < need:
+            if not self._free_pages:
+                return False
+            pg = self._free_pages.pop()
+            self._page_tbl[slot, self._n_alloc[slot]] = pg
+            self._n_alloc[slot] += 1
+            self._tbl_dirty = True
+        return True
+
+    def _free_slot_pages(self, slot: int) -> None:
+        for j in range(int(self._n_alloc[slot])):
+            self._free_pages.append(int(self._page_tbl[slot, j]))
+        self._page_tbl[slot, :] = 0  # reserved scratch page
+        self._n_alloc[slot] = 0
+        self._release_pending.append(slot)
+        self._tbl_dirty = True
+
+    def _sync_paged(self) -> None:
+        """Push host-side allocator state to the device cache: freed slots'
+        lengths reset to 0 (their writes park in scratch page 0) and the
+        page table replaced when dirty."""
+        if not self.paged:
+            return
+        if self._release_pending:
+            idx = jnp.asarray(self._release_pending, jnp.int32)
+            self.cache = dataclasses.replace(
+                self.cache, lengths=self.cache.lengths.at[idx].set(0))
+            self._release_pending = []
+        if self._tbl_dirty:
+            self.cache = dataclasses.replace(
+                self.cache, page_tbl=jnp.asarray(self._page_tbl))
+            self._tbl_dirty = False
+
+    def _preempt_newest(self) -> bool:
+        """Evict the most recently admitted slot, returning its pages; the
+        request re-enqueues at the queue head and RESUMES later (admission
+        prefills prompt + generated output, preserving the stream)."""
+        cands = [i for i, s in enumerate(self.slots) if s is not None]
+        if not cands:
+            return False
+        victim = max(cands, key=lambda i: self._admit_seq[i])
+        req = self.slots[victim]
+        self.slots[victim] = None
+        self._free_slot_pages(victim)
+        self.pending.insert(0, req)
+        log.info("preempt req=%d slot=%d (pool exhausted)", req.req_id,
+                 victim)
+        return True
+
+    def _grow_for_decode(self, horizon: int) -> None:
+        """Allocate pages covering the next ``horizon`` tokens of every
+        active slot, preempting the newest slots on pool exhaustion."""
+        if not self.paged:
+            return
+        for i in range(self.max_slots):
+            while self.slots[i] is not None:
+                req = self.slots[i]
+                used = len(req.prompt) + len(req.output)
+                if self._ensure_pages(i, min(used + horizon,
+                                             self.max_seq)):
+                    break
+                if not self._preempt_newest():
+                    raise RuntimeError(
+                        "page pool exhausted with nothing to preempt")
+
     # ── public API ──────────────────────────────────────────────────
 
     def add_request(self, req: Request) -> None:
@@ -266,6 +401,10 @@ class Engine:
                 f"request {req.req_id}: prompt({len(req.prompt)}) + "
                 f"max_new({req.max_new_tokens}) exceeds max_seq {self.max_seq}"
             )
+        if self.paged and self._pages_for(
+                len(req.prompt) + req.max_new_tokens) > self.n_pages - 1:
+            raise ValueError(
+                f"request {req.req_id} needs more pages than the pool has")
         self.pending.append(req)
 
     def _advance_admission(self) -> None:
@@ -284,7 +423,10 @@ class Engine:
                 lengths=jnp.zeros_like(self.pf_cache.lengths))
             self._prefilling = [req, free, 0, None]
         req, slot, off, _ = self._prefilling
-        chunk = req.prompt[off:off + self.PREFILL_CHUNK]
+        # stream = prompt + output: a PREEMPTED request resumes by
+        # prefilling everything it had produced so far (paged engine).
+        stream = req.prompt + req.output
+        chunk = stream[off:off + self.PREFILL_CHUNK]
         t_pad = _bucket(len(chunk))
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, : len(chunk)] = chunk
@@ -292,12 +434,28 @@ class Engine:
             self.params, jnp.asarray(toks), self.pf_cache,
             jnp.int32(len(chunk)))
         off += len(chunk)
-        if off < len(req.prompt):
+        if off < len(stream):
             self._prefilling = [req, slot, off, None]
             return
         # prompt complete: insert into the decode cache + first token
-        self.cache = self._insert(self.cache, self.pf_cache,
-                                  jnp.int32(slot))
+        if self.paged:
+            while not self._ensure_pages(slot, len(stream) + 1):
+                if not self._preempt_newest():
+                    raise RuntimeError(
+                        "page pool exhausted with nothing to preempt")
+            self._admit_counter += 1
+            self._admit_seq[slot] = self._admit_counter
+            self._sync_paged()
+            ids = self._page_tbl[slot].astype(np.int32).copy()
+            unused = np.arange(len(ids))
+            mask = unused >= self._n_alloc[slot]
+            # distinct out-of-range sentinels → dropped by the scatter
+            ids[mask] = self.n_pages + unused[mask]
+            self.cache = self._insert(self.cache, self.pf_cache,
+                                      jnp.int32(slot), jnp.asarray(ids))
+        else:
+            self.cache = self._insert(self.cache, self.pf_cache,
+                                      jnp.int32(slot))
         self.key, sub = jax.random.split(self.key)
         tok = int(sample(last[None], sub, req.sampling)[0])
         req.output.append(tok)
@@ -325,6 +483,8 @@ class Engine:
                 or used >= self.max_seq):
             req.finished = True
             self.slots[i] = None
+            if self.paged:
+                self._free_slot_pages(i)
             log.info("finish req=%d generated=%d", req.req_id,
                      len(req.output))
 
@@ -346,6 +506,8 @@ class Engine:
             if r is not None and r.req_id == req_id:
                 r.finished = True
                 self.slots[i] = None
+                if self.paged:
+                    self._free_slot_pages(i)
                 log.info("cancel active req=%d slot=%d", req_id, i)
                 return True
         return False
@@ -354,6 +516,8 @@ class Engine:
         """One prefill chunk of admission (budgeted) + one decode token
         for all active slots."""
         self._advance_admission()
+        self._grow_for_decode(1)
+        self._sync_paged()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         finished, self._admit_finished = self._admit_finished, []
         if active:
@@ -401,6 +565,8 @@ class Engine:
         scatter and their lengths reset at the next insert.
         """
         self._drain_admission()
+        self._grow_for_decode(n)
+        self._sync_paged()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         finished, self._admit_finished = self._admit_finished, []
         if not active:

@@ -14,8 +14,11 @@ Shape/layout choices:
   at decode sizes. The sequence dim is innermost ("arbitrary") with an
   online-softmax state (m, l, acc) in VMEM scratch — classic
   flash-decoding, one pass over the cache.
-* k/v scales multiply the int8 tile along its sublane (S) dim before the
-  dot — exact (scales are per token+head) and lane-broadcast-free.
+* k/v scales apply to the [rep, S_blk] LOGITS after the q·k dot and to the
+  softmax probs before the p·v dot — exact (scales are per token+head: they
+  factor out of the D-contraction) and ~Dh× cheaper on the VPU than scaling
+  the [S_blk, Dh] tiles (r2 fix: tile-scaling made the kernel
+  bandwidth-starved at decode shapes).
 * Blocks past a slot's ``length`` are skipped entirely (@pl.when), so cost
   scales with actual context, not max_seq.
 * With a stacked [L, ...] cache and a ``layer`` index, the layer is
@@ -59,11 +62,13 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             r0 = h * stride
             q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
             kf = kv(kc_ref, h).astype(jnp.float32)         # [S_blk, Dh]
-            kf = kf * kv(ks_ref, h)                        # scale per token
             logits = jax.lax.dot_general(
                 q, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                              # [rep, S_blk]
+            # per-token scale on the small logits block (exact: the scale
+            # factors out of the Dh contraction)
+            logits = logits * kv(ks_ref, h)[None, :]
             pos = start + jax.lax.broadcasted_iota(
                 jnp.int32, logits.shape, 1
             )
@@ -78,8 +83,8 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
                      + jnp.sum(p, axis=1, keepdims=True))
 
             vf = kv(vc_ref, h).astype(jnp.float32)
-            vf = vf * kv(vs_ref, h)
-            pv = jnp.dot(p, vf, preferred_element_type=jnp.float32)
+            pv = jnp.dot(p * kv(vs_ref, h)[None, :], vf,
+                         preferred_element_type=jnp.float32)
             acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
             m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
             l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
@@ -117,8 +122,6 @@ def flash_decode_int8(
         )
     n_s = s // s_blk
     qg = q.reshape(b, hkv, rep, dh)
-    ks4 = k_scale[..., None]  # [..., Hkv, S, 1] — lane-dim broadcastable
-    vs4 = v_scale[..., None]
 
     kern = functools.partial(
         _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
@@ -135,7 +138,7 @@ def flash_decode_int8(
         kv_specs = [
             pl.BlockSpec((1, hkv, s_blk, dh), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, s_blk, 1), lambda bb, ss: (bb, 0, ss, 0),
+            pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -157,14 +160,14 @@ def flash_decode_int8(
             ),
             scratch_shapes=scratch,
         )
-        args = (lengths, qg, k_codes, ks4, v_codes, vs4)
+        args = (lengths, qg, k_codes, k_scale, v_codes, v_scale)
     else:
         kv_specs = [
             pl.BlockSpec((1, 1, hkv, s_blk, dh),
                          lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, s_blk, 1),
-                         lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
+            pl.BlockSpec((1, 1, hkv, s_blk),
+                         lambda bb, ss, lr: (lr[0], bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -192,9 +195,7 @@ def flash_decode_int8(
 
         kern = kern_p
         lr = jnp.asarray(layer, jnp.int32).reshape(1)
-    args = (lengths, qg, k_codes, ks4, v_codes, vs4) if not stacked else (
-        lr, lengths, qg, k_codes, ks4, v_codes, vs4
-    )
+        args = (lr, lengths, qg, k_codes, k_scale, v_codes, v_scale)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

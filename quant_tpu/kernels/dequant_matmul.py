@@ -74,13 +74,29 @@ def _largest_tile(dim: int, target: int, mult: int) -> int:
 # ── reference path (XLA) ────────────────────────────────────────────────
 
 
-def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None):
+def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None,
+                             act_quant: bool = False):
     """y = x @ dequantize(W), pure XLA. Test oracle + shape fallback.
 
     Matches the kernel's numerics: weights dequantized to x.dtype (bf16 in
-    production), matmul accumulated in float32.
+    production), matmul accumulated in float32. With ``act_quant`` it
+    mirrors the W8A8 kernel instead (per-(row, K-group) dynamic int8
+    activations; weights stay exact int8xscale) so the quality gate can
+    ablate act_quant on the CPU/XLA path too.
     """
     out_dtype = out_dtype or x.dtype
+    if act_quant:
+        gsz = qt.group_size
+        lead, k = x.shape[:-1], x.shape[-1]
+        xg = x.astype(jnp.float32).reshape(*lead, k // gsz, gsz)
+        sx = jnp.max(jnp.abs(xg), axis=-1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, 1.0, sx)
+        xhat = (jnp.round(xg / sx) * sx).reshape(*lead, k)
+        # weights exact (int8 codes x f32 scales — the aq kernel never
+        # casts them down to bf16)
+        w = qt.dequantize(jnp.float32)
+        y = jnp.dot(xhat, w, preferred_element_type=jnp.float32)
+        return y.astype(out_dtype)
     w = qt.dequantize(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return y.astype(out_dtype)

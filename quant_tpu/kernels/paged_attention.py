@@ -1,0 +1,192 @@
+"""Paged INT8-KV flash-decode attention (SURVEY.md §2.2 #5/#15, VERDICT r1
+#4: paged/block KV layout for continuous batching).
+
+The KV cache lives in a PAGE POOL shared by all slots:
+
+    pool codes  int8 [L, P, Hkv, page, Dh]
+    pool scales f32  [L, P, Hkv, page]
+
+and each slot owns an ordered list of page ids ``page_tbl int32
+[B, max_pages]`` (vLLM-style block table, allocated by the engine's
+free-list allocator). HBM is bounded by USED pages, not
+slots × max_seq — the single biggest batch-size lever on one chip.
+
+Kernel design (TPU-first):
+* grid (B, max_pages); the page id for grid step (b, s) comes from the
+  SCALAR-PREFETCHED page table inside the BlockSpec index map — the same
+  mechanism the stacked-layer kernels use for the layer index, so the
+  pool is never gathered/copied.
+* blocks past a slot's length are CLAMPED to the slot's last used page in
+  the index map: consecutive grid steps then map to the same block and
+  Mosaic skips the re-fetch, so HBM traffic scales with the actual
+  context length (same trick as the contiguous kernel's @pl.when skip,
+  but working through the table indirection).
+* online softmax state in VMEM scratch; per-token scales applied to the
+  [rep, page] logits/probs (exact — they factor out of the Dh dot).
+
+The XLA reference (:func:`paged_attention_reference`) gathers the slot's
+pages into a contiguous view — O(S) copies per call, fine for tests and
+CPU, never the production path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["paged_flash_decode_int8", "paged_attention_reference",
+           "paged_gather"]
+
+
+def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+            o_ref, m_ref, l_ref, acc_ref, *, page, n_pages, scale, hkv,
+            rep):
+    del lr_ref, pt_ref
+    s_idx = pl.program_id(1)
+    b = pl.program_id(0)
+    length = len_ref[b]
+    start = s_idx * page
+    stride = max(rep, 8)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start < length)
+    def _():
+        for h in range(hkv):
+            r0 = h * stride
+            q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
+            kf = kc_ref[0, 0, h].astype(jnp.float32)       # [page, Dh]
+            logits = jax.lax.dot_general(
+                q, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [rep, page]
+            logits = logits * ks_ref[0, 0, h][None, :]
+            pos = start + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1)
+            logits = jnp.where(pos < length, logits, -1e30)
+
+            m_prev = m_ref[r0:r0 + rep, :1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            l_new = (alpha * l_ref[r0:r0 + rep, :1]
+                     + jnp.sum(p, axis=1, keepdims=True))
+            vf = vc_ref[0, 0, h].astype(jnp.float32)
+            pv = jnp.dot(p * vs_ref[0, 0, h][None, :], vf,
+                         preferred_element_type=jnp.float32)
+            acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
+            m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
+            l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
+
+    @pl.when(s_idx == n_pages - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-20)
+        out = out.reshape(hkv, max(rep, 8), -1)[:, :rep]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode_int8(
+    q: jax.Array,         # [B, Hq, Dh] (decode step, T=1)
+    pool_kc: jax.Array,   # int8 [L, P, Hkv, page, Dh]
+    pool_ks: jax.Array,   # f32  [L, P, Hkv, page]
+    pool_vc: jax.Array,
+    pool_vs: jax.Array,
+    page_tbl: jax.Array,  # int32 [B, max_pages]
+    lengths: jax.Array,   # int32 [B] — valid length per slot
+    layer,                # traced layer index
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns attention output [B, Hq, Dh] (q.dtype)."""
+    b, hq, dh = q.shape
+    _, _, hkv, page, _ = pool_kc.shape
+    n_pages = page_tbl.shape[1]
+    rep = hq // hkv
+    qg = q.reshape(b, hkv, rep, dh)
+    lr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def kv_map(bb, ss, lr, lens, pt):
+        # clamp past-the-end pages to the slot's LAST used page: repeated
+        # block index → Mosaic skips the DMA (cost scales with context)
+        last = jnp.maximum(lens[bb] - 1, 0) // page
+        return (lr[0], pt[bb, jnp.minimum(ss, last)], 0, 0, 0)
+
+    def kv_map_s(bb, ss, lr, lens, pt):
+        last = jnp.maximum(lens[bb] - 1, 0) // page
+        return (lr[0], pt[bb, jnp.minimum(ss, last)], 0, 0)
+
+    kern = functools.partial(
+        _kernel, page=page, n_pages=n_pages, scale=1.0 / (dh ** 0.5),
+        hkv=hkv, rep=rep,
+    )
+    stride = max(rep, 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # layer, lengths, page table
+        grid=(b, n_pages),
+        in_specs=[
+            pl.BlockSpec((1, hkv, rep, dh),
+                         lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, page, dh), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, page), kv_map_s,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, page, dh), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, page), kv_map_s,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, rep, dh), lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * stride, 128), jnp.float32),
+            pltpu.VMEM((hkv * stride, 128), jnp.float32),
+            pltpu.VMEM((hkv * stride, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lr, lengths, page_tbl, qg, pool_kc, pool_ks, pool_vc, pool_vs)
+    return out.reshape(b, hq, dh)
+
+
+def paged_gather(pool, page_tbl, layer):
+    """Gather a slot-contiguous [B, Hkv, S_max, ...] view of one layer's
+    pages (XLA reference/prefill path — O(S) copy per call)."""
+    lay = jax.lax.dynamic_index_in_dim(pool, layer, 0, False)
+    g = lay[page_tbl]                       # [B, n_pages, Hkv, page, ...]
+    g = jnp.moveaxis(g, 2, 1)               # [B, Hkv, n_pages, page, ...]
+    b, hkv, n_pages, page = g.shape[:4]
+    return g.reshape(b, hkv, n_pages * page, *g.shape[4:])
+
+
+def paged_attention_reference(q, pool_kc, pool_ks, pool_vc, pool_vs,
+                              page_tbl, lengths, layer):
+    """XLA paged decode attention via page gather (test oracle)."""
+    from quant_tpu.models import llama
+
+    kc = paged_gather(pool_kc, page_tbl, layer)
+    ks = paged_gather(pool_ks, page_tbl, layer)
+    vc = paged_gather(pool_vc, page_tbl, layer)
+    vs = paged_gather(pool_vs, page_tbl, layer)
+    positions = (lengths - 1)[:, None]
+    return llama.attention(q[:, None], kc, ks, vc, vs, positions, lengths,
+                           None)[:, 0]

@@ -26,7 +26,7 @@ class ModelConfig:
     # quantization
     bits: int = 4
     group_size: int = 128
-    kv_bits: int = 8
+    kv_bits: int = 8  # 8 → int8 KV cache; 16 → unquantized (XLA attn only)
     embed_bits: int = 16  # 8 → int8 per-row quantized embedding table
     # execution
     kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
@@ -35,16 +35,19 @@ class ModelConfig:
     # mostly a prefill-throughput lever (prefill is MXU-bound).
     act_quant: bool = False
     # decode attention: "xla" fuses the int8-cache read into the dot and
-    # keeps the cache-insert scatter in-place (measured faster at moderate
-    # context); "flash" uses the Pallas flash-decode kernel (a pallas
-    # consumer of the cache forces XLA to copy it per layer — use when a
-    # future aliased-insert kernel lands or for very long context).
+    # keeps the cache-insert scatter in-place; "flash" uses the Pallas
+    # flash-decode kernel + the aliased in-place insert kernel
+    # (kernels/cache_insert.py). With a PagedKVCache, "flash" (or "paged")
+    # selects the page-table Pallas pair. Crossover measured in
+    # scripts/tpu_attn_compare.py — see README table.
     attn_kernel: str = "xla"
     dtype: str = "bfloat16"
 
     def __post_init__(self):
         if self.head_dim == 0:
             object.__setattr__(self, "head_dim", self.dim // self.n_heads)
+        if self.kv_bits not in (8, 16):
+            raise ValueError(f"kv_bits must be 8 or 16, got {self.kv_bits}")
 
 
 PRESETS: dict[str, ModelConfig] = {

@@ -126,13 +126,60 @@ class KVCache:
         return self.k_codes.shape[3]
 
 
+def _kv_dtype(cfg: ModelConfig):
+    return jnp.int8 if cfg.kv_bits == 8 else jnp.dtype(cfg.dtype)
+
+
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
     l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    cdt = _kv_dtype(cfg)
     return KVCache(
-        k_codes=jnp.zeros((l, batch, h, max_seq, d), jnp.int8),
+        k_codes=jnp.zeros((l, batch, h, max_seq, d), cdt),
         k_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
-        v_codes=jnp.zeros((l, batch, h, max_seq, d), jnp.int8),
+        v_codes=jnp.zeros((l, batch, h, max_seq, d), cdt),
         v_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PagedKVCache:
+    """Paged INT8 KV cache (SURVEY #5/#15): a page POOL shared by all
+    slots + per-slot page tables (vLLM-style block tables) — HBM is
+    bounded by used pages, not slots × max_seq. The engine's free-list
+    allocator owns the tables; page_tbl entries past a slot's length may
+    be arbitrary valid ids (compute masked / DMA clamped)."""
+    k_codes: Any   # int8 [L, P, Hkv, page, Dh]
+    k_scale: Any   # f32  [L, P, Hkv, page]
+    v_codes: Any
+    v_scale: Any
+    page_tbl: Any  # int32 [B, max_pages]
+    lengths: Any   # int32 [B]
+
+    @property
+    def page_size(self) -> int:
+        return self.k_codes.shape[3]
+
+    @property
+    def max_seq(self) -> int:
+        return self.page_tbl.shape[1] * self.page_size
+
+
+def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
+                     n_pages: int, page: int = 128) -> PagedKVCache:
+    """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
+    ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
+    l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    if max_seq % page:
+        raise ValueError(f"max_seq {max_seq} must divide by page {page}")
+    cdt = _kv_dtype(cfg)
+    return PagedKVCache(
+        k_codes=jnp.zeros((l, n_pages, h, page, d), cdt),
+        k_scale=jnp.zeros((l, n_pages, h, page), jnp.float32),
+        v_codes=jnp.zeros((l, n_pages, h, page, d), cdt),
+        v_scale=jnp.zeros((l, n_pages, h, page), jnp.float32),
+        page_tbl=jnp.zeros((batch, max_seq // page), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -153,7 +200,8 @@ def _resolve_mode(cfg: ModelConfig) -> str:
 def _mm(cfg: ModelConfig):
     cfg = dataclasses.replace(cfg, kernel_mode=_resolve_mode(cfg))
     if cfg.kernel_mode == "xla":
-        base = dequant_matmul_reference
+        base = functools.partial(dequant_matmul_reference,
+                                 act_quant=cfg.act_quant)
     elif cfg.kernel_mode == "pallas_interpret":
         base = functools.partial(dequant_matmul, interpret=True,
                                  act_quant=cfg.act_quant)
@@ -387,8 +435,15 @@ def _rope(x, positions, theta):
     return out.astype(x.dtype)
 
 
-def quantize_kv(x):
-    """Per-(token, head) symmetric int8: x [B, T, H, Dh] → codes, scales."""
+def quantize_kv(x, bits: int = 8):
+    """Per-(token, head) symmetric int8: x [B, T, H, Dh] → codes, scales.
+
+    ``bits=16`` disables KV quantization (quality-ablation / fp fallback
+    mode): codes are the raw activations, scales identity — every cache
+    consumer computes codes*scale so the paths stay shared.
+    """
+    if bits == 16:
+        return x, jnp.ones(x.shape[:-1], jnp.float32)
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
     codes = jnp.round(x.astype(jnp.float32) / scale[..., None])
@@ -420,6 +475,28 @@ def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
     cs_full = cs_full.at[layer, b_ix, :, pos].set(
         scale, mode="drop", unique_indices=True)
     return cc_full, cs_full
+
+
+def _paged_insert_at_layer(cc, cs, codes, scale, lengths, layer, page_tbl):
+    """Write T entries into the PAGE POOL at per-slot positions via the
+    page table. Same one-scatter/in-place property as the contiguous
+    insert; positions beyond the table capacity are dropped.
+
+    cc [L, P, H, page, D]; codes [B, T, H, D]; page_tbl [B, max_pages].
+    """
+    page = cc.shape[3]
+    b, t = codes.shape[0], codes.shape[1]
+    pos = lengths[:, None] + jnp.arange(t)[None, :]          # [B, T]
+    cap = page_tbl.shape[1] * page
+    pg_ix = jnp.take_along_axis(
+        page_tbl, jnp.clip(pos // page, 0, page_tbl.shape[1] - 1), axis=1)
+    pg_ix = jnp.where(pos < cap, pg_ix, cc.shape[1])  # over-cap → dropped
+    row = pos % page
+    cc = cc.at[layer, pg_ix, :, row].set(codes, mode="drop",
+                                         unique_indices=True)
+    cs = cs.at[layer, pg_ix, :, row].set(scale, mode="drop",
+                                         unique_indices=True)
+    return cc, cs
 
 
 def _cache_insert(cache_codes, cache_scale, codes, scale, lengths, s0=0):
@@ -583,6 +660,9 @@ def forward(
     """
     mm = _mm(cfg)
     b, t = tokens.shape
+    paged = isinstance(cache, PagedKVCache)
+    if paged and seq_axis is not None:
+        raise ValueError("paged cache does not compose with seq sharding")
     if seq_axis is not None:
         s_loc = cache.k_codes.shape[3]
         s0 = jax.lax.axis_index(seq_axis) * s_loc
@@ -596,6 +676,7 @@ def forward(
     layer_step = make_layer_step(
         params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
         s0, axis, dt, seq_axis,
+        page_tbl=cache.page_tbl if paged else None,
     )
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
@@ -608,14 +689,19 @@ def forward(
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
     logits = logits[..., :cfg.vocab_size]  # drop lm_head tile padding
-    new_cache = KVCache(
-        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
-    )
+    if paged:
+        new_cache = PagedKVCache(
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+            page_tbl=cache.page_tbl, lengths=new_lengths)
+    else:
+        new_cache = KVCache(
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+            lengths=new_lengths)
     return logits, new_cache
 
 
 def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
-                    s0, axis, dt, seq_axis, batch0=None):
+                    s0, axis, dt, seq_axis, batch0=None, page_tbl=None):
     """Scan body over the stacked layer axis, carrying the FULL caches.
 
     The carry is (h, k_codes, k_scale, v_codes, v_scale) with caches at
@@ -650,10 +736,45 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        k_q, k_s = quantize_kv(k)
-        v_q, v_s = quantize_kv(v)
+        k_q, k_s = quantize_kv(k, cfg.kv_bits)
+        v_q, v_s = quantize_kv(v, cfg.kv_bits)
+        if page_tbl is not None:
+            # Paged pool path (SURVEY #5/#15): page-table-addressed insert
+            # + attention. Pallas kernels for the decode hot loop; the XLA
+            # mode gathers the slot's pages (tests / prefill).
+            pg_flash = (t == 1 and cfg.attn_kernel in ("flash", "paged")
+                        and cfg.kv_bits == 8
+                        and mode in ("pallas", "pallas_interpret"))
+            interp = mode == "pallas_interpret"
+            if pg_flash:
+                from quant_tpu.kernels.cache_insert import (
+                    paged_cache_insert_int8,
+                )
+                from quant_tpu.kernels.paged_attention import (
+                    paged_flash_decode_int8,
+                )
+                kc, ks, vc, vs = paged_cache_insert_int8(
+                    kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, idx,
+                    page_tbl, interpret=interp)
+                attn = paged_flash_decode_int8(
+                    q[:, 0], kc, ks, vc, vs, page_tbl, new_lengths, idx,
+                    interpret=interp)[:, None]
+            else:
+                from quant_tpu.kernels.paged_attention import paged_gather
+
+                kc, ks = _paged_insert_at_layer(kc, ks, k_q, k_s, lengths,
+                                                idx, page_tbl)
+                vc, vs = _paged_insert_at_layer(vc, vs, v_q, v_s, lengths,
+                                                idx, page_tbl)
+                att = attention_blockwise if t > 1 else attention
+                attn = att(q, paged_gather(kc, page_tbl, idx),
+                           paged_gather(ks, page_tbl, idx),
+                           paged_gather(vc, page_tbl, idx),
+                           paged_gather(vs, page_tbl, idx),
+                           positions, new_lengths, cfg)
+            return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
         flash = (t == 1 and seq_axis is None and batch0 is None
-                 and cfg.attn_kernel == "flash"
+                 and cfg.attn_kernel == "flash" and cfg.kv_bits == 8
                  and mode in ("pallas", "pallas_interpret"))
         if flash:
             # Aliased Pallas insert: an XLA scatter feeding the (opaque)
@@ -693,6 +814,9 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
                                  positions, new_lengths, cfg,
                                  seq_axis=seq_axis, key_offset=s0)
+        return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
+
+    def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx):
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,

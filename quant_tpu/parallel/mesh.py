@@ -20,7 +20,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "init_distributed"]
+__all__ = ["make_mesh", "hybrid_mesh_shapes", "init_distributed"]
 
 
 def init_distributed(coordinator: str | None = None,
@@ -46,6 +46,26 @@ def init_distributed(coordinator: str | None = None,
         pass  # single-process / already initialized
 
 
+def hybrid_mesh_shapes(pipe: int, data: int, model: int, seq: int,
+                       n_proc: int) -> tuple[tuple, tuple]:
+    """Pure shape math for the multi-host (hybrid ICI/DCN) mesh.
+
+    Returns ``(ici_mesh_shape, dcn_mesh_shape)`` for
+    ``mesh_utils.create_hybrid_device_mesh``: the DCN (inter-host) factor
+    is taken from the sparsest-traffic axis that divides ``n_proc`` —
+    ``data`` first (batch-sharded serving), else ``pipe`` (PP across
+    hosts, the 70B layout). model/seq always stay on ICI: their psum /
+    ppermute traffic is dense and latency-critical.
+    """
+    if data % n_proc == 0:
+        return (pipe, data // n_proc, model, seq), (1, n_proc, 1, 1)
+    if pipe % n_proc == 0:
+        return (pipe // n_proc, data, model, seq), (n_proc, 1, 1, 1)
+    raise ValueError(
+        f"neither data={data} nor pipe={pipe} divides process count "
+        f"{n_proc}: put the host boundary on one of the sparse axes")
+
+
 def make_mesh(
     data: int = 1,
     model: int = 1,
@@ -65,9 +85,10 @@ def make_mesh(
                          f"devices, have {len(devices)}")
     devices = devices[:n]
     if jax.process_count() > 1:
+        ici, dcn = hybrid_mesh_shapes(pipe, data, model, seq,
+                                      jax.process_count())
         arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(pipe, data // jax.process_count(), model, seq),
-            dcn_mesh_shape=(1, jax.process_count(), 1, 1),
+            mesh_shape=ici, dcn_mesh_shape=dcn,
         )
     else:
         arr = np.asarray(devices).reshape(pipe, data, model, seq)

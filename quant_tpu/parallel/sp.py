@@ -208,8 +208,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         v = qkv[..., nq + nkv:].reshape(b, t_loc, -1, cfg.head_dim)
         q = llama._rope(q, q_pos, cfg.rope_theta)
         k = llama._rope(k, q_pos, cfg.rope_theta)
-        k_q, k_s = llama.quantize_kv(k)
-        v_q, v_s = llama.quantize_kv(v)
+        k_q, k_s = llama.quantize_kv(k, cfg.kv_bits)
+        v_q, v_s = llama.quantize_kv(v, cfg.kv_bits)
         kc, ks, vc, vs = _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s,
                                       start, idx, s0, seq_axis)
         # attend over the QUANTIZED kv (single-device forward parity)

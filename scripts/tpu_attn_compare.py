@@ -1,5 +1,13 @@
-"""Compare decode step: attn_kernel=xla vs flash(+aliased insert), on HW."""
+"""Decode-step attention crossover sweep (VERDICT r1 #5): attn_kernel=xla
+vs flash(+aliased insert) vs paged(flash+table), on hardware, at
+S x B points. Drives the production default in ModelConfig/_resolve_mode.
+
+Usage: tpu_attn_compare.py [B] [S] [fill] [modes]
+  modes: comma list of xla,flash,paged (default all)
+Model: 2-layer 8B-geometry slice (per-layer cost × n_layers extrapolates).
+"""
 import dataclasses
+import sys
 import time
 
 import jax, jax.numpy as jnp, numpy as np
@@ -7,18 +15,26 @@ from quant_tpu.models import llama
 from quant_tpu.models.config import ModelConfig
 from quant_tpu.utils.timing import differential_time
 
-B, S = 8, 1024
 BASE = ModelConfig(
     vocab_size=4096, dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
     intermediate=14336, group_size=128, kernel_mode="pallas",
 )
 
 
-def run(cfg, params, label):
-    cache = llama.init_cache(cfg, B, S)
-    cache = dataclasses.replace(cache,
-                                lengths=jnp.full((B,), 900, jnp.int32))
-    tok = jnp.ones((B, 1), jnp.int32)
+def run(cfg, params, label, b, s, fill, paged):
+    if paged:
+        n_pages = 1 + b * (s // 128)
+        cache = llama.init_paged_cache(cfg, b, s, n_pages, 128)
+        # slot i owns pages [1 + i*s/128, ...) — contiguous table, full fill
+        tbl = (1 + np.arange(b * (s // 128))).reshape(b, s // 128)
+        cache = dataclasses.replace(
+            cache, page_tbl=jnp.asarray(tbl, jnp.int32),
+            lengths=jnp.full((b,), fill, jnp.int32))
+    else:
+        cache = llama.init_cache(cfg, b, s)
+        cache = dataclasses.replace(
+            cache, lengths=jnp.full((b,), fill, jnp.int32))
+    tok = jnp.ones((b, 1), jnp.int32)
 
     def make(n):
         @jax.jit
@@ -35,15 +51,23 @@ def run(cfg, params, label):
         return f
     t0 = time.perf_counter()
     per = differential_time(make, (params, tok, cache), 2, 14, iters=3)
-    print(f"{label}: {per*1e3:.2f} ms/step (compile {time.perf_counter()-t0:.0f}s)",
-          flush=True)
+    print(f"B={b} S={s} fill={fill} {label}: {per*1e3:7.3f} ms/step "
+          f"(compile {time.perf_counter()-t0:.0f}s)", flush=True)
+    return per
 
 
 def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    fill = int(sys.argv[3]) if len(sys.argv) > 3 else int(s * 0.9)
+    modes = (sys.argv[4].split(",") if len(sys.argv) > 4
+             else ["xla", "flash", "paged"])
     params = llama.init_params_device(BASE, seed=0)
     jax.block_until_ready(params.layers.wqkv.codes)
-    run(dataclasses.replace(BASE, attn_kernel="xla"), params, "xla_attn ")
-    run(dataclasses.replace(BASE, attn_kernel="flash"), params, "flash+ali")
+    for m in modes:
+        cfg = dataclasses.replace(
+            BASE, attn_kernel="flash" if m != "xla" else "xla")
+        run(cfg, params, f"{m:5s}", b, s, fill, paged=(m == "paged"))
 
 
 if __name__ == "__main__":

@@ -58,9 +58,12 @@ def main():
     bits = int(sys.argv[1]) if len(sys.argv) > 1 else BITS
     x, qts = build(bits)
     wbytes = K * N * (1 if bits == 8 else 0.5)
-    for tn, tk in [(4096, 512), (4096, 256), (4096, 1024), (2048, 512),
-                   (2048, 256), (1024, 512), (1024, 256), (4096, 128),
-                   (2048, 1024), (1024, 1024)]:
+    import ast
+    configs = (ast.literal_eval(sys.argv[2]) if len(sys.argv) > 2 else
+               [(4096, 512), (4096, 256), (4096, 1024), (2048, 512),
+                (2048, 256), (1024, 512), (1024, 256), (4096, 128),
+                (2048, 1024), (1024, 1024)])
+    for tn, tk in configs:
         try:
             t0 = time.time()
             per = differential_time(chain_fn(tn, tk), (x, qts), 8, 512,

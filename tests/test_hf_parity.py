@@ -102,6 +102,27 @@ def test_logits_match_transformers():
     assert c > 0.999, c
 
 
+def test_logits_match_transformers_kv_unquantized():
+    """kv_bits=16 (KV quantization OFF) must match torch TIGHTLY: the only
+    remaining error source is the int8 weights both sides share — this
+    pins the bf16-KV fallback path and isolates the int8-KV noise the
+    main parity test tolerates."""
+    cfg = dataclasses.replace(CFG, kv_bits=16)
+    params = llama.init_params(cfg, seed=0)
+    hf = _hf_model_from_params(params, cfg)
+    toks = np.random.default_rng(0).integers(2, cfg.vocab_size, (2, 7))
+
+    with torch.no_grad():
+        hf_logits = hf(torch.from_numpy(toks)).logits.numpy()
+
+    cache = llama.init_cache(cfg, 2, 16)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache, cfg)
+    ours = np.asarray(ours, np.float32)
+
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
 def test_qwen2_logits_match_transformers():
     """Qwen2 family (QKV bias) parity on identical dequantized weights."""
     from transformers import Qwen2Config, Qwen2ForCausalLM
