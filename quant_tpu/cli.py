@@ -83,7 +83,8 @@ def _cmd_serve(args):
 
     params, cfg = load_checkpoint(args.ckpt)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
-                 eos_id=args.eos_id)
+                 eos_id=args.eos_id, paged=args.paged,
+                 page_size=args.page_size, n_pages=args.n_pages)
     serve(eng, host=args.host, port=args.port)
 
 
@@ -168,6 +169,12 @@ def main(argv=None):
     sv.add_argument("--slots", type=int, default=8)
     sv.add_argument("--max-seq", type=int, default=1024)
     sv.add_argument("--eos-id", type=int, default=2)
+    sv.add_argument("--paged", action="store_true",
+                    help="paged KV pool (HBM bounded by allocated pages; "
+                         "enables preemption + oversubscription)")
+    sv.add_argument("--page-size", type=int, default=128)
+    sv.add_argument("--n-pages", type=int, default=None,
+                    help="pool pages (default: full slots*max_seq capacity)")
     sv.set_defaults(fn=_cmd_serve)
 
     s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")

@@ -16,11 +16,13 @@ op was moved out of the kernel:
 
 * Grid ``(M/TM, N/TN, K/TK)``, K innermost ("arbitrary"), f32 VMEM
   accumulator — the canonical Pallas matmul schedule.
-* Scales are PRE-GATHERED by the dispatcher into per-K-step rows
-  ``[n_k, tile_g, TN]`` (one cheap XLA gather per call), so the kernel does
-  zero index arithmetic — it reads block ``(1, tile_g, TN)`` and applies
-  scales AFTER each group's dot on the tiny ``[M, TN]`` partial, never on
-  the ``[TK, TN]`` weight tile.
+* Scales are read STRAIGHT from the scale array via BlockSpec index maps —
+  no XLA-side gather/copy per call (measured: the old pre-gather cost ~2 µs
+  and ~1 MB of HBM round-trip per matmul at decode M). The ``[K/G, N]``
+  array is bitcast-reshaped to ``[K/G/tile_g, tile_g, N]`` so block dims
+  match array dims (Mosaic's sublane-divisibility rule). Scales are applied
+  AFTER each group's dot on the tiny ``[M, TN]`` partial, never on the
+  ``[TK, TN]`` weight tile.
 * INT4 codes are stored split-K (``codec.pack_int4_matmul``): byte row i of
   ``[K/2, N]`` holds code rows i (low nibble) and i + K/2 (high nibble), so
   a packed tile unpacks into TWO contiguous logical-K ranges with no
@@ -41,7 +43,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -141,16 +142,17 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = w_ref[0] if stacked else w_ref[:]
+    s = s_ref[0, 0] if stacked else s_ref[0]         # [tile_g, TN]
     if aq:
         # W8A8: int8 weights feed the MXU directly
-        acc_ref[:] = _scaled_dots_aq(x_ref[:], w, s_ref[0], tile_g, gsz,
+        acc_ref[:] = _scaled_dots_aq(x_ref[:], w, s, tile_g, gsz,
                                      acc_ref[:])
     else:
         # cdt: f32 compute at decode M (int8→f32 converts measure faster
         # than →bf16 on this chip and the MXU is nowhere near the limit at
         # small M); bf16 for large-M prefill where MXU rate matters.
         acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w.astype(cdt),
-                                  s_ref[0], tile_g, gsz, acc_ref[:])
+                                  s, tile_g, gsz, acc_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -158,8 +160,8 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
 
 
 def _kernel_int4(
-    x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-    cdt, stacked=False, aq=False,
+    x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, n_k,
+    tile_g, gsz, cdt, stacked=False, aq=False,
 ):
     k = pl.program_id(2)
 
@@ -171,16 +173,17 @@ def _kernel_int4(
     odt = jnp.int8 if aq else cdt
     lo = ((wi & 0xF) - 8).astype(odt)
     hi = ((wi >> 4) - 8).astype(odt)
-    s = s_ref[0]  # [2*tile_g, TN]: lo rows then hi rows
+    s_lo = s_lo_ref[0, 0] if stacked else s_lo_ref[0]   # [tile_g, TN]
+    s_hi = s_hi_ref[0, 0] if stacked else s_hi_ref[0]
 
     acc = acc_ref[:]
     if aq:
-        acc = _scaled_dots_aq(x_lo_ref[:], lo, s[:tile_g], tile_g, gsz, acc)
-        acc = _scaled_dots_aq(x_hi_ref[:], hi, s[tile_g:], tile_g, gsz, acc)
+        acc = _scaled_dots_aq(x_lo_ref[:], lo, s_lo, tile_g, gsz, acc)
+        acc = _scaled_dots_aq(x_hi_ref[:], hi, s_hi, tile_g, gsz, acc)
     else:
-        acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s[:tile_g], tile_g,
+        acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s_lo, tile_g,
                            gsz, acc)
-        acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s[tile_g:], tile_g,
+        acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s_hi, tile_g,
                            gsz, acc)
     acc_ref[:] = acc
 
@@ -311,26 +314,49 @@ def _dequant_matmul_2d(
     tile_g = max(1, tk // gs)
     gsz = min(gs, tk)
 
-    # Pre-gather per-K-step scale rows: [n_k, tile_g(, x2 for int4), N].
-    starts = (np.arange(n_k) * tk) // gs              # group row per step
-    idx = starts[:, None] + np.arange(tile_g)[None, :]
-    if bits == 4:
-        hi_starts = (k // 2 + np.arange(n_k) * tk) // gs
-        hi_idx = hi_starts[:, None] + np.arange(tile_g)[None, :]
-        idx = np.concatenate([idx, hi_idx], axis=1)   # [n_k, 2*tile_g]
-    scales = qt.scales
-    if stacked:
-        scales = jax.lax.dynamic_index_in_dim(scales, layer, 0, False)
-    s_steps = scales[jnp.asarray(idx)]                # [n_k, rows, N]
-    s_rows = idx.shape[1]
+    # Scales are read straight off the scale array via BlockSpec index
+    # maps — no XLA-side gather/copy per call. The [.., K/G, N] array is
+    # reshaped (a contiguous-bitcast, never a copy) to
+    # [.., K/G/tile_g, tile_g, N] so the block's last-two dims EQUAL the
+    # array dims — Mosaic rejects a sublane block dim that is neither a
+    # multiple of 8 nor the full dim (hardware-measured failure at
+    # tile_g=4). Index maps return block-row indices over the leading dim:
+    # row kk when the K-tile covers whole groups; row kk*TK//G when it
+    # sits inside one.
+    scale_rows = k // gs
+    s3 = qt.scales.reshape(*qt.scales.shape[:-2], scale_rows // tile_g,
+                           tile_g, n)
+    if tk >= gs:                      # tk % gs == 0: block-row kk
+        lo_row = lambda kk: kk
+        hi_off = k_eff // tk if bits == 4 else 0   # = (k/2)//gs / tile_g
+    else:                             # gs % tk == 0: tile_g == 1
+        r = gs // tk
+        lo_row = lambda kk: kk // r
+        # (k/2) % gs == 0 guaranteed by the fallback rules unless gs == k
+        # (single group → row 0 either way).
+        hi_off = (k // 2) // gs if bits == 4 else 0
 
     acc = pltpu.VMEM((tm, tn), jnp.float32)
     out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
     out_spec = pl.BlockSpec(
         (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
     )
-    s_spec = pl.BlockSpec((1, s_rows, tn), lambda i, j, kk: (kk, 0, j),
-                          memory_space=pltpu.VMEM)
+    if stacked:
+        s_lo_spec = pl.BlockSpec(
+            (1, 1, tile_g, tn),
+            lambda i, j, kk, lr: (lr[0], lo_row(kk), 0, j),
+            memory_space=pltpu.VMEM)
+        s_hi_spec = pl.BlockSpec(
+            (1, 1, tile_g, tn),
+            lambda i, j, kk, lr: (lr[0], hi_off + lo_row(kk), 0, j),
+            memory_space=pltpu.VMEM)
+    else:
+        s_lo_spec = pl.BlockSpec(
+            (1, tile_g, tn), lambda i, j, kk: (lo_row(kk), 0, j),
+            memory_space=pltpu.VMEM)
+        s_hi_spec = pl.BlockSpec(
+            (1, tile_g, tn), lambda i, j, kk: (hi_off + lo_row(kk), 0, j),
+            memory_space=pltpu.VMEM)
 
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
@@ -345,8 +371,8 @@ def _dequant_matmul_2d(
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
         x_maps = [lambda i, j, kk: (i, kk)]
-        in_specs_tail = [w_spec, s_spec]
-        args = (x, qt.codes, s_steps)
+        in_specs_tail = [w_spec, s_lo_spec]
+        args = (x, qt.codes, s3)
         w_bytes = k * n
     else:
         k2 = k // 2
@@ -363,14 +389,15 @@ def _dequant_matmul_2d(
                                   memory_space=pltpu.VMEM)
         x_maps = [lambda i, j, kk: (i, kk),
                   lambda i, j, kk: (i, kk + hi_x_off)]
-        in_specs_tail = [w_spec, s_spec]
-        args = (x, x, qt.codes, s_steps)
+        in_specs_tail = [w_spec, s_lo_spec, s_hi_spec]
+        args = (x, x, qt.codes, s3, s3)
         w_bytes = (k // 2) * n
 
     x_bytes = m_pad * k * x.dtype.itemsize
+    s_bytes = (k // gs) * n * 4
     cost = pl.CostEstimate(
         flops=2 * m_pad * n * k,
-        bytes_accessed=w_bytes + x_bytes
+        bytes_accessed=w_bytes + x_bytes + s_bytes
         + m_pad * n * jnp.dtype(out_dtype).itemsize,
         transcendentals=0,
     )
@@ -391,17 +418,14 @@ def _dequant_matmul_2d(
         )(*args)
     else:
         # Scalar-prefetched layer index: every index map takes the
-        # prefetch ref first; non-weight inputs ignore it.
+        # prefetch ref first; x inputs ignore it (weight + scale specs
+        # already take it).
         def lift(f):
             return lambda i, j, kk, lr: f(i, j, kk)
         in_specs = [
             pl.BlockSpec((tm, tk), lift(xm), memory_space=pltpu.VMEM)
             for xm in x_maps
-        ] + [
-            in_specs_tail[0],  # weight spec already takes the prefetch ref
-            pl.BlockSpec((1, s_rows, tn), lambda i, j, kk, lr: (kk, 0, j),
-                         memory_space=pltpu.VMEM),
-        ]
+        ] + in_specs_tail
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_m, n_n, n_k),

@@ -82,6 +82,23 @@ def body_cast_dot(lr, x_ref, w_ref, o_ref, acc):
         o_ref[:] = acc[:]
 
 
+def body_bf16cast_dot(lr, x_ref, w_ref, o_ref, acc):
+    # int8 → bf16 cast (EXACT for |v| ≤ 127: bf16 has 8 mantissa bits) +
+    # bf16×bf16 MXU dot at 2x the f32 rate, f32 accumulation
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+    acc[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[0].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
 def body_i8_dot(lr, x_ref, w_ref, o_ref, acc):
     # int8 x int8 MXU dot, f32 accumulate at the end of each tile
     k = pl.program_id(1)
@@ -133,7 +150,17 @@ def main():
        x, wi, wbytes)
     bw("int8 f32cast+dot              ", stacked_pallas(body_cast_dot),
        x, wi, wbytes)
+    bw("int8 bf16cast+dot             ", stacked_pallas(body_bf16cast_dot),
+       x, wi, wbytes)
     bw("int8 int8-MXU dot             ", stacked_pallas(body_i8_dot),
+       x, wi, wbytes)
+
+    # XLA-native: stacked int8 weights, dynamic layer slice + cast + dot —
+    # does XLA's fused operand-convert beat the Pallas DMA ceiling?
+    bw("int8 XLA cast+dot (no scales) ",
+       lambda c, ws, i: jnp.dot(
+           c, jax.lax.dynamic_index_in_dim(ws, i, 0, False).astype(
+               jnp.bfloat16), preferred_element_type=jnp.float32),
        x, wi, wbytes)
 
     # full production kernel, weight-only and W8A8
