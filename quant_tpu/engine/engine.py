@@ -22,6 +22,12 @@ cache batch-sharded over ``data`` and head-sharded over ``model``, layers
 over ``pipe`` (BASELINE.json:5 "quantized weights and KV tensor-sharded
 across chips"; config 4's v5e-8 host). The batch-1 prefill cache replicates
 over ``data`` and the insert program writes only the owning data shard.
+``paged=True`` composes with (data, model) meshes: each data shard owns a
+private page pool (pool dim sharded over ``data``, kv-heads over
+``model``) and the allocator keeps one free list per data group storing
+SHARD-LOCAL page ids in that group's table rows, so preemption and
+oversubscription stay per-shard decisions with zero cross-chip traffic.
+Paged + pipeline parallelism is not composed yet.
 
 Observability: per-step structured stats (occupancy, tokens/s EMA) via
 ``Engine.stats`` (SURVEY.md §5 metrics).
@@ -111,21 +117,34 @@ class Engine:
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
 
+        data_groups = mesh.shape.get("data", 1) if mesh is not None else 1
+        self._data_groups = data_groups
         if paged:
             # Paged KV pool (VERDICT r1 #4): HBM bounded by allocated
             # pages. Page 0 is RESERVED scratch — freed slots park their
             # table rows there and lengths at 0, so stale decode writes
             # can never corrupt reallocated pages.
-            if mesh is not None:
-                raise ValueError("paged engine is single-host for now "
-                                 "(mesh composes in a later round)")
+            #
+            # With a mesh, each ``data`` shard owns a PRIVATE local pool of
+            # ``n_pages`` pages (pool dim shards over data, kv-heads over
+            # model); page-table rows are slot-major over data and hold
+            # SHARD-LOCAL ids, so the allocator keeps one free list per
+            # data group and the device programs never translate indices.
+            if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+                raise ValueError("paged engine does not compose with "
+                                 "pipeline parallelism yet")
             if max_seq % page_size:
                 raise ValueError(f"max_seq {max_seq} must divide by "
                                  f"page_size {page_size}")
+            if max_slots % data_groups:
+                raise ValueError(f"max_slots {max_slots} must divide by "
+                                 f"data axis {data_groups}")
             if n_pages is None:
-                n_pages = 1 + max_slots * (max_seq // page_size)
-            self.n_pages = n_pages
-            self._free_pages = list(range(n_pages - 1, 0, -1))
+                n_pages = 1 + (max_slots // data_groups) * (
+                    max_seq // page_size)
+            self.n_pages = n_pages  # per data shard
+            self._free_pages = [list(range(n_pages - 1, 0, -1))
+                                for _ in range(data_groups)]
             self._page_tbl = np.zeros(
                 (max_slots, max_seq // page_size), np.int32)
             self._n_alloc = np.zeros((max_slots,), np.int64)
@@ -133,8 +152,8 @@ class Engine:
             self._admit_counter = 0
             self._release_pending: list[int] = []
             self._tbl_dirty = False
-            cache0 = llama.init_paged_cache(cfg, max_slots, max_seq,
-                                            n_pages, page_size)
+            cache0 = llama.init_paged_cache(
+                cfg, max_slots, max_seq, n_pages * data_groups, page_size)
         else:
             cache0 = llama.init_cache(cfg, max_slots, max_seq)
         pf0 = llama.init_cache(cfg, 1, max_seq)
@@ -173,13 +192,22 @@ class Engine:
             self.pf_cache = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 pf0, pf_specs)
-            insert_inner = jax.shard_map(
-                self._insert_local,
-                mesh=mesh,
-                in_specs=(full_specs, pf_specs, P()),
-                out_specs=full_specs,
-                check_vma=False,
-            )
+            if paged:
+                insert_inner = jax.shard_map(
+                    self._insert_paged_local,
+                    mesh=mesh,
+                    in_specs=(full_specs, pf_specs, P(), P()),
+                    out_specs=full_specs,
+                    check_vma=False,
+                )
+            else:
+                insert_inner = jax.shard_map(
+                    self._insert_local,
+                    mesh=mesh,
+                    in_specs=(full_specs, pf_specs, P()),
+                    out_specs=full_specs,
+                    check_vma=False,
+                )
         else:
             self.cache = cache0
             self.pf_cache = pf0
@@ -243,11 +271,11 @@ class Engine:
         )
 
     @staticmethod
-    def _insert_paged(cache, sub, slot, page_ids):
-        """Copy the contiguous single-slot prefill cache into the slot's
-        POOL pages: the prefill S axis reshapes into [n_pages, page] blocks
-        scattered at ``page_ids`` (sentinel n_pages entries drop — pages
-        beyond the prompt stay untouched/free)."""
+    def _paged_scatter(cache, sub, page_ids):
+        """Scatter the contiguous single-slot prefill cache into POOL
+        pages: the prefill S axis reshapes into [n_pages, page] blocks
+        written at ``page_ids`` (out-of-pool sentinel ids drop — pages
+        beyond the prompt stay untouched/free). Returns the four pools."""
         page = cache.page_size
 
         def blocks(a, codes):
@@ -264,14 +292,44 @@ class Engine:
             return pool.at[:, page_ids].set(
                 blocks(a, codes), mode="drop", unique_indices=True)
 
+        return (put(cache.k_codes, sub.k_codes, True),
+                put(cache.k_scale, sub.k_scale, False),
+                put(cache.v_codes, sub.v_codes, True),
+                put(cache.v_scale, sub.v_scale, False))
+
+    @staticmethod
+    def _insert_paged(cache, sub, slot, page_ids):
+        kc, ks, vc, vs = Engine._paged_scatter(cache, sub, page_ids)
         return llama.PagedKVCache(
-            k_codes=put(cache.k_codes, sub.k_codes, True),
-            k_scale=put(cache.k_scale, sub.k_scale, False),
-            v_codes=put(cache.v_codes, sub.v_codes, True),
-            v_scale=put(cache.v_scale, sub.v_scale, False),
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
             page_tbl=cache.page_tbl,
             lengths=jax.lax.dynamic_update_slice(
                 cache.lengths, sub.lengths, (slot,)),
+        )
+
+    @staticmethod
+    def _insert_paged_local(cache, sub, slot, page_ids):
+        """Paged insert under shard_map: pool + table rows are sharded
+        over ``data`` (shard-local page ids); ``sub`` replicates. Only the
+        shard owning ``slot`` commits — other shards remap every id to a
+        distinct out-of-pool sentinel so the scatter drops all writes."""
+        b_loc = cache.page_tbl.shape[0]
+        di = jax.lax.axis_index("data")
+        rel = slot - di * b_loc
+        owned = (rel >= 0) & (rel < b_loc)
+        lp = jnp.clip(rel, 0, b_loc - 1)
+        n_loc = cache.k_codes.shape[1]
+        sent = n_loc + jnp.arange(page_ids.shape[0],
+                                  dtype=page_ids.dtype)
+        kc, ks, vc, vs = Engine._paged_scatter(
+            cache, sub, jnp.where(owned, page_ids, sent))
+        cur_len = jax.lax.dynamic_slice_in_dim(cache.lengths, lp, 1)
+        return llama.PagedKVCache(
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+            page_tbl=cache.page_tbl,
+            lengths=jax.lax.dynamic_update_slice(
+                cache.lengths, jnp.where(owned, sub.lengths, cur_len),
+                (lp,)),
         )
 
     @staticmethod
@@ -326,20 +384,26 @@ class Engine:
     def _pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page_size)
 
+    def _group(self, slot: int) -> int:
+        """Data group owning a slot (slot-major sharding over ``data``)."""
+        return slot // (self.max_slots // self._data_groups)
+
     def _ensure_pages(self, slot: int, upto_len: int) -> bool:
         need = self._pages_for(min(upto_len, self.max_seq))
+        free = self._free_pages[self._group(slot)]
         while self._n_alloc[slot] < need:
-            if not self._free_pages:
+            if not free:
                 return False
-            pg = self._free_pages.pop()
+            pg = free.pop()
             self._page_tbl[slot, self._n_alloc[slot]] = pg
             self._n_alloc[slot] += 1
             self._tbl_dirty = True
         return True
 
     def _free_slot_pages(self, slot: int) -> None:
+        free = self._free_pages[self._group(slot)]
         for j in range(int(self._n_alloc[slot])):
-            self._free_pages.append(int(self._page_tbl[slot, j]))
+            free.append(int(self._page_tbl[slot, j]))
         self._page_tbl[slot, :] = 0  # reserved scratch page
         self._n_alloc[slot] = 0
         self._release_pending.append(slot)
@@ -357,15 +421,20 @@ class Engine:
                 self.cache, lengths=self.cache.lengths.at[idx].set(0))
             self._release_pending = []
         if self._tbl_dirty:
-            self.cache = dataclasses.replace(
-                self.cache, page_tbl=jnp.asarray(self._page_tbl))
+            tbl = jnp.asarray(self._page_tbl)
+            if self.mesh is not None:
+                tbl = jax.device_put(
+                    tbl, NamedSharding(self.mesh, P("data", None)))
+            self.cache = dataclasses.replace(self.cache, page_tbl=tbl)
             self._tbl_dirty = False
 
-    def _preempt_newest(self) -> bool:
-        """Evict the most recently admitted slot, returning its pages; the
-        request re-enqueues at the queue head and RESUMES later (admission
+    def _preempt_newest(self, group: int = 0) -> bool:
+        """Evict the most recently admitted slot IN ``group`` (pools and
+        free lists are per data group), returning its pages; the request
+        re-enqueues at the queue head and RESUMES later (admission
         prefills prompt + generated output, preserving the stream)."""
-        cands = [i for i, s in enumerate(self.slots) if s is not None]
+        cands = [i for i, s in enumerate(self.slots)
+                 if s is not None and self._group(i) == group]
         if not cands:
             return False
         victim = max(cands, key=lambda i: self._admit_seq[i])
@@ -389,7 +458,7 @@ class Engine:
                 if self._ensure_pages(i, min(used + horizon,
                                              self.max_seq)):
                     break
-                if not self._preempt_newest():
+                if not self._preempt_newest(self._group(i)):
                     raise RuntimeError(
                         "page pool exhausted with nothing to preempt")
 
@@ -440,7 +509,7 @@ class Engine:
         # prompt complete: insert into the decode cache + first token
         if self.paged:
             while not self._ensure_pages(slot, len(stream) + 1):
-                if not self._preempt_newest():
+                if not self._preempt_newest(self._group(slot)):
                     raise RuntimeError(
                         "page pool exhausted with nothing to preempt")
             self._admit_counter += 1

@@ -70,14 +70,33 @@ def param_specs(params: llama.LlamaParams):
     return jax.tree_util.tree_map_with_path(_spec_for, params)
 
 
-def cache_specs(cache: llama.KVCache, batch_axis: str | None = "data"):
+def cache_specs(cache, batch_axis: str | None = "data"):
     """KV cache specs: [L, B, Hkv, S(, Dh)] → batch on data, kv-heads on
     model, sequence on seq (mesh axes of size 1 are no-ops).
 
     ``batch_axis=None`` replicates the batch dim — used for the engine's
     batch-1 prefill cache, which every data shard computes redundantly and
     then inserts into its own slot range.
+
+    A :class:`llama.PagedKVCache` shards its page POOL over ``data`` (each
+    data shard owns a private local pool) and kv-heads over ``model``;
+    page-table rows are slot-major over ``data`` and hold SHARD-LOCAL page
+    ids — the engine's allocator maintains per-data-group free lists, so
+    inside ``shard_map`` every shard sees exactly its own slots' rows with
+    indices valid in its local pool.
     """
+    if isinstance(cache, llama.PagedKVCache):
+        def pspec(path, leaf):
+            field = _path_names(path)[-1]
+            if field == "lengths":
+                return P(batch_axis)
+            if field == "page_tbl":
+                return P(batch_axis, None)
+            if field.endswith("codes"):   # [L, P, Hkv, page, Dh]
+                return P(None, batch_axis, "model", None, None)
+            return P(None, batch_axis, "model", None)
+        return jax.tree_util.tree_map_with_path(pspec, cache)
+
     def spec(path, leaf):
         field = _path_names(path)[-1]
         if field == "lengths":

@@ -26,3 +26,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)  # enabled per-test where useful
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_xla_executables_between_modules():
+    """XLA:CPU's LLVM JIT segfaults after enough compilations accumulate in
+    one process (observed twice at ~140 suite items: SIGSEGV inside
+    backend_compile_and_load on a module that passes standalone). Dropping
+    the jit caches between modules releases unreferenced executables and
+    keeps the per-process JIT population bounded. Costs some recompilation
+    per module; correctness is unaffected.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

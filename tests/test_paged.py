@@ -145,7 +145,7 @@ def test_paged_engine_matches_reference():
     for p, o in zip(prompts, outs):
         assert o == _reference_greedy(params, p, 6), (p, o)
     # all pages returned after the batch drains
-    assert len(eng._free_pages) == eng.n_pages - 1
+    assert len(eng._free_pages[0]) == eng.n_pages - 1
 
 
 def test_paged_engine_step_block():
@@ -184,7 +184,7 @@ def test_paged_engine_oversubscribed_preempts():
         eng.step()
     assert r1.output == _reference_greedy(params, p1, 24, max_seq=48)
     assert r2.output == _reference_greedy(params, p2, 24, max_seq=48)
-    assert len(eng._free_pages) == eng.n_pages - 1
+    assert len(eng._free_pages[0]) == eng.n_pages - 1
 
 
 def test_paged_engine_hbm_bounded():
