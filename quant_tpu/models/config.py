@@ -38,9 +38,12 @@ class ModelConfig:
     # keeps the cache-insert scatter in-place; "flash" uses the Pallas
     # flash-decode kernel + the aliased in-place insert kernel
     # (kernels/cache_insert.py). With a PagedKVCache, "flash" (or "paged")
-    # selects the page-table Pallas pair. Crossover measured in
-    # scripts/tpu_attn_compare.py — see README table.
-    attn_kernel: str = "xla"
+    # selects the page-table Pallas pair. "auto" picks per static shard
+    # shape at trace time from the hardware crossover measured in
+    # scripts/tpu_attn_compare.py (README table): Pallas pair always for a
+    # paged pool, flash at S>=8k (or the measured B=16 XLA pathology), the
+    # fused XLA path at short/mid context.
+    attn_kernel: str = "auto"
     dtype: str = "bfloat16"
 
     def __post_init__(self):
@@ -48,6 +51,9 @@ class ModelConfig:
             object.__setattr__(self, "head_dim", self.dim // self.n_heads)
         if self.kv_bits not in (8, 16):
             raise ValueError(f"kv_bits must be 8 or 16, got {self.kv_bits}")
+        if self.attn_kernel not in ("auto", "xla", "flash", "paged"):
+            raise ValueError(f"attn_kernel must be auto|xla|flash|paged, "
+                             f"got {self.attn_kernel!r}")
 
 
 PRESETS: dict[str, ModelConfig] = {

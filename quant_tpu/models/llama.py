@@ -197,6 +197,38 @@ def _resolve_mode(cfg: ModelConfig) -> str:
     return mode
 
 
+def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
+                         mode: str, paged: bool = False) -> str:
+    """Decode-attention backend for ``attn_kernel="auto"``.
+
+    Paged cache: always the Pallas page-table pair — the only alternative
+    gathers every slot's pages into a contiguous copy per layer
+    (``paged_gather``), which exists for tests/prefill, not decode.
+
+    Contiguous cache: hardware crossover measured in
+    scripts/tpu_attn_compare.py (README table, axon v5e-class chip,
+    8B-geometry slice at 90% fill, ±~0.05 ms differential timing): the
+    fused XLA path wins at short/mid context (S<=4096) across B in
+    {8, 32, 48}; the Pallas flash kernel wins at long context (S>=8k,
+    1.2x at S=16k) and at the one measured XLA fusion pathology
+    (B=16/S=1024: XLA 1.44 ms vs flash 0.85 — kept as a narrow
+    carve-out). ``b`` and ``s_max`` are the SHARD-local static shapes,
+    so the rule applies per-chip under data/tensor sharding exactly as
+    measured.
+    """
+    if cfg.attn_kernel != "auto":
+        return cfg.attn_kernel
+    if mode not in ("pallas", "pallas_interpret"):
+        return "xla"  # no Pallas backend to select
+    if paged:
+        return "flash"
+    if s_max >= 8192:
+        return "flash"
+    if b == 16 and s_max < 4096:
+        return "flash"  # measured XLA pathology at exactly this shape
+    return "xla"
+
+
 def _mm(cfg: ModelConfig):
     cfg = dataclasses.replace(cfg, kernel_mode=_resolve_mode(cfg))
     if cfg.kernel_mode == "xla":
@@ -742,7 +774,9 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # Paged pool path (SURVEY #5/#15): page-table-addressed insert
             # + attention. Pallas kernels for the decode hot loop; the XLA
             # mode gathers the slot's pages (tests / prefill).
-            pg_flash = (t == 1 and cfg.attn_kernel in ("flash", "paged")
+            ak = _resolve_attn_kernel(
+                cfg, b, page_tbl.shape[1] * kc.shape[3], mode, paged=True)
+            pg_flash = (t == 1 and ak in ("flash", "paged")
                         and cfg.kv_bits == 8
                         and mode in ("pallas", "pallas_interpret"))
             interp = mode == "pallas_interpret"
@@ -773,8 +807,9 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            paged_gather(vs, page_tbl, idx),
                            positions, new_lengths, cfg)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
+        ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
-                 and cfg.attn_kernel == "flash" and cfg.kv_bits == 8
+                 and ak == "flash" and cfg.kv_bits == 8
                  and mode in ("pallas", "pallas_interpret"))
         if flash:
             # Aliased Pallas insert: an XLA scatter feeding the (opaque)

@@ -49,8 +49,11 @@ def run(cfg, params, label, b, s, fill, paged):
             tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
             return jnp.sum(tok)
         return f
+    # Wide repetition spread: with the relay's 40-80 ms RPC jitter, a
+    # (2,14) spread leaves ~±1 ms/cell noise (observed: a 0.39 ms reading
+    # at a 0.56 ms physical floor); (6,62) divides the jitter by 56.
     t0 = time.perf_counter()
-    per = differential_time(make, (params, tok, cache), 2, 14, iters=3)
+    per = differential_time(make, (params, tok, cache), 6, 62, iters=5)
     print(f"B={b} S={s} fill={fill} {label}: {per*1e3:7.3f} ms/step "
           f"(compile {time.perf_counter()-t0:.0f}s)", flush=True)
     return per

@@ -185,3 +185,34 @@ def test_int8_embedding():
     c = np.corrcoef(np.asarray(lg, np.float32).ravel(),
                     np.asarray(lg16, np.float32).ravel())[0, 1]
     assert c > 0.999
+
+
+def test_resolve_attn_kernel_auto():
+    """attn_kernel="auto" follows the measured hardware crossover
+    (scripts/tpu_attn_compare.py / README table): Pallas from B>=32 at any
+    context or S>=8k at any batch; XLA below; never Pallas without a
+    Pallas backend; explicit settings pass through untouched."""
+    auto = dataclasses.replace(CFG, attn_kernel="auto")
+    r = llama._resolve_attn_kernel
+    assert r(auto, 8, 1024, "pallas") == "xla"
+    assert r(auto, 16, 4096, "pallas") == "xla"
+    assert r(auto, 32, 1024, "pallas") == "xla"
+    assert r(auto, 48, 1024, "pallas") == "xla"
+    assert r(auto, 16, 1024, "pallas") == "flash"  # measured XLA pathology
+    assert r(auto, 8, 8192, "pallas") == "flash"
+    assert r(auto, 32, 16384, "pallas") == "flash"
+    assert r(auto, 64, 16384, "xla") == "xla"  # no pallas backend
+    # paged pool: always the Pallas page-table pair (the alternative is a
+    # full per-layer page gather), but never without a Pallas backend
+    assert r(auto, 4, 512, "pallas", paged=True) == "flash"
+    assert r(auto, 4, 512, "xla", paged=True) == "xla"
+    for explicit in ("xla", "flash", "paged"):
+        cfg = dataclasses.replace(CFG, attn_kernel=explicit)
+        assert r(cfg, 64, 16384, "pallas") == explicit
+
+
+def test_attn_kernel_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="attn_kernel"):
+        dataclasses.replace(CFG, attn_kernel="bogus")
