@@ -22,12 +22,12 @@ cache batch-sharded over ``data`` and head-sharded over ``model``, layers
 over ``pipe`` (BASELINE.json:5 "quantized weights and KV tensor-sharded
 across chips"; config 4's v5e-8 host). The batch-1 prefill cache replicates
 over ``data`` and the insert program writes only the owning data shard.
-``paged=True`` composes with (data, model) meshes: each data shard owns a
-private page pool (pool dim sharded over ``data``, kv-heads over
-``model``) and the allocator keeps one free list per data group storing
-SHARD-LOCAL page ids in that group's table rows, so preemption and
-oversubscription stay per-shard decisions with zero cross-chip traffic.
-Paged + pipeline parallelism is not composed yet.
+``paged=True`` composes with (pipe, data, model) meshes: each data shard
+owns a private page pool (pool dim sharded over ``data``, kv-heads over
+``model``, layer slices over ``pipe``) and the allocator keeps one free
+list per data group storing SHARD-LOCAL page ids in that group's table
+rows, so preemption and oversubscription stay per-shard decisions with
+zero cross-chip traffic.
 
 Observability: per-step structured stats (occupancy, tokens/s EMA) via
 ``Engine.stats`` (SURVEY.md §5 metrics).
@@ -96,6 +96,7 @@ class Engine:
         paged: bool = False,
         page_size: int = 128,
         n_pages: int | None = None,
+        prefix_cache: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -104,6 +105,25 @@ class Engine:
         self.eos_id = eos_id
         self.paged = paged
         self.page_size = page_size
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            # Prompt-prefix page sharing (vLLM-style automatic prefix
+            # caching, re-designed for the paged pool): full page-aligned
+            # prompt blocks are content-addressed by a chained digest;
+            # admission reuses matching pages (skipping their prefill
+            # compute entirely) and prefills only the suffix DIRECTLY into
+            # pool pages, attending to the shared prefix via the page
+            # table. Freed pages whose blocks remain cached become
+            # evictable (LRU) rather than free.
+            if not paged:
+                raise ValueError("prefix_cache requires paged=True")
+            if mesh is not None:
+                raise ValueError("prefix_cache is single-host for now")
+            self._prefix_map: dict[bytes, int] = {}   # block key → page
+            self._page_key: dict[int, bytes] = {}     # page → block key
+            self._evictable: dict[int, None] = {}     # LRU (insert order)
+            self._page_ref: dict[int, int] = {}       # live references
+            self._prefix_hit_tokens = 0
         self.slots: list[Request | None] = [None] * max_slots
         self.last_tokens = np.zeros((max_slots,), np.int32)
         self.pending: list[Request] = []
@@ -130,9 +150,8 @@ class Engine:
             # model); page-table rows are slot-major over data and hold
             # SHARD-LOCAL ids, so the allocator keeps one free list per
             # data group and the device programs never translate indices.
-            if mesh is not None and mesh.shape.get("pipe", 1) > 1:
-                raise ValueError("paged engine does not compose with "
-                                 "pipeline parallelism yet")
+            # Under pipeline parallelism each (pipe, data) shard
+            # additionally holds only its layer slice of the pool.
             if max_seq % page_size:
                 raise ValueError(f"max_seq {max_seq} must divide by "
                                  f"page_size {page_size}")
@@ -359,6 +378,32 @@ class Engine:
                 (lp,)),
         )
 
+    def _prefix_prefill_fn(self, t_pad: int):
+        """Suffix prefill DIRECTLY into pool pages (prefix-cache mode): a
+        batch-1 PagedKVCache view shares the pool buffers and the slot's
+        table row, so the chunk attends to reused prefix pages through the
+        page table and its KV writes land in the slot's own pages — no
+        separate insert program. Pools are donated and threaded back."""
+        key = ("px", t_pad)
+        if key in self._prefills:
+            return self._prefills[key]
+        fwd_one = self._fwd_one
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill(params, tokens, pools, tbl_row, start, true_len):
+            kc, ks, vc, vs = pools
+            view = llama.PagedKVCache(
+                k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+                page_tbl=tbl_row[None], lengths=start[None])
+            logits, view = fwd_one(params, tokens, view)
+            last = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, 0, False)
+            return last, (view.k_codes, view.k_scale,
+                          view.v_codes, view.v_scale)
+
+        self._prefills[key] = prefill
+        return prefill
+
     def _prefill_fn(self, t_pad: int):
         if t_pad in self._prefills:
             return self._prefills[t_pad]
@@ -388,13 +433,80 @@ class Engine:
         """Data group owning a slot (slot-major sharding over ``data``)."""
         return slot // (self.max_slots // self._data_groups)
 
+    def _block_keys(self, stream: list[int]) -> list[bytes]:
+        """Chained content digests of the stream's FULL page-aligned
+        blocks: key_j = H(key_{j-1} || tokens of block j), so a match at
+        block j implies the entire prefix matches (and the KV it produced,
+        positions being absolute under RoPE)."""
+        import hashlib
+
+        page = self.page_size
+        keys, h = [], b""
+        for j in range(len(stream) // page):
+            blk = np.asarray(stream[j * page:(j + 1) * page], np.int32)
+            h = hashlib.blake2b(h + blk.tobytes(), digest_size=16).digest()
+            keys.append(h)
+        return keys
+
+    def _match_prefix(self, slot: int, stream: list[int]) -> int:
+        """Point the slot's leading table entries at cached pages matching
+        the stream's longest full-block prefix; returns the token count
+        covered (prefill resumes there). At least one token is always left
+        to prefill — its logits seed sampling."""
+        page = self.page_size
+        max_k = (len(stream) - 1) // page
+        k = 0
+        for j, key in enumerate(self._block_keys(stream)[:max_k]):
+            pg = self._prefix_map.get(key)
+            if pg is None:
+                break
+            if self._page_ref.get(pg, 0) == 0:
+                self._evictable.pop(pg, None)  # re-referenced
+                self._page_ref[pg] = 1
+            else:
+                self._page_ref[pg] += 1
+            self._page_tbl[slot, j] = pg
+            self._tbl_dirty = True
+            k = j + 1
+        self._n_alloc[slot] = k
+        self._prefix_hit_tokens += k * page
+        return k * page
+
+    def _register_prefix(self, slot: int, stream: list[int]) -> None:
+        """Publish the slot's filled full blocks into the prefix map (the
+        pages now hold exactly those blocks' KV)."""
+        for j, key in enumerate(self._block_keys(stream)):
+            if key in self._prefix_map:
+                continue
+            pg = int(self._page_tbl[slot, j])
+            if pg in self._page_key:   # page already published (shared)
+                continue
+            self._prefix_map[key] = pg
+            self._page_key[pg] = key
+
+    def _alloc_page(self, group: int) -> int | None:
+        """A blank page from the group's free list, else (prefix mode) the
+        least-recently-cached evictable page — its block leaves the
+        prefix map; else None (caller preempts)."""
+        free = self._free_pages[group]
+        if free:
+            return free.pop()
+        if self.prefix_cache and self._evictable:
+            pg = next(iter(self._evictable))
+            del self._evictable[pg]
+            del self._prefix_map[self._page_key.pop(pg)]
+            return pg
+        return None
+
     def _ensure_pages(self, slot: int, upto_len: int) -> bool:
         need = self._pages_for(min(upto_len, self.max_seq))
-        free = self._free_pages[self._group(slot)]
+        group = self._group(slot)
         while self._n_alloc[slot] < need:
-            if not free:
+            pg = self._alloc_page(group)
+            if pg is None:
                 return False
-            pg = free.pop()
+            if self.prefix_cache:
+                self._page_ref[pg] = 1
             self._page_tbl[slot, self._n_alloc[slot]] = pg
             self._n_alloc[slot] += 1
             self._tbl_dirty = True
@@ -403,7 +515,16 @@ class Engine:
     def _free_slot_pages(self, slot: int) -> None:
         free = self._free_pages[self._group(slot)]
         for j in range(int(self._n_alloc[slot])):
-            free.append(int(self._page_tbl[slot, j]))
+            pg = int(self._page_tbl[slot, j])
+            if self.prefix_cache:
+                self._page_ref[pg] -= 1
+                if self._page_ref[pg] > 0:
+                    continue  # still referenced by another slot
+                if pg in self._page_key:
+                    # block stays cached; page becomes evictable (LRU)
+                    self._evictable[pg] = None
+                    continue
+            free.append(pg)
         self._page_tbl[slot, :] = 0  # reserved scratch page
         self._n_alloc[slot] = 0
         self._release_pending.append(slot)
@@ -487,10 +608,23 @@ class Engine:
             if free is None:
                 return
             req = self.pending.pop(0)
-            self.pf_cache = dataclasses.replace(
-                self.pf_cache,
-                lengths=jnp.zeros_like(self.pf_cache.lengths))
-            self._prefilling = [req, free, 0, None]
+            if self.prefix_cache:
+                # match the longest cached full-block prefix, then
+                # allocate the slot's remaining pages up front — suffix
+                # chunks write pool pages directly (no insert program)
+                stream0 = req.prompt + req.output
+                off0 = self._match_prefix(free, stream0)
+                while not self._ensure_pages(
+                        free, min(len(stream0) + 1, self.max_seq)):
+                    if not self._preempt_newest(self._group(free)):
+                        raise RuntimeError(
+                            "page pool exhausted with nothing to preempt")
+                self._prefilling = [req, free, off0, None]
+            else:
+                self.pf_cache = dataclasses.replace(
+                    self.pf_cache,
+                    lengths=jnp.zeros_like(self.pf_cache.lengths))
+                self._prefilling = [req, free, 0, None]
         req, slot, off, _ = self._prefilling
         # stream = prompt + output: a PREEMPTED request resumes by
         # prefilling everything it had produced so far (paged engine).
@@ -499,15 +633,35 @@ class Engine:
         t_pad = _bucket(len(chunk))
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, : len(chunk)] = chunk
-        last, self.pf_cache = self._prefill_fn(t_pad)(
-            self.params, jnp.asarray(toks), self.pf_cache,
-            jnp.int32(len(chunk)))
+        if self.prefix_cache:
+            pools = (self.cache.k_codes, self.cache.k_scale,
+                     self.cache.v_codes, self.cache.v_scale)
+            last, pools = self._prefix_prefill_fn(t_pad)(
+                self.params, jnp.asarray(toks), pools,
+                jnp.asarray(self._page_tbl[slot], jnp.int32),
+                jnp.int32(off), jnp.int32(len(chunk)))
+            self.cache = dataclasses.replace(
+                self.cache, k_codes=pools[0], k_scale=pools[1],
+                v_codes=pools[2], v_scale=pools[3])
+        else:
+            last, self.pf_cache = self._prefill_fn(t_pad)(
+                self.params, jnp.asarray(toks), self.pf_cache,
+                jnp.int32(len(chunk)))
         off += len(chunk)
         if off < len(stream):
             self._prefilling = [req, slot, off, None]
             return
         # prompt complete: insert into the decode cache + first token
-        if self.paged:
+        if self.prefix_cache:
+            # KV already in pool pages; publish device length + new blocks
+            self._admit_counter += 1
+            self._admit_seq[slot] = self._admit_counter
+            self._register_prefix(slot, stream)
+            self._sync_paged()
+            self.cache = dataclasses.replace(
+                self.cache,
+                lengths=self.cache.lengths.at[slot].set(len(stream)))
+        elif self.paged:
             while not self._ensure_pages(slot, len(stream) + 1):
                 if not self._preempt_newest(self._group(slot)):
                     raise RuntimeError(
@@ -568,6 +722,10 @@ class Engine:
         if self._prefilling is not None \
                 and self._prefilling[0].req_id == req_id:
             self._prefilling[0].finished = True
+            if self.prefix_cache:
+                # prefix mode allocates the slot's pages at admission
+                # START — release them or they leak
+                self._free_slot_pages(self._prefilling[1])
             self._prefilling = None
             log.info("cancel prefilling req=%d", req_id)
             return True
@@ -681,6 +839,9 @@ class Engine:
             "pending": len(self.pending)
             + (1 if self._prefilling is not None else 0),
             "tokens_per_s_ema": round(self._tok_ema, 1),
+            **({"prefix_hit_tokens": self._prefix_hit_tokens,
+                "cached_blocks": len(self._prefix_map)}
+               if self.prefix_cache else {}),
         }
 
     def has_work(self) -> bool:

@@ -3,7 +3,7 @@ criterion: >= parity with the contiguous cache at B=48, plus a larger
 feasible B via page oversubscription).
 
 Usage: tpu_paged_decode_probe.py [preset] [layers] [B] [max_seq] [fill]
-                                 [pages_frac]
+                                 [pages_frac] [page_size]
 ``pages_frac`` < 1 oversubscribes the pool (e.g. 0.5 = half the pages the
 contiguous layout would need — the HBM saving that unlocks larger B).
 """
@@ -33,7 +33,7 @@ def main():
     max_seq = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     fill = int(sys.argv[5]) if len(sys.argv) > 5 else 900
     frac = float(sys.argv[6]) if len(sys.argv) > 6 else 1.0
-    page = 128
+    page = int(sys.argv[7]) if len(sys.argv) > 7 else 128
     cfg = dataclasses.replace(
         PRESETS[preset], attn_kernel="flash", kernel_mode="pallas")
     if layers:
@@ -48,7 +48,9 @@ def main():
     print(f"device init: {time.perf_counter()-t0:.1f}s", flush=True)
 
     cache = llama.init_paged_cache(cfg, batch, max_seq, n_pages, page)
-    need = -(-fill // page) + 1  # pages to cover fill + next token
+    # pages to cover fill + the one in-flight token (the probe's decode
+    # loop holds position, so the chain never advances past fill+1)
+    need = min(-(-(fill + 1) // page), max_seq // page)
     if batch * need > n_pages - 1:
         raise SystemExit(f"fill {fill} needs {batch*need} pages > pool")
     tbl = np.zeros((batch, max_seq // page), np.int32)
@@ -74,7 +76,7 @@ def main():
         return run
 
     tok = jnp.ones((batch, 1), jnp.int32)
-    n_lo, n_hi = 2, 18
+    n_lo, n_hi = 6, 62  # wide spread: relay jitter / 56 (see README note)
     t0 = time.perf_counter()
     t_lo = timed(steps_fn(n_lo), params, tok, cache)
     print(f"lo done {time.perf_counter()-t0:.0f}s", flush=True)
