@@ -754,6 +754,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         lengths = jax.lax.dynamic_slice_in_dim(lengths, batch0, b)
         positions = jax.lax.dynamic_slice_in_dim(positions, batch0, b)
         new_lengths = jax.lax.dynamic_slice_in_dim(new_lengths, batch0, b)
+        if page_tbl is not None:
+            # microbatched PP over a paged pool: the table rows follow
+            # the microbatch's slot window
+            page_tbl = jax.lax.dynamic_slice_in_dim(page_tbl, batch0, b)
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry

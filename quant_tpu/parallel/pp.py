@@ -48,7 +48,26 @@ def pp_param_specs(params: llama.LlamaParams):
     return jax.tree_util.tree_map_with_path(fix, base)
 
 
-def pp_cache_specs(cache: llama.KVCache, batch_axis: str | None = "data"):
+def pp_cache_specs(cache, batch_axis: str | None = "data"):
+    """KV cache specs with the layer stack over ``pipe``.
+
+    A :class:`llama.PagedKVCache` additionally shards its page POOL over
+    ``data`` (per-shard local pools with shard-local table ids, exactly as
+    in :func:`tp.cache_specs`) — every (pipe, data) shard holds its layer
+    slice of its data group's pool pages.
+    """
+    if isinstance(cache, llama.PagedKVCache):
+        def pspec(path, leaf):
+            field = tp_mod._path_names(path)[-1]
+            if field == "lengths":
+                return P(batch_axis)
+            if field == "page_tbl":
+                return P(batch_axis, None)
+            if field.endswith("codes"):   # [L, P, Hkv, page, Dh]
+                return P("pipe", batch_axis, "model", None, None)
+            return P("pipe", batch_axis, "model", None)
+        return jax.tree_util.tree_map_with_path(pspec, cache)
+
     def spec(path, leaf):
         field = tp_mod._path_names(path)[-1]
         if field == "lengths":
@@ -86,6 +105,10 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     mm = llama._mm(cfg)
     b, t = tokens.shape
     dt = llama._act_dtype(cfg)
+    paged = isinstance(cache, llama.PagedKVCache)
+    if paged and seq_axis is not None:
+        raise ValueError("paged cache does not compose with seq sharding")
+    page_tbl = cache.page_tbl if paged else None
     if seq_axis is not None:
         s_loc = cache.k_codes.shape[3]
         s0 = jax.lax.axis_index(seq_axis) * s_loc
@@ -112,7 +135,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     if n_micro == 1:
         layer_step = llama.make_layer_step(
             params.layers, cache.lengths, cfg, mm, b, t, positions,
-            new_lengths, s0, axis, dt, seq_axis,
+            new_lengths, s0, axis, dt, seq_axis, page_tbl=page_tbl,
         )
         h = llama._embed_lookup(params.embed, tokens, dt)
         for s in range(pp):
@@ -148,6 +171,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
             layer_step = llama.make_layer_step(
                 params.layers, cache.lengths, cfg, mm, b_mb, t, positions,
                 new_lengths, s0, axis, dt, seq_axis, batch0=b0,
+                page_tbl=page_tbl,
             )
             h_out, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 active,
@@ -174,9 +198,14 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
     logits = logits[..., :cfg.vocab_size]  # drop lm_head tile padding
-    new_cache = llama.KVCache(
-        k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs, lengths=new_lengths
-    )
+    if paged:
+        new_cache = llama.PagedKVCache(
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+            page_tbl=cache.page_tbl, lengths=new_lengths)
+    else:
+        new_cache = llama.KVCache(
+            k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+            lengths=new_lengths)
     return logits, new_cache
 
 

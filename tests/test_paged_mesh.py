@@ -45,6 +45,8 @@ def _prompts(n, seed=0, lens=(5, 11, 3, 8)):
     (dict(data=2, model=4), 4),   # DP x TP (8 devices)
     (dict(data=2, model=2), 2),   # DP x TP (4 devices)
     (dict(data=1, model=4), 4),   # pure TP
+    (dict(pipe=2, model=2), 2),   # PP x TP (stage-sliced pool)
+    (dict(pipe=2, data=2, model=2), 2),   # PP x DP x TP (8 devices)
 ])
 def test_paged_mesh_engine_matches_reference(mesh_kw, tp_pack):
     params_ref = llama.init_params(CFG, seed=0, tp=1)
@@ -105,9 +107,15 @@ def test_paged_mesh_oversubscribed_preempts_per_group():
         assert len(free) == eng.n_pages - 1
 
 
-def test_paged_pipe_mesh_rejected():
-    params = llama.init_params(CFG, seed=0, tp=2)
+def test_paged_pp_microbatched_matches_reference():
+    """GPipe microbatching over the paged pool: page-table rows follow the
+    microbatch slot window (llama.make_layer_step slices them by batch0)."""
+    params_ref = llama.init_params(CFG, seed=4, tp=1)
+    params = llama.init_params(CFG, seed=4, tp=2)
     mesh = make_mesh(pipe=2, model=2)
-    with pytest.raises(ValueError, match="pipeline"):
-        Engine(params, CFG, max_slots=4, max_seq=64, mesh=mesh,
-               paged=True, page_size=PAGE)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh, paged=True, page_size=PAGE, pp_micro=2)
+    prompts = _prompts(4, seed=9)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 6), (p, o)
