@@ -84,7 +84,8 @@ def _cmd_serve(args):
     params, cfg = load_checkpoint(args.ckpt)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
                  eos_id=args.eos_id, paged=args.paged,
-                 page_size=args.page_size, n_pages=args.n_pages)
+                 page_size=args.page_size, n_pages=args.n_pages,
+                 spec_gamma=args.spec_gamma)
     serve(eng, host=args.host, port=args.port)
 
 
@@ -175,6 +176,9 @@ def main(argv=None):
     sv.add_argument("--page-size", type=int, default=128)
     sv.add_argument("--n-pages", type=int, default=None,
                     help="pool pages (default: full slots*max_seq capacity)")
+    sv.add_argument("--spec-gamma", type=int, default=0,
+                    help="speculative decoding draft length (0 = off); "
+                         "n-gram prompt-lookup drafts, greedy slots only")
     sv.set_defaults(fn=_cmd_serve)
 
     s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")

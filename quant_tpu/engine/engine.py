@@ -29,6 +29,13 @@ list per data group storing SHARD-LOCAL page ids in that group's table
 rows, so preemption and oversubscription stay per-shard decisions with
 zero cross-chip traffic.
 
+Speculative decoding (``spec_gamma > 0``): host-side draft proposals
+(n-gram prompt lookup by default, engine/spec.py) verified by ONE
+(gamma+1)-token forward per step — greedy slots commit 1..gamma+1 tokens
+per dispatch with output bit-identical to plain greedy decoding. Composes
+with meshes and the paged pool; ``step_block`` ignores it (the fused
+device loop has no host between iterations to propose drafts).
+
 Observability: per-step structured stats (occupancy, tokens/s EMA) via
 ``Engine.stats`` (SURVEY.md §5 metrics).
 """
@@ -97,6 +104,8 @@ class Engine:
         page_size: int = 128,
         n_pages: int | None = None,
         prefix_cache: bool = False,
+        spec_gamma: int = 0,
+        spec_proposer=None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -268,6 +277,41 @@ class Engine:
             return out, cache, key
 
         self._decode_block = decode_block
+
+        # Speculative decoding (greedy acceptance; see engine/spec.py).
+        # One VERIFY dispatch advances every slot by 1..gamma+1 tokens:
+        # a (gamma+1)-token forward reuses the model's T>1 insert path, so
+        # it composes with meshes and the paged pool unchanged. Greedy
+        # chain acceptance keeps the output bit-identical to plain greedy.
+        self.spec_gamma = spec_gamma
+        self._spec_proposed = 0
+        self._spec_accepted = 0
+        self._spec_committed = 0
+        self._spec_slot_steps = 0
+        self._spec_dispatches = 0
+        if spec_gamma:
+            from quant_tpu.engine.spec import NgramProposer
+
+            self.proposer = spec_proposer or NgramProposer(spec_gamma)
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def verify_step(params, tokens, cache):
+                base = cache.lengths
+                logits, cache = fwd_full(params, tokens, cache)
+                tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # accept the longest draft prefix matching the target's own
+                # argmax chain (position j's draft must equal the argmax of
+                # position j-1's logits, and every earlier draft must match)
+                match = (tokens[:, 1:] == tgt[:, :-1]).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)
+                # forward advanced lengths by gamma+1; commit only the
+                # accepted prefix + bonus token (stale tail entries are
+                # masked by lengths and overwritten by later writes)
+                cache = dataclasses.replace(cache, lengths=base + acc + 1)
+                return tgt, acc, cache
+
+            self._verify = verify_step
+
         self._insert = jax.jit(insert_inner, donate_argnums=(0,))
         # per-bucket prefill jits
         self._prefills: dict[int, Any] = {}
@@ -739,14 +783,71 @@ class Engine:
                 return True
         return False
 
+    def _spec_advance(self, active: list[int],
+                      finished: list[Request]) -> int:
+        """One speculative verify dispatch: draft host-side, verify all
+        slots in a single (gamma+1)-token forward, commit the accepted
+        prefix + bonus token per slot. Returns committed token count."""
+        g = self.spec_gamma
+        toks = np.zeros((self.max_slots, g + 1), np.int32)
+        toks[:, 0] = self.last_tokens
+        for i in active:
+            req = self.slots[i]
+            d = self.proposer.propose(req.prompt + req.output)[:g]
+            toks[i, 1:1 + len(d)] = d
+            self._spec_proposed += len(d)
+        tgt, acc, self.cache = self._verify(
+            self.params, jnp.asarray(toks), self.cache)
+        tgt, acc = np.asarray(tgt), np.asarray(acc)
+        self._spec_dispatches += 1
+        committed = 0
+        for i in active:
+            req = self.slots[i]
+            used = len(req.prompt) + len(req.output)
+            # a token at stream position p needs every KV write < p to
+            # have landed; writes at >= max_seq were dropped, so only the
+            # first max_seq - used commits are trustworthy
+            n_take = min(int(acc[i]) + 1, self.max_seq - used)
+            self._spec_accepted += int(acc[i])
+            for j in range(n_take):
+                tok = int(tgt[i, j])
+                req.output.append(tok)
+                self.last_tokens[i] = tok
+                committed += 1
+                self._maybe_finish(i, tok)
+                if req.finished:
+                    finished.append(req)
+                    break
+        self._spec_committed += committed
+        self._spec_slot_steps += len(active)
+        return committed
+
     def step(self) -> list[Request]:
-        """One prefill chunk of admission (budgeted) + one decode token
-        for all active slots."""
+        """One prefill chunk of admission (budgeted) + one decode advance
+        for all active slots: 1 token each, or 1..spec_gamma+1 tokens each
+        when speculative decoding is on (``spec_gamma > 0``) and every
+        active slot is greedy (draft rejection sampling for temperature>0
+        would need draft probabilities; non-greedy steps fall back to the
+        plain decode program)."""
         self._advance_admission()
-        self._grow_for_decode(1)
+        pre_active = [i for i, s in enumerate(self.slots) if s is not None]
+        use_spec = bool(
+            self.spec_gamma and pre_active
+            and all(self.slots[i].sampling.greedy for i in pre_active))
+        self._grow_for_decode(self.spec_gamma + 1 if use_spec else 1)
         self._sync_paged()
+        # _grow_for_decode may have preempted slots — recompute
         active = [i for i, s in enumerate(self.slots) if s is not None]
+        use_spec = use_spec and bool(active)
         finished, self._admit_finished = self._admit_finished, []
+        if use_spec:
+            n_committed = self._spec_advance(active, finished)
+            self._steps += 1
+            now = time.perf_counter()
+            rate = n_committed / max(now - self._last_t, 1e-6)
+            self._tok_ema = 0.9 * self._tok_ema + 0.1 * rate
+            self._last_t = now
+            return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
             logits, self.cache, self.key, sub = self._decode(
@@ -842,6 +943,14 @@ class Engine:
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": len(self._prefix_map)}
                if self.prefix_cache else {}),
+            **({"spec_proposed": self._spec_proposed,
+                "spec_accepted": self._spec_accepted,
+                # mean tokens a slot commits per verify dispatch (>= 1.0;
+                # plain decode would be exactly 1.0)
+                "spec_tokens_per_slot_step": round(
+                    self._spec_committed / max(self._spec_slot_steps, 1),
+                    2)}
+               if self.spec_gamma else {}),
         }
 
     def has_work(self) -> bool:

@@ -1,0 +1,165 @@
+"""Speculative decoding: greedy-equivalence + proposer unit tests (CPU).
+
+The acceptance rule guarantees the OUTPUT STREAM equals plain greedy
+decoding bit-for-bit for ANY proposer — the tests pin that across the
+contiguous cache, the paged pool, and a (data, model) mesh, and separately
+check that a self-repetitive prompt actually exercises the accept path
+(spec_accepted > 0), so the equality isn't vacuous.
+"""
+
+import numpy as np
+import pytest
+
+from quant_tpu.engine import Engine, Request, SamplingConfig
+from quant_tpu.engine.spec import NgramProposer
+from quant_tpu.models import PRESETS, llama
+from tests.test_engine import _reference_greedy
+
+CFG = PRESETS["test-tiny"]
+
+
+# ── proposer unit tests ──────────────────────────────────────────────────
+
+
+def test_ngram_proposes_continuation():
+    p = NgramProposer(gamma=3, max_ngram=2)
+    # ... 7 8 9 | 5 6 | ... | 5 6 -> propose 7 8 9 (after most recent 5 6)
+    stream = [5, 6, 7, 8, 9, 1, 2, 5, 6]
+    assert p.propose(stream) == [7, 8, 9]
+
+
+def test_ngram_prefers_most_recent_match():
+    p = NgramProposer(gamma=2, max_ngram=1)
+    stream = [5, 1, 5, 2, 5]       # last occurrence of 5 before end is i=2
+    assert p.propose(stream) == [2, 5]
+
+
+def test_ngram_longest_first():
+    p = NgramProposer(gamma=2, max_ngram=3)
+    # suffix 3-gram [1 2 3] matches at 0 -> continuation [9 9]; a 1-gram
+    # match of [3] alone would give [9, 9] too but via position 2 — make
+    # them differ to prove 3-gram wins
+    stream = [1, 2, 3, 9, 8, 3, 7, 7, 1, 2, 3]
+    assert p.propose(stream) == [9, 8]
+
+
+def test_ngram_no_match():
+    p = NgramProposer(gamma=4)
+    assert p.propose([1, 2, 3, 4]) == []
+    assert p.propose([7]) == []
+    assert p.propose([]) == []
+
+
+def test_ngram_gamma_caps_length():
+    p = NgramProposer(gamma=2, max_ngram=1)
+    assert len(p.propose([1, 2, 3, 4, 5, 1])) <= 2
+
+
+# ── engine equivalence ───────────────────────────────────────────────────
+
+
+def _repetitive_prompts(rng, n_prompts=3):
+    """Prompts with internal repetition so n-gram drafting fires."""
+    out = []
+    for _ in range(n_prompts):
+        motif = list(map(int, rng.integers(3, CFG.vocab_size, 4)))
+        out.append(motif + motif + motif[:2])
+    return out
+
+
+@pytest.mark.parametrize("engine_kw", [
+    {},                                                # contiguous cache
+    {"paged": True, "page_size": 8},                   # paged pool
+], ids=["contiguous", "paged"])
+def test_spec_matches_plain_greedy(engine_kw):
+    params = llama.init_params(CFG, seed=11)
+    rng = np.random.default_rng(11)
+    prompts = _repetitive_prompts(rng)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 spec_gamma=4, **engine_kw)
+    outs = eng.generate(prompts, max_new_tokens=10)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 10), (p, o)
+
+
+def test_spec_accepts_on_repetitive_stream():
+    """The equality test must not pass vacuously — on a repetitive prompt
+    the proposer must land accepted drafts (multi-token commits)."""
+    params = llama.init_params(CFG, seed=12)
+    motif = [5, 6, 7, 8]
+    prompt = motif * 5
+    eng = Engine(params, CFG, max_slots=1, max_seq=128, eos_id=-1,
+                 spec_gamma=4)
+    eng.generate([prompt], max_new_tokens=16)
+    s = eng.stats
+    assert s["spec_proposed"] > 0
+    assert s["spec_accepted"] > 0, s
+    assert s["spec_tokens_per_slot_step"] > 1.0, s
+
+
+def test_spec_mesh_matches_plain_greedy():
+    from quant_tpu.parallel import make_mesh
+
+    params_ref = llama.init_params(CFG, seed=13, tp=1)
+    params = llama.init_params(CFG, seed=13, tp=2)
+    rng = np.random.default_rng(13)
+    prompts = _repetitive_prompts(rng, n_prompts=4)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh, spec_gamma=3)
+    outs = eng.generate(prompts, max_new_tokens=8)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 8), (p, o)
+
+
+def test_spec_eos_and_max_new():
+    """EOS inside an accepted run stops the stream exactly there; a
+    max_new_tokens=1 request commits exactly one token."""
+    params = llama.init_params(CFG, seed=14)
+    probe = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    out = probe.generate([[5, 6, 7, 5, 6, 7]], max_new_tokens=6)[0]
+    eos = out[2]
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=eos,
+                 spec_gamma=4)
+    out2 = eng.generate([[5, 6, 7, 5, 6, 7]], max_new_tokens=20)[0]
+    assert out2 == out[:3]
+
+    eng1 = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1,
+                  spec_gamma=4)
+    r = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=1)
+    eng1.add_request(r)
+    fin = []
+    while eng1.has_work():
+        fin += eng1.step()
+    assert r.finished and r in fin and len(r.output) == 1
+
+
+def test_spec_falls_back_for_sampled_slots():
+    """A non-greedy active slot disables the verify program for that step;
+    greedy decoding still matches the reference when mixed."""
+    params = llama.init_params(CFG, seed=15)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 spec_gamma=4)
+    r_g = Request(req_id=0, prompt=[5, 6, 5, 6, 5], max_new_tokens=6)
+    r_s = Request(req_id=1, prompt=[7, 8], max_new_tokens=6,
+                  sampling=SamplingConfig(temperature=1.3, top_k=8))
+    eng.add_request(r_g)
+    eng.add_request(r_s)
+    while eng.has_work():
+        eng.step()
+    assert len(r_s.output) == 6
+    assert r_g.output == _reference_greedy(params, r_g.prompt, 6)
+
+
+def test_spec_near_max_seq_boundary():
+    """Verify writes past max_seq are dropped; commits are capped so the
+    stream stays exact right up to the capacity finish."""
+    params = llama.init_params(CFG, seed=16)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6]
+    max_seq = 16
+    ref = Engine(params, CFG, max_slots=1, max_seq=max_seq, eos_id=-1)
+    expect = ref.generate([prompt], max_new_tokens=max_seq - len(prompt))[0]
+    eng = Engine(params, CFG, max_slots=1, max_seq=max_seq, eos_id=-1,
+                 spec_gamma=4)
+    out = eng.generate([prompt], max_new_tokens=max_seq - len(prompt))[0]
+    assert out == expect
