@@ -56,9 +56,13 @@ class _HFReader:
 
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
     hf = json.loads((pathlib.Path(model_dir) / "config.json").read_text())
+    mtype = hf.get("model_type", "llama")
+    # Gemma: (1+w) norms, tanh-GeLU gate, sqrt(dim)-scaled embeddings. HF
+    # spells the activation gelu/gelu_pytorch_tanh under
+    # hidden_act/hidden_activation depending on version.
+    act = (hf.get("hidden_activation") or hf.get("hidden_act") or "silu")
     kw = dict(
-        qkv_bias=bool(hf.get("attention_bias", False)
-                      or hf.get("model_type") == "qwen2"),
+        qkv_bias=bool(hf.get("attention_bias", False) or mtype == "qwen2"),
         vocab_size=hf["vocab_size"],
         dim=hf["hidden_size"],
         n_layers=hf["num_hidden_layers"],
@@ -68,6 +72,12 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         head_dim=int(hf.get("head_dim") or 0),
         rope_theta=hf.get("rope_theta", 10000.0),
         norm_eps=hf.get("rms_norm_eps", 1e-5),
+        # Mistral v0.1 sets sliding_window=4096; v0.2+ stores null
+        sliding_window=int(hf.get("sliding_window") or 0)
+        if hf.get("use_sliding_window", True) else 0,
+        norm_offset=1.0 if mtype.startswith("gemma") else 0.0,
+        act_fn="gelu_tanh" if "gelu" in act else "silu",
+        embed_scale=mtype.startswith("gemma"),
     )
     kw.update(overrides)
     return ModelConfig(**kw)

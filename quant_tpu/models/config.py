@@ -23,6 +23,15 @@ class ModelConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2 family
+    # Mistral-v0.1-style sliding-window attention: key s is visible to
+    # query position p iff p - window < s <= p (0 = full causal). Mask-only
+    # (cache layout unchanged); forces the XLA attention path.
+    sliding_window: int = 0
+    # Gemma family: RMSNorm multiplies by (1 + w), the MLP gate is
+    # tanh-approx GeLU, and embeddings are scaled by sqrt(dim).
+    norm_offset: float = 0.0
+    act_fn: str = "silu"          # "silu" | "gelu_tanh"
+    embed_scale: bool = False
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -49,6 +58,9 @@ class ModelConfig:
     def __post_init__(self):
         if self.head_dim == 0:
             object.__setattr__(self, "head_dim", self.dim // self.n_heads)
+        if self.act_fn not in ("silu", "gelu_tanh"):
+            raise ValueError(f"act_fn must be silu|gelu_tanh, "
+                             f"got {self.act_fn!r}")
         if self.kv_bits not in (8, 16):
             raise ValueError(f"kv_bits must be 8 or 16, got {self.kv_bits}")
         if self.attn_kernel not in ("auto", "xla", "flash", "paged"):
@@ -78,5 +90,19 @@ PRESETS: dict[str, ModelConfig] = {
     "llama-3-70b": ModelConfig(
         vocab_size=128256, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
         intermediate=28672, rope_theta=500000.0, embed_bits=8,
+    ),
+    # Mistral-7B-v0.1 (sliding-window attention, window 4096).
+    "mistral-7b": ModelConfig(
+        vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+        intermediate=14336, rope_theta=10000.0, sliding_window=4096,
+        embed_bits=8,
+    ),
+    # Gemma-7B (GeGLU, (1+w) RMSNorm, sqrt(dim)-scaled embeddings, tied
+    # lm_head, decoupled head_dim=256).
+    "gemma-7b": ModelConfig(
+        vocab_size=256000, dim=3072, n_layers=28, n_heads=16, n_kv_heads=16,
+        intermediate=24576, head_dim=256, rope_theta=10000.0,
+        norm_eps=1e-6, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, embed_bits=8,
     ),
 }

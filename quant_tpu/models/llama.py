@@ -92,11 +92,16 @@ def _make_embed(table, cfg):
     return jnp.asarray(table, jnp.dtype(cfg.dtype))
 
 
-def _embed_lookup(embed, tokens, dt):
+def _embed_lookup(embed, tokens, dt, cfg: ModelConfig | None = None):
     if isinstance(embed, QEmbed):
         rows = embed.codes[tokens].astype(jnp.float32)
-        return (rows * embed.scales[tokens][..., None]).astype(dt)
-    return embed[tokens].astype(dt)
+        h = (rows * embed.scales[tokens][..., None]).astype(dt)
+    else:
+        h = embed[tokens].astype(dt)
+    if cfg is not None and cfg.embed_scale:
+        # Gemma: hidden states enter the stack scaled by sqrt(dim)
+        h = h * jnp.asarray(np.sqrt(cfg.dim), dt)
+    return h
 
 
 @jax.tree_util.register_dataclass
@@ -216,6 +221,10 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     so the rule applies per-chip under data/tensor sharding exactly as
     measured.
     """
+    if cfg.sliding_window:
+        # the Pallas decode kernels don't implement the window mask; the
+        # XLA paths do (attention/attention_blockwise)
+        return "xla"
     if cfg.attn_kernel != "auto":
         return cfg.attn_kernel
     if mode not in ("pallas", "pallas_interpret"):
@@ -448,10 +457,19 @@ def quantize_dense_params(
 # ── math blocks ─────────────────────────────────────────────────────────
 
 
-def rmsnorm(x, w, eps):
+def rmsnorm(x, w, eps, offset: float = 0.0):
+    """``offset``: Gemma stores norm weights as deltas from 1 — the applied
+    gain is ``offset + w`` (0 for the Llama/Qwen families)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+    return (xf * jax.lax.rsqrt(var + eps) * (offset + w)).astype(x.dtype)
+
+
+def _act(cfg: ModelConfig):
+    """Gate activation for the GLU MLP (computed in f32)."""
+    if cfg.act_fn == "gelu_tanh":
+        return functools.partial(jax.nn.gelu, approximate=True)
+    return jax.nn.silu
 
 
 def _rope(x, positions, theta):
@@ -588,6 +606,8 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     key_pos = key_offset + jnp.arange(s)[None, None, None, None, :]
     qpos = positions[:, None, None, :, None]
     valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
+    if cfg.sliding_window:
+        valid &= key_pos > qpos - cfg.sliding_window
     logits = jnp.where(valid, logits, -1e30)
     if seq_axis is None:
         probs = jax.nn.softmax(logits, axis=-1)
@@ -647,6 +667,8 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
         key_pos = blk_idx * block + jnp.arange(block)[None, None, None,
                                                       None, :]
         valid = (key_pos <= qpos) & (key_pos < lim)
+        if cfg.sliding_window:
+            valid &= key_pos > qpos - cfg.sliding_window
         logits = jnp.where(valid, logits, -1e30)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
@@ -702,7 +724,7 @@ def forward(
         s0 = 0
     dt = _act_dtype(cfg)
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
-    h = _embed_lookup(params.embed, tokens, dt)
+    h = _embed_lookup(params.embed, tokens, dt, cfg)
     new_lengths = cache.lengths + t
 
     layer_step = make_layer_step(
@@ -716,7 +738,7 @@ def forward(
         (params.layers.attn_norm, params.layers.mlp_norm,
          params.layers.qkv_bias, jnp.arange(cfg.n_layers)),
     )
-    h = rmsnorm(h, params.final_norm, cfg.norm_eps)
+    h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
@@ -762,7 +784,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
         attn_norm, mlp_norm, qkv_bias, idx = xs
-        x = rmsnorm(h, attn_norm, cfg.norm_eps)
+        x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
@@ -860,11 +882,11 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)
-        x = rmsnorm(h, mlp_norm, cfg.norm_eps)
+        x = rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
         gu = mm(x, layers.w_gate_up, idx)
         gate, up = jnp.split(gu, 2, axis=-1)
         h = h + psum(mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+            _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
             layers.w_down, idx, out_dtype=jnp.float32,
         )).astype(dt)
         return (h, kc, ks, vc, vs), None

@@ -137,7 +137,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
             params.layers, cache.lengths, cfg, mm, b, t, positions,
             new_lengths, s0, axis, dt, seq_axis, page_tbl=page_tbl,
         )
-        h = llama._embed_lookup(params.embed, tokens, dt)
+        h = llama._embed_lookup(params.embed, tokens, dt, cfg)
         for s in range(pp):
             h2, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 my == s,
@@ -154,7 +154,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
         if b % n_micro:
             raise ValueError(f"batch {b} must divide n_micro {n_micro}")
         b_mb = b // n_micro
-        h_all = llama._embed_lookup(params.embed, tokens, dt)
+        h_all = llama._embed_lookup(params.embed, tokens, dt, cfg)
         h0_buf = h_all.reshape(n_micro, b_mb, t, -1)
         out_buf = jnp.zeros_like(h0_buf)
         h_recv = jnp.zeros_like(h0_buf[0])
@@ -193,7 +193,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
         )
         h = out_buf.reshape(b, t, -1)
 
-    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
+    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)

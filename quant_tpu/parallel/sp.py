@@ -176,6 +176,11 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     """
     from quant_tpu.models import llama
 
+    if cfg.sliding_window:
+        raise ValueError(
+            "sp_prefill_forward does not implement the sliding-window "
+            "mask (a <=4k window never needs sequence-parallel prefill; "
+            "use the chunked single-rank prefill path)")
     mm = llama._mm(cfg)
     b, t_loc = tokens.shape
     dt = llama._act_dtype(cfg)
@@ -192,13 +197,13 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     attend = ring_attention if mode == "ring" else ulysses_attention
     psum = (lambda v: jax.lax.psum(v, axis)) if axis else (lambda v: v)
 
-    h = llama._embed_lookup(params.embed, tokens, dt)
+    h = llama._embed_lookup(params.embed, tokens, dt, cfg)
     layers = params.layers
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
         attn_norm, mlp_norm, qkv_bias, idx = xs
-        x = llama.rmsnorm(h, attn_norm, cfg.norm_eps)
+        x = llama.rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
@@ -218,11 +223,11 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         attn = attend(q, k_hat, v_hat, q_pos, q_pos, seq_axis)
         h = h + psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)
-        x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps)
+        x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
         gu = mm(x, layers.w_gate_up, idx)
         gate, up = jnp.split(gu, 2, axis=-1)
         h = h + psum(mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+            llama._act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
             layers.w_down, idx, out_dtype=jnp.float32,
         )).astype(dt)
         return (h, kc, ks, vc, vs), None
@@ -233,7 +238,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
          jnp.arange(cfg.n_layers)),
     )
-    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
+    h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps,
+                      cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)

@@ -192,3 +192,151 @@ def test_qwen2_logits_match_transformers():
     assert c > 0.999, c
     agree = np.mean(np.argmax(ours, -1) == np.argmax(hf_logits, -1))
     assert agree >= 0.8, agree
+
+
+def _dense_weights(cfg, seed):
+    """Random dense weight dict for quantize_dense_params + an HF state
+    dict view of the same values."""
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.dim, cfg.head_dim
+    nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+
+    def w(k, n):
+        return (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+
+    dense = {
+        "embed": (rng.standard_normal((cfg.vocab_size, d)) * 0.05
+                  ).astype(np.float32),
+        "final_norm": rng.standard_normal(d).astype(np.float32) * 0.1,
+    }
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        dense[p + "wq"] = w(d, nq)
+        dense[p + "wk"] = w(d, nkv)
+        dense[p + "wv"] = w(d, nkv)
+        dense[p + "wo"] = w(nq, d)
+        dense[p + "w_gate"] = w(d, cfg.intermediate)
+        dense[p + "w_up"] = w(d, cfg.intermediate)
+        dense[p + "w_down"] = w(cfg.intermediate, d)
+        dense[p + "attn_norm"] = rng.standard_normal(d).astype(
+            np.float32) * 0.1
+        dense[p + "mlp_norm"] = rng.standard_normal(d).astype(
+            np.float32) * 0.1
+    return dense
+
+
+def _hf_state_dict_from_params(params, cfg):
+    """HF view of OUR params' dequantized weights (both models then run
+    identical effective weights — any disagreement is semantics)."""
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).T.copy())
+
+    units = cfg.n_heads + 2 * cfg.n_kv_heads
+    sd = {
+        "model.embed_tokens.weight": torch.from_numpy(
+            np.asarray(params.embed, np.float32)),
+        "model.norm.weight": torch.from_numpy(
+            np.asarray(params.final_norm, np.float32)),
+        "lm_head.weight": t(
+            params.lm_head.dequantize()[:, :cfg.vocab_size]),
+    }
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params.layers)
+        wqkv = np.asarray(lp.wqkv.local_view().dequantize())
+        nq = (wqkv.shape[1] * cfg.n_heads) // units
+        nkv = (wqkv.shape[1] * cfg.n_kv_heads) // units
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.q_proj.weight"] = t(wqkv[:, :nq])
+        sd[pre + "self_attn.k_proj.weight"] = t(wqkv[:, nq:nq + nkv])
+        sd[pre + "self_attn.v_proj.weight"] = t(wqkv[:, nq + nkv:])
+        sd[pre + "self_attn.o_proj.weight"] = t(
+            lp.wo.local_view().dequantize())
+        wgu = np.asarray(lp.w_gate_up.local_view().dequantize())
+        half = wgu.shape[1] // 2
+        sd[pre + "mlp.gate_proj.weight"] = t(wgu[:, :half])
+        sd[pre + "mlp.up_proj.weight"] = t(wgu[:, half:])
+        sd[pre + "mlp.down_proj.weight"] = t(
+            lp.w_down.local_view().dequantize())
+        sd[pre + "input_layernorm.weight"] = torch.from_numpy(
+            np.asarray(lp.attn_norm, np.float32))
+        sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+            np.asarray(lp.mlp_norm, np.float32))
+    return sd
+
+
+def _run_both(model, params, cfg, toks, max_seq=64):
+    model.eval()
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    cache = llama.init_cache(cfg, toks.shape[0], max_seq)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache, cfg)
+    return np.asarray(ours, np.float32), hf_logits
+
+
+def test_mistral_sliding_window_matches_transformers():
+    """Mistral family: the sliding-window mask must agree with HF exactly.
+    window(8) < prompt(16) so distant keys are actually masked; kv_bits=16
+    isolates architecture semantics at tight tolerance."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    cfg = dataclasses.replace(CFG, sliding_window=8, kv_bits=16)
+    dense = _dense_weights(cfg, seed=21)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(22).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = MistralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = MistralForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(23).integers(2, cfg.vocab_size, (2, 16))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # and the mask genuinely matters: full attention must NOT match
+    cfg_full = dataclasses.replace(cfg, sliding_window=0)
+    ours_full, _ = _run_both(model, params, cfg_full, toks)
+    assert not np.allclose(ours_full, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma_matches_transformers():
+    """Gemma family: (1+w) RMSNorm, tanh-GeLU GLU, sqrt(dim)-scaled
+    embeddings, tied lm_head, decoupled head_dim."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = dataclasses.replace(
+        CFG, head_dim=128, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, kv_bits=16)
+    dense = _dense_weights(cfg, seed=31)
+    dense["lm_head"] = np.ascontiguousarray(dense["embed"].T)  # tied
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = GemmaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        hidden_activation="gelu_pytorch_tanh", tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    # untied HF head loaded with OUR dequantized (tied-then-quantized)
+    # lm_head, so both sides run identical effective weights and the
+    # comparison stays tight; converter-level tying is covered by
+    # test_checkpoint.py
+    model = GemmaForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(33).integers(2, cfg.vocab_size, (2, 7))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))

@@ -216,3 +216,62 @@ def test_attn_kernel_validated():
 
     with pytest.raises(ValueError, match="attn_kernel"):
         dataclasses.replace(CFG, attn_kernel="bogus")
+
+
+def test_sliding_window_prefill_decode_consistency():
+    """SWA: prefill+decode must equal the one-shot forward, and the window
+    must actually exclude distant keys (differ from full attention)."""
+    cfg = dataclasses.replace(CFG, sliding_window=6, kv_bits=16)
+    params = llama.init_params(cfg, seed=4)
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+
+    cache = llama.init_cache(cfg, batch=2, max_seq=32)
+    full_logits, _ = llama.forward(params, toks, cache, cfg)
+
+    cache = llama.init_cache(cfg, batch=2, max_seq=32)
+    _, cache = llama.forward(params, toks[:, :12], cache, cfg)
+    outs = []
+    for i in range(12, 16):
+        lg, cache = llama.forward(params, toks[:, i:i + 1], cache, cfg)
+        outs.append(lg)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(inc, np.float32),
+        np.asarray(full_logits[:, 12:16], np.float32),
+        rtol=2e-3, atol=2e-3)
+
+    # window genuinely masks: full-attention logits differ
+    nowin, _ = llama.forward(
+        params, toks, llama.init_cache(cfg, 2, 32),
+        dataclasses.replace(cfg, sliding_window=0))
+    assert not np.allclose(np.asarray(full_logits[:, -1]),
+                           np.asarray(nowin[:, -1]), rtol=2e-3, atol=2e-3)
+
+
+def test_sliding_window_blockwise_matches_oneshot():
+    """The blockwise (chunked-prefill) attention applies the same window
+    mask as the one-shot einsum."""
+    cfg = dataclasses.replace(CFG, sliding_window=5, kv_bits=16)
+    params = llama.init_params(cfg, seed=5)
+    rng = np.random.default_rng(5)
+    b, s = 2, 16
+    q = jnp.asarray(rng.standard_normal((b, 4, CFG.n_heads, CFG.head_dim)),
+                    jnp.float32)
+    kc = jnp.asarray(rng.integers(-127, 127,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim)),
+                     jnp.int8)
+    ks = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.01
+    vc = jnp.asarray(rng.integers(-127, 127,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim)),
+                     jnp.int8)
+    vs = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.01
+    positions = jnp.asarray([[10, 11, 12, 13]] * b, jnp.int32)
+    lengths = jnp.full((b,), 14, jnp.int32)
+    one = llama.attention(q, kc, ks, vc, vs, positions, lengths, cfg)
+    blk = llama.attention_blockwise(q, kc, ks, vc, vs, positions, lengths,
+                                    cfg, block=4)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(blk),
+                               rtol=2e-4, atol=2e-4)
