@@ -308,7 +308,10 @@ class Engine:
                 # accepted prefix + bonus token (stale tail entries are
                 # masked by lengths and overwritten by later writes)
                 cache = dataclasses.replace(cache, lengths=base + acc + 1)
-                return tgt, acc, cache
+                # ONE packed host fetch ([B, gamma+2]): on high-latency
+                # links (this relay: 40-80 ms/RPC) a second device->host
+                # read per step would cost more than speculation saves
+                return jnp.concatenate([tgt, acc[:, None]], axis=1), cache
 
             self._verify = verify_step
 
@@ -796,9 +799,10 @@ class Engine:
             d = self.proposer.propose(req.prompt + req.output)[:g]
             toks[i, 1:1 + len(d)] = d
             self._spec_proposed += len(d)
-        tgt, acc, self.cache = self._verify(
+        packed, self.cache = self._verify(
             self.params, jnp.asarray(toks), self.cache)
-        tgt, acc = np.asarray(tgt), np.asarray(acc)
+        packed = np.asarray(packed)
+        tgt, acc = packed[:, :-1], packed[:, -1]
         self._spec_dispatches += 1
         committed = 0
         for i in active:

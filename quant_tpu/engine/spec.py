@@ -42,7 +42,7 @@ class NgramProposer:
     """
 
     def __init__(self, gamma: int = 4, max_ngram: int = 3,
-                 min_ngram: int = 1):
+                 min_ngram: int = 1, history: int = 512):
         if gamma < 1:
             raise ValueError("gamma must be >= 1")
         if min_ngram < 1 or max_ngram < min_ngram:
@@ -50,13 +50,18 @@ class NgramProposer:
         self.gamma = gamma
         self.max_ngram = max_ngram
         self.min_ngram = min_ngram
+        # cap the backward scan: host time per propose stays O(history *
+        # max_ngram) however long the stream gets (the engine calls this
+        # per slot per step, between device dispatches)
+        self.history = history
 
     def propose(self, stream: list[int]) -> list[int]:
         n = len(stream)
+        lo = max(0, n - self.history)
         for k in range(min(self.max_ngram, n - 1), self.min_ngram - 1, -1):
             suffix = stream[n - k:]
             # most recent earlier occurrence of the suffix k-gram
-            for start in range(n - k - 1, -1, -1):
+            for start in range(n - k - 1, lo - 1, -1):
                 if stream[start:start + k] == suffix:
                     cont = stream[start + k:start + k + self.gamma]
                     if cont:
