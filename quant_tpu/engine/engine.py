@@ -284,6 +284,7 @@ class Engine:
         # it composes with meshes and the paged pool unchanged. Greedy
         # chain acceptance keeps the output bit-identical to plain greedy.
         self.spec_gamma = spec_gamma
+        self._stateful_proposer = False
         self._spec_proposed = 0
         self._spec_accepted = 0
         self._spec_committed = 0
@@ -293,6 +294,13 @@ class Engine:
             from quant_tpu.engine.spec import NgramProposer
 
             self.proposer = spec_proposer or NgramProposer(spec_gamma)
+            # stateful (draft-model) proposers keep per-slot KV that must
+            # track every committed token — see spec.DraftModelProposer
+            self._stateful_proposer = hasattr(self.proposer, "draft_batch")
+            if self._stateful_proposer and self.proposer.gamma < spec_gamma:
+                raise ValueError(
+                    f"proposer gamma {self.proposer.gamma} < engine "
+                    f"spec_gamma {spec_gamma}")
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def verify_step(params, tokens, cache):
@@ -633,6 +641,14 @@ class Engine:
     # ── public API ──────────────────────────────────────────────────
 
     def add_request(self, req: Request) -> None:
+        if (self.spec_gamma and self._stateful_proposer
+                and not req.sampling.greedy):
+            # a non-greedy slot forces the plain-decode fallback step,
+            # which commits tokens the draft model never fed — its KV
+            # would silently desynchronize
+            raise ValueError(
+                "draft-model speculative decoding supports greedy "
+                "requests only (use NgramProposer for mixed sampling)")
         if len(req.prompt) + req.max_new_tokens > self.max_seq:
             raise ValueError(
                 f"request {req.req_id}: prompt({len(req.prompt)}) + "
@@ -734,6 +750,10 @@ class Engine:
         self._maybe_finish(slot, tok)
         if req.finished:
             self._admit_finished.append(req)
+        elif self._stateful_proposer:
+            # draft-model KV for the committed stream minus its last
+            # token (the drafting invariant, spec.DraftModelProposer)
+            self.proposer.admit(slot, req.prompt + req.output)
         self._prefilling = None
         log.info("admit req=%d slot=%d prompt_len=%d",
                  req.req_id, slot, len(req.prompt))
@@ -794,11 +814,20 @@ class Engine:
         g = self.spec_gamma
         toks = np.zeros((self.max_slots, g + 1), np.int32)
         toks[:, 0] = self.last_tokens
-        for i in active:
-            req = self.slots[i]
-            d = self.proposer.propose(req.prompt + req.output)[:g]
-            toks[i, 1:1 + len(d)] = d
-            self._spec_proposed += len(d)
+        if self._stateful_proposer:
+            lens = np.zeros((self.max_slots,), np.int64)
+            for i in active:
+                req = self.slots[i]
+                lens[i] = len(req.prompt) + len(req.output)
+            drafts = self.proposer.draft_batch(self.last_tokens, lens)
+            toks[:, 1:] = drafts[:, :g]
+            self._spec_proposed += g * len(active)
+        else:
+            for i in active:
+                req = self.slots[i]
+                d = self.proposer.propose(req.prompt + req.output)[:g]
+                toks[i, 1:1 + len(d)] = d
+                self._spec_proposed += len(d)
         packed, self.cache = self._verify(
             self.params, jnp.asarray(toks), self.cache)
         packed = np.asarray(packed)

@@ -10,12 +10,18 @@ cheap side, proposing draft tokens, runs on host between dispatches where
 the axon relay's 40-80 ms RPC latency hides it entirely.
 
 Greedy acceptance (v1): a slot accepts the longest prefix of draft tokens
-that matches the target's own argmax chain, plus one "bonus" token — so the
-OUTPUT STREAM IS BIT-IDENTICAL TO PLAIN GREEDY DECODING regardless of the
-proposer's quality (tests/test_spec.py pins this). Acceptance only changes
-throughput: each verify dispatch commits 1..gamma+1 tokens at the cost of
-one decode-shaped dispatch (decode is weight-bandwidth bound at small
-batch, so gamma extra query rows are nearly free on the MXU).
+that matches the target's own argmax chain, plus one "bonus" token — so
+the output stream is the verify program's greedy chain regardless of the
+proposer's quality; acceptance only changes throughput (each verify
+dispatch commits 1..gamma+1 tokens at the cost of one decode-shaped
+dispatch; decode is weight-bandwidth bound at small batch, so gamma
+extra query rows are nearly free on the MXU). tests/test_spec.py pins
+bit-identity with plain greedy decoding on CPU; on TPU hardware the T=1
+decode program and the T=gamma+1 verify program tile matmuls
+differently, so bf16 argmax near-ties can flip between them — the spec
+stream stays deterministic and draft-independent (both properties
+measured in scripts/tpu_draft_spec_probe.py), it is just greedy under
+the verify program's rounding rather than the decode program's.
 
 The bundled proposer is prompt-lookup / n-gram drafting (model-free): the
 longest suffix n-gram of the slot's token stream is matched against the
@@ -27,7 +33,133 @@ costs microseconds; a draft-MODEL proposer can implement the same
 
 from __future__ import annotations
 
-__all__ = ["NgramProposer"]
+import functools
+
+__all__ = ["DraftModelProposer", "NgramProposer"]
+
+
+class DraftModelProposer:
+    """Draft-MODEL speculative decoding: a small same-tokenizer model
+    drafts ``gamma`` greedy tokens in ONE fused device dispatch per engine
+    step (a ``fori_loop`` of draft forwards — on a high-RPC-latency link
+    the whole draft chain costs one dispatch, like the verify).
+
+    KV synchronization with the target's committed stream needs NO
+    catch-up pass — rollback alone suffices. Invariant: before drafting,
+    the draft cache holds valid KV for ``stream[:-1]``. The fused loop
+    feeds the last committed token then its own outputs, writing KV at
+    positions n-1..n-1+gamma-1 for fed tokens [t_last, d_1..d_{gamma-1}].
+    After the target accepts ``a`` drafts + 1 bonus token, the new stream
+    is ``stream + [t_0..t_a]`` with ``d_j == t_{j-1}`` for j <= a — so the
+    draft's KV is valid exactly through the new ``stream'[:-1]`` and
+    setting ``lengths = len(stream') - 1`` at the next round restores the
+    invariant. The one way to break it is committing tokens the draft
+    never fed (the engine's non-greedy fallback step), so the engine
+    rejects non-greedy requests when a stateful proposer is installed.
+
+    Admission: the engine calls :meth:`admit` with the slot's stream; the
+    proposer chunk-prefills ``stream[:-1]`` through the draft model into
+    its own cache slot. Preempted/resumed requests just re-admit.
+
+    Single-host: the draft model is small and stays replicated; the
+    target engine may itself be meshed/paged (the caches are independent).
+    """
+
+    def __init__(self, draft_params, draft_cfg, gamma: int = 4,
+                 max_slots: int = 8, max_seq: int = 1024,
+                 prefill_chunk: int = 512):
+        import jax
+        import jax.numpy as jnp
+
+        from quant_tpu.models import llama
+
+        if gamma < 1:
+            raise ValueError("gamma must be >= 1")
+        self.gamma = gamma
+        self.params = draft_params
+        self.cfg = draft_cfg
+        self.max_seq = max_seq
+        self.prefill_chunk = prefill_chunk
+        self.cache = llama.init_cache(draft_cfg, max_slots, max_seq)
+        self._pf = llama.init_cache(draft_cfg, 1, max_seq)
+        cfg = draft_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def draft_steps(params, cache, toks, lengths):
+            # rollback + draft in one dispatch: lengths[b] = len(stream)-1
+            # for active slots (inactive slots carry max_seq so their
+            # writes drop)
+            import dataclasses
+            cache = dataclasses.replace(cache, lengths=lengths)
+
+            def body(i, carry):
+                tok, cache, out = carry
+                logits, cache = llama.forward(params, tok, cache, cfg)
+                nxt = jnp.argmax(
+                    logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+                out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
+                return nxt, cache, out
+
+            # gamma+1 iterations: the LAST one feeds d_gamma purely for
+            # its KV write (logits discarded). Without it, a fully
+            # accepted round leaves position n+gamma-1 without KV and the
+            # next round drafts from garbage — acceptance collapses on
+            # exactly the streams speculation helps most.
+            out = jnp.zeros((toks.shape[0], gamma + 1), jnp.int32)
+            _, cache, out = jax.lax.fori_loop(
+                0, gamma + 1, body, (toks, cache, out))
+            return out[:, :gamma], cache
+
+        self._draft = draft_steps
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def pf_chunk(params, pf, toks, true_len):
+            import dataclasses
+            start = pf.lengths
+            _, pf = llama.forward(params, toks, pf, cfg)
+            return dataclasses.replace(pf, lengths=start + true_len)
+
+        self._pf_chunk = pf_chunk
+        from quant_tpu.engine.engine import Engine
+        self._insert = jax.jit(Engine._insert_single, donate_argnums=(0,))
+
+    def admit(self, slot: int, stream: list[int]) -> None:
+        """Prefill ``stream[:-1]`` through the draft model into the
+        slot's draft-cache row (chunked batch-1, bucketed shapes)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        ctx = stream[:-1]
+        self._pf = dataclasses.replace(
+            self._pf, lengths=jnp.zeros_like(self._pf.lengths))
+        for off in range(0, len(ctx), self.prefill_chunk):
+            chunk = ctx[off:off + self.prefill_chunk]
+            t_pad = 16
+            while t_pad < len(chunk):
+                t_pad *= 2
+            toks = np.zeros((1, t_pad), np.int32)
+            toks[0, :len(chunk)] = chunk
+            self._pf = self._pf_chunk(self.params, self._pf,
+                                      jnp.asarray(toks),
+                                      jnp.int32(len(chunk)))
+        self.cache = self._insert(self.cache, self._pf, jnp.int32(slot))
+
+    def draft_batch(self, last_tokens, stream_lens) -> "np.ndarray":
+        """One fused draft dispatch for every slot. ``last_tokens``
+        [max_slots] int; ``stream_lens`` [max_slots] int, 0 for inactive
+        slots. Returns [max_slots, gamma] proposed tokens."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        lens = np.asarray(stream_lens, np.int64)
+        lengths = np.where(lens > 0, lens - 1, self.max_seq).astype(np.int32)
+        out, self.cache = self._draft(
+            self.params, self.cache,
+            jnp.asarray(np.asarray(last_tokens, np.int32)[:, None]),
+            jnp.asarray(lengths))
+        return np.asarray(out)
 
 
 class NgramProposer:

@@ -6,6 +6,7 @@ If the axon relay exposes no device-side tracing, only host/python events
 appear — the script reports which case happened so README can cite it.
 """
 import dataclasses
+import functools
 import glob
 import os
 import time
@@ -34,7 +35,11 @@ def main():
                                 lengths=jnp.full((16,), 900, jnp.int32))
     tok = jnp.ones((16, 1), jnp.int32)
 
-    @jax.jit
+    # donate the cache exactly like the production engine jits — without
+    # donation XLA must preserve the input buffers against the in-place
+    # loop carry and inserts full k/v-codes copies (~105 us each per step
+    # at B=16/S=1024, measured in the first capture of this trace)
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, tok, cache):
         logits, cache = llama.forward(params, tok, cache, cfg)
         return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), cache

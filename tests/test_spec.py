@@ -163,3 +163,88 @@ def test_spec_near_max_seq_boundary():
                  spec_gamma=4)
     out = eng.generate([prompt], max_new_tokens=max_seq - len(prompt))[0]
     assert out == expect
+
+
+# ── draft-model proposer ─────────────────────────────────────────────────
+
+
+def _draft_engine(params, draft_params, gamma=4, **kw):
+    from quant_tpu.engine.spec import DraftModelProposer
+
+    prop = DraftModelProposer(draft_params, CFG, gamma=gamma,
+                              max_slots=kw.get("max_slots", 4),
+                              max_seq=kw.get("max_seq", 64))
+    return Engine(params, CFG, eos_id=-1, spec_gamma=gamma,
+                  spec_proposer=prop, **kw)
+
+
+def test_draft_model_matches_plain_greedy():
+    """A draft model with DIFFERENT weights: output must still equal plain
+    greedy (acceptance only affects speed)."""
+    params = llama.init_params(CFG, seed=41)
+    draft = llama.init_params(CFG, seed=99)
+    rng = np.random.default_rng(41)
+    prompts = [list(map(int, rng.integers(3, CFG.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = _draft_engine(params, draft, max_slots=4, max_seq=64)
+    outs = eng.generate(prompts, max_new_tokens=10)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 10), (p, o)
+
+
+def test_draft_model_identical_weights_accepts_everything():
+    """Draft == target: the draft's greedy chain IS the target's greedy
+    chain, so every proposal must be accepted."""
+    params = llama.init_params(CFG, seed=42)
+    eng = _draft_engine(params, params, gamma=4, max_slots=2, max_seq=64)
+    prompts = [[5, 6, 7], [9, 8, 7, 6]]
+    outs = eng.generate(prompts, max_new_tokens=11)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 11), (p, o)
+    s = eng.stats
+    assert s["spec_accepted"] == s["spec_proposed"], s
+    assert s["spec_tokens_per_slot_step"] >= 4.0, s
+
+
+def test_draft_model_staggered_admission():
+    """Admission mid-decode must prefill the draft slot correctly while
+    other slots keep drafting from live KV."""
+    params = llama.init_params(CFG, seed=43)
+    draft = llama.init_params(CFG, seed=44)
+    rng = np.random.default_rng(43)
+    p1 = list(map(int, rng.integers(3, CFG.vocab_size, 6)))
+    p2 = list(map(int, rng.integers(3, CFG.vocab_size, 9)))
+    eng = _draft_engine(params, draft, max_slots=2, max_seq=64)
+    r1 = Request(req_id=0, prompt=p1, max_new_tokens=9)
+    eng.add_request(r1)
+    eng.step()
+    eng.step()
+    r2 = Request(req_id=1, prompt=p2, max_new_tokens=7)
+    eng.add_request(r2)
+    while eng.has_work():
+        eng.step()
+    assert r1.output == _reference_greedy(params, p1, 9)
+    assert r2.output == _reference_greedy(params, p2, 7)
+
+
+def test_draft_model_rejects_sampled_requests():
+    params = llama.init_params(CFG, seed=45)
+    eng = _draft_engine(params, params, max_slots=2, max_seq=64)
+    with pytest.raises(ValueError, match="greedy"):
+        eng.add_request(Request(
+            req_id=0, prompt=[1, 2], max_new_tokens=4,
+            sampling=SamplingConfig(temperature=0.8)))
+
+
+def test_draft_model_with_paged_target():
+    """The target's paged pool and the draft's contiguous cache are
+    independent — composition must stay exact."""
+    params = llama.init_params(CFG, seed=46)
+    draft = llama.init_params(CFG, seed=47)
+    eng = _draft_engine(params, draft, max_slots=2, max_seq=64,
+                        paged=True, page_size=8)
+    motif = [5, 6, 7, 8]
+    prompts = [motif * 3, motif * 2]
+    outs = eng.generate(prompts, max_new_tokens=10)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params, p, 10), (p, o)
