@@ -24,18 +24,31 @@ def _cmd_convert(args):
     print(json.dumps({"converted": args.out_dir, "config": cfg.__dict__}))
 
 
+def _parse_mesh(spec: str):
+    """'data=2,model=4[,pipe=2][,seq=2]' → jax.sharding.Mesh."""
+    from quant_tpu.parallel import make_mesh
+
+    kw = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        kw[k.strip()] = int(v)
+    return make_mesh(**kw)
+
+
 def _cmd_generate(args):
     from quant_tpu.checkpoint import load_checkpoint
     from quant_tpu.engine import Engine, SamplingConfig
 
-    params, cfg = load_checkpoint(args.ckpt)
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
+    params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(args.tokenizer)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
                  eos_id=(tok.eos_token_id if tok and args.eos_id == 2
-                         else args.eos_id))
+                         else args.eos_id),
+                 mesh=mesh, pp_micro=args.pp_micro)
     if args.prompt is not None:
         if tok is None:
             raise SystemExit("--prompt requires --tokenizer")
@@ -81,11 +94,27 @@ def _cmd_serve(args):
     from quant_tpu.engine import Engine
     from quant_tpu.engine.server import serve
 
-    params, cfg = load_checkpoint(args.ckpt)
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
+    params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
+    proposer = None
+    if args.draft_ckpt:
+        if not args.spec_gamma:
+            raise SystemExit("--draft-ckpt requires --spec-gamma > 0")
+        from quant_tpu.engine.spec import DraftModelProposer
+
+        d_params, d_cfg = load_checkpoint(args.draft_ckpt)
+        if d_cfg.vocab_size != cfg.vocab_size:
+            raise SystemExit(
+                f"draft vocab {d_cfg.vocab_size} != target "
+                f"{cfg.vocab_size} (same tokenizer required)")
+        proposer = DraftModelProposer(
+            d_params, d_cfg, gamma=args.spec_gamma,
+            max_slots=args.slots, max_seq=args.max_seq)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
                  eos_id=args.eos_id, paged=args.paged,
                  page_size=args.page_size, n_pages=args.n_pages,
-                 spec_gamma=args.spec_gamma)
+                 spec_gamma=args.spec_gamma, spec_proposer=proposer,
+                 mesh=mesh, pp_micro=args.pp_micro)
     serve(eng, host=args.host, port=args.port)
 
 
@@ -150,6 +179,11 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--mesh", default=None,
+                   help="multi-chip mesh, e.g. 'data=2,model=4' or "
+                        "'pipe=2,model=4' (axes: pipe,data,model,seq)")
+    g.add_argument("--pp-micro", type=int, default=1,
+                   help="pipeline microbatches (with pipe>1 meshes)")
     g.set_defaults(fn=_cmd_generate)
 
     b = sub.add_parser("bench", help="roofline bench (one JSON line)")
@@ -179,6 +213,16 @@ def main(argv=None):
     sv.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative decoding draft length (0 = off); "
                          "n-gram prompt-lookup drafts, greedy slots only")
+    sv.add_argument("--mesh", default=None,
+                    help="multi-chip mesh, e.g. 'data=2,model=4' or "
+                         "'pipe=2,model=4' (axes: pipe,data,model,seq)")
+    sv.add_argument("--pp-micro", type=int, default=1,
+                    help="pipeline microbatches (with pipe>1 meshes)")
+    sv.add_argument("--draft-ckpt", default=None,
+                    help="packed checkpoint of a small same-tokenizer "
+                         "draft model: use draft-MODEL speculative "
+                         "decoding instead of n-gram lookup "
+                         "(greedy-only; requires --spec-gamma)")
     sv.set_defaults(fn=_cmd_serve)
 
     s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")

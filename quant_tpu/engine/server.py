@@ -5,6 +5,11 @@ JSON API (stdlib http.server — zero deps, one background scheduler thread):
     POST /generate   {"prompt_ids": [...], "max_new_tokens": N,
                       "temperature": T, "top_k": K, "top_p": P}
         → {"req_id": i, "output_ids": [...]}
+    POST /generate with "stream": true
+        → chunked NDJSON: one {"token_ids": [...]} line per engine step
+          as tokens commit, then a final {"done": true, "req_id": i,
+          "output_ids": [...]} line. A client disconnect mid-stream
+          cancels the request (its slot frees immediately).
     GET  /healthz    → {"ok": true, ...engine stats}
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
@@ -17,6 +22,7 @@ from __future__ import annotations
 
 import json
 import logging
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -33,6 +39,10 @@ class EngineServer:
         self.engine = engine
         self.lock = threading.Lock()
         self.events: dict[int, threading.Event] = {}
+        # rid → (request, tokens-emitted-so-far, delta queue); the
+        # scheduler thread is the only producer, the HTTP handler the
+        # only consumer
+        self.streams: dict[int, tuple[Request, int, queue.Queue]] = {}
         self.next_id = 0
         self.stop_flag = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -50,12 +60,28 @@ class EngineServer:
             with self.lock:
                 busy = self.engine.has_work()
                 finished = self.engine.step() if busy else []
+                self._push_stream_deltas()
             for req in finished:
                 ev = self.events.pop(req.req_id, None)
                 if ev:
                     ev.set()
             if not busy:
                 time.sleep(0.005)
+
+    def _push_stream_deltas(self):
+        """Push newly committed tokens of streaming requests into their
+        queues (called under the lock, after each engine step)."""
+        done = []
+        for rid, (req, emitted, q) in self.streams.items():
+            n = len(req.output)
+            if n > emitted:
+                q.put(req.output[emitted:n])
+                self.streams[rid] = (req, n, q)
+            if req.finished:
+                q.put(None)  # end-of-stream sentinel
+                done.append(rid)
+        for rid in done:
+            del self.streams[rid]
 
     def submit(self, prompt_ids, max_new_tokens, sampling) -> Request:
         ev = threading.Event()
@@ -72,9 +98,32 @@ class EngineServer:
         ev.wait()
         return req
 
+    def submit_stream(self, prompt_ids, max_new_tokens, sampling):
+        """Enqueue a streaming request; returns (request, token queue).
+        The queue yields lists of newly committed token ids, then None."""
+        q: queue.Queue = queue.Queue()
+        sampling = sampling or SamplingConfig()
+        with self.lock:
+            rid = self.next_id
+            self.next_id += 1
+            req = Request(req_id=rid, prompt=list(prompt_ids),
+                          max_new_tokens=max_new_tokens, sampling=sampling)
+            self.engine.add_request(req)
+            self.streams[rid] = (req, 0, q)
+        return req, q
+
+    def cancel_stream(self, rid: int):
+        with self.lock:
+            self.streams.pop(rid, None)
+            self.engine.cancel(rid)
+
 
 def _make_handler(srv: EngineServer):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the streaming path) needs HTTP/1.1; every
+        # non-stream response sets Content-Length so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             log.debug(fmt, *args)
 
@@ -92,6 +141,37 @@ def _make_handler(srv: EngineServer):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _stream(self, body, sampling):
+            req, q = srv.submit_stream(
+                body["prompt_ids"],
+                int(body.get("max_new_tokens", 32)),
+                sampling,
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(obj):
+                data = json.dumps(obj).encode() + b"\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode()
+                                 + data + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                while True:
+                    toks = q.get()
+                    if toks is None:
+                        chunk({"done": True, "req_id": req.req_id,
+                               "output_ids": req.output})
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
+                    chunk({"token_ids": toks})
+            except (BrokenPipeError, ConnectionResetError):
+                srv.cancel_stream(req.req_id)
+                log.info("stream client gone; cancelled req=%d",
+                         req.req_id)
+
         def do_POST(self):
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
@@ -104,6 +184,9 @@ def _make_handler(srv: EngineServer):
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
                 )
+                if body.get("stream"):
+                    self._stream(body, sampling)
+                    return
                 req = srv.submit(
                     body["prompt_ids"],
                     int(body.get("max_new_tokens", 32)),

@@ -66,6 +66,32 @@ def test_cli_convert_generate_eval(tmp_path, capsys):
     assert res["ppl"] > 1.0
 
 
+def test_cli_generate_mesh(tmp_path, capsys):
+    """--mesh drives the multi-chip engine end-to-end from the CLI:
+    output must match the single-device CLI run exactly."""
+    from tests.test_checkpoint import _write_fake_hf
+
+    hf = tmp_path / "hf"
+    _write_fake_hf(hf, CFG)
+    cli.main([
+        "convert", str(hf), str(tmp_path / "ckpt"), "--bits", "4",
+        "--group-size", "64", "--tp", "2",
+    ])
+    capsys.readouterr()
+
+    base_args = [
+        "generate", str(tmp_path / "ckpt"), "--prompt-ids", "1,2,3;4,5",
+        "--max-new", "4", "--max-seq", "32", "--eos-id", "-1",
+    ]
+    cli.main(base_args)
+    single = [json.loads(l)
+              for l in capsys.readouterr().out.strip().splitlines()]
+    cli.main(base_args + ["--mesh", "data=2,model=2"])
+    meshed = [json.loads(l)
+              for l in capsys.readouterr().out.strip().splitlines()]
+    assert [o["output"] for o in meshed] == [o["output"] for o in single]
+
+
 def test_cli_selftest(capsys):
     rc = cli.main(["selftest"])
     assert rc == 0

@@ -58,3 +58,56 @@ def test_http_generate_and_health():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_streaming_matches_blocking():
+    params = llama.init_params(CFG, seed=1)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    prompt, n_new = [4, 9, 2], 8
+    try:
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"prompt_ids": prompt,
+                             "max_new_tokens": n_new}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            blocking = json.loads(r.read())["output_ids"]
+
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"prompt_ids": prompt, "stream": True,
+                             "max_new_tokens": n_new}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        streamed, lines, done = [], 0, None
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for raw in r:
+                obj = json.loads(raw)
+                if obj.get("done"):
+                    done = obj
+                    break
+                streamed.extend(obj["token_ids"])
+                lines += 1
+        assert done is not None
+        assert streamed == blocking == done["output_ids"]
+        assert len(streamed) == n_new
+        assert lines >= 2, "tokens must arrive incrementally"
+
+        # explicit cancel releases the slot (the disconnect path calls
+        # the same cancel_stream)
+        sreq, q = srv.submit_stream([5, 6, 7], 16, None)
+        q.get(timeout=60)  # at least one token committed
+        srv.cancel_stream(sreq.req_id)
+        deadline = 60
+        import time
+        t0 = time.time()
+        while eng.has_work() and time.time() - t0 < deadline:
+            time.sleep(0.01)
+        assert not eng.has_work()
+    finally:
+        httpd.shutdown()
+        srv.stop()
