@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quant_tpu.core import entropy
+from quant_tpu.core import codec, entropy
 from quant_tpu.core.qtensor import QTensor
 from quant_tpu.models.config import ModelConfig
 from quant_tpu.models.llama import LayerParams, LlamaParams, QEmbed
@@ -244,9 +244,57 @@ def _get_leaf(rd: _BlobReader, name: str):
     return rd.full(meta["data"])
 
 
+def _canonicalize_tp(field: str, leaf, cfg: ModelConfig, tp: int):
+    """Undo tp packing for a single-device (no-mesh) host load.
+
+    A tp-packed checkpoint stores fused column tensors SHARD-MAJOR
+    ([p0_s0|p1_s0|…|p0_s1|…], core.qtensor.concat_columns) and row
+    tensors with split-K nibble blocks (kshards=tp). Plain blob concat
+    keeps those layouts, which ``llama.forward`` must not see — it
+    slices fused outputs assuming part-major columns. Quantization is
+    per (K-group, column), so column permutation / K-block repacking
+    commute with it: the result is bit-identical to a tp=1 conversion.
+    """
+    if tp == 1:
+        return leaf
+    if field in ("wqkv", "w_gate_up", "qkv_bias"):
+        hd = cfg.head_dim
+        widths = ((cfg.intermediate,) * 2 if field == "w_gate_up"
+                  else (cfg.n_heads * hd, cfg.n_kv_heads * hd,
+                        cfg.n_kv_heads * hd))
+        per = [w // tp for w in widths]
+        starts, off = {}, 0
+        for s in range(tp):
+            for p, w in enumerate(per):
+                starts[(s, p)] = off
+                off += w
+        idx = []  # shard-major → part-major
+        for p, w in enumerate(per):
+            for s in range(tp):
+                idx.extend(range(starts[(s, p)], starts[(s, p)] + w))
+        idx = np.asarray(idx, np.int64)
+        if isinstance(leaf, QTensor):
+            return dataclasses.replace(
+                leaf, codes=np.ascontiguousarray(leaf.codes[:, idx]),
+                scales=np.ascontiguousarray(leaf.scales[:, idx]))
+        return np.ascontiguousarray(np.asarray(leaf)[idx])
+    if isinstance(leaf, QTensor) and leaf.kshards > 1:
+        codes = leaf.codes
+        if leaf.bits == 4:
+            kb = codes.shape[0] // leaf.kshards  # packed rows per block
+            blocks = [codec.unpack_int4_matmul(codes[s * kb:(s + 1) * kb])
+                      for s in range(leaf.kshards)]
+            codes = codec.pack_int4_matmul(np.concatenate(blocks, axis=0))
+        return dataclasses.replace(leaf, codes=codes, kshards=1)
+    return leaf
+
+
 def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
+    tp = rd.manifest.get("tp", 1)
+
     def stack(field):
-        leaves = [_get_leaf(rd, f"layers.{i}.{field}")
+        leaves = [_canonicalize_tp(field, _get_leaf(rd, f"layers.{i}.{field}"),
+                                   cfg, tp)
                   for i in range(cfg.n_layers)]
         return jax.tree.map(lambda *xs: np.stack(xs), *leaves)
 

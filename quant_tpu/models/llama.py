@@ -606,7 +606,7 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     key_pos = key_offset + jnp.arange(s)[None, None, None, None, :]
     qpos = positions[:, None, None, :, None]
     valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
-    if cfg.sliding_window:
+    if cfg is not None and cfg.sliding_window:
         valid &= key_pos > qpos - cfg.sliding_window
     logits = jnp.where(valid, logits, -1e30)
     if seq_axis is None:

@@ -130,6 +130,27 @@ def test_mesh_load_pp(tmp_path):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_host_load_canonicalizes_tp_packing(tmp_path):
+    """Host-loading (no mesh) a tp-packed checkpoint must return params
+    in EXACT tp=1 layout: fused columns de-interleaved, split-K int4
+    blocks repacked — bit-identical to converting with tp=1 (quantization
+    is per (K-group, column), so packing commutes with it)."""
+    from tests.test_checkpoint import _write_fake_hf  # self-import ok
+
+    hf = tmp_path / "hf"
+    _write_fake_hf(hf, CFG)
+    convert_hf_llama(hf, tmp_path / "t1", bits=4, group_size=64, tp=1)
+    convert_hf_llama(hf, tmp_path / "t4", bits=4, group_size=64, tp=2)
+    p1, _ = load_checkpoint(tmp_path / "t1", device=False)
+    p4, _ = load_checkpoint(tmp_path / "t4", device=False)
+    for x, y in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and kshards metadata is canonical
+    assert p4.layers.wo.kshards == 1
+    assert p4.layers.w_down.kshards == 1
+
+
 def test_mesh_load_rejects_tp_mismatch(tmp_path):
     from quant_tpu.parallel import make_mesh
     import pytest
