@@ -78,6 +78,7 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         norm_offset=1.0 if mtype.startswith("gemma") else 0.0,
         act_fn="gelu_tanh" if "gelu" in act else "silu",
         embed_scale=mtype.startswith("gemma"),
+        qk_norm=mtype == "qwen3",
     )
     kw.update(overrides)
     return ModelConfig(**kw)
@@ -167,5 +168,11 @@ def convert_hf_llama(
             nkv = cfg.n_kv_heads * cfg.head_dim
             bias = np.zeros((nq + 2 * nkv,), np.float32)
         w.add(f"layers.{i}.qkv_bias", bias)
+        for field, hf_name in (("q_norm", "self_attn.q_norm.weight"),
+                               ("k_norm", "self_attn.k_norm.weight")):
+            w.add(f"layers.{i}.{field}",
+                  hf.get(pre + hf_name).astype(np.float32)
+                  if pre + hf_name in hf  # Qwen3 QK-RMSNorm
+                  else np.ones((cfg.head_dim,), np.float32))
     w.finish()
     return cfg

@@ -32,6 +32,9 @@ class ModelConfig:
     norm_offset: float = 0.0
     act_fn: str = "silu"          # "silu" | "gelu_tanh"
     embed_scale: bool = False
+    # Qwen3 family: per-head RMSNorm on q and k (over head_dim, learned
+    # [Dh] weights shared across heads) after projection, before RoPE.
+    qk_norm: bool = False
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -104,5 +107,11 @@ PRESETS: dict[str, ModelConfig] = {
         intermediate=24576, head_dim=256, rope_theta=10000.0,
         norm_eps=1e-6, norm_offset=1.0, act_fn="gelu_tanh",
         embed_scale=True, embed_bits=8,
+    ),
+    # Qwen3-8B (QK-RMSNorm, no qkv bias, decoupled head_dim=128).
+    "qwen3-8b": ModelConfig(
+        vocab_size=151936, dim=4096, n_layers=36, n_heads=32, n_kv_heads=8,
+        intermediate=12288, head_dim=128, rope_theta=1000000.0,
+        norm_eps=1e-6, qk_norm=True, embed_bits=8,
     ),
 }

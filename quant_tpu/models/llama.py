@@ -70,6 +70,11 @@ class LayerParams:
     # QKV bias (Qwen2 family); zeros for Llama. Same interleaved column
     # order as wqkv so TP column splits stay aligned.
     qkv_bias: Any = None
+    # QK-RMSNorm weights (Qwen3 family): [Dh], shared across heads, so
+    # they replicate under TP head splits. Ones when cfg.qk_norm is off
+    # (the norm itself is gated by the config, not by these values).
+    q_norm: Any = None
+    k_norm: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -331,6 +336,12 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
                 tp)[0]
             if cfg.qkv_bias else jnp.zeros((qd + 2 * kvd,), jnp.float32)
         ),
+        q_norm=(jnp.asarray(
+            1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
+            if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
+        k_norm=(jnp.asarray(
+            1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
+            if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
     ))
     return LlamaParams(
         embed=_make_embed(
@@ -386,6 +397,8 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
             attn_norm=jnp.ones((d,), jnp.float32),
             mlp_norm=jnp.ones((d,), jnp.float32),
             qkv_bias=jnp.zeros((qd + 2 * kvd,), jnp.float32),
+            q_norm=jnp.ones((hd,), jnp.float32),
+            k_norm=jnp.ones((hd,), jnp.float32),
         )
 
     lkeys = jax.random.split(key, cfg.n_layers + 3)
@@ -442,6 +455,12 @@ def quantize_dense_params(
                      + 2 * dense[f"layers.{i}.wk"].shape[1],), np.float32),
                 jnp.float32,
             ),
+            q_norm=jnp.asarray(
+                g("q_norm") if f"layers.{i}.q_norm" in dense
+                else np.ones((cfg.head_dim,), np.float32), jnp.float32),
+            k_norm=jnp.asarray(
+                g("k_norm") if f"layers.{i}.k_norm" in dense
+                else np.ones((cfg.head_dim,), np.float32), jnp.float32),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     return LlamaParams(
@@ -736,7 +755,8 @@ def forward(
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
         (params.layers.attn_norm, params.layers.mlp_norm,
-         params.layers.qkv_bias, jnp.arange(cfg.n_layers)),
+         params.layers.qkv_bias, params.layers.q_norm,
+         params.layers.k_norm, jnp.arange(cfg.n_layers)),
     )
     h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
@@ -783,7 +803,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, idx = xs
+        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, idx = xs
         x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -792,6 +812,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         q = qkv[..., :nq].reshape(b, t, -1, cfg.head_dim)
         k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
         v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
+        if cfg.qk_norm:
+            # Qwen3: per-head RMSNorm over Dh before RoPE
+            q = rmsnorm(q, q_norm, cfg.norm_eps)
+            k = rmsnorm(k, k_norm, cfg.norm_eps)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         k_q, k_s = quantize_kv(k, cfg.kv_bits)

@@ -121,7 +121,8 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
 
     l_local = cache.k_codes.shape[0]
     xs = (params.layers.attn_norm, params.layers.mlp_norm,
-          params.layers.qkv_bias, jnp.arange(l_local))
+          params.layers.qkv_bias, params.layers.q_norm,
+          params.layers.k_norm, jnp.arange(l_local))
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
     def scan_local(layer_step, h, kc, ks, vc, vs):

@@ -202,7 +202,7 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, idx = xs
+        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, idx = xs
         x = llama.rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -211,6 +211,9 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         q = qkv[..., :nq].reshape(b, t_loc, -1, cfg.head_dim)
         k = qkv[..., nq:nq + nkv].reshape(b, t_loc, -1, cfg.head_dim)
         v = qkv[..., nq + nkv:].reshape(b, t_loc, -1, cfg.head_dim)
+        if cfg.qk_norm:
+            q = llama.rmsnorm(q, q_norm, cfg.norm_eps)
+            k = llama.rmsnorm(k, k_norm, cfg.norm_eps)
         q = llama._rope(q, q_pos, cfg.rope_theta)
         k = llama._rope(k, q_pos, cfg.rope_theta)
         k_q, k_s = llama.quantize_kv(k, cfg.kv_bits)
@@ -236,7 +239,7 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
         (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
-         jnp.arange(cfg.n_layers)),
+         layers.q_norm, layers.k_norm, jnp.arange(cfg.n_layers)),
     )
     h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps,
                       cfg.norm_offset)

@@ -130,6 +130,44 @@ def test_mesh_load_pp(tmp_path):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_convert_qwen3_qk_norm(tmp_path):
+    """Fake Qwen3 HF dir (q/k_norm tensors + model_type=qwen3): converter
+    must set cfg.qk_norm, carry the norm weights, and the loaded model's
+    logits must differ from a qk_norm=False interpretation."""
+    from safetensors.numpy import save_file
+
+    from quant_tpu.checkpoint.hf import config_from_hf
+
+    hf = tmp_path / "hf"
+    tensors = _write_fake_hf(hf, CFG)
+    rng = np.random.default_rng(7)
+    extra = {}
+    for i in range(CFG.n_layers):
+        p = f"model.layers.{i}."
+        extra[p + "self_attn.q_norm.weight"] = (
+            1 + 0.2 * rng.standard_normal(CFG.head_dim)).astype(np.float32)
+        extra[p + "self_attn.k_norm.weight"] = (
+            1 + 0.2 * rng.standard_normal(CFG.head_dim)).astype(np.float32)
+    save_file({**tensors, **extra}, str(hf / "model.safetensors"))
+    hf_cfg = json.loads((hf / "config.json").read_text())
+    hf_cfg["model_type"] = "qwen3"
+    (hf / "config.json").write_text(json.dumps(hf_cfg))
+
+    assert config_from_hf(hf).qk_norm
+    convert_hf_llama(hf, tmp_path / "q3", bits=8, group_size=64)
+    params, cfg = load_checkpoint(tmp_path / "q3")
+    assert cfg.qk_norm
+    np.testing.assert_allclose(
+        np.asarray(params.layers.q_norm[0]),
+        extra["model.layers.0.self_attn.q_norm.weight"])
+    toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    out, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
+    cfg_off = dataclasses.replace(cfg, qk_norm=False)
+    out_off, _ = llama.forward(params, toks,
+                               llama.init_cache(cfg_off, 1, 8), cfg_off)
+    assert not np.allclose(np.asarray(out), np.asarray(out_off), atol=1e-3)
+
+
 def test_host_load_canonicalizes_tp_packing(tmp_path):
     """Host-loading (no mesh) a tp-packed checkpoint must return params
     in EXACT tp=1 layout: fused columns de-interleaved, split-K int4

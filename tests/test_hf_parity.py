@@ -222,6 +222,11 @@ def _dense_weights(cfg, seed):
             np.float32) * 0.1
         dense[p + "mlp_norm"] = rng.standard_normal(d).astype(
             np.float32) * 0.1
+        if cfg.qk_norm:
+            dense[p + "q_norm"] = 1.0 + 0.2 * rng.standard_normal(
+                hd).astype(np.float32)
+            dense[p + "k_norm"] = 1.0 + 0.2 * rng.standard_normal(
+                hd).astype(np.float32)
     return dense
 
 
@@ -261,6 +266,11 @@ def _hf_state_dict_from_params(params, cfg):
             np.asarray(lp.attn_norm, np.float32))
         sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
             np.asarray(lp.mlp_norm, np.float32))
+        if cfg.qk_norm:
+            sd[pre + "self_attn.q_norm.weight"] = torch.from_numpy(
+                np.asarray(lp.q_norm, np.float32))
+            sd[pre + "self_attn.k_norm.weight"] = torch.from_numpy(
+                np.asarray(lp.k_norm, np.float32))
     return sd
 
 
@@ -306,6 +316,44 @@ def test_mistral_sliding_window_matches_transformers():
     cfg_full = dataclasses.replace(cfg, sliding_window=0)
     ours_full, _ = _run_both(model, params, cfg_full, toks)
     assert not np.allclose(ours_full, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3_qk_norm_matches_transformers():
+    """Qwen3 family: per-head QK-RMSNorm before RoPE, no qkv bias,
+    decoupled head_dim. kv_bits=16 isolates semantics at tight
+    tolerance; a run with the norm disabled must NOT match, proving the
+    test exercises it."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = dataclasses.replace(CFG, qk_norm=True, head_dim=128,
+                              kv_bits=16)
+    dense = _dense_weights(cfg, seed=41)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(42).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = Qwen3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        tie_word_embeddings=False, attn_implementation="eager",
+        use_sliding_window=False,
+    )
+    model = Qwen3ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(43).integers(2, cfg.vocab_size, (2, 7))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # the norm genuinely matters: disabling it must break parity
+    cfg_off = dataclasses.replace(cfg, qk_norm=False)
+    ours_off, _ = _run_both(model, params, cfg_off, toks)
+    assert not np.allclose(ours_off, hf_logits, rtol=2e-3, atol=2e-3)
 
 
 def test_gemma_matches_transformers():

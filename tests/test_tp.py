@@ -61,6 +61,13 @@ def test_tp_dp_matches_single_device(data, model):
     _run_pair(CFG, data, model, tp_pack=model)
 
 
+def test_tp_qk_norm():
+    """Qwen3 QK-RMSNorm under TP: the [Dh] norm weights replicate across
+    head shards — sharded forward must equal single-device."""
+    cfg = dataclasses.replace(CFG, qk_norm=True)
+    _run_pair(cfg, 2, 2, tp_pack=2)
+
+
 def test_tp_int8():
     cfg = dataclasses.replace(CFG, bits=8)
     _run_pair(cfg, 2, 2, tp_pack=2)
