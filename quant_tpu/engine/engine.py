@@ -976,6 +976,9 @@ class Engine:
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": len(self._prefix_map)}
                if self.prefix_cache else {}),
+            **({"free_pages": sum(len(f) for f in self._free_pages),
+                "total_pages": (self.n_pages - 1) * self._data_groups}
+               if self.paged else {}),
             **({"spec_proposed": self._spec_proposed,
                 "spec_accepted": self._spec_accepted,
                 # mean tokens a slot commits per verify dispatch (>= 1.0;

@@ -11,6 +11,8 @@ JSON API (stdlib http.server — zero deps, one background scheduler thread):
           "output_ids": [...]} line. A client disconnect mid-stream
           cancels the request (its slot frees immediately).
     GET  /healthz    → {"ok": true, ...engine stats}
+    GET  /metrics    → Prometheus text format (engine stats as
+                       quant_tpu_* gauges + server request counters)
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -138,6 +140,24 @@ def _make_handler(srv: EngineServer):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, **srv.engine.stats})
+            elif self.path == "/metrics":
+                lines = []
+                stats = dict(srv.engine.stats,
+                             requests_total=srv.next_id,
+                             streams_active=len(srv.streams))
+                for k, v in sorted(stats.items()):
+                    if isinstance(v, bool) or not isinstance(
+                            v, (int, float)):
+                        continue
+                    lines.append(f"# TYPE quant_tpu_{k} gauge")
+                    lines.append(f"quant_tpu_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -45,6 +45,11 @@ def test_http_generate_and_health():
             h = json.loads(r.read())
         assert h["ok"]
 
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            m = r.read().decode()
+        assert "quant_tpu_steps" in m
+        assert "quant_tpu_requests_total 3" in m
+
         # malformed request → 400
         req = urllib.request.Request(
             base + "/generate", data=b"{}",
