@@ -38,7 +38,10 @@ class ModelConfig:
     # quantization
     bits: int = 4
     group_size: int = 128
-    kv_bits: int = 8  # 8 → int8 KV cache; 16 → unquantized (XLA attn only)
+    # 8 → int8 KV cache; 4 → int4 (split-D nibble-packed, halves KV HBM
+    # traffic/footprint; XLA attention paths only); 16 → unquantized
+    # (quality ablation; XLA attn only)
+    kv_bits: int = 8
     embed_bits: int = 16  # 8 → int8 per-row quantized embedding table
     # execution
     kernel_mode: str = "auto"  # auto | pallas | pallas_interpret | xla
@@ -64,8 +67,11 @@ class ModelConfig:
         if self.act_fn not in ("silu", "gelu_tanh"):
             raise ValueError(f"act_fn must be silu|gelu_tanh, "
                              f"got {self.act_fn!r}")
-        if self.kv_bits not in (8, 16):
-            raise ValueError(f"kv_bits must be 8 or 16, got {self.kv_bits}")
+        if self.kv_bits not in (4, 8, 16):
+            raise ValueError(
+                f"kv_bits must be 4, 8 or 16, got {self.kv_bits}")
+        if self.kv_bits == 4 and self.head_dim % 2:
+            raise ValueError("kv_bits=4 needs an even head_dim")
         if self.attn_kernel not in ("auto", "xla", "flash", "paged"):
             raise ValueError(f"attn_kernel must be auto|xla|flash|paged, "
                              f"got {self.attn_kernel!r}")

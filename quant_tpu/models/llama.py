@@ -137,11 +137,19 @@ class KVCache:
 
 
 def _kv_dtype(cfg: ModelConfig):
-    return jnp.int8 if cfg.kv_bits == 8 else jnp.dtype(cfg.dtype)
+    if cfg.kv_bits == 8:
+        return jnp.int8
+    if cfg.kv_bits == 4:
+        return jnp.uint8  # two split-D nibbles per byte
+    return jnp.dtype(cfg.dtype)
+
+
+def _kv_code_dim(cfg: ModelConfig) -> int:
+    return cfg.head_dim // 2 if cfg.kv_bits == 4 else cfg.head_dim
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
-    l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    l, h, d = cfg.n_layers, cfg.n_kv_heads, _kv_code_dim(cfg)
     cdt = _kv_dtype(cfg)
     return KVCache(
         k_codes=jnp.zeros((l, batch, h, max_seq, d), cdt),
@@ -180,7 +188,7 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
                      n_pages: int, page: int = 128) -> PagedKVCache:
     """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
     ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
-    l, h, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    l, h, d = cfg.n_layers, cfg.n_kv_heads, _kv_code_dim(cfg)
     if max_seq % page:
         raise ValueError(f"max_seq {max_seq} must divide by page {page}")
     cdt = _kv_dtype(cfg)
@@ -505,18 +513,39 @@ def _rope(x, positions, theta):
 
 
 def quantize_kv(x, bits: int = 8):
-    """Per-(token, head) symmetric int8: x [B, T, H, Dh] → codes, scales.
+    """Per-(token, head) symmetric quantization: x [B, T, H, Dh] →
+    (codes, scales).
 
-    ``bits=16`` disables KV quantization (quality-ablation / fp fallback
-    mode): codes are the raw activations, scales identity — every cache
-    consumer computes codes*scale so the paths stay shared.
+    ``bits=8``: int8 codes. ``bits=4``: two codes per byte packed along
+    Dh in split-D layout — byte d holds (dim d | dim d+Dh/2 << 4), so
+    unpack is a concat, no interleave (mirrors the weight kernel's
+    split-K trick). ``bits=16`` disables KV quantization (quality
+    ablation / fp fallback): codes are the raw activations, scales
+    identity — every cache consumer computes codes*scale so the paths
+    stay shared.
     """
     if bits == 16:
         return x, jnp.ones(x.shape[:-1], jnp.float32)
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    qmax = 7.0 if bits == 4 else 127.0
+    scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
     codes = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    if bits == 4:
+        half = x.shape[-1] // 2
+        u = (codes + 8).astype(jnp.uint8)
+        packed = u[..., :half] | (u[..., half:] << 4)
+        return packed.astype(jnp.uint8), scale.astype(jnp.float32)
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def dequant_kv(codes, bits: int):
+    """Cache codes → float32 values in original Dh order (codes*scale is
+    the caller's job). int4: split-D nibble unpack (see quantize_kv)."""
+    if bits != 4:
+        return codes.astype(jnp.float32)
+    lo = (codes & 0xF).astype(jnp.float32) - 8.0
+    hi = (codes >> 4).astype(jnp.float32) - 8.0
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
@@ -615,11 +644,12 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     """
     b, t, hq, dh = q.shape
     hkv, s = k_codes.shape[1], k_codes.shape[2]
+    kv_bits = cfg.kv_bits if cfg is not None else 8
     rep = hq // hkv
     qf = q.astype(jnp.float32) / np.sqrt(dh)
     # [B, T, Hq, Dh] x [B, Hkv, S, Dh] → [B, Hkv, rep, T, S]
     qg = qf.reshape(b, t, hkv, rep, dh)
-    kf = k_codes.astype(jnp.float32)
+    kf = dequant_kv(k_codes, kv_bits)
     logits = jnp.einsum("bthrd,bhsd->bhrts", qg, kf)
     logits = logits * k_scale[:, :, None, None, :]
     key_pos = key_offset + jnp.arange(s)[None, None, None, None, :]
@@ -632,14 +662,14 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
         probs = jax.nn.softmax(logits, axis=-1)
         pv = probs * v_scale[:, :, None, None, :]
         out = jnp.einsum("bhrts,bhsd->bthrd", pv,
-                         v_codes.astype(jnp.float32))
+                         dequant_kv(v_codes, kv_bits))
         return out.reshape(b, t, hq, dh).astype(q.dtype)
     # Partial (flash-style) stats over the local shard, then LSE-merge.
     m_loc = jnp.max(logits, axis=-1, keepdims=True)          # [b,h,r,t,1]
     p = jnp.where(valid, jnp.exp(logits - m_loc), 0.0)
     l_loc = jnp.sum(p, axis=-1, keepdims=True)
     pv = p * v_scale[:, :, None, None, :]
-    o_loc = jnp.einsum("bhrts,bhsd->bhrtd", pv, v_codes.astype(jnp.float32))
+    o_loc = jnp.einsum("bhrts,bhsd->bhrtd", pv, dequant_kv(v_codes, kv_bits))
     m_glob = jax.lax.pmax(m_loc, seq_axis)
     w = jnp.exp(m_loc - m_glob)
     l_glob = jax.lax.psum(l_loc * w, seq_axis)
@@ -662,17 +692,19 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
     """
     b, t, hq, dh = q.shape
     hkv, s = k_codes.shape[1], k_codes.shape[2]
+    kv_bits = cfg.kv_bits if cfg is not None else 8
     if s <= block:
         return attention(q, k_codes, k_scale, v_codes, v_scale, positions,
                          lengths, cfg)
     if s % block:
         block = s  # fall back to one-shot for awkward sizes
     rep = hq // hkv
+    dc = k_codes.shape[-1]  # code dim: Dh/2 packed bytes for int4 KV
     qg = (q.astype(jnp.float32) / np.sqrt(dh)).reshape(b, t, hkv, rep, dh)
     n_blk = s // block
-    kb = jnp.moveaxis(k_codes.reshape(b, hkv, n_blk, block, dh), 2, 0)
+    kb = jnp.moveaxis(k_codes.reshape(b, hkv, n_blk, block, dc), 2, 0)
     ksb = jnp.moveaxis(k_scale.reshape(b, hkv, n_blk, block), 2, 0)
-    vb = jnp.moveaxis(v_codes.reshape(b, hkv, n_blk, block, dh), 2, 0)
+    vb = jnp.moveaxis(v_codes.reshape(b, hkv, n_blk, block, dc), 2, 0)
     vsb = jnp.moveaxis(v_scale.reshape(b, hkv, n_blk, block), 2, 0)
     qpos = positions[:, None, None, :, None]
     lim = lengths[:, None, None, None, None]
@@ -681,7 +713,7 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
         m, l, o, blk_idx = carry
         kcb, kscb, vcb, vscb = xs
         logits = jnp.einsum("bthrd,bhsd->bhrts", qg,
-                            kcb.astype(jnp.float32))
+                            dequant_kv(kcb, kv_bits))
         logits = logits * kscb[:, :, None, None, :]
         key_pos = blk_idx * block + jnp.arange(block)[None, None, None,
                                                       None, :]
@@ -695,7 +727,7 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = p * vscb[:, :, None, None, :]
         o = o * alpha + jnp.einsum("bhrts,bhsd->bhrtd", pv,
-                                   vcb.astype(jnp.float32))
+                                   dequant_kv(vcb, kv_bits))
         return (m_new, l, o, blk_idx + 1), None
 
     m0 = jnp.full((b, hkv, rep, t, 1), -1e30, jnp.float32)

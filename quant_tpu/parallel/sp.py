@@ -221,8 +221,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         kc, ks, vc, vs = _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s,
                                       start, idx, s0, seq_axis)
         # attend over the QUANTIZED kv (single-device forward parity)
-        k_hat = k_q.astype(jnp.float32) * k_s[..., None]
-        v_hat = v_q.astype(jnp.float32) * v_s[..., None]
+        k_hat = llama.dequant_kv(k_q, cfg.kv_bits) * k_s[..., None]
+        v_hat = llama.dequant_kv(v_q, cfg.kv_bits) * v_s[..., None]
         attn = attend(q, k_hat, v_hat, q_pos, q_pos, seq_axis)
         h = h + psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)

@@ -28,11 +28,14 @@ def main():
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     max_seq = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    kv_bits = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     cfg = PRESETS[preset]
     if layers:
         cfg = dataclasses.replace(cfg, n_layers=layers)
+    if kv_bits:
+        cfg = dataclasses.replace(cfg, kv_bits=kv_bits)
     print(f"{preset} L={cfg.n_layers} bits={cfg.bits} gs={cfg.group_size} "
-          f"B={batch} S={max_seq}", flush=True)
+          f"B={batch} S={max_seq} kv={cfg.kv_bits}", flush=True)
 
     t0 = time.perf_counter()
     params = llama.init_params_device(cfg, seed=0)

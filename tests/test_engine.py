@@ -178,3 +178,31 @@ def test_cancel():
     assert eng.cancel(0)            # cancel while active
     assert not eng.has_work()
     assert not eng.cancel(99)
+
+
+def test_generate_matches_reference_int4_kv():
+    """kv_bits=4 through the whole engine (prefill insert + decode):
+    continuous batching must equal the per-prompt reference exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kv_bits=4)
+    params = llama.init_params(cfg, seed=4)
+    rng = np.random.default_rng(4)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1)
+    outs = eng.generate(prompts, max_new_tokens=6)
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(cfg, batch=1, max_seq=64)
+        logits, cache = llama.forward(
+            params, jnp.asarray([prompt], jnp.int32), cache, cfg)
+        out = [int(jnp.argmax(logits[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params, jnp.asarray([[out[-1]]], jnp.int32), cache, cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)

@@ -275,3 +275,97 @@ def test_sliding_window_blockwise_matches_oneshot():
                                     cfg, block=4)
     np.testing.assert_allclose(np.asarray(one), np.asarray(blk),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int4_kv_roundtrip_and_forward():
+    """kv_bits=4: pack/unpack is exact on the quantized grid, the cache
+    halves its code bytes, and prefill→decode stays self-consistent."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 3, 2, 64)), jnp.float32)
+    codes, scale = llama.quantize_kv(x, 4)
+    assert codes.dtype == jnp.uint8 and codes.shape[-1] == 32
+    rec = np.asarray(llama.dequant_kv(codes, 4)) * np.asarray(scale)[..., None]
+    # int4 grid: |err| <= scale/2 elementwise
+    assert np.all(np.abs(rec - np.asarray(x))
+                  <= np.asarray(scale)[..., None] * 0.5 + 1e-6)
+
+    cfg = dataclasses.replace(CFG, kv_bits=4)
+    params = llama.init_params(cfg, seed=0)
+    cache = llama.init_cache(cfg, 1, 32)
+    assert cache.k_codes.shape[-1] == cfg.head_dim // 2
+    toks = jnp.asarray([[1, 7, 3, 9]], jnp.int32)
+    logits, cache = llama.forward(params, toks, cache, cfg)
+    # kv16 reference on the same weights: int4 KV is noisy on a random
+    # model (16 levels/head), but must stay strongly correlated
+    cfg16 = dataclasses.replace(CFG, kv_bits=16)
+    ref, _ = llama.forward(params, toks, llama.init_cache(cfg16, 1, 32),
+                           cfg16)
+    a = np.asarray(logits, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.95
+
+    # decode continues from the int4 cache
+    lg, cache = llama.forward(
+        params, jnp.asarray([[2]], jnp.int32), cache, cfg)
+    assert int(cache.lengths[0]) == 5 and lg.shape == (1, 1, cfg.vocab_size)
+
+
+def test_int4_kv_attention_exact_vs_manual_dequant():
+    """The int4-KV attention path must EQUAL the kv16 path fed the
+    manually unpacked codes — pins the unpack/scale wiring exactly
+    (correlation-style checks would let a transposed nibble slip)."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, kv_bits=4)
+    cfg16 = dataclasses.replace(CFG, kv_bits=16)
+    rng = np.random.default_rng(9)
+    b, s = 2, 16
+    q = jnp.asarray(rng.standard_normal((b, 1, CFG.n_heads, CFG.head_dim)),
+                    jnp.float32)
+    kc = jnp.asarray(rng.integers(0, 255,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                     jnp.uint8)
+    vc = jnp.asarray(rng.integers(0, 255,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                     jnp.uint8)
+    ks = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
+    vs = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
+    positions = jnp.full((b, 1), 13, jnp.int32)
+    lengths = jnp.full((b,), 14, jnp.int32)
+    got = llama.attention(q, kc, ks, vc, vs, positions, lengths, cfg4)
+    ref = llama.attention(q, llama.dequant_kv(kc, 4), ks,
+                          llama.dequant_kv(vc, 4), vs, positions, lengths,
+                          cfg16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_int4_kv_blockwise_matches_oneshot():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kv_bits=4)
+    rng = np.random.default_rng(6)
+    b, s = 2, 16
+    q = jnp.asarray(rng.standard_normal((b, 4, CFG.n_heads, CFG.head_dim)),
+                    jnp.float32)
+    kc = jnp.asarray(rng.integers(0, 255,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                     jnp.uint8)
+    ks = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
+    vc = jnp.asarray(rng.integers(0, 255,
+                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                     jnp.uint8)
+    vs = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
+    positions = jnp.asarray([[10, 11, 12, 13]] * b, jnp.int32)
+    lengths = jnp.full((b,), 14, jnp.int32)
+    one = llama.attention(q, kc, ks, vc, vs, positions, lengths, cfg)
+    blk = llama.attention_blockwise(q, kc, ks, vc, vs, positions, lengths,
+                                    cfg, block=4)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(blk),
+                               rtol=2e-4, atol=2e-4)

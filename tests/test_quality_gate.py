@@ -39,6 +39,7 @@ VARIANTS = {
     "int4": {},
     "int4_act_quant": {"act_quant": True},
     "int4_kv_off": {"kv_bits": 16},
+    "int4_kv4": {"kv_bits": 4},
     "int8": {"bits": 8},
 }
 RECORDED = {  # measured relative |ppl - fp| / fp at introduction (r2).
@@ -50,6 +51,7 @@ RECORDED = {  # measured relative |ppl - fp| / fp at introduction (r2).
     ("int4", 2): 0.173,
     ("int4_act_quant", 0): 0.046,
     ("int4_kv_off", 0): 0.044,
+    ("int4_kv4", 0): 0.026,
     ("int8", 0): 0.005,
 }
 
