@@ -43,12 +43,24 @@ __all__ = ["flash_decode_int8"]
 
 def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, hkv, rep,
-            stacked=False):
+            stacked=False, kv4=False):
     s_idx = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
     kv = (lambda r, h: r[0, 0, h]) if stacked else (lambda r, h: r[0, h])
     stride = max(rep, 8)  # 8-aligned per-head scratch blocks (sublane rule)
+
+    def dq(tile):
+        # int4 KV: split-D nibble unpack. uint8 bitwise has no Mosaic
+        # lowering on this toolchain — go through int32 like the matmul
+        # kernel (dequant_matmul.py) does; concat along lanes restores
+        # the original Dh order (packing is split-D, models/llama.py
+        # quantize_kv).
+        if not kv4:
+            return tile.astype(jnp.float32)
+        wi = tile.astype(jnp.int32)
+        return jnp.concatenate(
+            [(wi & 0xF) - 8, (wi >> 4) - 8], axis=1).astype(jnp.float32)
 
     @pl.when(s_idx == 0)
     def _():
@@ -61,7 +73,7 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
         for h in range(hkv):
             r0 = h * stride
             q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            kf = kv(kc_ref, h).astype(jnp.float32)         # [S_blk, Dh]
+            kf = dq(kv(kc_ref, h))                         # [S_blk, Dh]
             logits = jax.lax.dot_general(
                 q, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -82,7 +94,7 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             l_new = (alpha * l_ref[r0:r0 + rep, :1]
                      + jnp.sum(p, axis=1, keepdims=True))
 
-            vf = kv(vc_ref, h).astype(jnp.float32)
+            vf = dq(kv(vc_ref, h))
             pv = jnp.dot(p * kv(vs_ref, h)[None, :], vf,
                          preferred_element_type=jnp.float32)
             acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
@@ -101,7 +113,8 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 )
 def flash_decode_int8(
     q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
-    k_codes: jax.Array,  # int8 [B, Hkv, S, Dh] (or [L, ...] with ``layer``)
+    k_codes: jax.Array,  # int8 [B, Hkv, S, Dh] (or [L, ...] with ``layer``;
+                         # uint8 [..., S, Dh/2] = int4 split-D packed)
     k_scale: jax.Array,  # f32  [B, Hkv, S]
     v_codes: jax.Array,
     v_scale: jax.Array,
@@ -115,6 +128,7 @@ def flash_decode_int8(
     stacked = k_codes.ndim == 5
     b, hq, dh = q.shape
     hkv, s = k_codes.shape[-3], k_codes.shape[-2]
+    dc = k_codes.shape[-1]   # Dh, or Dh/2 when int4-packed
     rep = hq // hkv
     if s % s_blk:
         s_blk = s if s < s_blk else max(
@@ -125,7 +139,7 @@ def flash_decode_int8(
 
     kern = functools.partial(
         _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
-        hkv=hkv, rep=rep, stacked=stacked,
+        hkv=hkv, rep=rep, stacked=stacked, kv4=dc != dh,
     )
     stride = max(rep, 8)
     scratch = [
@@ -136,7 +150,7 @@ def flash_decode_int8(
     out_shape = jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype)
     if not stacked:
         kv_specs = [
-            pl.BlockSpec((1, hkv, s_blk, dh), lambda bb, ss: (bb, 0, ss, 0),
+            pl.BlockSpec((1, hkv, s_blk, dc), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
                          memory_space=pltpu.VMEM),
@@ -163,7 +177,7 @@ def flash_decode_int8(
         args = (lengths, qg, k_codes, k_scale, v_codes, v_scale)
     else:
         kv_specs = [
-            pl.BlockSpec((1, 1, hkv, s_blk, dh),
+            pl.BlockSpec((1, 1, hkv, s_blk, dc),
                          lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, s_blk),

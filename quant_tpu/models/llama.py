@@ -891,7 +891,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
-                 and ak == "flash" and cfg.kv_bits == 8
+                 and ak == "flash" and cfg.kv_bits in (8, 4)
                  and mode in ("pallas", "pallas_interpret"))
         if flash:
             # Aliased Pallas insert: an XLA scatter feeding the (opaque)

@@ -81,3 +81,59 @@ def test_stacked_layer_cache():
                                 jnp.int32(i), s_blk=64, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_int4_kv_matches_xla():
+    """kv_bits=4 (split-D nibble-packed uint8 codes) through the flash
+    kernel must equal the XLA attention fed the same packed cache."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, kv_bits=4)
+    rng = np.random.default_rng(11)
+    b, s, hq, hkv, dh = 2, 128, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    kq, ks = llama.quantize_kv(k, 4)
+    vq, vs = llama.quantize_kv(v, 4)
+    kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+    ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+    ln = jnp.asarray([100, 37], jnp.int32)
+    positions = (ln - 1)[:, None]
+    ref = llama.attention(q, kq, ks, vq, vs, positions, ln, cfg4)
+    out = flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln, s_blk=64,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_kernel_int4_kv_stacked_layer_select():
+    """Stacked [L, ...] int4 cache with scalar-prefetched layer index."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, kv_bits=4)
+    rng = np.random.default_rng(12)
+    L, b, s, hq, hkv, dh = 2, 2, 128, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, dh)), jnp.float32)
+    kqs, kss, vqs, vss = [], [], [], []
+    for _ in range(L):
+        k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+        kq, ks = llama.quantize_kv(k, 4)
+        vq, vs = llama.quantize_kv(v, 4)
+        kqs.append(kq.transpose(0, 2, 1, 3)); kss.append(ks.transpose(0, 2, 1))
+        vqs.append(vq.transpose(0, 2, 1, 3)); vss.append(vs.transpose(0, 2, 1))
+    kq, ks = jnp.stack(kqs), jnp.stack(kss)
+    vq, vs = jnp.stack(vqs), jnp.stack(vss)
+    ln = jnp.asarray([90, 128], jnp.int32)
+    positions = (ln - 1)[:, None]
+    for layer in range(L):
+        ref = llama.attention(q, kq[layer], ks[layer], vq[layer], vs[layer],
+                              positions, ln, cfg4)
+        out = flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln,
+                                layer=jnp.int32(layer), s_blk=64,
+                                interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+        )

@@ -139,6 +139,34 @@ def test_flash_path_with_aliased_insert_matches_xla():
         assert np.argmax(np.asarray(lf)) == np.argmax(np.asarray(lx))
 
 
+def test_flash_path_int4_kv_matches_xla():
+    """kv_bits=4: the Pallas flash+aliased-insert decode path must EQUAL
+    the XLA attention+scatter path bit-for-bit on cache codes and to fp
+    tolerance on logits — the matmul backend is held constant
+    (pallas_interpret both sides) so only the attention path differs."""
+    cfg_x = dataclasses.replace(CFG, kernel_mode="pallas_interpret",
+                                attn_kernel="xla", kv_bits=4)
+    cfg_f = dataclasses.replace(CFG, kernel_mode="pallas_interpret",
+                                attn_kernel="flash", kv_bits=4)
+    params = llama.init_params(cfg_x, seed=8)
+    toks = jnp.array([[3, 1, 4, 1, 5]], jnp.int32)
+    cache_x = llama.init_cache(cfg_x, 1, 16)
+    cache_f = llama.init_cache(cfg_f, 1, 16)
+    _, cache_x = llama.forward(params, toks, cache_x, cfg_x)
+    _, cache_f = llama.forward(params, toks, cache_f, cfg_f)
+    for _ in range(3):
+        lx, cache_x = llama.forward(params, toks[:, -1:], cache_x, cfg_x)
+        lf, cache_f = llama.forward(params, toks[:, -1:], cache_f, cfg_f)
+        np.testing.assert_allclose(
+            np.asarray(lf, np.float32), np.asarray(lx, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(cache_f.k_codes),
+                                      np.asarray(cache_x.k_codes))
+        np.testing.assert_array_equal(np.asarray(cache_f.v_codes),
+                                      np.asarray(cache_x.v_codes))
+
+
 def test_blockwise_attention_matches_oneshot():
     rng = np.random.default_rng(9)
     b, t, hq, hkv, dh, s = 2, 8, 4, 2, 64, 64
