@@ -44,13 +44,21 @@ __all__ = ["paged_flash_decode_int8", "paged_attention_reference",
 
 def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
             o_ref, m_ref, l_ref, acc_ref, *, page, n_pages, scale, hkv,
-            rep):
+            rep, kv4=False):
     del lr_ref, pt_ref
     s_idx = pl.program_id(1)
     b = pl.program_id(0)
     length = len_ref[b]
     start = s_idx * page
     stride = max(rep, 8)
+
+    def dq(tile):
+        # int4 KV: split-D nibble unpack via int32 (see attention.py)
+        if not kv4:
+            return tile.astype(jnp.float32)
+        wi = tile.astype(jnp.int32)
+        return jnp.concatenate(
+            [(wi & 0xF) - 8, (wi >> 4) - 8], axis=1).astype(jnp.float32)
 
     @pl.when(s_idx == 0)
     def _():
@@ -63,7 +71,7 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
         for h in range(hkv):
             r0 = h * stride
             q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            kf = kc_ref[0, 0, h].astype(jnp.float32)       # [page, Dh]
+            kf = dq(kc_ref[0, 0, h])                       # [page, Dh]
             logits = jax.lax.dot_general(
                 q, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -80,7 +88,7 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
             p = jnp.exp(logits - m_new)
             l_new = (alpha * l_ref[r0:r0 + rep, :1]
                      + jnp.sum(p, axis=1, keepdims=True))
-            vf = vc_ref[0, 0, h].astype(jnp.float32)
+            vf = dq(vc_ref[0, 0, h])
             pv = jnp.dot(p * vs_ref[0, 0, h][None, :], vf,
                          preferred_element_type=jnp.float32)
             acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
@@ -109,7 +117,7 @@ def paged_flash_decode_int8(
 ) -> jax.Array:
     """Returns attention output [B, Hq, Dh] (q.dtype)."""
     b, hq, dh = q.shape
-    _, _, hkv, page, _ = pool_kc.shape
+    _, _, hkv, page, dc = pool_kc.shape  # dc = Dh, or Dh/2 int4-packed
     n_pages = page_tbl.shape[1]
     rep = hq // hkv
     qg = q.reshape(b, hkv, rep, dh)
@@ -127,7 +135,7 @@ def paged_flash_decode_int8(
 
     kern = functools.partial(
         _kernel, page=page, n_pages=n_pages, scale=1.0 / (dh ** 0.5),
-        hkv=hkv, rep=rep,
+        hkv=hkv, rep=rep, kv4=dc != dh,
     )
     stride = max(rep, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -137,11 +145,11 @@ def paged_flash_decode_int8(
             pl.BlockSpec((1, hkv, rep, dh),
                          lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, page, dh), kv_map,
+            pl.BlockSpec((1, 1, hkv, page, dc), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, page), kv_map_s,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, page, dh), kv_map,
+            pl.BlockSpec((1, 1, hkv, page, dc), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, page), kv_map_s,
                          memory_space=pltpu.VMEM),
@@ -180,13 +188,17 @@ def paged_gather(pool, page_tbl, layer):
 
 def paged_attention_reference(q, pool_kc, pool_ks, pool_vc, pool_vs,
                               page_tbl, lengths, layer):
-    """XLA paged decode attention via page gather (test oracle)."""
+    """XLA paged decode attention via page gather (test oracle).
+    int4-packed pools (code dim = Dh/2) are unpacked via dequant_kv."""
     from quant_tpu.models import llama
 
     kc = paged_gather(pool_kc, page_tbl, layer)
     ks = paged_gather(pool_ks, page_tbl, layer)
     vc = paged_gather(pool_vc, page_tbl, layer)
     vs = paged_gather(pool_vs, page_tbl, layer)
+    if kc.shape[-1] != q.shape[-1]:
+        kc = llama.dequant_kv(kc, 4)
+        vc = llama.dequant_kv(vc, 4)
     positions = (lengths - 1)[:, None]
     return llama.attention(q[:, None], kc, ks, vc, vs, positions, lengths,
                            None)[:, 0]

@@ -859,7 +859,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             ak = _resolve_attn_kernel(
                 cfg, b, page_tbl.shape[1] * kc.shape[3], mode, paged=True)
             pg_flash = (t == 1 and ak in ("flash", "paged")
-                        and cfg.kv_bits == 8
+                        and cfg.kv_bits in (8, 4)
                         and mode in ("pallas", "pallas_interpret"))
             interp = mode == "pallas_interpret"
             if pg_flash:

@@ -197,3 +197,79 @@ def test_paged_engine_hbm_bounded():
                                    page=128)
     paged_bytes = sum(a.nbytes for a in jax.tree.leaves(paged))
     assert paged_bytes < contig_bytes / 3
+
+
+def test_paged_flash_decode_int4_kv():
+    """int4-packed pool (code dim Dh/2) through the paged Pallas kernel
+    == the gather reference == the contiguous XLA path, exactly."""
+    from quant_tpu.kernels.paged_attention import (
+        paged_attention_reference, paged_flash_decode_int8,
+    )
+
+    cfg4 = dataclasses.replace(CFG, kv_bits=4)
+    b, s_max, n_pages = 3, 32, 32
+    lengths = [9, 32, 17]
+    rng = np.random.default_rng(21)
+    l, h, d = CFG.n_layers, CFG.n_kv_heads, CFG.head_dim
+    dc = d // 2
+    kc = rng.integers(0, 255, (l, b, h, s_max, dc)).astype(np.uint8)
+    ks = rng.random((l, b, h, s_max), np.float32) + 0.5
+    vc = rng.integers(0, 255, (l, b, h, s_max, dc)).astype(np.uint8)
+    vs = rng.random((l, b, h, s_max), np.float32) + 0.5
+    n_per = s_max // PAGE
+    perm = rng.permutation(np.arange(1, n_pages))[: b * n_per]
+    tbl = perm.reshape(b, n_per).astype(np.int32)
+    pool = [np.zeros((l, n_pages, h, PAGE, dc), np.uint8),
+            np.zeros((l, n_pages, h, PAGE), np.float32),
+            np.zeros((l, n_pages, h, PAGE, dc), np.uint8),
+            np.zeros((l, n_pages, h, PAGE), np.float32)]
+    for bb in range(b):
+        for p in range(n_per):
+            sl = slice(p * PAGE, (p + 1) * PAGE)
+            pg = tbl[bb, p]
+            for dst, src in zip(pool, (kc, ks, vc, vs)):
+                dst[:, pg] = src[:, bb, :, sl]
+    lens = jnp.asarray(lengths, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, CFG.n_heads, d)), jnp.float32)
+    for layer in range(l):
+        ref = llama.attention(
+            q[:, None], *(jnp.asarray(a[layer]) for a in (kc, ks, vc, vs)),
+            (lens - 1)[:, None], lens, cfg4)[:, 0]
+        via_ref = paged_attention_reference(
+            q, *(jnp.asarray(a) for a in pool), jnp.asarray(tbl), lens,
+            layer)
+        np.testing.assert_allclose(np.asarray(via_ref), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        out = paged_flash_decode_int8(
+            q, *(jnp.asarray(a) for a in pool), jnp.asarray(tbl), lens,
+            layer, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_paged_engine_int4_kv_matches_reference():
+    """Paged engine with kv_bits=4: continuous batching == per-prompt
+    reference greedy (the paged Pallas pair reads the packed pool)."""
+    cfg = dataclasses.replace(CFG, kv_bits=4,
+                              kernel_mode="pallas_interpret")
+    params = llama.init_params(cfg, seed=31)
+    rng = np.random.default_rng(31)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 paged=True, page_size=PAGE)
+    outs = eng.generate(prompts, max_new_tokens=6)
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(cfg, batch=1, max_seq=64)
+        logits, cache = llama.forward(
+            params, jnp.asarray([prompt], jnp.int32), cache, cfg)
+        out = [int(jnp.argmax(logits[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params, jnp.asarray([[out[-1]]], jnp.int32), cache, cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)
