@@ -197,3 +197,33 @@ def test_sample_batch_matches_sample_per_slot():
     for i, c in enumerate(configs):
         expect = np.asarray(sample(logits, key, c))
         assert batch[i] == expect[i], (i, c)
+
+
+def test_mesh_engine_int4_kv():
+    """kv_bits=4 under a (data, model) mesh: the packed uint8 code
+    tensors shard like the int8 ones (kv-heads over model, batch over
+    data; the packed Dh/2 dim stays local) — output must equal the
+    single-device reference."""
+    cfg = dataclasses.replace(CFG, kv_bits=4)
+    params_ref = llama.init_params(cfg, seed=5, tp=1)
+    params = llama.init_params(cfg, seed=5, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    prompts = _prompts(3, rng_seed=5)
+    outs = eng.generate(prompts, max_new_tokens=6)
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(cfg, batch=1, max_seq=64)
+        logits, cache = llama.forward(
+            params_ref, jnp.asarray([prompt], jnp.int32), cache, cfg)
+        out = [int(jnp.argmax(logits[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params_ref, jnp.asarray([[out[-1]]], jnp.int32), cache,
+                cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)
