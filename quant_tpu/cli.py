@@ -39,8 +39,12 @@ def _cmd_generate(args):
     from quant_tpu.checkpoint import load_checkpoint
     from quant_tpu.engine import Engine, SamplingConfig
 
+    import dataclasses
+
     mesh = _parse_mesh(args.mesh) if args.mesh else None
     params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
+    if args.kv_bits:
+        cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -94,8 +98,12 @@ def _cmd_serve(args):
     from quant_tpu.engine import Engine
     from quant_tpu.engine.server import serve
 
+    import dataclasses
+
     mesh = _parse_mesh(args.mesh) if args.mesh else None
     params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
+    if args.kv_bits:
+        cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     proposer = None
     if args.draft_ckpt:
         if not args.spec_gamma:
@@ -179,6 +187,9 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--kv-bits", type=int, default=0, choices=(0, 4, 8, 16),
+                   help="KV cache quantization override (0 = checkpoint "
+                        "default): 4 int4 packed, 8 int8, 16 off")
     g.add_argument("--mesh", default=None,
                    help="multi-chip mesh, e.g. 'data=2,model=4' or "
                         "'pipe=2,model=4' (axes: pipe,data,model,seq)")
@@ -213,6 +224,10 @@ def main(argv=None):
     sv.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative decoding draft length (0 = off); "
                          "n-gram prompt-lookup drafts, greedy slots only")
+    sv.add_argument("--kv-bits", type=int, default=0,
+                    choices=(0, 4, 8, 16),
+                    help="KV cache quantization override (0 = checkpoint "
+                         "default): 4 int4 packed, 8 int8, 16 off")
     sv.add_argument("--mesh", default=None,
                     help="multi-chip mesh, e.g. 'data=2,model=4' or "
                          "'pipe=2,model=4' (axes: pipe,data,model,seq)")
