@@ -30,7 +30,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import pathlib
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -191,11 +194,15 @@ class _BlobReader:
         self.path = path
         self.manifest = manifest
         self._f = open(path / "data.bin", "rb")
+        # threaded loads: file access serialized; the expensive part
+        # (entropy decode, a GIL-releasing C++ call) runs outside the lock
+        self._lock = threading.Lock()
 
     def _read_shard(self, meta: dict, idx: int) -> np.ndarray:
         blob = meta["shards"][idx]
-        self._f.seek(blob["offset"])
-        payload = self._f.read(blob["size"])
+        with self._lock:
+            self._f.seek(blob["offset"])
+            payload = self._f.read(blob["size"])
         if meta["codec"] == "qref-huffman":
             payload = _entropy_decode(payload)
         shape = list(meta["shape"])
@@ -291,16 +298,24 @@ def _canonicalize_tp(field: str, leaf, cfg: ModelConfig, tp: int):
 
 def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
     tp = rd.manifest.get("tp", 1)
+    # entropy decode dominates load time and releases the GIL (C++ via
+    # ctypes), so per-layer leaves decode in parallel; peak RSS grows by
+    # only the in-flight payloads
+    workers = min(8, os.cpu_count() or 1)
 
-    def stack(field):
-        leaves = [_canonicalize_tp(field, _get_leaf(rd, f"layers.{i}.{field}"),
-                                   cfg, tp)
-                  for i in range(cfg.n_layers)]
-        return jax.tree.map(lambda *xs: np.stack(xs), *leaves)
+    def one(field, i):
+        return _canonicalize_tp(field, _get_leaf(rd, f"layers.{i}.{field}"),
+                                cfg, tp)
 
-    layers = LayerParams(**{
-        f.name: stack(f.name) for f in dataclasses.fields(LayerParams)
-    })
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        fields = [f.name for f in dataclasses.fields(LayerParams)]
+        futs = {f: [ex.submit(one, f, i) for i in range(cfg.n_layers)]
+                for f in fields}
+        layers = LayerParams(**{
+            f: jax.tree.map(lambda *xs: np.stack(xs),
+                            *[fu.result() for fu in futs[f]])
+            for f in fields
+        })
     return LlamaParams(
         embed=_get_leaf(rd, "embed"), layers=layers,
         final_norm=_get_leaf(rd, "final_norm"),
