@@ -1,7 +1,8 @@
 """Serving runtime: sampling, continuous-batching engine, speculation."""
 
 from quant_tpu.engine.sampler import sample, SamplingConfig
-from quant_tpu.engine.engine import Engine, Request
-from quant_tpu.engine.spec import NgramProposer
+from quant_tpu.engine.engine import Engine, QueueFullError, Request
+from quant_tpu.engine.spec import DraftModelProposer, NgramProposer
 
-__all__ = ["Engine", "NgramProposer", "Request", "sample", "SamplingConfig"]
+__all__ = ["DraftModelProposer", "Engine", "NgramProposer",
+           "QueueFullError", "Request", "sample", "SamplingConfig"]

@@ -59,7 +59,12 @@ from quant_tpu.models.config import ModelConfig
 
 log = logging.getLogger("quant_tpu.engine")
 
-__all__ = ["Engine", "Request"]
+__all__ = ["Engine", "QueueFullError", "Request"]
+
+
+class QueueFullError(RuntimeError):
+    """add_request refused: the pending queue is at max_pending
+    (backpressure signal — the HTTP server maps it to 429)."""
 
 
 @dataclasses.dataclass
@@ -68,9 +73,14 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     sampling: SamplingConfig = SamplingConfig()
+    # absolute time.monotonic() deadline; the engine cancels the request
+    # at the next step boundary once passed (timed_out set). None = no
+    # deadline.
+    deadline: float | None = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
+    timed_out: bool = False
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -106,8 +116,10 @@ class Engine:
         prefix_cache: bool = False,
         spec_gamma: int = 0,
         spec_proposer=None,
+        max_pending: int | None = None,
     ):
         self.cfg = cfg
+        self.max_pending = max_pending
         self.mesh = mesh
         self.max_slots = max_slots
         self.max_seq = max_seq
@@ -658,7 +670,37 @@ class Engine:
                 len(req.prompt) + req.max_new_tokens) > self.n_pages - 1:
             raise ValueError(
                 f"request {req.req_id} needs more pages than the pool has")
+        if (self.max_pending is not None
+                and len(self.pending) >= self.max_pending):
+            raise QueueFullError(
+                f"pending queue full ({self.max_pending})")
         self.pending.append(req)
+
+    def _expire_deadlines(self, finished: list[Request]) -> None:
+        """Cancel pending/active requests whose deadline passed; they
+        finish with whatever tokens they have, flagged timed_out."""
+        now = time.monotonic()
+
+        def expired(r):
+            return r is not None and r.deadline is not None \
+                and now >= r.deadline and not r.finished
+
+        for r in [r for r in self.pending if expired(r)]:
+            self.pending.remove(r)
+            r.finished = r.timed_out = True
+            finished.append(r)
+            log.info("deadline expired (pending) req=%d", r.req_id)
+        if self._prefilling is not None and expired(self._prefilling[0]):
+            r = self._prefilling[0]
+            self.cancel(r.req_id)
+            r.timed_out = True
+            finished.append(r)
+        for i, r in enumerate(self.slots):
+            if expired(r):
+                self.cancel(r.req_id)
+                r.timed_out = True
+                finished.append(r)
+                log.info("deadline expired (slot %d) req=%d", i, r.req_id)
 
     def _advance_admission(self) -> None:
         """Run at most ONE prefill chunk (admission budget: decode slots
@@ -862,6 +904,8 @@ class Engine:
         active slot is greedy (draft rejection sampling for temperature>0
         would need draft probabilities; non-greedy steps fall back to the
         plain decode program)."""
+        expired: list[Request] = []
+        self._expire_deadlines(expired)
         self._advance_admission()
         pre_active = [i for i, s in enumerate(self.slots) if s is not None]
         use_spec = bool(
@@ -873,6 +917,7 @@ class Engine:
         active = [i for i, s in enumerate(self.slots) if s is not None]
         use_spec = use_spec and bool(active)
         finished, self._admit_finished = self._admit_finished, []
+        finished = expired + finished
         if use_spec:
             n_committed = self._spec_advance(active, finished)
             self._steps += 1
@@ -925,11 +970,14 @@ class Engine:
         Over-capacity cache writes of finished slots are dropped by the
         scatter and their lengths reset at the next insert.
         """
+        expired: list[Request] = []
+        self._expire_deadlines(expired)
         self._drain_admission()
         self._grow_for_decode(n)
         self._sync_paged()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         finished, self._admit_finished = self._admit_finished, []
+        finished = expired + finished
         if not active:
             return finished
         n = max(1, min(n, max(

@@ -28,7 +28,7 @@ import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from quant_tpu.engine.engine import Engine, Request
+from quant_tpu.engine.engine import Engine, QueueFullError, Request
 from quant_tpu.engine.sampler import SamplingConfig
 
 log = logging.getLogger("quant_tpu.server")
@@ -85,13 +85,20 @@ class EngineServer:
         for rid in done:
             del self.streams[rid]
 
-    def submit(self, prompt_ids, max_new_tokens, sampling) -> Request:
+    @staticmethod
+    def _deadline(timeout_s):
+        import time
+        return time.monotonic() + timeout_s if timeout_s else None
+
+    def submit(self, prompt_ids, max_new_tokens, sampling,
+               timeout_s: float | None = None) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
             self.next_id += 1
             req = Request(req_id=rid, prompt=list(prompt_ids),
-                          max_new_tokens=max_new_tokens, sampling=sampling)
+                          max_new_tokens=max_new_tokens, sampling=sampling,
+                          deadline=self._deadline(timeout_s))
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -100,7 +107,8 @@ class EngineServer:
         ev.wait()
         return req
 
-    def submit_stream(self, prompt_ids, max_new_tokens, sampling):
+    def submit_stream(self, prompt_ids, max_new_tokens, sampling,
+                      timeout_s: float | None = None):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -109,7 +117,8 @@ class EngineServer:
             rid = self.next_id
             self.next_id += 1
             req = Request(req_id=rid, prompt=list(prompt_ids),
-                          max_new_tokens=max_new_tokens, sampling=sampling)
+                          max_new_tokens=max_new_tokens, sampling=sampling,
+                          deadline=self._deadline(timeout_s))
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
         return req, q
@@ -161,11 +170,12 @@ def _make_handler(srv: EngineServer):
             else:
                 self._json(404, {"error": "not found"})
 
-        def _stream(self, body, sampling):
+        def _stream(self, body, sampling, timeout_s=None):
             req, q = srv.submit_stream(
                 body["prompt_ids"],
                 int(body.get("max_new_tokens", 32)),
                 sampling,
+                timeout_s,
             )
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -183,7 +193,8 @@ def _make_handler(srv: EngineServer):
                     toks = q.get()
                     if toks is None:
                         chunk({"done": True, "req_id": req.req_id,
-                               "output_ids": req.output})
+                               "output_ids": req.output,
+                               "timed_out": req.timed_out})
                         self.wfile.write(b"0\r\n\r\n")
                         return
                     chunk({"token_ids": toks})
@@ -204,16 +215,21 @@ def _make_handler(srv: EngineServer):
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
                 )
+                timeout_s = body.get("timeout_s")
                 if body.get("stream"):
-                    self._stream(body, sampling)
+                    self._stream(body, sampling, timeout_s)
                     return
                 req = srv.submit(
                     body["prompt_ids"],
                     int(body.get("max_new_tokens", 32)),
                     sampling,
+                    timeout_s,
                 )
                 self._json(200, {"req_id": req.req_id,
-                                 "output_ids": req.output})
+                                 "output_ids": req.output,
+                                 "timed_out": req.timed_out})
+            except QueueFullError as e:
+                self._json(429, {"error": str(e)})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
 

@@ -206,3 +206,47 @@ def test_generate_matches_reference_int4_kv():
 
     for p, o in zip(prompts, outs):
         assert o == ref(p, 6), (p, o)
+
+
+def test_deadline_expires_pending_and_active():
+    import time as _t
+
+    from quant_tpu.engine import QueueFullError  # noqa: F401 (API)
+
+    params = llama.init_params(CFG, seed=6)
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    # r1 occupies the only slot; r2 waits pending with an already-passed
+    # deadline; r3 has no deadline
+    r1 = Request(req_id=0, prompt=[1, 2, 3], max_new_tokens=30,
+                 deadline=_t.monotonic() + 0.5)
+    r2 = Request(req_id=1, prompt=[4, 5], max_new_tokens=4,
+                 deadline=_t.monotonic() - 1)
+    r3 = Request(req_id=2, prompt=[6, 7], max_new_tokens=2)
+    for r in (r1, r2, r3):
+        eng.add_request(r)
+    finished = []
+    t0 = _t.monotonic()
+    while eng.has_work() and _t.monotonic() - t0 < 60:
+        finished += eng.step()
+    assert r2.timed_out and r2.finished and r2.output == []
+    assert r1.finished
+    # r1 either finished naturally (fast machine) or timed out mid-decode
+    # with partial output
+    if r1.timed_out:
+        assert 0 <= len(r1.output) < 30
+    assert r3.finished and not r3.timed_out and len(r3.output) == 2
+    ids = {r.req_id for r in finished}
+    assert ids == {0, 1, 2}
+
+
+def test_queue_cap_raises():
+    from quant_tpu.engine import QueueFullError
+
+    params = llama.init_params(CFG, seed=7)
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1,
+                 max_pending=2)
+    for i in range(2):
+        eng.add_request(Request(req_id=i, prompt=[1, 2], max_new_tokens=2))
+    import pytest as _pytest
+    with _pytest.raises(QueueFullError):
+        eng.add_request(Request(req_id=9, prompt=[1], max_new_tokens=1))
