@@ -82,11 +82,15 @@ def _cmd_bench(args):
 
 
 def _cmd_eval(args):
+    import dataclasses
+
     from quant_tpu.checkpoint import load_checkpoint
     from quant_tpu.eval import perplexity
     from quant_tpu.eval.perplexity import tokens_from_file
 
     params, cfg = load_checkpoint(args.ckpt)
+    if args.kv_bits:
+        cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     toks = tokens_from_file(args.text, args.tokenizer)
     res = perplexity(params, cfg, toks, window=args.window,
                      limit_windows=args.limit_windows)
@@ -122,7 +126,8 @@ def _cmd_serve(args):
                  eos_id=args.eos_id, paged=args.paged,
                  page_size=args.page_size, n_pages=args.n_pages,
                  spec_gamma=args.spec_gamma, spec_proposer=proposer,
-                 mesh=mesh, pp_micro=args.pp_micro)
+                 mesh=mesh, pp_micro=args.pp_micro,
+                 max_pending=args.max_pending)
     serve(eng, host=args.host, port=args.port)
 
 
@@ -205,6 +210,8 @@ def main(argv=None):
     e.add_argument("--text", required=True)
     e.add_argument("--tokenizer", default=None)
     e.add_argument("--window", type=int, default=512)
+    e.add_argument("--kv-bits", type=int, default=0, choices=(0, 4, 8, 16),
+                   help="KV quantization override for the eval run")
     e.add_argument("--limit-windows", type=int, default=None)
     e.set_defaults(fn=_cmd_eval)
 
@@ -224,6 +231,8 @@ def main(argv=None):
     sv.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative decoding draft length (0 = off); "
                          "n-gram prompt-lookup drafts, greedy slots only")
+    sv.add_argument("--max-pending", type=int, default=None,
+                    help="admission queue cap (HTTP 429 beyond it)")
     sv.add_argument("--kv-bits", type=int, default=0,
                     choices=(0, 4, 8, 16),
                     help="KV cache quantization override (0 = checkpoint "
