@@ -31,10 +31,12 @@ zero cross-chip traffic.
 
 Speculative decoding (``spec_gamma > 0``): host-side draft proposals
 (n-gram prompt lookup by default, engine/spec.py) verified by ONE
-(gamma+1)-token forward per step — greedy slots commit 1..gamma+1 tokens
-per dispatch with output bit-identical to plain greedy decoding. Composes
-with meshes and the paged pool; ``step_block`` ignores it (the fused
-device loop has no host between iterations to propose drafts).
+(gamma+1)-token forward per step — each slot commits 1..gamma+1 tokens
+per dispatch. Greedy slots reproduce the plain argmax chain; sampled
+slots run on-device delta-proposal rejection sampling
+(sampler.spec_commit), which draws from the exact target chain.
+Composes with meshes and the paged pool; ``step_block`` ignores it (the
+fused device loop has no host between iterations to propose drafts).
 
 Observability: per-step structured stats (occupancy, tokens/s EMA) via
 ``Engine.stats`` (SURVEY.md §5 metrics).
@@ -53,7 +55,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from quant_tpu.engine.sampler import SamplingConfig, sample, sample_batch
+from quant_tpu.engine.sampler import (SamplingConfig, sample,
+                                      sample_batch, spec_commit)
 from quant_tpu.models import llama
 from quant_tpu.models.config import ModelConfig
 
@@ -315,23 +318,26 @@ class Engine:
                     f"spec_gamma {spec_gamma}")
 
             @functools.partial(jax.jit, donate_argnums=(2,))
-            def verify_step(params, tokens, cache):
+            def verify_step(params, tokens, cache, key, temps, topks,
+                            topps):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
-                tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                # accept the longest draft prefix matching the target's own
-                # argmax chain (position j's draft must equal the argmax of
-                # position j-1's logits, and every earlier draft must match)
-                match = (tokens[:, 1:] == tgt[:, :-1]).astype(jnp.int32)
-                acc = jnp.cumprod(match, axis=1).sum(axis=1)
+                # On-device speculative rejection sampling against the
+                # delta proposal (sampler.spec_commit): greedy slots
+                # reduce to the argmax-prefix rule, sampled slots commit
+                # exact target-chain samples — one program serves mixed
+                # batches, so sampled requests never force the
+                # plain-decode fallback.
+                out, acc = spec_commit(logits, tokens, key, temps, topks,
+                                       topps)
                 # forward advanced lengths by gamma+1; commit only the
-                # accepted prefix + bonus token (stale tail entries are
+                # accepted prefix + commit token (stale tail entries are
                 # masked by lengths and overwritten by later writes)
                 cache = dataclasses.replace(cache, lengths=base + acc + 1)
                 # ONE packed host fetch ([B, gamma+2]): on high-latency
                 # links (this relay: 40-80 ms/RPC) a second device->host
                 # read per step would cost more than speculation saves
-                return jnp.concatenate([tgt, acc[:, None]], axis=1), cache
+                return jnp.concatenate([out, acc[:, None]], axis=1), cache
 
             self._verify = verify_step
 
@@ -870,8 +876,17 @@ class Engine:
                 d = self.proposer.propose(req.prompt + req.output)[:g]
                 toks[i, 1:1 + len(d)] = d
                 self._spec_proposed += len(d)
+        temps = np.zeros((self.max_slots,), np.float32)
+        topks = np.zeros((self.max_slots,), np.int32)
+        topps = np.ones((self.max_slots,), np.float32)
+        for i in active:
+            sc = self.slots[i].sampling
+            temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
+                                            sc.top_p)
+        self.key, sub = jax.random.split(self.key)
         packed, self.cache = self._verify(
-            self.params, jnp.asarray(toks), self.cache)
+            self.params, jnp.asarray(toks), self.cache, sub,
+            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps))
         packed = np.asarray(packed)
         tgt, acc = packed[:, :-1], packed[:, -1]
         self._spec_dispatches += 1
@@ -899,18 +914,17 @@ class Engine:
 
     def step(self) -> list[Request]:
         """One prefill chunk of admission (budgeted) + one decode advance
-        for all active slots: 1 token each, or 1..spec_gamma+1 tokens each
-        when speculative decoding is on (``spec_gamma > 0``) and every
-        active slot is greedy (draft rejection sampling for temperature>0
-        would need draft probabilities; non-greedy steps fall back to the
-        plain decode program)."""
+        for all active slots: 1 token each, or 1..spec_gamma+1 tokens
+        each when speculative decoding is on (``spec_gamma > 0``).
+        Mixed batches are fine — the verify program runs on-device
+        rejection sampling per slot (sampler.spec_commit): greedy slots
+        follow the exact argmax chain, sampled slots the exact target
+        sampling chain (the n-gram proposal is a delta distribution)."""
         expired: list[Request] = []
         self._expire_deadlines(expired)
         self._advance_admission()
         pre_active = [i for i, s in enumerate(self.slots) if s is not None]
-        use_spec = bool(
-            self.spec_gamma and pre_active
-            and all(self.slots[i].sampling.greedy for i in pre_active))
+        use_spec = bool(self.spec_gamma and pre_active)
         self._grow_for_decode(self.spec_gamma + 1 if use_spec else 1)
         self._sync_paged()
         # _grow_for_decode may have preempted slots — recompute

@@ -38,6 +38,38 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig) -> jax.Array:
     return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
 
+def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
+                  topps: jax.Array) -> jax.Array:
+    """Temperature-scale + top-k/top-p mask, per LEADING-dim slot with
+    traced knobs. Accepts [B, V] or [B, T, V] (knobs broadcast over T).
+    temp==0 rows come back merely 1e6-scaled (callers special-case
+    greedy; the scaling keeps the math finite)."""
+    lg = logits.astype(jnp.float32)
+    v = lg.shape[-1]
+    expand = (slice(None),) + (None,) * (lg.ndim - 1)
+    lead = (slice(None),) + (None,) * (lg.ndim - 2)  # over shape[:-1]
+    l2 = lg / jnp.maximum(temps, 1e-6)[expand]
+    sorted_desc = jnp.sort(l2, axis=-1)[..., ::-1]
+    # top-k: per-slot kth-largest threshold
+    kth = jnp.take_along_axis(
+        sorted_desc,
+        jnp.broadcast_to(jnp.clip(topks - 1, 0, v - 1)[lead],
+                         l2.shape[:-1])[..., None], axis=-1)
+    topk_on = (topks > 0)[expand]
+    l2 = jnp.where(topk_on & (l2 < kth), -jnp.inf, l2)
+    # top-p over the top-k-masked distribution (same composition as
+    # :func:`sample`): smallest prefix with cumulative mass >= top_p.
+    sorted_desc = jnp.where(topk_on & (sorted_desc < kth), -jnp.inf,
+                            sorted_desc)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < topps[expand], axis=-1)
+    cutoff = jnp.take_along_axis(
+        sorted_desc, jnp.clip(cutoff_idx, 0, v - 1)[..., None], axis=-1)
+    l2 = jnp.where((topps < 1.0)[expand] & (l2 < cutoff), -jnp.inf, l2)
+    return l2
+
+
 def sample_batch(logits: jax.Array, key, temps: jax.Array,
                  topks: jax.Array, topps: jax.Array) -> jax.Array:
     """Fully-traced per-slot sampling: logits [B, V] → ids [B].
@@ -47,25 +79,71 @@ def sample_batch(logits: jax.Array, key, temps: jax.Array,
     ``temps[B]`` f32 (0 → greedy), ``topks[B]`` int32 (0 → off),
     ``topps[B]`` f32 (1 → off). Matches :func:`sample` per slot.
     """
-    lg = logits.astype(jnp.float32)
-    v = lg.shape[-1]
-    greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-    l2 = lg / jnp.maximum(temps, 1e-6)[:, None]
-    sorted_desc = jnp.sort(l2, axis=-1)[:, ::-1]
-    # top-k: per-slot kth-largest threshold
-    kth = jnp.take_along_axis(
-        sorted_desc, jnp.clip(topks - 1, 0, v - 1)[:, None], axis=-1)
-    topk_on = (topks > 0)[:, None]
-    l2 = jnp.where(topk_on & (l2 < kth), -jnp.inf, l2)
-    # top-p over the top-k-masked distribution (same composition as
-    # :func:`sample`): smallest prefix with cumulative mass >= top_p.
-    sorted_desc = jnp.where(topk_on & (sorted_desc < kth), -jnp.inf,
-                            sorted_desc)
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.sum(cum < topps[:, None], axis=-1)
-    cutoff = jnp.take_along_axis(
-        sorted_desc, jnp.clip(cutoff_idx, 0, v - 1)[:, None], axis=-1)
-    l2 = jnp.where((topps < 1.0)[:, None] & (l2 < cutoff), -jnp.inf, l2)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l2 = filter_logits(logits, temps, topks, topps)
     sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
+
+
+def spec_commit(logits: jax.Array, tokens: jax.Array, key,
+                temps: jax.Array, topks: jax.Array, topps: jax.Array
+                ) -> tuple[jax.Array, jax.Array]:
+    """Speculative rejection sampling against a DELTA proposal, fully on
+    device (one [B, gamma+2] host fetch stays enough).
+
+    ``logits`` [B, gamma+1, V]: the verify forward's logits; position j
+    predicts stream token j+1. ``tokens`` [B, gamma+1]: the fed tokens —
+    tokens[:, 1:] are the gamma draft proposals.
+
+    Per slot, with p_j the (temperature/top-k/top-p filtered) target
+    distribution at position j and the proposal q = delta(draft_j):
+    accept draft_j with probability p_j(draft_j) (u < p); on the first
+    rejection commit a sample from the residual norm((p - q)+) = p with
+    the draft entry zeroed; if all gamma accept, commit a bonus sample
+    from p_gamma. This reproduces exact ancestral sampling from the
+    target chain (Leviathan et al. speculative sampling, delta-proposal
+    case). temp==0 slots reduce to the greedy argmax-prefix rule (p is
+    one-hot: accept iff draft == argmax; residual/bonus = argmax), so one
+    program serves mixed batches.
+
+    Returns (out [B, gamma+1] committed token per position, acc [B]
+    accepted-draft count; positions > acc in ``out`` are garbage).
+    """
+    b, gp1, v = logits.shape
+    g = gp1 - 1
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
+    l2 = filter_logits(logits, temps, topks, topps)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+              == greedy_tok[..., None]).astype(jnp.float32)
+    probs = jnp.where((temps == 0.0)[:, None, None],
+                      onehot, jax.nn.softmax(l2, axis=-1))
+    draft = tokens[:, 1:]                                       # [B, g]
+    key_u, key_s = jax.random.split(key)
+    if g:
+        p_draft = jnp.take_along_axis(
+            probs[:, :g], draft[..., None], axis=-1)[..., 0]    # [B, g]
+        accept = (jax.random.uniform(key_u, (b, g)) < p_draft
+                  ).astype(jnp.int32)
+        acc = jnp.cumprod(accept, axis=1).sum(axis=1)           # [B]
+        # residual (p - q)+ with q = delta: zero the draft entry
+        resid = probs[:, :g] * (
+            1.0 - (jax.lax.broadcasted_iota(
+                jnp.int32, probs[:, :g].shape, 2)
+                   == draft[..., None]).astype(jnp.float32))
+        dist = jnp.concatenate([resid, probs[:, g:]], axis=1)
+    else:
+        acc = jnp.zeros((b,), jnp.int32)
+        dist = probs
+    samples = jax.random.categorical(
+        key_s, jnp.log(jnp.maximum(dist, 1e-38)), axis=-1
+    ).astype(jnp.int32)                                         # [B, g+1]
+    # greedy slots must stay exactly argmax at the commit position (the
+    # categorical over a one-hot is argmax anyway; this keeps bit-parity
+    # with the plain greedy program explicit)
+    samples = jnp.where((temps == 0.0)[:, None], greedy_tok, samples)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, gp1), 1)
+    out = jnp.where(pos < acc[:, None],
+                    jnp.concatenate(
+                        [tokens[:, 1:], tokens[:, :1]], axis=1),
+                    samples)
+    return out, acc

@@ -9,7 +9,7 @@ composes with TP/DP/PP meshes and the paged pool unchanged) — while the
 cheap side, proposing draft tokens, runs on host between dispatches where
 the axon relay's 40-80 ms RPC latency hides it entirely.
 
-Greedy acceptance (v1): a slot accepts the longest prefix of draft tokens
+Acceptance: greedy slots accept the longest prefix of draft tokens
 that matches the target's own argmax chain, plus one "bonus" token — so
 the output stream is the verify program's greedy chain regardless of the
 proposer's quality; acceptance only changes throughput (each verify
@@ -22,6 +22,11 @@ differently, so bf16 argmax near-ties can flip between them — the spec
 stream stays deterministic and draft-independent (both properties
 measured in scripts/tpu_draft_spec_probe.py), it is just greedy under
 the verify program's rounding rather than the decode program's.
+Sampled slots run on-device delta-proposal rejection sampling
+(engine/sampler.spec_commit): accept draft d with probability p(d),
+else draw from the residual (p with d zeroed, renormalized) — exact
+ancestral sampling from the target chain, verified statistically in
+tests/test_spec.py.
 
 The bundled proposer is prompt-lookup / n-gram drafting (model-free): the
 longest suffix n-gram of the slot's token stream is matched against the

@@ -1,4 +1,5 @@
-"""Speculative decoding: greedy-equivalence + proposer unit tests (CPU).
+"""Speculative decoding: greedy-equivalence, sampled-distribution and
+proposer unit tests (CPU).
 
 The acceptance rule guarantees the OUTPUT STREAM equals plain greedy
 decoding bit-for-bit for ANY proposer — the tests pin that across the
@@ -134,9 +135,11 @@ def test_spec_eos_and_max_new():
     assert r.finished and r in fin and len(r.output) == 1
 
 
-def test_spec_falls_back_for_sampled_slots():
-    """A non-greedy active slot disables the verify program for that step;
-    greedy decoding still matches the reference when mixed."""
+def test_spec_mixed_batch_greedy_stays_exact():
+    """Sampled slots run rejection sampling INSIDE the verify program;
+    a greedy slot sharing the batch must still follow the exact argmax
+    chain (its one-hot target distribution makes the rejection rule
+    deterministic)."""
     params = llama.init_params(CFG, seed=15)
     eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
                  spec_gamma=4)
@@ -148,7 +151,48 @@ def test_spec_falls_back_for_sampled_slots():
     while eng.has_work():
         eng.step()
     assert len(r_s.output) == 6
+    assert all(0 <= t < CFG.vocab_size for t in r_s.output)
     assert r_g.output == _reference_greedy(params, r_g.prompt, 6)
+
+
+def test_spec_commit_marginal_distribution():
+    """Delta-proposal rejection sampling must reproduce the target
+    distribution EXACTLY at the first commit position:
+    P(out0 = d) = p(d) [accept] and P(out0 = x != d) = (1-p(d)) *
+    p(x)/(1-p(d)) = p(x). Checked empirically over many keys, with and
+    without top-k filtering, plus a greedy (one-hot) slot in the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from quant_tpu.engine.sampler import filter_logits, spec_commit
+
+    rng = np.random.default_rng(0)
+    v, g = 8, 2
+    logits = jnp.asarray(rng.standard_normal((3, g + 1, v)) * 1.5,
+                         jnp.float32)
+    tokens = jnp.asarray([[1, 2, 3], [4, 0, 1], [2, 5, 6]], jnp.int32)
+    temps = jnp.asarray([1.0, 0.7, 0.0], jnp.float32)
+    topks = jnp.asarray([0, 4, 0], jnp.int32)
+    topps = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+
+    n = 20000
+    keys = jax.random.split(jax.random.key(1), n)
+    outs, accs = jax.vmap(
+        lambda k: spec_commit(logits, tokens, k, temps, topks, topps)
+    )(keys)
+    outs = np.asarray(outs)  # [n, 3, g+1]
+
+    target = np.asarray(jax.nn.softmax(
+        filter_logits(logits, temps, topks, topps), axis=-1))
+    for b in range(2):  # sampled slots
+        emp = np.bincount(outs[:, b, 0], minlength=v) / n
+        tv = 0.5 * np.abs(emp - target[b, 0]).sum()
+        assert tv < 0.02, (b, tv, emp, target[b, 0])
+    # greedy slot: position-0 commit is always the argmax
+    am = int(np.argmax(np.asarray(logits)[2, 0]))
+    assert np.all(outs[:, 2, 0] == am)
+    # and its acceptance is deterministic: same acc for every key
+    assert np.unique(np.asarray(accs)[:, 2]).size == 1
 
 
 def test_spec_near_max_seq_boundary():
