@@ -1,0 +1,132 @@
+"""INT4-KV Pallas kernels on REAL hardware: Mosaic compile + exactness
++ bandwidth (interpret mode passing does NOT imply Mosaic compiles —
+CLAUDE.md rule; this is the follow-up run for the kv4 kernel commits).
+
+1. flash_decode_int8 with packed uint8 codes (contiguous + stacked-layer)
+   vs the XLA attention on the same codes: must match to fp tolerance.
+2. paged pair (paged_flash_decode_int8) vs gather reference.
+3. Timing at 8B geometry (B=48, S=1024): int4 vs int8 flash — int4 should
+   approach half the KV bytes/step.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import dataclasses
+
+from quant_tpu.kernels.attention import flash_decode_int8
+from quant_tpu.kernels.paged_attention import (
+    paged_attention_reference, paged_flash_decode_int8,
+)
+from quant_tpu.models import PRESETS, llama
+from quant_tpu.utils.timing import differential_time
+
+CFG4 = dataclasses.replace(PRESETS["test-tiny"], kv_bits=4)
+
+
+def check_contiguous():
+    rng = np.random.default_rng(0)
+    b, s, hq, hkv, dh = 2, 128, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    kq, ks = llama.quantize_kv(k, 4)
+    vq, vs = llama.quantize_kv(v, 4)
+    kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+    ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+    ln = jnp.asarray([100, 37], jnp.int32)
+    ref = np.asarray(llama.attention(
+        q, kq, ks, vq, vs, (ln - 1)[:, None], ln, CFG4))[:, 0]
+    out = np.asarray(flash_decode_int8(q[:, 0], kq, ks, vq, vs, ln,
+                                       s_blk=64))
+    err = np.abs(out - ref).max()
+    print(f"contiguous kv4 flash vs XLA: max|d|={err:.2e}", flush=True)
+    assert err < 2e-4
+
+    # stacked-layer scalar prefetch
+    kq2, ks2 = jnp.stack([kq, vq]), jnp.stack([ks, vs])
+    vq2, vs2 = jnp.stack([vq, kq]), jnp.stack([vs, ks])
+    for layer in range(2):
+        ref = np.asarray(llama.attention(
+            q, kq2[layer], ks2[layer], vq2[layer], vs2[layer],
+            (ln - 1)[:, None], ln, CFG4))[:, 0]
+        out = np.asarray(flash_decode_int8(
+            q[:, 0], kq2, ks2, vq2, vs2, ln, layer=jnp.int32(layer),
+            s_blk=64))
+        err = np.abs(out - ref).max()
+        print(f"stacked layer {layer}: max|d|={err:.2e}", flush=True)
+        assert err < 2e-4
+
+
+def check_paged():
+    rng = np.random.default_rng(1)
+    l, b, h, d, page, n_pages, s_max = 2, 3, 2, 64, 8, 32, 32
+    dc = d // 2
+    pool = [jnp.asarray(rng.integers(0, 255, (l, n_pages, h, page, dc)
+                                     ).astype(np.uint8)),
+            jnp.asarray(rng.random((l, n_pages, h, page)).astype(
+                np.float32) + 0.5),
+            jnp.asarray(rng.integers(0, 255, (l, n_pages, h, page, dc)
+                                     ).astype(np.uint8)),
+            jnp.asarray(rng.random((l, n_pages, h, page)).astype(
+                np.float32) + 0.5)]
+    tbl = jnp.asarray(rng.permutation(np.arange(1, n_pages))[
+        : b * (s_max // page)].reshape(b, -1).astype(np.int32))
+    lens = jnp.asarray([9, 32, 17], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 4, d)), jnp.float32)
+    for layer in range(l):
+        ref = np.asarray(paged_attention_reference(
+            q, *pool, tbl, lens, layer))
+        out = np.asarray(paged_flash_decode_int8(
+            q, *pool, tbl, lens, layer))
+        err = np.abs(out - ref).max()
+        print(f"paged kv4 layer {layer}: max|d|={err:.2e}", flush=True)
+        assert err < 2e-4
+
+
+def timing():
+    b, hkv, rep, s, d = 48, 8, 4, 1024, 128
+    key = jax.random.key(0)
+    ks_ = jax.random.split(key, 6)
+    q = jax.random.normal(ks_[0], (b, hkv * rep, d), jnp.float32)
+    ln = jnp.full((b,), s, jnp.int32)
+    sc = jnp.abs(jax.random.normal(ks_[1], (b, hkv, s), jnp.float32))
+
+    def run_case(name, kc, vc):
+        def make(n):
+            @jax.jit
+            def f(q, kc, sc, vc, ln):
+                def body(i, acc):
+                    out = flash_decode_int8(
+                        q + acc * 1e-20, kc, sc, vc, sc, ln)
+                    return jnp.sum(out) * 1e-9
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            return f
+        per = differential_time(make, (q, kc, sc, vc, ln), 4, 40, iters=4)
+        byt = 2 * b * hkv * s * kc.shape[-1]
+        print(f"  {name}: {per*1e3:.3f} ms ({byt/per/1e9:.0f} GB/s of "
+              f"cache bytes)", flush=True)
+        return per
+
+    kc8 = jax.random.randint(ks_[2], (b, hkv, s, d), -127, 127, jnp.int8)
+    vc8 = jax.random.randint(ks_[3], (b, hkv, s, d), -127, 127, jnp.int8)
+    p8 = run_case("int8 flash", kc8, vc8)
+    kc4 = jax.random.randint(ks_[4], (b, hkv, s, d // 2), 0, 255
+                             ).astype(jnp.uint8)
+    vc4 = jax.random.randint(ks_[5], (b, hkv, s, d // 2), 0, 255
+                             ).astype(jnp.uint8)
+    p4 = run_case("int4 flash", kc4, vc4)
+    print(f"  int4/int8 step ratio: {p4/p8:.2f} (ideal ~0.5 + unpack)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    check_contiguous()
+    check_paged()
+    timing()
+    print("kv4 kernels OK on hardware", flush=True)
