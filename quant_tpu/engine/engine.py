@@ -317,19 +317,29 @@ class Engine:
                     f"proposer gamma {self.proposer.gamma} < engine "
                     f"spec_gamma {spec_gamma}")
 
-            @functools.partial(jax.jit, donate_argnums=(2,))
+            @functools.partial(jax.jit, donate_argnums=(2,),
+                               static_argnames=("sampled",))
             def verify_step(params, tokens, cache, key, temps, topks,
-                            topps):
+                            topps, sampled=True):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
-                # On-device speculative rejection sampling against the
-                # delta proposal (sampler.spec_commit): greedy slots
-                # reduce to the argmax-prefix rule, sampled slots commit
-                # exact target-chain samples — one program serves mixed
-                # batches, so sampled requests never force the
-                # plain-decode fallback.
-                out, acc = spec_commit(logits, tokens, key, temps, topks,
-                                       topps)
+                if sampled:
+                    # On-device speculative rejection sampling against
+                    # the delta proposal (sampler.spec_commit): greedy
+                    # slots reduce to the argmax-prefix rule, sampled
+                    # slots commit exact target-chain samples — one
+                    # program serves mixed batches, so sampled requests
+                    # never force the plain-decode fallback.
+                    out, acc = spec_commit(logits, tokens, key, temps,
+                                           topks, topps)
+                else:
+                    # all-greedy batch: pure argmax chain, no
+                    # vocab-sized sort/filter work on device
+                    tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (tokens[:, 1:] == tgt[:, :-1]).astype(
+                        jnp.int32)
+                    acc = jnp.cumprod(match, axis=1).sum(axis=1)
+                    out = tgt
                 # forward advanced lengths by gamma+1; commit only the
                 # accepted prefix + commit token (stale tail entries are
                 # masked by lengths and overwritten by later writes)
@@ -884,9 +894,11 @@ class Engine:
             temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
                                             sc.top_p)
         self.key, sub = jax.random.split(self.key)
+        sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache = self._verify(
             self.params, jnp.asarray(toks), self.cache, sub,
-            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps))
+            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
+            sampled=sampled)
         packed = np.asarray(packed)
         tgt, acc = packed[:, :-1], packed[:, -1]
         self._spec_dispatches += 1
