@@ -669,14 +669,6 @@ class Engine:
     # ── public API ──────────────────────────────────────────────────
 
     def add_request(self, req: Request) -> None:
-        if (self.spec_gamma and self._stateful_proposer
-                and not req.sampling.greedy):
-            # a non-greedy slot forces the plain-decode fallback step,
-            # which commits tokens the draft model never fed — its KV
-            # would silently desynchronize
-            raise ValueError(
-                "draft-model speculative decoding supports greedy "
-                "requests only (use NgramProposer for mixed sampling)")
         if len(req.prompt) + req.max_new_tokens > self.max_seq:
             raise ValueError(
                 f"request {req.req_id}: prompt({len(req.prompt)}) + "

@@ -54,13 +54,16 @@ class DraftModelProposer:
     the draft cache holds valid KV for ``stream[:-1]``. The fused loop
     feeds the last committed token then its own outputs, writing KV at
     positions n-1..n-1+gamma-1 for fed tokens [t_last, d_1..d_{gamma-1}].
-    After the target accepts ``a`` drafts + 1 bonus token, the new stream
-    is ``stream + [t_0..t_a]`` with ``d_j == t_{j-1}`` for j <= a — so the
-    draft's KV is valid exactly through the new ``stream'[:-1]`` and
-    setting ``lengths = len(stream') - 1`` at the next round restores the
-    invariant. The one way to break it is committing tokens the draft
-    never fed (the engine's non-greedy fallback step), so the engine
-    rejects non-greedy requests when a stateful proposer is installed.
+    After the target accepts ``a`` drafts + 1 commit token, the new
+    stream is ``stream + [c_0..c_a]`` with ``c_j == d_{j+1}`` for j < a
+    (the accepted prefix IS the draft prefix — true for greedy argmax
+    acceptance AND for rejection sampling, whose residual/bonus sample
+    only ever lands at position ``a``) — so the draft's KV is valid
+    exactly through the new ``stream'[:-1]`` and setting ``lengths =
+    len(stream') - 1`` at the next round restores the invariant. Sampled
+    slots therefore compose with the draft model too (the engine has no
+    plain-decode fallback anymore); acceptance is just lower because the
+    greedy draft chain proposes against a sampled target.
 
     Admission: the engine calls :meth:`admit` with the slot's stream; the
     proposer chunk-prefills ``stream[:-1]`` through the draft model into

@@ -87,6 +87,16 @@ PRESETS: dict[str, ModelConfig] = {
         vocab_size=32000, dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
         intermediate=5632, rope_theta=10000.0, embed_bits=8,
     ),
+    # Llama-3.2 small models: natural DRAFT models for speculative
+    # decoding against the 8B/70B targets (same tokenizer/vocab).
+    "llama-3.2-1b": ModelConfig(
+        vocab_size=128256, dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
+        intermediate=8192, head_dim=64, rope_theta=500000.0, embed_bits=8,
+    ),
+    "llama-3.2-3b": ModelConfig(
+        vocab_size=128256, dim=3072, n_layers=28, n_heads=24, n_kv_heads=8,
+        intermediate=8192, head_dim=128, rope_theta=500000.0, embed_bits=8,
+    ),
     "llama-3-8b": ModelConfig(
         vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
         intermediate=14336, rope_theta=500000.0, embed_bits=8,

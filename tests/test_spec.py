@@ -271,13 +271,23 @@ def test_draft_model_staggered_admission():
     assert r2.output == _reference_greedy(params, p2, 7)
 
 
-def test_draft_model_rejects_sampled_requests():
+def test_draft_model_with_sampled_slot():
+    """Rejection sampling composes with the stateful draft proposer: the
+    accepted prefix always equals the draft prefix, so the rollback-only
+    KV invariant holds for sampled slots too. A greedy slot sharing the
+    batch must stay exactly on the argmax chain."""
     params = llama.init_params(CFG, seed=45)
     eng = _draft_engine(params, params, max_slots=2, max_seq=64)
-    with pytest.raises(ValueError, match="greedy"):
-        eng.add_request(Request(
-            req_id=0, prompt=[1, 2], max_new_tokens=4,
-            sampling=SamplingConfig(temperature=0.8)))
+    r_g = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=8)
+    r_s = Request(req_id=1, prompt=[9, 8], max_new_tokens=8,
+                  sampling=SamplingConfig(temperature=1.1, top_k=16))
+    eng.add_request(r_g)
+    eng.add_request(r_s)
+    while eng.has_work():
+        eng.step()
+    assert r_g.output == _reference_greedy(params, r_g.prompt, 8)
+    assert len(r_s.output) == 8
+    assert all(0 <= t < CFG.vocab_size for t in r_s.output)
 
 
 def test_draft_model_with_paged_target():
