@@ -127,7 +127,8 @@ def _cmd_serve(args):
                  page_size=args.page_size, n_pages=args.n_pages,
                  spec_gamma=args.spec_gamma, spec_proposer=proposer,
                  mesh=mesh, pp_micro=args.pp_micro,
-                 max_pending=args.max_pending)
+                 max_pending=args.max_pending,
+                 prefix_cache=args.prefix_cache)
     serve(eng, host=args.host, port=args.port)
 
 
@@ -231,6 +232,9 @@ def main(argv=None):
     sv.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative decoding draft length (0 = off); "
                          "n-gram prompt-lookup drafts, greedy slots only")
+    sv.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prompt-prefix page sharing "
+                         "(requires --paged; single-host)")
     sv.add_argument("--max-pending", type=int, default=None,
                     help="admission queue cap (HTTP 429 beyond it)")
     sv.add_argument("--kv-bits", type=int, default=0,
