@@ -237,8 +237,22 @@ class _BlobReader:
         return arr[tuple(local)]
 
 
-def _get_leaf(rd: _BlobReader, name: str):
-    meta = rd.manifest["tensors"][name]
+# LayerParams fields added after the first v2 checkpoints shipped:
+# loaders default them instead of KeyErroring on older manifests
+# (write-side always emits them; defaults mirror the converter's).
+_OPTIONAL_LAYER_FIELDS = ("q_norm", "k_norm")
+
+
+def _default_layer_leaf(field: str, cfg: ModelConfig):
+    if field in _OPTIONAL_LAYER_FIELDS:
+        return np.ones((cfg.head_dim,), np.float32)
+    raise KeyError(field)
+
+
+def _get_leaf(rd: _BlobReader, name: str, cfg: ModelConfig | None = None):
+    meta = rd.manifest["tensors"].get(name)
+    if meta is None and cfg is not None:
+        return _default_layer_leaf(name.rsplit(".", 1)[-1], cfg)
     if meta["kind"] == "qembed":
         return QEmbed(codes=rd.full(meta["codes"]),
                       scales=rd.full(meta["scales"]))
@@ -304,8 +318,8 @@ def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
     workers = min(8, os.cpu_count() or 1)
 
     def one(field, i):
-        return _canonicalize_tp(field, _get_leaf(rd, f"layers.{i}.{field}"),
-                                cfg, tp)
+        return _canonicalize_tp(
+            field, _get_leaf(rd, f"layers.{i}.{field}", cfg), cfg, tp)
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         fields = [f.name for f in dataclasses.fields(LayerParams)]
@@ -346,7 +360,9 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
         return _sds(meta["data"])
 
     def stacked(field):
-        l0 = leaf(tm[f"layers.0.{field}"])
+        meta = tm.get(f"layers.0.{field}")
+        l0 = (leaf(meta) if meta is not None else jax.ShapeDtypeStruct(
+            _default_layer_leaf(field, cfg).shape, np.float32))
         return jax.tree.map(
             lambda s: jax.ShapeDtypeStruct((cfg.n_layers,) + s.shape,
                                            s.dtype), l0)
@@ -389,14 +405,19 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
         sharding = NamedSharding(mesh, spec)
         if name == "layers":
             field, leaf_field = path_names[1], path_names[-1]
-            is_qt = tmeta[f"layers.0.{field}"]["kind"] in ("qtensor",
-                                                           "qembed")
+            present = f"layers.0.{field}" in tmeta
+            is_qt = present and tmeta[f"layers.0.{field}"]["kind"] in (
+                "qtensor", "qembed")
 
             def cb(index):  # index[0] = layer range (pipe sharding)
                 lsl = index[0]
                 rows = []
                 for li in range(lsl.start or 0,
                                 lsl.stop or struct.shape[0]):
+                    if not present:  # optional field, older checkpoint
+                        rows.append(
+                            _default_layer_leaf(field, cfg)[index[1:]])
+                        continue
                     meta = tmeta[f"layers.{li}.{field}"]
                     meta = meta[leaf_field] if is_qt else meta["data"]
                     rows.append(rd.ranged(meta, index[1:]))
@@ -450,8 +471,15 @@ def _load_v1(path: pathlib.Path, manifest: dict) -> LlamaParams:
             )
         return _read_v1(blob, meta["data"])
 
+    def get_layer(field):
+        if f"layers.{field}" not in manifest["tensors"]:
+            cfg = ModelConfig(**manifest["config"])
+            one = _default_layer_leaf(field, cfg)
+            return np.stack([one] * cfg.n_layers)
+        return get(f"layers.{field}")
+
     layers = LayerParams(**{
-        f.name: get(f"layers.{f.name}")
+        f.name: get_layer(f.name)
         for f in dataclasses.fields(LayerParams)
     })
     return LlamaParams(

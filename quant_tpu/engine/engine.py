@@ -864,6 +864,7 @@ class Engine:
         g = self.spec_gamma
         toks = np.zeros((self.max_slots, g + 1), np.int32)
         toks[:, 0] = self.last_tokens
+        n_prop = np.zeros((self.max_slots,), np.int64)
         if self._stateful_proposer:
             lens = np.zeros((self.max_slots,), np.int64)
             for i in active:
@@ -871,12 +872,14 @@ class Engine:
                 lens[i] = len(req.prompt) + len(req.output)
             drafts = self.proposer.draft_batch(self.last_tokens, lens)
             toks[:, 1:] = drafts[:, :g]
+            n_prop[active] = g
             self._spec_proposed += g * len(active)
         else:
             for i in active:
                 req = self.slots[i]
                 d = self.proposer.propose(req.prompt + req.output)[:g]
                 toks[i, 1:1 + len(d)] = d
+                n_prop[i] = len(d)
                 self._spec_proposed += len(d)
         temps = np.zeros((self.max_slots,), np.float32)
         topks = np.zeros((self.max_slots,), np.int32)
@@ -902,7 +905,10 @@ class Engine:
             # have landed; writes at >= max_seq were dropped, so only the
             # first max_seq - used commits are trustworthy
             n_take = min(int(acc[i]) + 1, self.max_seq - used)
-            self._spec_accepted += int(acc[i])
+            # sampled slots can "accept" padded zero drafts beyond the
+            # real proposals (the padding is a valid delta proposal for
+            # correctness) — cap the stat so acceptance rate stays <= 1
+            self._spec_accepted += min(int(acc[i]), int(n_prop[i]))
             for j in range(n_take):
                 tok = int(tgt[i, j])
                 req.output.append(tok)

@@ -198,7 +198,9 @@ def _make_handler(srv: EngineServer):
                         self.wfile.write(b"0\r\n\r\n")
                         return
                     chunk({"token_ids": toks})
-            except (BrokenPipeError, ConnectionResetError):
+            except OSError:
+                # any socket failure (reset, abort, timeout, half-close)
+                # means the client is gone — release the slot/pages
                 srv.cancel_stream(req.req_id)
                 log.info("stream client gone; cancelled req=%d",
                          req.req_id)
@@ -216,6 +218,8 @@ def _make_handler(srv: EngineServer):
                     top_p=float(body.get("top_p", 1.0)),
                 )
                 timeout_s = body.get("timeout_s")
+                if timeout_s is not None:
+                    timeout_s = float(timeout_s)  # ValueError/TypeError→400
                 if body.get("stream"):
                     self._stream(body, sampling, timeout_s)
                     return
@@ -230,7 +234,8 @@ def _make_handler(srv: EngineServer):
                                  "timed_out": req.timed_out})
             except QueueFullError as e:
                 self._json(429, {"error": str(e)})
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
 
     return Handler

@@ -139,14 +139,14 @@ class DraftModelProposer:
         import jax.numpy as jnp
         import numpy as np
 
+        from quant_tpu.engine.engine import _bucket
+
         ctx = stream[:-1]
         self._pf = dataclasses.replace(
             self._pf, lengths=jnp.zeros_like(self._pf.lengths))
         for off in range(0, len(ctx), self.prefill_chunk):
             chunk = ctx[off:off + self.prefill_chunk]
-            t_pad = 16
-            while t_pad < len(chunk):
-                t_pad *= 2
+            t_pad = _bucket(len(chunk))  # same bucketing as the engine
             toks = np.zeros((1, t_pad), np.int32)
             toks[0, :len(chunk)] = chunk
             self._pf = self._pf_chunk(self.params, self._pf,

@@ -858,7 +858,15 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # mode gathers the slot's pages (tests / prefill).
             ak = _resolve_attn_kernel(
                 cfg, b, page_tbl.shape[1] * kc.shape[3], mode, paged=True)
-            pg_flash = (t == 1 and ak in ("flash", "paged")
+            # kv4 through the Pallas pair is interpret-proven but NOT
+            # yet Mosaic-validated on hardware (relay outage) — require
+            # an explicit attn_kernel opt-in on real TPUs so auto mode
+            # can't route production serving through an unvalidated
+            # lowering; drop the guard once tpu_kv4_kernel_check.py runs.
+            kv4_ok = cfg.kv_bits == 8 or (
+                cfg.kv_bits == 4 and (cfg.attn_kernel != "auto"
+                                      or mode == "pallas_interpret"))
+            pg_flash = (t == 1 and ak in ("flash", "paged") and kv4_ok
                         and cfg.kv_bits in (8, 4)
                         and mode in ("pallas", "pallas_interpret"))
             interp = mode == "pallas_interpret"
@@ -890,8 +898,11 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            positions, new_lengths, cfg)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
+        kv4_ok = cfg.kv_bits == 8 or (
+            cfg.kv_bits == 4 and (cfg.attn_kernel != "auto"
+                                  or mode == "pallas_interpret"))
         flash = (t == 1 and seq_axis is None and batch0 is None
-                 and ak == "flash" and cfg.kv_bits in (8, 4)
+                 and ak == "flash" and kv4_ok and cfg.kv_bits in (8, 4)
                  and mode in ("pallas", "pallas_interpret"))
         if flash:
             # Aliased Pallas insert: an XLA scatter feeding the (opaque)

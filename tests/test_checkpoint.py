@@ -276,3 +276,36 @@ def test_hf_convert_padded_vocab_e2e(tmp_path):
     eng = Engine(params, cfg2, max_slots=1, max_seq=16, eos_id=-1)
     out = eng.generate([[1, 2, 3]], max_new_tokens=3)[0]
     assert len(out) == 3 and all(t < 4224 for t in out)
+
+
+def test_load_pre_qknorm_checkpoint(tmp_path):
+    """Checkpoints written before q_norm/k_norm existed must still load
+    (host AND mesh paths default the missing tensors to ones)."""
+    from quant_tpu.parallel import make_mesh
+
+    params = llama.init_params(CFG, seed=9)
+    save_checkpoint(tmp_path / "old", params, CFG)
+    man_path = tmp_path / "old" / "manifest.json"
+    man = json.loads(man_path.read_text())
+    for k in [k for k in man["tensors"]
+              if k.endswith(".q_norm") or k.endswith(".k_norm")]:
+        del man["tensors"][k]
+    man_path.write_text(json.dumps(man))
+
+    loaded, cfg = load_checkpoint(tmp_path / "old", device=False)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers.q_norm),
+        np.ones((CFG.n_layers, CFG.head_dim), np.float32))
+    toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+    out, _ = llama.forward(jax.tree.map(jnp.asarray, loaded), toks,
+                           llama.init_cache(cfg, 1, 8), cfg)
+    ref, _ = llama.forward(params, toks, llama.init_cache(CFG, 1, 8), CFG)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+    mesh = make_mesh(model=2)
+    loaded_m, _ = load_checkpoint(tmp_path / "old", mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(loaded_m.layers.k_norm),
+        np.ones((CFG.n_layers, CFG.head_dim), np.float32))
