@@ -80,6 +80,9 @@ class Request:
     # at the next step boundary once passed (timed_out set). None = no
     # deadline.
     deadline: float | None = None
+    # extra per-request stop tokens (in addition to the engine's eos_id);
+    # the stop token itself is included in the output like eos
+    stop_ids: tuple[int, ...] = ()
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -819,7 +822,8 @@ class Engine:
         if req is None:
             return
         used = len(req.prompt) + len(req.output)
-        if (tok == self.eos_id or len(req.output) >= req.max_new_tokens
+        if (tok == self.eos_id or tok in req.stop_ids
+                or len(req.output) >= req.max_new_tokens
                 or used >= self.max_seq):
             req.finished = True
             self.slots[i] = None

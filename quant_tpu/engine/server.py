@@ -91,14 +91,16 @@ class EngineServer:
         return time.monotonic() + timeout_s if timeout_s else None
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
-               timeout_s: float | None = None) -> Request:
+               timeout_s: float | None = None,
+               stop_ids=()) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
             self.next_id += 1
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
-                          deadline=self._deadline(timeout_s))
+                          deadline=self._deadline(timeout_s),
+                          stop_ids=tuple(stop_ids))
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -108,7 +110,7 @@ class EngineServer:
         return req
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
-                      timeout_s: float | None = None):
+                      timeout_s: float | None = None, stop_ids=()):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -118,7 +120,8 @@ class EngineServer:
             self.next_id += 1
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
-                          deadline=self._deadline(timeout_s))
+                          deadline=self._deadline(timeout_s),
+                          stop_ids=tuple(stop_ids))
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
         return req, q
@@ -170,12 +173,13 @@ def _make_handler(srv: EngineServer):
             else:
                 self._json(404, {"error": "not found"})
 
-        def _stream(self, body, sampling, timeout_s=None):
+        def _stream(self, body, sampling, timeout_s=None, stop_ids=()):
             req, q = srv.submit_stream(
                 body["prompt_ids"],
                 int(body.get("max_new_tokens", 32)),
                 sampling,
                 timeout_s,
+                stop_ids,
             )
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -220,14 +224,16 @@ def _make_handler(srv: EngineServer):
                 timeout_s = body.get("timeout_s")
                 if timeout_s is not None:
                     timeout_s = float(timeout_s)  # ValueError/TypeError→400
+                stop_ids = [int(t) for t in body.get("stop_ids", [])]
                 if body.get("stream"):
-                    self._stream(body, sampling, timeout_s)
+                    self._stream(body, sampling, timeout_s, stop_ids)
                     return
                 req = srv.submit(
                     body["prompt_ids"],
                     int(body.get("max_new_tokens", 32)),
                     sampling,
                     timeout_s,
+                    stop_ids,
                 )
                 self._json(200, {"req_id": req.req_id,
                                  "output_ids": req.output,

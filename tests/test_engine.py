@@ -250,3 +250,23 @@ def test_queue_cap_raises():
     import pytest as _pytest
     with _pytest.raises(QueueFullError):
         eng.add_request(Request(req_id=9, prompt=[1], max_new_tokens=1))
+
+
+def test_per_request_stop_ids():
+    """A request-level stop token ends ITS stream (inclusive) without
+    affecting slots that don't list it."""
+    params = llama.init_params(CFG, seed=8)
+    base = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    full = base.generate([[4, 5, 6]], max_new_tokens=10)[0]
+    stop = full[3]
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    r1 = Request(req_id=0, prompt=[4, 5, 6], max_new_tokens=10,
+                 stop_ids=(stop,))
+    r2 = Request(req_id=1, prompt=[4, 5, 6], max_new_tokens=10)
+    eng.add_request(r1)
+    eng.add_request(r2)
+    while eng.has_work():
+        eng.step()
+    k = full.index(stop)
+    assert r1.output == full[:k + 1]
+    assert r2.output == full
