@@ -263,10 +263,15 @@ class Engine:
         self.params = params
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step(params, tokens, cache, key):
+        def decode_step(params, tokens, cache, key, temps, topks, topps):
+            # sampling happens ON DEVICE (sample_batch, per-slot traced
+            # knobs): one dispatch and one [B]-int fetch per step — the
+            # host never touches logits, and no per-config extra RPC
+            # (each costs 40-80 ms on this relay)
             logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
-            return logits[:, -1], cache, keyn, sub
+            toks = sample_batch(logits[:, -1], sub, temps, topks, topps)
+            return toks, cache, keyn
 
         self._decode = decode_step
 
@@ -956,21 +961,18 @@ class Engine:
             return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
-            logits, self.cache, self.key, sub = self._decode(
-                self.params, tokens, self.cache, self.key
-            )
-            # per-slot sampling configs may differ: sample once per DISTINCT
-            # config (usually 1-2) and scatter tokens back to its slots
-            toks = np.array(sample(logits, sub, SamplingConfig()))
-            groups: dict = {}
+            temps = np.zeros((self.max_slots,), np.float32)
+            topks = np.zeros((self.max_slots,), np.int32)
+            topps = np.ones((self.max_slots,), np.float32)
             for i in active:
                 sc = self.slots[i].sampling
-                if not sc.greedy:
-                    groups.setdefault(sc, []).append(i)
-            for sc, slots in groups.items():
-                toks2 = np.asarray(sample(logits, sub, sc))
-                for i in slots:
-                    toks[i] = toks2[i]
+                temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
+                                                sc.top_p)
+            toks, self.cache, self.key = self._decode(
+                self.params, tokens, self.cache, self.key,
+                jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps)
+            )
+            toks = np.asarray(toks)
             for i in active:
                 req = self.slots[i]
                 tok = int(toks[i])
