@@ -116,3 +116,35 @@ def test_http_streaming_matches_blocking():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_queue_full_429():
+    """QueueFullError from admission maps to HTTP 429 (deterministic:
+    the engine's add_request is stubbed to always refuse)."""
+    from quant_tpu.engine import QueueFullError
+
+    params = llama.init_params(CFG, seed=2)
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)
+
+    def refuse(req):
+        raise QueueFullError("pending queue full (stub)")
+
+    eng.add_request = refuse
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt_ids": [5, 6],
+                             "max_new_tokens": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert "queue full" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
