@@ -1077,7 +1077,12 @@ class Engine:
         max_new_tokens: int = 32,
         sampling: SamplingConfig = SamplingConfig(),
     ) -> list[list[int]]:
-        """Convenience batch API over the continuous-batching loop."""
+        """Convenience batch API over the continuous-batching loop.
+
+        Without speculation it drives ``step_block`` (up to 16 decode
+        steps fused per dispatch) — on high-RPC-latency links the batch
+        completes in ~n/16 round-trips; with ``spec_gamma`` set it steps
+        singly so the host can draft between verifies."""
         reqs = [
             Request(req_id=i, prompt=p, max_new_tokens=max_new_tokens,
                     sampling=sampling)
@@ -1086,5 +1091,8 @@ class Engine:
         for r in reqs:
             self.add_request(r)
         while self.has_work():
-            self.step()
+            if self.spec_gamma:
+                self.step()
+            else:
+                self.step_block(16)
         return [r.output for r in reqs]
