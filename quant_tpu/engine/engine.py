@@ -56,7 +56,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from quant_tpu.engine.sampler import (SamplingConfig, sample,
-                                      sample_batch, spec_commit)
+                                      sample_batch, spec_commit,
+                                      token_logprob)
 from quant_tpu.models import llama
 from quant_tpu.models.config import ModelConfig
 
@@ -85,6 +86,8 @@ class Request:
     stop_ids: tuple[int, ...] = ()
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
+    # log p(token) under the raw model distribution, one per output token
+    logprobs: list[float] = dataclasses.field(default_factory=list)
     finished: bool = False
     timed_out: bool = False
 
@@ -265,13 +268,19 @@ class Engine:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, cache, key, temps, topks, topps):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
-            # knobs): one dispatch and one [B]-int fetch per step — the
-            # host never touches logits, and no per-config extra RPC
-            # (each costs 40-80 ms on this relay)
+            # knobs): one dispatch and one [B, 2]-int fetch per step —
+            # the host never touches logits, and no per-config extra RPC
+            # (each costs 40-80 ms on this relay). Column 1 is the
+            # committed token's raw-model logprob, bitcast to int32 so
+            # token + logprob ride one packed fetch.
             logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
             toks = sample_batch(logits[:, -1], sub, temps, topks, topps)
-            return toks, cache, keyn
+            lp = token_logprob(logits[:, -1], toks)
+            packed = jnp.stack(
+                [toks, jax.lax.bitcast_convert_type(lp, jnp.int32)],
+                axis=1)
+            return packed, cache, keyn
 
         self._decode = decode_step
 
@@ -283,7 +292,7 @@ class Engine:
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
             def body(_, carry):
-                tok, cache, key, out, i = carry
+                tok, cache, key, out, lps, i = carry
                 logits, cache = fwd_full(params, tok, cache)
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
@@ -291,13 +300,20 @@ class Engine:
                     nxt = sample_batch(lg, sub, temps, topks, topps)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
+                lp = token_logprob(lg, nxt[:, 0])[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
-                return nxt, cache, key, out, i + 1
+                lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
+                return nxt, cache, key, out, lps, i + 1
             out = jnp.zeros((tokens.shape[0], n), jnp.int32)
-            _, cache, key, out, _ = jax.lax.fori_loop(
-                0, n, body, (tokens, cache, key, out, 0)
+            lps = jnp.zeros((tokens.shape[0], n), jnp.float32)
+            _, cache, key, out, lps, _ = jax.lax.fori_loop(
+                0, n, body, (tokens, cache, key, out, lps, 0)
             )
-            return out, cache, key
+            # [B, 2n]: tokens then bitcast logprobs — one packed fetch
+            packed = jnp.concatenate(
+                [out, jax.lax.bitcast_convert_type(lps, jnp.int32)],
+                axis=1)
+            return packed, cache, key
 
         self._decode_block = decode_block
 
@@ -352,10 +368,14 @@ class Engine:
                 # accepted prefix + commit token (stale tail entries are
                 # masked by lengths and overwritten by later writes)
                 cache = dataclasses.replace(cache, lengths=base + acc + 1)
-                # ONE packed host fetch ([B, gamma+2]): on high-latency
-                # links (this relay: 40-80 ms/RPC) a second device->host
-                # read per step would cost more than speculation saves
-                return jnp.concatenate([out, acc[:, None]], axis=1), cache
+                # ONE packed host fetch ([B, 2*(gamma+1)+1]: tokens,
+                # bitcast logprobs, acc): on high-latency links (this
+                # relay: 40-80 ms/RPC) a second device->host read per
+                # step would cost more than speculation saves
+                lp = token_logprob(logits, out)
+                return jnp.concatenate(
+                    [out, jax.lax.bitcast_convert_type(lp, jnp.int32),
+                     acc[:, None]], axis=1), cache
 
             self._verify = verify_step
 
@@ -803,6 +823,8 @@ class Engine:
         self.key, sub = jax.random.split(self.key)
         tok = int(sample(last[None], sub, req.sampling)[0])
         req.output.append(tok)
+        req.logprobs.append(float(token_logprob(
+            last[None], jnp.asarray([tok], jnp.int32))[0]))
         self.slots[slot] = req
         self.last_tokens[slot] = tok
         self._maybe_finish(slot, tok)
@@ -904,7 +926,9 @@ class Engine:
             jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
             sampled=sampled)
         packed = np.asarray(packed)
-        tgt, acc = packed[:, :-1], packed[:, -1]
+        tgt = packed[:, :g + 1]
+        lps = packed[:, g + 1:2 * (g + 1)].view(np.float32)
+        acc = packed[:, -1]
         self._spec_dispatches += 1
         committed = 0
         for i in active:
@@ -921,6 +945,7 @@ class Engine:
             for j in range(n_take):
                 tok = int(tgt[i, j])
                 req.output.append(tok)
+                req.logprobs.append(float(lps[i, j]))
                 self.last_tokens[i] = tok
                 committed += 1
                 self._maybe_finish(i, tok)
@@ -968,15 +993,18 @@ class Engine:
                 sc = self.slots[i].sampling
                 temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
                                                 sc.top_p)
-            toks, self.cache, self.key = self._decode(
+            packed, self.cache, self.key = self._decode(
                 self.params, tokens, self.cache, self.key,
                 jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps)
             )
-            toks = np.asarray(toks)
+            packed = np.asarray(packed)
+            toks = packed[:, 0]
+            lps = packed[:, 1].view(np.float32)
             for i in active:
                 req = self.slots[i]
                 tok = int(toks[i])
                 req.output.append(tok)
+                req.logprobs.append(float(lps[i]))
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:
@@ -1024,17 +1052,20 @@ class Engine:
             topps[i] = sc.top_p
             sampled = sampled or not sc.greedy
         tokens = jnp.asarray(self.last_tokens[:, None])
-        toks, self.cache, self.key = self._decode_block(
+        packed, self.cache, self.key = self._decode_block(
             self.params, tokens, self.cache, self.key,
             jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
             n=n, sampled=sampled,
         )
-        toks = np.asarray(toks)
+        packed = np.asarray(packed)
+        toks = packed[:, :n]
+        lps = packed[:, n:].view(np.float32)
         for i in active:
             req = self.slots[i]
             for j in range(n):
                 tok = int(toks[i, j])
                 req.output.append(tok)
+                req.logprobs.append(float(lps[i, j]))
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:

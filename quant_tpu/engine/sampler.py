@@ -85,6 +85,16 @@ def sample_batch(logits: jax.Array, key, temps: jax.Array,
     return jnp.where(temps == 0.0, greedy, sampled)
 
 
+def token_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
+    """log p(tok) under the RAW model distribution (softmax of
+    unfiltered logits — the conventional serving-API semantics,
+    temperature-independent). logits [..., V], toks [...] → [...] f32."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)
+    chosen = jnp.take_along_axis(lg, toks[..., None], axis=-1)[..., 0]
+    return chosen - lse
+
+
 def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                 temps: jax.Array, topks: jax.Array, topps: jax.Array
                 ) -> tuple[jax.Array, jax.Array]:

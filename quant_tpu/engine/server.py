@@ -196,9 +196,12 @@ def _make_handler(srv: EngineServer):
                 while True:
                     toks = q.get()
                     if toks is None:
-                        chunk({"done": True, "req_id": req.req_id,
-                               "output_ids": req.output,
-                               "timed_out": req.timed_out})
+                        done = {"done": True, "req_id": req.req_id,
+                                "output_ids": req.output,
+                                "timed_out": req.timed_out}
+                        if body.get("logprobs"):
+                            done["logprobs"] = req.logprobs
+                        chunk(done)
                         self.wfile.write(b"0\r\n\r\n")
                         return
                     chunk({"token_ids": toks})
@@ -235,9 +238,12 @@ def _make_handler(srv: EngineServer):
                     timeout_s,
                     stop_ids,
                 )
-                self._json(200, {"req_id": req.req_id,
-                                 "output_ids": req.output,
-                                 "timed_out": req.timed_out})
+                resp = {"req_id": req.req_id,
+                        "output_ids": req.output,
+                        "timed_out": req.timed_out}
+                if body.get("logprobs"):
+                    resp["logprobs"] = req.logprobs
+                self._json(200, resp)
             except QueueFullError as e:
                 self._json(429, {"error": str(e)})
             except (KeyError, TypeError, ValueError,

@@ -270,3 +270,48 @@ def test_per_request_stop_ids():
     k = full.index(stop)
     assert r1.output == full[:k + 1]
     assert r2.output == full
+
+
+def test_logprobs_match_reference():
+    """Every commit path (admission token, step, step_block, spec verify)
+    must record log p(token) of the raw model distribution."""
+    params = llama.init_params(CFG, seed=9)
+
+    def ref_logprobs(prompt, out):
+        cache = llama.init_cache(CFG, batch=1, max_seq=64)
+        toks = jnp.asarray([prompt], jnp.int32)
+        logits, cache = llama.forward(params, toks, cache, CFG)
+        lps = []
+        last = logits[0, -1]
+        for tok in out:
+            lp = jax.nn.log_softmax(last.astype(jnp.float32))[tok]
+            lps.append(float(lp))
+            lg, cache = llama.forward(
+                params, jnp.asarray([[tok]], jnp.int32), cache, CFG)
+            last = lg[0, -1]
+        return lps
+
+    prompt = [4, 5, 6, 4, 5, 6]
+    for kw in ({}, {"spec_gamma": 3}):
+        eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1, **kw)
+        r = Request(req_id=0, prompt=prompt, max_new_tokens=7)
+        eng.add_request(r)
+        while eng.has_work():
+            eng.step()
+        assert len(r.logprobs) == len(r.output) == 7
+        # bf16 activations + different batch shapes (engine B=slots vs
+        # reference B=1) shift reductions by O(1e-3)
+        np.testing.assert_allclose(
+            r.logprobs, ref_logprobs(prompt, r.output),
+            rtol=2e-3, atol=5e-3)
+
+    # step_block path (used by generate when spec is off)
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    r = Request(req_id=0, prompt=prompt, max_new_tokens=7)
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step_block(4)
+    assert len(r.logprobs) == 7
+    np.testing.assert_allclose(
+        r.logprobs, ref_logprobs(prompt, r.output), rtol=2e-3, atol=5e-3)
+    assert all(lp <= 0.0 for lp in r.logprobs)
