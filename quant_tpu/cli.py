@@ -234,7 +234,7 @@ def main(argv=None):
                          "n-gram prompt-lookup drafts, greedy slots only")
     sv.add_argument("--prefix-cache", action="store_true",
                     help="automatic prompt-prefix page sharing "
-                         "(requires --paged; single-host)")
+                         "(requires --paged; composes with data/model meshes)")
     sv.add_argument("--max-pending", type=int, default=None,
                     help="admission queue cap (HTTP 429 beyond it)")
     sv.add_argument("--kv-bits", type=int, default=0,

@@ -136,6 +136,7 @@ class Engine:
         self.paged = paged
         self.page_size = page_size
         self.prefix_cache = prefix_cache
+        _data_groups0 = mesh.shape.get("data", 1) if mesh is not None else 1
         if prefix_cache:
             # Prompt-prefix page sharing (vLLM-style automatic prefix
             # caching, re-designed for the paged pool): full page-aligned
@@ -145,14 +146,22 @@ class Engine:
             # pool pages, attending to the shared prefix via the page
             # table. Freed pages whose blocks remain cached become
             # evictable (LRU) rather than free.
+            #
+            # Meshes: page ids are SHARD-LOCAL and each data shard owns a
+            # private pool, so all prefix state is PER DATA GROUP — a
+            # block cached by group 0 can only be reused by slots of
+            # group 0 (the KV bytes live in that shard's pool).
             if not paged:
                 raise ValueError("prefix_cache requires paged=True")
-            if mesh is not None:
-                raise ValueError("prefix_cache is single-host for now")
-            self._prefix_map: dict[bytes, int] = {}   # block key → page
-            self._page_key: dict[int, bytes] = {}     # page → block key
-            self._evictable: dict[int, None] = {}     # LRU (insert order)
-            self._page_ref: dict[int, int] = {}       # live references
+            if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+                raise ValueError(
+                    "prefix_cache composes with (data, model) meshes; "
+                    "pipe>1 is not supported")
+            ng = _data_groups0
+            self._prefix_map: list[dict] = [{} for _ in range(ng)]
+            self._page_key: list[dict] = [{} for _ in range(ng)]
+            self._evictable: list[dict] = [{} for _ in range(ng)]
+            self._page_ref: list[dict] = [{} for _ in range(ng)]
             self._prefix_hit_tokens = 0
         self.slots: list[Request | None] = [None] * max_slots
         self.last_tokens = np.zeros((max_slots,), np.int32)
@@ -494,23 +503,76 @@ class Engine:
         batch-1 PagedKVCache view shares the pool buffers and the slot's
         table row, so the chunk attends to reused prefix pages through the
         page table and its KV writes land in the slot's own pages — no
-        separate insert program. Pools are donated and threaded back."""
+        separate insert program. Pools are donated and threaded back.
+
+        Meshes: runs under shard_map with the pool sharded over ``data``
+        (kv-heads over ``model``). Every data shard executes the same
+        compute, but non-owners get a zeroed table row, so they read/write
+        only the RESERVED scratch page 0 of their own pool; the owner's
+        last-token logits are selected with a masked psum."""
         key = ("px", t_pad)
         if key in self._prefills:
             return self._prefills[key]
         fwd_one = self._fwd_one
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill(params, tokens, pools, tbl_row, start, true_len):
-            kc, ks, vc, vs = pools
-            view = llama.PagedKVCache(
-                k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
-                page_tbl=tbl_row[None], lengths=start[None])
-            logits, view = fwd_one(params, tokens, view)
-            last = jax.lax.dynamic_index_in_dim(
-                logits[0], true_len - 1, 0, False)
-            return last, (view.k_codes, view.k_scale,
-                          view.v_codes, view.v_scale)
+        if self.mesh is None:
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def prefill(params, tokens, pools, tbl_row, start, true_len,
+                        slot):
+                del slot
+                kc, ks, vc, vs = pools
+                view = llama.PagedKVCache(
+                    k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+                    page_tbl=tbl_row[None], lengths=start[None])
+                logits, view = fwd_one(params, tokens, view)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, 0, False)
+                return last, (view.k_codes, view.k_scale,
+                              view.v_codes, view.v_scale)
+        else:
+            from quant_tpu.parallel import tp as tp_mod
+
+            cfg = self.cfg
+            mesh = self.mesh
+            p_specs = tp_mod.param_specs(self.params)
+            codes_spec = P(None, "data", "model", None, None)
+            scale_spec = P(None, "data", "model", None)
+            pool_specs = (codes_spec, scale_spec, codes_spec, scale_spec)
+            slots_per = self.max_slots // self._data_groups
+            fwd = functools.partial(llama.forward, cfg=cfg, axis="model")
+
+            def inner(params, tokens, pools, tbl_row, start, true_len,
+                      slot):
+                kc, ks, vc, vs = pools
+                di = jax.lax.axis_index("data")
+                owned = (slot // slots_per) == di
+                # non-owners get DISTINCT out-of-pool sentinels: their KV
+                # writes drop (scatter mode="drop"; zeros would collide
+                # under unique_indices) and their gathers clamp to garbage
+                # that only feeds the masked-out logits
+                n_loc = kc.shape[1]
+                sent = n_loc + jnp.arange(tbl_row.shape[0],
+                                          dtype=tbl_row.dtype)
+                tbl = jnp.where(owned, tbl_row, sent)
+                view = llama.PagedKVCache(
+                    k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+                    page_tbl=tbl[None], lengths=start[None])
+                logits, view = fwd(params, tokens, view)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, 0, False)
+                last = jax.lax.psum(
+                    jnp.where(owned, last, jnp.zeros_like(last)), "data")
+                return last, (view.k_codes, view.k_scale,
+                              view.v_codes, view.v_scale)
+
+            sm = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(p_specs, P(None, None), pool_specs, P(), P(),
+                          P(), P()),
+                out_specs=(P(), pool_specs),
+                check_vma=False,
+            )
+            prefill = jax.jit(sm, donate_argnums=(2,))
 
         self._prefills[key] = prefill
         return prefill
@@ -565,17 +627,18 @@ class Engine:
         covered (prefill resumes there). At least one token is always left
         to prefill — its logits seed sampling."""
         page = self.page_size
+        g = self._group(slot)
         max_k = (len(stream) - 1) // page
         k = 0
         for j, key in enumerate(self._block_keys(stream)[:max_k]):
-            pg = self._prefix_map.get(key)
+            pg = self._prefix_map[g].get(key)
             if pg is None:
                 break
-            if self._page_ref.get(pg, 0) == 0:
-                self._evictable.pop(pg, None)  # re-referenced
-                self._page_ref[pg] = 1
+            if self._page_ref[g].get(pg, 0) == 0:
+                self._evictable[g].pop(pg, None)  # re-referenced
+                self._page_ref[g][pg] = 1
             else:
-                self._page_ref[pg] += 1
+                self._page_ref[g][pg] += 1
             self._page_tbl[slot, j] = pg
             self._tbl_dirty = True
             k = j + 1
@@ -586,14 +649,15 @@ class Engine:
     def _register_prefix(self, slot: int, stream: list[int]) -> None:
         """Publish the slot's filled full blocks into the prefix map (the
         pages now hold exactly those blocks' KV)."""
+        g = self._group(slot)
         for j, key in enumerate(self._block_keys(stream)):
-            if key in self._prefix_map:
+            if key in self._prefix_map[g]:
                 continue
             pg = int(self._page_tbl[slot, j])
-            if pg in self._page_key:   # page already published (shared)
+            if pg in self._page_key[g]:  # page already published (shared)
                 continue
-            self._prefix_map[key] = pg
-            self._page_key[pg] = key
+            self._prefix_map[g][key] = pg
+            self._page_key[g][pg] = key
 
     def _alloc_page(self, group: int) -> int | None:
         """A blank page from the group's free list, else (prefix mode) the
@@ -602,10 +666,10 @@ class Engine:
         free = self._free_pages[group]
         if free:
             return free.pop()
-        if self.prefix_cache and self._evictable:
-            pg = next(iter(self._evictable))
-            del self._evictable[pg]
-            del self._prefix_map[self._page_key.pop(pg)]
+        if self.prefix_cache and self._evictable[group]:
+            pg = next(iter(self._evictable[group]))
+            del self._evictable[group][pg]
+            del self._prefix_map[group][self._page_key[group].pop(pg)]
             return pg
         return None
 
@@ -617,23 +681,24 @@ class Engine:
             if pg is None:
                 return False
             if self.prefix_cache:
-                self._page_ref[pg] = 1
+                self._page_ref[group][pg] = 1
             self._page_tbl[slot, self._n_alloc[slot]] = pg
             self._n_alloc[slot] += 1
             self._tbl_dirty = True
         return True
 
     def _free_slot_pages(self, slot: int) -> None:
-        free = self._free_pages[self._group(slot)]
+        g = self._group(slot)
+        free = self._free_pages[g]
         for j in range(int(self._n_alloc[slot])):
             pg = int(self._page_tbl[slot, j])
             if self.prefix_cache:
-                self._page_ref[pg] -= 1
-                if self._page_ref[pg] > 0:
+                self._page_ref[g][pg] -= 1
+                if self._page_ref[g][pg] > 0:
                     continue  # still referenced by another slot
-                if pg in self._page_key:
+                if pg in self._page_key[g]:
                     # block stays cached; page becomes evictable (LRU)
-                    self._evictable[pg] = None
+                    self._evictable[g][pg] = None
                     continue
             free.append(pg)
         self._page_tbl[slot, :] = 0  # reserved scratch page
@@ -780,7 +845,7 @@ class Engine:
             last, pools = self._prefix_prefill_fn(t_pad)(
                 self.params, jnp.asarray(toks), pools,
                 jnp.asarray(self._page_tbl[slot], jnp.int32),
-                jnp.int32(off), jnp.int32(len(chunk)))
+                jnp.int32(off), jnp.int32(len(chunk)), jnp.int32(slot))
             self.cache = dataclasses.replace(
                 self.cache, k_codes=pools[0], k_scale=pools[1],
                 v_codes=pools[2], v_scale=pools[3])
@@ -1083,7 +1148,7 @@ class Engine:
             + (1 if self._prefilling is not None else 0),
             "tokens_per_s_ema": round(self._tok_ema, 1),
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
-                "cached_blocks": len(self._prefix_map)}
+                "cached_blocks": sum(len(m) for m in self._prefix_map)}
                if self.prefix_cache else {}),
             **({"free_pages": sum(len(f) for f in self._free_pages),
                 "total_pages": (self.n_pages - 1) * self._data_groups}

@@ -69,7 +69,7 @@ def test_prefix_hit_exact_streams():
     # shared pages referenced by both slots
     shared = [int(eng._page_tbl[0, j]) for j in range(2)]
     assert [int(eng._page_tbl[1, j]) for j in range(2)] == shared
-    assert all(eng._page_ref[pg] == 2 for pg in shared)
+    assert all(eng._page_ref[0][pg] == 2 for pg in shared)
     while eng.has_work():
         eng.step()
     assert r1.output == _reference_greedy(params, p1, 6)
@@ -85,7 +85,7 @@ def test_prefix_hit_after_owner_finished():
     outs = eng.generate([p1], max_new_tokens=5)
     assert outs[0] == _reference_greedy(params, p1, 5)
     assert eng.stats["cached_blocks"] == 2
-    assert len(eng._evictable) == 2  # unreferenced but cached
+    assert len(eng._evictable[0]) == 2  # unreferenced but cached
     p2 = SYS + [21, 22, 23]
     outs = eng.generate([p2], max_new_tokens=5)
     assert outs[0] == _reference_greedy(params, p2, 5)
@@ -153,3 +153,60 @@ def test_divergent_suffix_no_false_hit():
     assert o1 == _reference_greedy(params, p1, 4)
     assert o2 == _reference_greedy(params, p2, 4)
     assert eng.stats["prefix_hit_tokens"] == PAGE  # block 1 only
+
+
+def test_prefix_cache_on_mesh():
+    """Prefix caching over a (data, model) mesh: prefix state is per
+    data group (page ids are shard-local), the meshed suffix-prefill
+    writes only the owner shard's pool (others hit scratch page 0), and
+    streams equal the single-device reference exactly."""
+    from quant_tpu.parallel import make_mesh
+
+    # f32: TP psum reordering at bf16 can flip near-tie argmaxes on a
+    # random-init model, which would make exact-equality vacuously flaky
+    cfg = dataclasses.replace(CFG, dtype="float32")
+    params_ref = llama.init_params(cfg, seed=6, tp=1)
+    params = llama.init_params(cfg, seed=6, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, cfg, paged=True, page_size=PAGE,
+                 prefix_cache=True, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    # sequential admissions land in slots 0 then 1 — SAME data group, so
+    # the second request hits the first's cached prefix
+    p1 = SYS + [7, 8, 9]
+    p2 = SYS + [3, 4]
+    r1 = Request(req_id=0, prompt=p1, max_new_tokens=6)
+    r2 = Request(req_id=1, prompt=p2, max_new_tokens=6)
+    eng.add_request(r1)
+    while eng._prefilling is not None or eng.pending:
+        eng._advance_admission()
+    eng.add_request(r2)
+    while eng.has_work():
+        eng.step()
+
+    def ref(prompt, n):
+        cache = llama.init_cache(cfg, 1, 64)
+        logits, cache = llama.forward(
+            params_ref, jnp.asarray([prompt], jnp.int32), cache, cfg)
+        out = [int(jnp.argmax(logits[0, -1]))]
+        for _ in range(n - 1):
+            lg, cache = llama.forward(
+                params_ref, jnp.asarray([[out[-1]]], jnp.int32), cache,
+                cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    assert r1.output == ref(p1, 6)
+    assert r2.output == ref(p2, 6)
+    assert eng.stats["prefix_hit_tokens"] == 2 * PAGE
+    assert eng.stats["cached_blocks"] >= 2
+
+
+def test_prefix_cache_mesh_rejects_pipe():
+    from quant_tpu.parallel import make_mesh
+
+    params = llama.init_params(CFG, seed=6, tp=2)
+    with pytest.raises(ValueError, match="pipe"):
+        Engine(params, CFG, paged=True, page_size=PAGE,
+               prefix_cache=True, max_slots=4, max_seq=64, eos_id=-1,
+               mesh=make_mesh(pipe=2, model=2))
