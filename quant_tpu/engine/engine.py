@@ -1155,6 +1155,8 @@ class Engine:
                if self.paged else {}),
             **({"spec_proposed": self._spec_proposed,
                 "spec_accepted": self._spec_accepted,
+                "spec_acceptance": round(
+                    self._spec_accepted / max(self._spec_proposed, 1), 3),
                 # mean tokens a slot commits per verify dispatch (>= 1.0;
                 # plain decode would be exactly 1.0)
                 "spec_tokens_per_slot_step": round(
