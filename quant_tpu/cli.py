@@ -226,7 +226,7 @@ def main(argv=None):
     sv.add_argument("--paged", action="store_true",
                     help="paged KV pool (HBM bounded by allocated pages; "
                          "enables preemption + oversubscription)")
-    sv.add_argument("--page-size", type=int, default=128)
+    sv.add_argument("--page-size", type=int, default=None)  # None: engine picks (512 when max_seq allows)
     sv.add_argument("--n-pages", type=int, default=None,
                     help="pool pages (default: full slots*max_seq capacity)")
     sv.add_argument("--spec-gamma", type=int, default=0,

@@ -120,7 +120,7 @@ class Engine:
         mesh=None,
         pp_micro: int = 1,
         paged: bool = False,
-        page_size: int = 128,
+        page_size: int | None = None,
         n_pages: int | None = None,
         prefix_cache: bool = False,
         spec_gamma: int = 0,
@@ -134,6 +134,17 @@ class Engine:
         self.max_seq = max_seq
         self.eos_id = eos_id
         self.paged = paged
+        if page_size is None:
+            # Hardware sweep 2026-08-18 (tpu_attn_compare.py, 8B slice,
+            # B=32/S=4096): the paged flash kernel runs one PAGE per grid
+            # program, so per-program overhead dominates small pages —
+            # page 128 → 3.37 ms/step, 256 → 3.17, 512 → 1.99 (parity
+            # with the contiguous flash kernel). Default to 512, clamped
+            # to max_seq's divisors for short-context engines; the cost
+            # is coarser prefix-cache sharing + ≤page-1 tokens of KV
+            # slack per slot (~1 MB at 8B geometry — noise vs capacity).
+            page_size = next(g for g in (512, 256, 128, 64, 32, max_seq)
+                             if max_seq % g == 0)
         self.page_size = page_size
         self.prefix_cache = prefix_cache
         _data_groups0 = mesh.shape.get("data", 1) if mesh is not None else 1

@@ -43,24 +43,26 @@ __all__ = ["flash_decode_int8"]
 
 def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, hkv, rep,
-            stacked=False, kv4=False):
+            stacked=False, kv4=False, prec=None):
     s_idx = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
     kv = (lambda r, h: r[0, 0, h]) if stacked else (lambda r, h: r[0, h])
     stride = max(rep, 8)  # 8-aligned per-head scratch blocks (sublane rule)
 
-    def dq(tile):
+    def dq_pair(tile):
         # int4 KV: split-D nibble unpack. uint8 bitwise has no Mosaic
         # lowering on this toolchain — go through int32 like the matmul
-        # kernel (dequant_matmul.py) does; concat along lanes restores
-        # the original Dh order (packing is split-D, models/llama.py
-        # quantize_kv).
+        # kernel (dequant_matmul.py) does. The halves are NOT
+        # concatenated along lanes (a [S_blk, Dh] cross-lane shuffle that
+        # made kv4 SLOWER than int8 on hardware, 2026-08-18): the caller
+        # contracts each half against the matching half of q / writes
+        # each half of pv, so only tiny [rep, Dh/2] outputs ever merge.
         if not kv4:
-            return tile.astype(jnp.float32)
+            return tile.astype(jnp.float32), None
         wi = tile.astype(jnp.int32)
-        return jnp.concatenate(
-            [(wi & 0xF) - 8, (wi >> 4) - 8], axis=1).astype(jnp.float32)
+        return (((wi & 0xF) - 8).astype(jnp.float32),
+                ((wi >> 4) - 8).astype(jnp.float32))
 
     @pl.when(s_idx == 0)
     def _():
@@ -70,14 +72,20 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
     @pl.when(start < length)
     def _():
+        dot_t = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
         for h in range(hkv):
             r0 = h * stride
             q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            kf = dq(kv(kc_ref, h))                         # [S_blk, Dh]
-            logits = jax.lax.dot_general(
-                q, kf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # [rep, S_blk]
+            klo, khi = dq_pair(kv(kc_ref, h))              # [S_blk, Dh(/2)]
+            if khi is None:
+                logits = dot_t(q, klo)                     # [rep, S_blk]
+            else:
+                h2 = q.shape[1] // 2
+                logits = dot_t(q[:, :h2], klo) + dot_t(q[:, h2:], khi)
             # per-token scale on the small logits block (exact: the scale
             # factors out of the Dh contraction)
             logits = logits * kv(ks_ref, h)[None, :]
@@ -94,9 +102,15 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             l_new = (alpha * l_ref[r0:r0 + rep, :1]
                      + jnp.sum(p, axis=1, keepdims=True))
 
-            vf = dq(kv(vc_ref, h))
-            pv = jnp.dot(p * kv(vs_ref, h)[None, :], vf,
-                         preferred_element_type=jnp.float32)
+            vlo, vhi = dq_pair(kv(vc_ref, h))
+            ps = p * kv(vs_ref, h)[None, :]
+            pv = jnp.dot(ps, vlo, preferred_element_type=jnp.float32,
+                         precision=prec)
+            if vhi is not None:
+                pv = jnp.concatenate(
+                    [pv, jnp.dot(ps, vhi,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)], axis=1)
             acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
             m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
             l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
@@ -109,7 +123,7 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_blk", "interpret")
+    jax.jit, static_argnames=("s_blk", "interpret", "precision")
 )
 def flash_decode_int8(
     q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
@@ -121,10 +135,25 @@ def flash_decode_int8(
     lengths: jax.Array,  # int32 [B] — valid cache length per slot
     layer=None,          # traced layer index for stacked [L, ...] caches
     *,
-    s_blk: int = 256,
+    # 512 from a hardware sweep (2026-08-18, B=48/Hkv=8/S=1024/D=128):
+    # 256 → 191 GB/s, 512 → 638 GB/s (int8; the Pallas-attainable BW
+    # ceiling), 1024 → worse for int4. Per-program fixed overhead
+    # dominates below 512; block-skip granularity coarsens above it.
+    s_blk: int = 512,
     interpret: bool = False,
+    precision: str = "default",
 ) -> jax.Array:
-    """Returns attention output [B, Hq, Dh] (q.dtype)."""
+    """Returns attention output [B, Hq, Dh] (q.dtype).
+
+    ``precision`` feeds the two in-kernel dots. "default" (bf16 MXU
+    pass, ~2e-3 abs vs a float64 oracle — far below int8-KV quant
+    noise) is 1.6x faster end-to-end than "highest" on hardware
+    (2026-08-18: 0.437 vs 0.709 ms at B=48/Hkv=8/S=1024/D=128): this
+    kernel is program-overhead/VPU-bound at decode shapes, NOT
+    HBM-bound, so the extra bf16x3 MXU passes are not hidden. Exactness
+    tests pass "highest" and then match the f64 oracle to ~1e-6
+    (scripts/tpu_kv4_kernel_check.py).
+    """
     stacked = k_codes.ndim == 5
     b, hq, dh = q.shape
     hkv, s = k_codes.shape[-3], k_codes.shape[-2]
@@ -134,12 +163,22 @@ def flash_decode_int8(
         s_blk = s if s < s_blk else max(
             g for g in range(32, s_blk + 1, 32) if s % g == 0
         )
+    if not interpret and s_blk != s and s_blk % 128:
+        # Mosaic lowering requires the LAST dim of every block to be a
+        # multiple of 128 or the full array dim; the per-token scale
+        # blocks are [1, hkv, s_blk], so s_blk itself is lane-sized.
+        # Interpret mode has no such rule (tests use s_blk=64 to get
+        # multi-block coverage at tiny S) — legalize only when compiling.
+        legal = [g for g in range(128, s + 1, 128) if s % g == 0]
+        below = [g for g in legal if g <= s_blk]
+        s_blk = max(below) if below else (min(legal) if legal else s)
     n_s = s // s_blk
     qg = q.reshape(b, hkv, rep, dh)
 
     kern = functools.partial(
         _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
         hkv=hkv, rep=rep, stacked=stacked, kv4=dc != dh,
+        prec=jax.lax.Precision(precision),
     )
     stride = max(rep, 8)
     scratch = [

@@ -44,7 +44,7 @@ __all__ = ["paged_flash_decode_int8", "paged_attention_reference",
 
 def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
             o_ref, m_ref, l_ref, acc_ref, *, page, n_pages, scale, hkv,
-            rep, kv4=False):
+            rep, kv4=False, prec=None):
     del lr_ref, pt_ref
     s_idx = pl.program_id(1)
     b = pl.program_id(0)
@@ -52,13 +52,15 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
     start = s_idx * page
     stride = max(rep, 8)
 
-    def dq(tile):
-        # int4 KV: split-D nibble unpack via int32 (see attention.py)
+    def dq_pair(tile):
+        # int4 KV: split-D nibble unpack via int32, kept as halves —
+        # the lane-concat variant was slower than int8 on hardware
+        # (see attention.py dq_pair).
         if not kv4:
-            return tile.astype(jnp.float32)
+            return tile.astype(jnp.float32), None
         wi = tile.astype(jnp.int32)
-        return jnp.concatenate(
-            [(wi & 0xF) - 8, (wi >> 4) - 8], axis=1).astype(jnp.float32)
+        return (((wi & 0xF) - 8).astype(jnp.float32),
+                ((wi >> 4) - 8).astype(jnp.float32))
 
     @pl.when(s_idx == 0)
     def _():
@@ -68,14 +70,20 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
 
     @pl.when(start < length)
     def _():
+        dot_t = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
         for h in range(hkv):
             r0 = h * stride
             q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            kf = dq(kc_ref[0, 0, h])                       # [page, Dh]
-            logits = jax.lax.dot_general(
-                q, kf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # [rep, page]
+            klo, khi = dq_pair(kc_ref[0, 0, h])            # [page, Dh(/2)]
+            if khi is None:
+                logits = dot_t(q, klo)                     # [rep, page]
+            else:
+                h2 = q.shape[1] // 2
+                logits = dot_t(q[:, :h2], klo) + dot_t(q[:, h2:], khi)
             logits = logits * ks_ref[0, 0, h][None, :]
             pos = start + jax.lax.broadcasted_iota(
                 jnp.int32, logits.shape, 1)
@@ -88,9 +96,15 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
             p = jnp.exp(logits - m_new)
             l_new = (alpha * l_ref[r0:r0 + rep, :1]
                      + jnp.sum(p, axis=1, keepdims=True))
-            vf = dq(vc_ref[0, 0, h])
-            pv = jnp.dot(p * vs_ref[0, 0, h][None, :], vf,
-                         preferred_element_type=jnp.float32)
+            vlo, vhi = dq_pair(vc_ref[0, 0, h])
+            ps = p * vs_ref[0, 0, h][None, :]
+            pv = jnp.dot(ps, vlo, preferred_element_type=jnp.float32,
+                         precision=prec)
+            if vhi is not None:
+                pv = jnp.concatenate(
+                    [pv, jnp.dot(ps, vhi,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)], axis=1)
             acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
             m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
             l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
@@ -102,7 +116,7 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def paged_flash_decode_int8(
     q: jax.Array,         # [B, Hq, Dh] (decode step, T=1)
     pool_kc: jax.Array,   # int8 [L, P, Hkv, page, Dh]
@@ -114,8 +128,10 @@ def paged_flash_decode_int8(
     layer,                # traced layer index
     *,
     interpret: bool = False,
+    precision: str = "default",
 ) -> jax.Array:
-    """Returns attention output [B, Hq, Dh] (q.dtype)."""
+    """Returns attention output [B, Hq, Dh] (q.dtype). ``precision``
+    as in :func:`quant_tpu.kernels.attention.flash_decode_int8`."""
     b, hq, dh = q.shape
     _, _, hkv, page, dc = pool_kc.shape  # dc = Dh, or Dh/2 int4-packed
     n_pages = page_tbl.shape[1]
@@ -136,6 +152,7 @@ def paged_flash_decode_int8(
     kern = functools.partial(
         _kernel, page=page, n_pages=n_pages, scale=1.0 / (dh ** 0.5),
         hkv=hkv, rep=rep, kv4=dc != dh,
+        prec=jax.lax.Precision(precision),
     )
     stride = max(rep, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(

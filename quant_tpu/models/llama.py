@@ -223,16 +223,15 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     gathers every slot's pages into a contiguous copy per layer
     (``paged_gather``), which exists for tests/prefill, not decode.
 
-    Contiguous cache: hardware crossover measured in
-    scripts/tpu_attn_compare.py (README table, axon v5e-class chip,
-    8B-geometry slice at 90% fill, ±~0.05 ms differential timing): the
-    fused XLA path wins at short/mid context (S<=4096) across B in
-    {8, 32, 48}; the Pallas flash kernel wins at long context (S>=8k,
-    1.2x at S=16k) and at the one measured XLA fusion pathology
-    (B=16/S=1024: XLA 1.44 ms vs flash 0.85 — kept as a narrow
-    carve-out). ``b`` and ``s_max`` are the SHARD-local static shapes,
-    so the rule applies per-chip under data/tensor sharding exactly as
-    measured.
+    Contiguous cache: hardware crossover re-measured 2026-08-18 in
+    scripts/tpu_attn_compare.py after the flash kernel's s_blk=512
+    retune (3.3x more cache BW than the original 256 blocks): XLA and
+    flash tie at S=1024 (B=8: 0.537 vs 0.571 ms; B=32: 1.049 vs 1.071);
+    flash wins from S=2048 (B=32: 1.392 vs 1.855) and widens at S=4096
+    (1.961 vs 3.551, 1.8x). The B=16/S=1024 XLA fusion pathology
+    carve-out (XLA 1.44 vs flash 0.85 ms, r1 sweep) stands. ``b`` and
+    ``s_max`` are the SHARD-local static shapes, so the rule applies
+    per-chip under data/tensor sharding exactly as measured.
     """
     if cfg.sliding_window:
         # the Pallas decode kernels don't implement the window mask; the
@@ -244,7 +243,13 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
         return "xla"  # no Pallas backend to select
     if paged:
         return "flash"
-    if s_max >= 8192:
+    if cfg.kv_bits == 4:
+        # XLA cannot fuse the nibble unpack into its attention dots and
+        # materializes the f32 cache per layer (2.2x the int8 step,
+        # measured B=48); the flash kernel unpacks in VMEM at 0.58x the
+        # int8 step — kv4 always wants the kernel.
+        return "flash"
+    if s_max >= 2048:
         return "flash"
     if b == 16 and s_max < 4096:
         return "flash"  # measured XLA pathology at exactly this shape
@@ -858,15 +863,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # mode gathers the slot's pages (tests / prefill).
             ak = _resolve_attn_kernel(
                 cfg, b, page_tbl.shape[1] * kc.shape[3], mode, paged=True)
-            # kv4 through the Pallas pair is interpret-proven but NOT
-            # yet Mosaic-validated on hardware (relay outage) — require
-            # an explicit attn_kernel opt-in on real TPUs so auto mode
-            # can't route production serving through an unvalidated
-            # lowering; drop the guard once tpu_kv4_kernel_check.py runs.
-            kv4_ok = cfg.kv_bits == 8 or (
-                cfg.kv_bits == 4 and (cfg.attn_kernel != "auto"
-                                      or mode == "pallas_interpret"))
-            pg_flash = (t == 1 and ak in ("flash", "paged") and kv4_ok
+            # kv4 Pallas pair Mosaic-validated on hardware 2026-08-18
+            # (tpu_kv4_kernel_check.py: exact vs f64 oracle, 547 GB/s of
+            # packed bytes) — auto mode may route kv4 through it.
+            pg_flash = (t == 1 and ak in ("flash", "paged")
                         and cfg.kv_bits in (8, 4)
                         and mode in ("pallas", "pallas_interpret"))
             interp = mode == "pallas_interpret"
@@ -898,11 +898,8 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            positions, new_lengths, cfg)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
-        kv4_ok = cfg.kv_bits == 8 or (
-            cfg.kv_bits == 4 and (cfg.attn_kernel != "auto"
-                                  or mode == "pallas_interpret"))
         flash = (t == 1 and seq_axis is None and batch0 is None
-                 and ak == "flash" and kv4_ok and cfg.kv_bits in (8, 4)
+                 and ak == "flash" and cfg.kv_bits in (8, 4)
                  and mode in ("pallas", "pallas_interpret"))
         if flash:
             # Aliased Pallas insert: an XLA scatter feeding the (opaque)

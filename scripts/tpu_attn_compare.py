@@ -21,12 +21,12 @@ BASE = ModelConfig(
 )
 
 
-def run(cfg, params, label, b, s, fill, paged):
+def run(cfg, params, label, b, s, fill, paged, page=128):
     if paged:
-        n_pages = 1 + b * (s // 128)
-        cache = llama.init_paged_cache(cfg, b, s, n_pages, 128)
-        # slot i owns pages [1 + i*s/128, ...) — contiguous table, full fill
-        tbl = (1 + np.arange(b * (s // 128))).reshape(b, s // 128)
+        n_pages = 1 + b * (s // page)
+        cache = llama.init_paged_cache(cfg, b, s, n_pages, page)
+        # slot i owns pages [1 + i*s/page, ...) — contiguous table, full fill
+        tbl = (1 + np.arange(b * (s // page))).reshape(b, s // page)
         cache = dataclasses.replace(
             cache, page_tbl=jnp.asarray(tbl, jnp.int32),
             lengths=jnp.full((b,), fill, jnp.int32))
@@ -65,12 +65,14 @@ def main():
     fill = int(sys.argv[3]) if len(sys.argv) > 3 else int(s * 0.9)
     modes = (sys.argv[4].split(",") if len(sys.argv) > 4
              else ["xla", "flash", "paged"])
+    page = int(sys.argv[5]) if len(sys.argv) > 5 else 128
     params = llama.init_params_device(BASE, seed=0)
     jax.block_until_ready(params.layers.wqkv.codes)
     for m in modes:
         cfg = dataclasses.replace(
             BASE, attn_kernel="flash" if m != "xla" else "xla")
-        run(cfg, params, f"{m:5s}", b, s, fill, paged=(m == "paged"))
+        run(cfg, params, f"{m:5s}", b, s, fill, paged=(m == "paged"),
+            page=page)
 
 
 if __name__ == "__main__":

@@ -217,19 +217,27 @@ def test_int8_embedding():
 
 def test_resolve_attn_kernel_auto():
     """attn_kernel="auto" follows the measured hardware crossover
-    (scripts/tpu_attn_compare.py / README table): Pallas from B>=32 at any
-    context or S>=8k at any batch; XLA below; never Pallas without a
-    Pallas backend; explicit settings pass through untouched."""
+    (scripts/tpu_attn_compare.py / README table, re-swept 2026-08-18
+    after the flash s_blk=512 retune): flash from S>=2048 at any batch,
+    always for kv_bits=4 (XLA's nibble unpack defuses attention); XLA at
+    short context; never Pallas without a Pallas backend; explicit
+    settings pass through untouched."""
     auto = dataclasses.replace(CFG, attn_kernel="auto")
     r = llama._resolve_attn_kernel
     assert r(auto, 8, 1024, "pallas") == "xla"
-    assert r(auto, 16, 4096, "pallas") == "xla"
+    assert r(auto, 16, 4096, "pallas") == "flash"
     assert r(auto, 32, 1024, "pallas") == "xla"
     assert r(auto, 48, 1024, "pallas") == "xla"
     assert r(auto, 16, 1024, "pallas") == "flash"  # measured XLA pathology
+    assert r(auto, 32, 2048, "pallas") == "flash"
     assert r(auto, 8, 8192, "pallas") == "flash"
     assert r(auto, 32, 16384, "pallas") == "flash"
     assert r(auto, 64, 16384, "xla") == "xla"  # no pallas backend
+    # kv4: the XLA path materializes the unpacked f32 cache per layer
+    # (2.2x step time) — auto always routes kv4 to the kernel
+    kv4 = dataclasses.replace(CFG, attn_kernel="auto", kv_bits=4)
+    assert r(kv4, 48, 1024, "pallas") == "flash"
+    assert r(kv4, 48, 1024, "xla") == "xla"  # unless no Pallas backend
     # paged pool: always the Pallas page-table pair (the alternative is a
     # full per-layer page gather), but never without a Pallas backend
     assert r(auto, 4, 512, "pallas", paged=True) == "flash"
