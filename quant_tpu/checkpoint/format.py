@@ -73,12 +73,15 @@ def _entropy_decode(comp: bytes) -> bytes:
 # Tensor-parallel shard axis per leaf, mirroring parallel.tp._spec_for:
 # (codes_axis, scales_axis); None → replicated. Row-split scales shard along
 # groups only when grouped (G > 1) — checked at write time.
-_COL = {"wqkv", "w_gate_up", "lm_head"}
-_ROW = {"wo", "w_down"}
+_COL = {"wqkv", "w_gate_up", "we_gate_up", "lm_head"}
+_ROW = {"wo", "w_down", "we_down"}
 
 
 def _shard_axes(name: str, qt: QTensor) -> tuple[int | None, int | None]:
-    owner = name.split(".")[-1]
+    parts = name.split(".")
+    # MoE expert tensors are stored per (layer, expert):
+    # "layers.{i}.we_gate_up.{e}" — the field name sits second-to-last.
+    owner = parts[-2] if parts[-1].isdigit() and len(parts) > 1 else parts[-1]
     if owner in _COL:
         return 1, 1
     if owner in _ROW:
@@ -161,7 +164,11 @@ class CheckpointWriter:
 
 
 def _flatten_params(params: LlamaParams) -> dict:
-    """Per-layer flattening: stacked leaves are sliced along L."""
+    """Per-layer flattening: stacked leaves are sliced along L; MoE
+    expert stacks ([E, L, ...]) additionally per expert — one blob per
+    (layer, expert) so EP/PP shard loads stay tensor-granular. None
+    fields (dense models' we_*/router, MoE models' w_gate_up/w_down)
+    are simply absent from the manifest."""
     out = {
         "embed": params.embed,
         "final_norm": params.final_norm,
@@ -171,8 +178,16 @@ def _flatten_params(params: LlamaParams) -> dict:
     for i in range(n_layers):
         for f in dataclasses.fields(LayerParams):
             leaf = getattr(params.layers, f.name)
-            out[f"layers.{i}.{f.name}"] = jax.tree.map(
-                lambda a: a[i], leaf)
+            if leaf is None:
+                continue
+            if f.name in ("we_gate_up", "we_down"):
+                n_exp = leaf.codes.shape[0]
+                for e in range(n_exp):
+                    out[f"layers.{i}.{f.name}.{e}"] = jax.tree.map(
+                        lambda a: a[e, i], leaf)
+            else:
+                out[f"layers.{i}.{f.name}"] = jax.tree.map(
+                    lambda a: a[i], leaf)
     return out
 
 
@@ -241,11 +256,17 @@ class _BlobReader:
 # loaders default them instead of KeyErroring on older manifests
 # (write-side always emits them; defaults mirror the converter's).
 _OPTIONAL_LAYER_FIELDS = ("q_norm", "k_norm")
+# MoE fields: None (absent) for every dense checkpoint.
+_MOE_LAYER_FIELDS = ("router", "we_gate_up", "we_down")
 
 
 def _default_layer_leaf(field: str, cfg: ModelConfig):
     if field in _OPTIONAL_LAYER_FIELDS:
         return np.ones((cfg.head_dim,), np.float32)
+    if field in _MOE_LAYER_FIELDS:
+        return None
+    if cfg.n_experts and field in ("w_gate_up", "w_down"):
+        return None  # MoE checkpoints have no dense MLP
     raise KeyError(field)
 
 
@@ -278,9 +299,10 @@ def _canonicalize_tp(field: str, leaf, cfg: ModelConfig, tp: int):
     """
     if tp == 1:
         return leaf
-    if field in ("wqkv", "w_gate_up", "qkv_bias"):
+    if field in ("wqkv", "w_gate_up", "we_gate_up", "qkv_bias"):
         hd = cfg.head_dim
-        widths = ((cfg.intermediate,) * 2 if field == "w_gate_up"
+        widths = ((cfg.intermediate,) * 2
+                  if field in ("w_gate_up", "we_gate_up")
                   else (cfg.n_heads * hd, cfg.n_kv_heads * hd,
                         cfg.n_kv_heads * hd))
         per = [w // tp for w in widths]
@@ -317,18 +339,38 @@ def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
     # only the in-flight payloads
     workers = min(8, os.cpu_count() or 1)
 
-    def one(field, i):
-        return _canonicalize_tp(
-            field, _get_leaf(rd, f"layers.{i}.{field}", cfg), cfg, tp)
+    def one(field, i, e=None):
+        name = (f"layers.{i}.{field}" if e is None
+                else f"layers.{i}.{field}.{e}")
+        return _canonicalize_tp(field, _get_leaf(rd, name, cfg), cfg, tp)
 
+    tm = rd.manifest["tensors"]
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        fields = [f.name for f in dataclasses.fields(LayerParams)]
+        fields = [f.name for f in dataclasses.fields(LayerParams)
+                  if f.name not in ("we_gate_up", "we_down")]
         futs = {f: [ex.submit(one, f, i) for i in range(cfg.n_layers)]
                 for f in fields}
-        layers = LayerParams(**{
-            f: jax.tree.map(lambda *xs: np.stack(xs),
-                            *[fu.result() for fu in futs[f]])
+        # MoE expert stacks: per-(layer, expert) blobs → [E, L, ...]
+        efuts = {}
+        for f in ("we_gate_up", "we_down"):
+            if f"layers.0.{f}.0" in tm:
+                efuts[f] = [[ex.submit(one, f, i, e)
+                             for i in range(cfg.n_layers)]
+                            for e in range(cfg.n_experts)]
+        stacked = {
+            f: (jax.tree.map(lambda *xs: np.stack(xs),
+                             *[fu.result() for fu in futs[f]])
+                if futs[f][0].result() is not None else None)
             for f in fields
+        }
+        for f, rows in efuts.items():
+            per_e = [jax.tree.map(lambda *xs: np.stack(xs),
+                                  *[fu.result() for fu in row])
+                     for row in rows]
+            stacked[f] = jax.tree.map(lambda *xs: np.stack(xs), *per_e)
+        layers = LayerParams(**{
+            f.name: stacked.get(f.name)
+            for f in dataclasses.fields(LayerParams)
         })
     return LlamaParams(
         embed=_get_leaf(rd, "embed"), layers=layers,
@@ -360,9 +402,22 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
         return _sds(meta["data"])
 
     def stacked(field):
+        if field in ("we_gate_up", "we_down"):
+            meta = tm.get(f"layers.0.{field}.0")
+            if meta is None:
+                return None
+            return jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(
+                    (cfg.n_experts, cfg.n_layers) + s.shape, s.dtype),
+                leaf(meta))
         meta = tm.get(f"layers.0.{field}")
-        l0 = (leaf(meta) if meta is not None else jax.ShapeDtypeStruct(
-            _default_layer_leaf(field, cfg).shape, np.float32))
+        if meta is None:
+            d = _default_layer_leaf(field, cfg)
+            if d is None:
+                return None
+            l0 = jax.ShapeDtypeStruct(d.shape, np.float32)
+        else:
+            l0 = leaf(meta)
         return jax.tree.map(
             lambda s: jax.ShapeDtypeStruct((cfg.n_layers,) + s.shape,
                                            s.dtype), l0)
@@ -403,7 +458,22 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
     def build(path_names, struct, spec):
         name = path_names[0]
         sharding = NamedSharding(mesh, spec)
-        if name == "layers":
+        if name == "layers" and path_names[1] in ("we_gate_up", "we_down"):
+            field, leaf_field = path_names[1], path_names[-1]
+
+            def cb(index):  # index = (expert rng, layer rng, tensor dims)
+                esl, lsl = index[0], index[1]
+                blocks = []
+                for e in range(esl.start or 0,
+                               esl.stop or struct.shape[0]):
+                    rows = []
+                    for li in range(lsl.start or 0,
+                                    lsl.stop or struct.shape[1]):
+                        meta = tmeta[f"layers.{li}.{field}.{e}"]
+                        rows.append(rd.ranged(meta[leaf_field], index[2:]))
+                    blocks.append(np.stack(rows))
+                return np.stack(blocks)
+        elif name == "layers":
             field, leaf_field = path_names[1], path_names[-1]
             present = f"layers.0.{field}" in tmeta
             is_qt = present and tmeta[f"layers.0.{field}"]["kind"] in (
@@ -475,6 +545,8 @@ def _load_v1(path: pathlib.Path, manifest: dict) -> LlamaParams:
         if f"layers.{field}" not in manifest["tensors"]:
             cfg = ModelConfig(**manifest["config"])
             one = _default_layer_leaf(field, cfg)
+            if one is None:  # MoE fields: absent in every v1 checkpoint
+                return None
             return np.stack([one] * cfg.n_layers)
         return get(f"layers.{field}")
 

@@ -79,6 +79,10 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         act_fn="gelu_tanh" if "gelu" in act else "silu",
         embed_scale=mtype.startswith("gemma"),
         qk_norm=mtype == "qwen3",
+        # Mixtral sparse MoE
+        n_experts=int(hf.get("num_local_experts", 0))
+        if mtype == "mixtral" else 0,
+        experts_per_token=int(hf.get("num_experts_per_tok", 2) or 2),
     )
     kw.update(overrides)
     return ModelConfig(**kw)
@@ -145,11 +149,24 @@ def convert_hf_llama(
              t(pre + "self_attn.v_proj.weight")], tp)))
         w.add(f"layers.{i}.wo",
               qz(t(pre + "self_attn.o_proj.weight"), kshards=tp))
-        w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
-            [t(pre + "mlp.gate_proj.weight"),
-             t(pre + "mlp.up_proj.weight")], tp)))
-        w.add(f"layers.{i}.w_down",
-              qz(t(pre + "mlp.down_proj.weight"), kshards=tp))
+        if cfg.n_experts:
+            # Mixtral sparse MoE: router [D, E] raw; per-expert fused
+            # gate|up (HF w1|w3) and down (w2), one blob per
+            # (layer, expert) — streaming-RSS stays one expert tensor.
+            w.add(f"layers.{i}.router",
+                  t(pre + "block_sparse_moe.gate.weight"))
+            for e in range(cfg.n_experts):
+                epre = pre + f"block_sparse_moe.experts.{e}."
+                w.add(f"layers.{i}.we_gate_up.{e}", qz(concat_columns(
+                    [t(epre + "w1.weight"), t(epre + "w3.weight")], tp)))
+                w.add(f"layers.{i}.we_down.{e}",
+                      qz(t(epre + "w2.weight"), kshards=tp))
+        else:
+            w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
+                [t(pre + "mlp.gate_proj.weight"),
+                 t(pre + "mlp.up_proj.weight")], tp)))
+            w.add(f"layers.{i}.w_down",
+                  qz(t(pre + "mlp.down_proj.weight"), kshards=tp))
         w.add(f"layers.{i}.attn_norm",
               hf.get(pre + "input_layernorm.weight").astype(np.float32))
         w.add(f"layers.{i}.mlp_norm",

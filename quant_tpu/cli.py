@@ -25,7 +25,7 @@ def _cmd_convert(args):
 
 
 def _parse_mesh(spec: str):
-    """'data=2,model=4[,pipe=2][,seq=2]' → jax.sharding.Mesh."""
+    """'data=2,model=4[,pipe=2][,seq=2][,expert=2]' → jax.sharding.Mesh."""
     from quant_tpu.parallel import make_mesh
 
     kw = {}
@@ -197,7 +197,7 @@ def main(argv=None):
                    help="KV cache quantization override (0 = checkpoint "
                         "default): 4 int4 packed, 8 int8, 16 off")
     g.add_argument("--mesh", default=None,
-                   help="multi-chip mesh, e.g. 'data=2,model=4' or "
+                   help="multi-chip mesh, e.g. 'data=2,model=4', 'expert=4' or "
                         "'pipe=2,model=4' (axes: pipe,data,model,seq)")
     g.add_argument("--pp-micro", type=int, default=1,
                    help="pipeline microbatches (with pipe>1 meshes)")
@@ -242,7 +242,7 @@ def main(argv=None):
                     help="KV cache quantization override (0 = checkpoint "
                          "default): 4 int4 packed, 8 int8, 16 off")
     sv.add_argument("--mesh", default=None,
-                    help="multi-chip mesh, e.g. 'data=2,model=4' or "
+                    help="multi-chip mesh, e.g. 'data=2,model=4', 'expert=4' or "
                          "'pipe=2,model=4' (axes: pipe,data,model,seq)")
     sv.add_argument("--pp-micro", type=int, default=1,
                     help="pipeline microbatches (with pipe>1 meshes)")

@@ -35,6 +35,17 @@ class ModelConfig:
     # Qwen3 family: per-head RMSNorm on q and k (over head_dim, learned
     # [Dh] weights shared across heads) after projection, before RoPE.
     qk_norm: bool = False
+    # Mixtral-style sparse MoE MLP: n_experts > 0 replaces the dense MLP
+    # with a top-k routed mixture (router = linear [D, E], softmax over
+    # ALL experts, top ``experts_per_token`` kept; ``norm_topk`` renorms
+    # the kept weights to sum to 1 — Mixtral semantics). Inference
+    # computes every expert densely and combines with the (mostly-zero)
+    # routing weights: static shapes, no token dropping, and at decode
+    # batch sizes it is HBM-optimal — each expert's packed weights are
+    # read once per step, exactly like routed dispatch once B >= E.
+    n_experts: int = 0
+    experts_per_token: int = 2
+    norm_topk: bool = True
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -75,6 +86,11 @@ class ModelConfig:
         if self.attn_kernel not in ("auto", "xla", "flash", "paged"):
             raise ValueError(f"attn_kernel must be auto|xla|flash|paged, "
                              f"got {self.attn_kernel!r}")
+        if self.n_experts and not (
+                0 < self.experts_per_token <= self.n_experts):
+            raise ValueError(
+                f"experts_per_token {self.experts_per_token} must be in "
+                f"[1, n_experts={self.n_experts}]")
 
 
 PRESETS: dict[str, ModelConfig] = {
@@ -129,5 +145,18 @@ PRESETS: dict[str, ModelConfig] = {
         vocab_size=151936, dim=4096, n_layers=36, n_heads=32, n_kv_heads=8,
         intermediate=12288, head_dim=128, rope_theta=1000000.0,
         norm_eps=1e-6, qk_norm=True, embed_bits=8,
+    ),
+    # 2-layer 4-expert toy for MoE unit tests.
+    "test-tiny-moe": ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        intermediate=512, group_size=64, kernel_mode="xla",
+        n_experts=4, experts_per_token=2,
+    ),
+    # Mixtral-8x7B-v0.1 (8-expert top-2 sparse MLP; full causal attention
+    # — the HF config's sliding_window was dropped in v0.1 updates).
+    "mixtral-8x7b": ModelConfig(
+        vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+        intermediate=14336, rope_theta=1000000.0, embed_bits=8,
+        n_experts=8, experts_per_token=2,
     ),
 }

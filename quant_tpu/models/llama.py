@@ -75,6 +75,18 @@ class LayerParams:
     # (the norm itself is gated by the config, not by these values).
     q_norm: Any = None
     k_norm: Any = None
+    # Sparse-MoE MLP (cfg.n_experts > 0; Mixtral family). The dense
+    # w_gate_up/w_down are None and these take over:
+    # ``router`` is a small dense [L, D, E] (replicated under TP/EP —
+    # top-k needs every expert's logit); expert projections are QTensors
+    # with 4-D [E, L, ...] leading dims so PartitionSpecs shard experts
+    # (dim 0, ``expert`` mesh axis) and layers (dim 1, ``pipe``)
+    # independently, then mlp_block merges them to the [E_loc*L_loc, ...]
+    # stack the scalar-prefetched Pallas index maps select from
+    # (slice e*L+layer; a leading-dims reshape is layout-free).
+    router: Any = None        # [L, D, E]
+    we_gate_up: Any = None    # QTensor [E, L, D, 2I]
+    we_down: Any = None       # QTensor [E, L, I, D]
 
 
 @jax.tree_util.register_dataclass
@@ -331,14 +343,15 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size,
                                kshards=kshards)
 
+    moe = cfg.n_experts > 0
     layers = stack(lambda i: LayerParams(
         wqkv=q(concat_columns(
             [_dense(rng, d, qd), _dense(rng, d, kvd), _dense(rng, d, kvd)],
             tp)),
         wo=q(_dense(rng, qd, d), kshards=tp),
-        w_gate_up=q(concat_columns(
+        w_gate_up=None if moe else q(concat_columns(
             [_dense(rng, d, it), _dense(rng, d, it)], tp)),
-        w_down=q(_dense(rng, it, d), kshards=tp),
+        w_down=None if moe else q(_dense(rng, it, d), kshards=tp),
         attn_norm=jnp.ones((d,), jnp.float32),
         mlp_norm=jnp.ones((d,), jnp.float32),
         qkv_bias=(
@@ -356,6 +369,26 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
             1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
             if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
     ))
+    if moe:
+        # expert-major [E, L, ...] stacking: see LayerParams.we_gate_up
+        def estack(make):
+            rows = [
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[make() for _ in range(cfg.n_layers)])
+                for _ in range(cfg.n_experts)
+            ]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+        layers = dataclasses.replace(
+            layers,
+            router=jnp.asarray(
+                rng.standard_normal(
+                    (cfg.n_layers, d, cfg.n_experts)) * 0.5,
+                jnp.float32),
+            we_gate_up=estack(lambda: q(concat_columns(
+                [_dense(rng, d, it), _dense(rng, d, it)], tp))),
+            we_down=estack(lambda: q(_dense(rng, it, d), kshards=tp)),
+        )
     return LlamaParams(
         embed=_make_embed(
             rng.standard_normal((cfg.vocab_size, d), dtype=np.float32) * 0.02,
@@ -419,6 +452,32 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
         lambda *xs: jnp.stack(xs),
         *[make_layer(lkeys[i]) for i in range(cfg.n_layers)],
     )
+    if cfg.n_experts:
+        qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
+                               group_size=cfg.group_size)
+
+        @jax.jit
+        def make_expert(key):
+            ks = jax.random.split(key, 3)
+            return (qz(cat([(ks[0], (d, it)), (ks[1], (d, it))])),
+                    qz(dense(ks[2], it, d), kshards=tp))
+
+        ekeys = jax.random.split(
+            jax.random.fold_in(key, 7), cfg.n_experts * cfg.n_layers)
+        per_e = []
+        for e in range(cfg.n_experts):
+            row = [make_expert(ekeys[e * cfg.n_layers + i])
+                   for i in range(cfg.n_layers)]
+            per_e.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
+        wgu, wdn = jax.tree.map(lambda *xs: jnp.stack(xs), *per_e)
+        layers = dataclasses.replace(
+            layers,
+            router=0.5 * jax.random.normal(
+                jax.random.fold_in(key, 8),
+                (cfg.n_layers, d, cfg.n_experts), jnp.float32),
+            we_gate_up=wgu, we_down=wdn,
+            w_gate_up=None, w_down=None,
+        )
     return LlamaParams(
         embed=_make_embed(
             jax.random.normal(lkeys[-1], (cfg.vocab_size, d), jnp.float32)
@@ -502,6 +561,80 @@ def _act(cfg: ModelConfig):
     if cfg.act_fn == "gelu_tanh":
         return functools.partial(jax.nn.gelu, approximate=True)
     return jax.nn.silu
+
+
+def _merge_experts(qt: QTensor) -> QTensor:
+    """[E, L, ...] expert-major stack → [E*L, ...] for the stacked-kernel
+    index maps (slice e*L+layer). A leading-dims reshape is layout-free;
+    the 4-D form exists so PartitionSpecs can shard experts (dim 0, EP)
+    and layers (dim 1, PP) independently."""
+    return dataclasses.replace(
+        qt,
+        codes=qt.codes.reshape((-1,) + qt.codes.shape[2:]),
+        scales=qt.scales.reshape((-1,) + qt.scales.shape[2:]),
+    )
+
+
+def moe_route(x, router, cfg: ModelConfig):
+    """Routing weights [B, T, E]: softmax over ALL experts, keep the top
+    ``experts_per_token``, zero the rest, renormalize if ``norm_topk``
+    (Mixtral semantics — HF MixtralSparseMoeBlock order)."""
+    logits = x.astype(jnp.float32) @ router.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    _, top_i = jax.lax.top_k(probs, cfg.experts_per_token)
+    mask = jnp.sum(
+        jax.nn.one_hot(top_i, cfg.n_experts, dtype=probs.dtype), axis=-2)
+    w = probs * mask
+    if cfg.norm_topk:
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+    return w
+
+
+def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
+              expert_axis=None):
+    """MLP residual delta in f32, psum'd over the given mesh axes.
+
+    Dense (n_experts=0): fused gate|up column matmul + row-split down,
+    psum over ``axis`` (TP).
+
+    MoE (n_experts>0, Mixtral family): EVERY local expert runs densely on
+    every token and outputs combine with the top-k routing weights (zeros
+    for unrouted pairs). TPU-first rationale: static shapes (no
+    sort/scatter/capacity drops — bit-exact routing), and at decode batch
+    sizes the step is weight-HBM-bound, where dense-all-experts is
+    OPTIMAL — each expert's packed codes stream once per step, exactly
+    what routed dispatch also costs once B >= n_experts; the surplus is
+    idle-MXU FLOPs only. (Prefill pays real extra FLOPs ~E/k; a
+    capacity-based dispatch path can slot in here later if MoE prefill
+    throughput ever matters.) Under ``expert_axis`` each shard computes
+    its contiguous expert slice and the combine psums over
+    (expert, model) in one collective.
+    """
+    if not cfg.n_experts:
+        gu = mm(x, layers.w_gate_up, idx)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        out = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
+                 layers.w_down, idx, out_dtype=jnp.float32)
+        return jax.lax.psum(out, axis) if axis else out
+
+    w = moe_route(x, router, cfg)                      # [B, T, E]
+    wgu = _merge_experts(layers.we_gate_up.local_view())
+    wdn = _merge_experts(layers.we_down.local_view())
+    l_stack = layers.attn_norm.shape[0]                # shard-local L
+    e_loc = wgu.codes.shape[0] // l_stack              # shard-local E
+    if expert_axis is not None:
+        e0 = jax.lax.axis_index(expert_axis) * e_loc
+        w = jax.lax.dynamic_slice_in_dim(w, e0, e_loc, axis=-1)
+    out = jnp.zeros(x.shape[:-1] + (wdn.n,), jnp.float32)
+    for e in range(e_loc):
+        eidx = e * l_stack + idx
+        gu = mm(x, wgu, eidx)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        y = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
+               wdn, eidx, out_dtype=jnp.float32)
+        out = out + y * w[..., e:e + 1]
+    axes = tuple(a for a in (axis, expert_axis) if a)
+    return jax.lax.psum(out, axes) if axes else out
 
 
 def _rope(x, positions, theta):
@@ -755,6 +888,7 @@ def forward(
     cfg: ModelConfig,
     axis: str | None = None,
     seq_axis: str | None = None,
+    expert_axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill if T>1, decode if T==1).
 
@@ -767,6 +901,12 @@ def forward(
     row-split wo/down: head counts come from the local shard shapes, partial
     row-split outputs are psum'd, and logits are all-gathered over vocab
     (Megatron-style TP, XLA collectives over ICI — SURVEY.md §2.2 #9/#10).
+
+    ``expert_axis``: mesh axis for expert parallelism (MoE models). Each
+    shard holds an expert-major contiguous slice of we_gate_up/we_down,
+    computes its local experts densely, and the routed combination psums
+    over (expert_axis, axis) — attention and the router stay replicated
+    over the expert axis.
     """
     mm = _mm(cfg)
     b, t = tokens.shape
@@ -787,13 +927,15 @@ def forward(
         params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
         s0, axis, dt, seq_axis,
         page_tbl=cache.page_tbl if paged else None,
+        expert_axis=expert_axis,
     )
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
         (params.layers.attn_norm, params.layers.mlp_norm,
          params.layers.qkv_bias, params.layers.q_norm,
-         params.layers.k_norm, jnp.arange(cfg.n_layers)),
+         params.layers.k_norm, params.layers.router,
+         jnp.arange(cfg.n_layers)),
     )
     h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
@@ -812,7 +954,8 @@ def forward(
 
 
 def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
-                    s0, axis, dt, seq_axis, batch0=None, page_tbl=None):
+                    s0, axis, dt, seq_axis, batch0=None, page_tbl=None,
+                    expert_axis=None):
     """Scan body over the stacked layer axis, carrying the FULL caches.
 
     The carry is (h, k_codes, k_scale, v_codes, v_scale) with caches at
@@ -840,7 +983,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, idx = xs
+        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router, idx = xs
         x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -896,7 +1039,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            paged_gather(vc, page_tbl, idx),
                            paged_gather(vs, page_tbl, idx),
                            positions, new_lengths, cfg)
-            return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
+            return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
                  and ak == "flash" and cfg.kv_bits in (8, 4)
@@ -939,20 +1082,16 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
                                  positions, new_lengths, cfg,
                                  seq_axis=seq_axis, key_offset=s0)
-        return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx)
+        return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router)
 
-    def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx):
+    def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router):
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)
         x = rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
-        gu = mm(x, layers.w_gate_up, idx)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        h = h + psum(mm(
-            _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-            layers.w_down, idx, out_dtype=jnp.float32,
-        )).astype(dt)
+        h = h + mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
+                          router=router, expert_axis=expert_axis).astype(dt)
         return (h, kc, ks, vc, vs), None
 
     return layer_step

@@ -3,9 +3,11 @@
 TPU-native communication = XLA collectives over ICI/DCN inside shard_map —
 no NCCL/MPI analogue needed. Axes:
 
-* ``data``  — batch (continuous batching shards slots across it; DCN-friendly)
-* ``model`` — tensor parallelism (ICI; weight/KV shards, psum/all_gather)
-* ``seq``   — sequence/context parallelism (ring attention; ICI neighbors)
+* ``data``   — batch (continuous batching shards slots across it; DCN-friendly)
+* ``expert`` — expert parallelism (MoE weights shard per expert; one psum
+  per layer combines routed outputs — ICI, like model)
+* ``model``  — tensor parallelism (ICI; weight/KV shards, psum/all_gather)
+* ``seq``    — sequence/context parallelism (ring attention; ICI neighbors)
 
 For multi-host pods, ``make_mesh`` uses
 ``mesh_utils.create_hybrid_device_mesh`` so ``data`` maps to DCN (inter-host)
@@ -47,20 +49,22 @@ def init_distributed(coordinator: str | None = None,
 
 
 def hybrid_mesh_shapes(pipe: int, data: int, model: int, seq: int,
-                       n_proc: int) -> tuple[tuple, tuple]:
+                       n_proc: int, expert: int = 1) -> tuple[tuple, tuple]:
     """Pure shape math for the multi-host (hybrid ICI/DCN) mesh.
 
     Returns ``(ici_mesh_shape, dcn_mesh_shape)`` for
     ``mesh_utils.create_hybrid_device_mesh``: the DCN (inter-host) factor
     is taken from the sparsest-traffic axis that divides ``n_proc`` —
     ``data`` first (batch-sharded serving), else ``pipe`` (PP across
-    hosts, the 70B layout). model/seq always stay on ICI: their psum /
-    ppermute traffic is dense and latency-critical.
+    hosts, the 70B layout). expert/model/seq always stay on ICI: their
+    psum / ppermute traffic is dense and latency-critical.
     """
     if data % n_proc == 0:
-        return (pipe, data // n_proc, model, seq), (1, n_proc, 1, 1)
+        return ((pipe, data // n_proc, expert, model, seq),
+                (1, n_proc, 1, 1, 1))
     if pipe % n_proc == 0:
-        return (pipe // n_proc, data, model, seq), (n_proc, 1, 1, 1)
+        return ((pipe // n_proc, data, expert, model, seq),
+                (n_proc, 1, 1, 1, 1))
     raise ValueError(
         f"neither data={data} nor pipe={pipe} divides process count "
         f"{n_proc}: put the host boundary on one of the sparse axes")
@@ -71,25 +75,28 @@ def make_mesh(
     model: int = 1,
     seq: int = 1,
     pipe: int = 1,
+    expert: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (pipe, data, model, seq) mesh over the available devices.
+    """Build a (pipe, data, expert, model, seq) mesh over the devices.
 
     Axis order puts pipe/data outermost (DCN-friendly: stage/batch traffic
-    is sparse) and model/seq innermost (ICI: dense psum/permute traffic).
+    is sparse) and expert/model/seq innermost (ICI: dense psum/permute
+    traffic). ``expert`` shards MoE expert weights (SURVEY §2.2 #14); it
+    is a no-op axis of size 1 for dense models.
     """
     devices = devices if devices is not None else jax.devices()
-    n = data * model * seq * pipe
+    n = data * model * seq * pipe * expert
     if n > len(devices):
-        raise ValueError(f"mesh {pipe}x{data}x{model}x{seq} needs {n} "
-                         f"devices, have {len(devices)}")
+        raise ValueError(f"mesh {pipe}x{data}x{expert}x{model}x{seq} "
+                         f"needs {n} devices, have {len(devices)}")
     devices = devices[:n]
     if jax.process_count() > 1:
         ici, dcn = hybrid_mesh_shapes(pipe, data, model, seq,
-                                      jax.process_count())
+                                      jax.process_count(), expert)
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=ici, dcn_mesh_shape=dcn,
         )
     else:
-        arr = np.asarray(devices).reshape(pipe, data, model, seq)
-    return Mesh(arr, axis_names=("pipe", "data", "model", "seq"))
+        arr = np.asarray(devices).reshape(pipe, data, expert, model, seq)
+    return Mesh(arr, axis_names=("pipe", "data", "expert", "model", "seq"))

@@ -122,7 +122,8 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     l_local = cache.k_codes.shape[0]
     xs = (params.layers.attn_norm, params.layers.mlp_norm,
           params.layers.qkv_bias, params.layers.q_norm,
-          params.layers.k_norm, jnp.arange(l_local))
+          params.layers.k_norm, params.layers.router,
+          jnp.arange(l_local))
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
     def scan_local(layer_step, h, kc, ks, vc, vs):
@@ -223,6 +224,11 @@ def pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
                          f"{cfg.n_layers}")
     if cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(f"model axis {tp} must divide head counts")
+    if mesh.shape.get("expert", 1) > 1:
+        # MoE composes with PP via the layer-sliced [E, L_local] stacks
+        # (expert=1); sharding experts ACROSS pipe stages is unsupported.
+        raise ValueError("pp does not compose with an expert axis > 1; "
+                         "use (data, expert, model) meshes for MoE")
     p_specs = pp_param_specs(params)
     c_specs = pp_cache_specs(cache, batch_axis)
     fwd = functools.partial(

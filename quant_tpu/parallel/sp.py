@@ -202,7 +202,7 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, idx = xs
+        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router, idx = xs
         x = llama.rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -227,19 +227,16 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         h = h + psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
                         out_dtype=jnp.float32)).astype(dt)
         x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
-        gu = mm(x, layers.w_gate_up, idx)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        h = h + psum(mm(
-            llama._act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-            layers.w_down, idx, out_dtype=jnp.float32,
-        )).astype(dt)
+        h = h + llama.mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
+                                router=router).astype(dt)
         return (h, kc, ks, vc, vs), None
 
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
         (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
-         layers.q_norm, layers.k_norm, jnp.arange(cfg.n_layers)),
+         layers.q_norm, layers.k_norm, layers.router,
+         jnp.arange(cfg.n_layers)),
     )
     h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps,
                       cfg.norm_offset)

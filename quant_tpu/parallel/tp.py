@@ -54,6 +54,13 @@ def _spec_for(path, leaf) -> P:
     lead = (None,) if stacked else ()
     if field == "qkv_bias":    # column-fused bias shards with wqkv's N
         return P(*lead, "model")
+    if owner == "we_gate_up":  # MoE column-split: [E, L, K|G, N]
+        return P("expert", None, None, "model")
+    if owner == "we_down":     # MoE row-split: [E, L, K(/2)|G, N]
+        if field == "codes":
+            return P("expert", None, "model", None)
+        return (P("expert", None, "model", None) if leaf.shape[2] > 1
+                else P("expert"))
     if owner in _COL:
         return P(*lead, None, "model")  # [L?, K(/2)|G, N] shard N
     if owner in _ROW:
@@ -62,7 +69,7 @@ def _spec_for(path, leaf) -> P:
         # grouped scales shard along G; per-channel (G=1) replicate
         g_axis = leaf.shape[1] if stacked else leaf.shape[0]
         return P(*lead, "model", None) if g_axis > 1 else P()
-    return P()  # embed, norms: replicated
+    return P()  # embed, norms, router: replicated
 
 
 def param_specs(params: llama.LlamaParams):
@@ -135,6 +142,7 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
     """
     tp = mesh.shape["model"]
     sp = mesh.shape.get("seq", 1)
+    ep = mesh.shape.get("expert", 1)
     if cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(
             f"model axis {tp} must divide n_heads={cfg.n_heads} and "
@@ -143,12 +151,16 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
     if cache.max_seq % max(sp, 1):
         raise ValueError(f"seq axis {sp} must divide max_seq "
                          f"{cache.max_seq}")
+    if ep > 1 and (not cfg.n_experts or cfg.n_experts % ep):
+        raise ValueError(f"expert axis {ep} must divide "
+                         f"n_experts={cfg.n_experts}")
     p_specs = param_specs(params)
     c_specs = cache_specs(cache, batch_axis)
 
     fwd = functools.partial(
         llama.forward, cfg=cfg, axis="model",
         seq_axis="seq" if sp > 1 else None,
+        expert_axis="expert" if ep > 1 else None,
     )
 
     return jax.shard_map(

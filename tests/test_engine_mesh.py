@@ -227,3 +227,32 @@ def test_mesh_engine_int4_kv():
 
     for p, o in zip(prompts, outs):
         assert o == ref(p, 6), (p, o)
+
+
+def test_mesh_engine_moe_expert_axis():
+    """MoE continuous batching over an (expert, model) mesh == per-prompt
+    single-device reference (SURVEY §2.2 #14: EP through the engine)."""
+    moe_cfg = dataclasses.replace(
+        CFG, n_experts=4, experts_per_token=2)
+    params_ref = llama.init_params(moe_cfg, seed=4, tp=1)
+    params = llama.init_params(moe_cfg, seed=4, tp=2)
+    mesh = make_mesh(expert=2, model=2)
+    eng = Engine(params, moe_cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    prompts = _prompts(3, rng_seed=4)
+    outs = eng.generate(prompts, max_new_tokens=6)
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(moe_cfg, 1, 64)
+        lg, cache = llama.forward(
+            params_ref, jnp.asarray([prompt], jnp.int32), cache, moe_cfg)
+        out = [int(jnp.argmax(lg[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params_ref, jnp.asarray([[out[-1]]], jnp.int32), cache,
+                moe_cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)

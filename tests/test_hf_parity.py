@@ -388,3 +388,87 @@ def test_gemma_matches_transformers():
     ours, hf_logits = _run_both(model, params, cfg, toks)
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
+def test_mixtral_logits_match_transformers():
+    """Mixtral sparse-MoE parity on identical dequantized weights
+    (router semantics, top-k renorm, expert wiring). kv_bits=16 so the
+    only error source is shared-weight quantization → tight tolerance."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-moe"], bits=8,
+                              dtype="float32", group_size=64, kv_bits=16)
+    params = llama.init_params(cfg, seed=5)
+
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        num_local_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        sliding_window=None, attention_bias=False,
+        router_jitter_noise=0.0,
+    )
+    model = MixtralForCausalLM(hf_cfg)
+    model.eval()
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).T.copy())
+
+    units = cfg.n_heads + 2 * cfg.n_kv_heads
+    sd = {
+        "model.embed_tokens.weight": torch.from_numpy(
+            np.asarray(params.embed, np.float32)),
+        "model.norm.weight": torch.from_numpy(
+            np.asarray(params.final_norm, np.float32)),
+        "lm_head.weight": t(params.lm_head.dequantize()),
+    }
+    import dataclasses as dc
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        wqkv_qt = dc.replace(params.layers.wqkv,
+                             codes=params.layers.wqkv.codes[i],
+                             scales=params.layers.wqkv.scales[i])
+        wqkv = np.asarray(wqkv_qt.dequantize())
+        nq = (wqkv.shape[1] * cfg.n_heads) // units
+        nkv = (wqkv.shape[1] * cfg.n_kv_heads) // units
+        sd[pre + "self_attn.q_proj.weight"] = t(wqkv[:, :nq])
+        sd[pre + "self_attn.k_proj.weight"] = t(wqkv[:, nq:nq + nkv])
+        sd[pre + "self_attn.v_proj.weight"] = t(wqkv[:, nq + nkv:])
+        sd[pre + "self_attn.o_proj.weight"] = t(dc.replace(
+            params.layers.wo, codes=params.layers.wo.codes[i],
+            scales=params.layers.wo.scales[i]).dequantize())
+        sd[pre + "input_layernorm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.attn_norm[i], np.float32))
+        sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.mlp_norm[i], np.float32))
+        # router [D, E] → HF gate.weight [E, D]
+        sd[pre + "block_sparse_moe.gate.weight"] = t(
+            params.layers.router[i])
+        for e in range(cfg.n_experts):
+            epre = pre + f"block_sparse_moe.experts.{e}."
+            wgu = np.asarray(dc.replace(
+                params.layers.we_gate_up,
+                codes=params.layers.we_gate_up.codes[e, i],
+                scales=params.layers.we_gate_up.scales[e, i]).dequantize())
+            half = wgu.shape[1] // 2
+            sd[epre + "w1.weight"] = t(wgu[:, :half])   # gate
+            sd[epre + "w3.weight"] = t(wgu[:, half:])   # up
+            sd[epre + "w2.weight"] = t(dc.replace(
+                params.layers.we_down,
+                codes=params.layers.we_down.codes[e, i],
+                scales=params.layers.we_down.scales[e, i]).dequantize())
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("inv_freq" in m for m in missing), missing
+
+    toks = np.random.default_rng(5).integers(2, cfg.vocab_size, (2, 6))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    cache = llama.init_cache(cfg, 2, 8)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache, cfg)
+    ours = np.asarray(ours, np.float32)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))

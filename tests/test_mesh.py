@@ -11,25 +11,25 @@ from quant_tpu.parallel.mesh import (hybrid_mesh_shapes, init_distributed,
 
 def test_hybrid_shapes_data_on_dcn():
     ici, dcn = hybrid_mesh_shapes(pipe=1, data=4, model=4, seq=1, n_proc=2)
-    assert ici == (1, 2, 4, 1)
-    assert dcn == (1, 2, 1, 1)
+    assert ici == (1, 2, 1, 4, 1)
+    assert dcn == (1, 2, 1, 1, 1)
 
 
 def test_hybrid_shapes_pipe_on_dcn():
     # 70B layout: PP across hosts, TP inside — data=1 doesn't divide
     ici, dcn = hybrid_mesh_shapes(pipe=4, data=1, model=8, seq=1, n_proc=4)
-    assert ici == (1, 1, 8, 1)
-    assert dcn == (4, 1, 1, 1)
+    assert ici == (1, 1, 1, 8, 1)
+    assert dcn == (4, 1, 1, 1, 1)
 
 
 def test_hybrid_shapes_total_preserved():
-    for args in [(2, 8, 4, 1, 2), (4, 2, 4, 2, 2), (8, 1, 4, 1, 8)]:
-        pipe, data, model, seq, n = args
-        ici, dcn = hybrid_mesh_shapes(pipe, data, model, seq, n)
+    for args in [(2, 8, 4, 1, 2, 1), (4, 2, 4, 2, 2, 1), (8, 1, 4, 1, 8, 2)]:
+        pipe, data, model, seq, n, exp = args
+        ici, dcn = hybrid_mesh_shapes(pipe, data, model, seq, n, exp)
         total = 1
         for a, b in zip(ici, dcn):
             total *= a * b
-        assert total == pipe * data * model * seq, args
+        assert total == pipe * data * model * seq * exp, args
 
 
 def test_hybrid_shapes_rejects_indivisible():
@@ -39,8 +39,14 @@ def test_hybrid_shapes_rejects_indivisible():
 
 def test_make_mesh_axis_order_and_names():
     mesh = make_mesh(data=2, model=4)
-    assert mesh.axis_names == ("pipe", "data", "model", "seq")
-    assert mesh.devices.shape == (1, 2, 4, 1)
+    assert mesh.axis_names == ("pipe", "data", "expert", "model", "seq")
+    assert mesh.devices.shape == (1, 2, 1, 4, 1)
+
+
+def test_make_mesh_expert_axis():
+    mesh = make_mesh(expert=4, model=2)
+    assert mesh.shape["expert"] == 4
+    assert mesh.devices.shape == (1, 1, 4, 2, 1)
 
 
 def test_make_mesh_rejects_oversized():
@@ -68,8 +74,8 @@ def test_make_mesh_uses_hybrid_when_multiprocess(monkeypatch):
     monkeypatch.setattr(m.mesh_utils, "create_hybrid_device_mesh",
                         fake_hybrid)
     mesh = m.make_mesh(data=2, model=4)
-    assert calls["args"] == ((1, 1, 4, 1), (1, 2, 1, 1))
-    assert mesh.devices.shape == (1, 2, 4, 1)
+    assert calls["args"] == ((1, 1, 1, 4, 1), (1, 2, 1, 1, 1))
+    assert mesh.devices.shape == (1, 2, 1, 4, 1)
 
 
 def test_init_distributed_noop_when_multiprocess(monkeypatch):

@@ -1,0 +1,243 @@
+"""Sparse-MoE (Mixtral family) tests — SURVEY.md §2.2 #14 (EP).
+
+The inference MoE computes every expert densely and combines with the
+top-k routing weights (static shapes, no token dropping — see
+llama.mlp_block). Covered here: routing semantics, equality vs a
+per-token routed reference, cache/decode consistency, EP/TP/DP sharding
+equality on the CPU mesh, checkpoint round-trips (host + mesh loads),
+and the HF Mixtral converter.
+"""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_tpu.checkpoint import load_checkpoint, save_checkpoint
+from quant_tpu.models import PRESETS, llama
+from quant_tpu.parallel import make_mesh
+from quant_tpu.parallel.tp import (
+    make_sharded_forward, shard_cache, shard_params,
+)
+
+CFG = PRESETS["test-tiny-moe"]
+
+
+def test_moe_route_semantics():
+    """softmax over ALL experts → top-k → renormalize (Mixtral order)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.dim)), jnp.float32)
+    router = jnp.asarray(
+        rng.standard_normal((CFG.dim, CFG.n_experts)), jnp.float32)
+    w = np.asarray(llama.moe_route(x, router, CFG))
+    assert w.shape == (2, 3, CFG.n_experts)
+    probs = np.asarray(jax.nn.softmax(
+        jnp.asarray(np.asarray(x) @ np.asarray(router)), -1))
+    for b in range(2):
+        for t in range(3):
+            top = np.argsort(-probs[b, t])[:CFG.experts_per_token]
+            ref = np.zeros(CFG.n_experts, np.float32)
+            ref[top] = probs[b, t, top]
+            ref /= ref.sum()
+            np.testing.assert_allclose(w[b, t], ref, atol=1e-6)
+    # exactly k nonzero weights per token, summing to 1
+    nz = (w > 0).sum(-1)
+    assert (nz == CFG.experts_per_token).all()
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-6)
+
+
+def test_mlp_block_matches_routed_reference():
+    """Dense-all-experts combine == per-token top-k expert loop."""
+    params = llama.init_params(CFG, seed=0)
+    mm = llama._mm(CFG)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.dim)), jnp.bfloat16)
+    for layer in range(CFG.n_layers):
+        out = np.asarray(llama.mlp_block(
+            x, params.layers, layer, CFG, mm, jnp.bfloat16,
+            router=params.layers.router[layer]), np.float32)
+        w = np.asarray(llama.moe_route(x, params.layers.router[layer], CFG))
+        xf = np.asarray(x, np.float32)
+        ref = np.zeros_like(out)
+        for e in range(CFG.n_experts):
+            gu_e = dataclasses.replace(
+                params.layers.we_gate_up,
+                codes=params.layers.we_gate_up.codes[e, layer],
+                scales=params.layers.we_gate_up.scales[e, layer],
+            ).dequantize()
+            dn_e = dataclasses.replace(
+                params.layers.we_down,
+                codes=params.layers.we_down.codes[e, layer],
+                scales=params.layers.we_down.scales[e, layer],
+            ).dequantize()
+            gu = (xf @ np.asarray(gu_e, np.float32)).astype(np.float32)
+            g, u = np.split(gu, 2, axis=-1)
+            y = (np.asarray(jax.nn.silu(jnp.asarray(g))) * u) @ np.asarray(
+                dn_e, np.float32)
+            ref += w[..., e:e + 1] * y
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(out - ref).max() / scale < 0.05  # bf16 activations
+
+
+def test_moe_prefill_decode_matches_full_forward():
+    """Chunked prefill + token-by-token decode == one full forward."""
+    params = llama.init_params(CFG, seed=1)
+    toks = jnp.asarray([[1, 7, 42, 5, 9, 3]], jnp.int32)
+    full, _ = llama.forward(params, toks, llama.init_cache(CFG, 1, 16), CFG)
+
+    cache = llama.init_cache(CFG, 1, 16)
+    lg, cache = llama.forward(params, toks[:, :3], cache, CFG)
+    steps = [lg[:, -1]]
+    for t in range(3, 6):
+        lg, cache = llama.forward(params, toks[:, t:t + 1], cache, CFG)
+        steps.append(lg[:, -1])
+    inc = jnp.stack(steps, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full[:, 2:]),
+                               rtol=2e-2, atol=2e-2)
+    assert np.array_equal(np.argmax(np.asarray(inc), -1),
+                          np.argmax(np.asarray(full[:, 2:]), -1))
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    {"expert": 4},
+    {"expert": 2, "model": 2},
+    {"expert": 4, "model": 2},
+    {"expert": 2, "data": 2, "model": 2},
+])
+def test_moe_sharded_matches_single_device(mesh_kw):
+    """EP (expert axis) ± TP ± DP == single-device logits."""
+    tp = mesh_kw.get("model", 1)
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    toks = jnp.asarray([[1, 7, 42, 5], [3, 9, 11, 2]], jnp.int32)
+    ref, _ = llama.forward(params_ref, toks,
+                           llama.init_cache(CFG, 2, 16), CFG)
+
+    params = llama.init_params(CFG, seed=0, tp=tp)
+    mesh = make_mesh(**mesh_kw)
+    ps = shard_params(params, mesh)
+    cs = shard_cache(llama.init_cache(CFG, 2, 16), mesh)
+    fwd = make_sharded_forward(CFG, mesh, ps, cs)
+    lg, _ = fwd(ps, toks, cs)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert np.array_equal(np.argmax(np.asarray(lg), -1),
+                          np.argmax(np.asarray(ref), -1))
+
+
+def test_moe_expert_axis_rejects_indivisible():
+    params = llama.init_params(CFG, seed=0)
+    mesh = make_mesh(expert=8)  # 8 does not divide n_experts=4
+    cs = llama.init_cache(CFG, 2, 16)
+    with pytest.raises(ValueError, match="expert axis"):
+        make_sharded_forward(CFG, mesh, params, cs)
+
+
+def test_moe_checkpoint_roundtrip(tmp_path):
+    params = llama.init_params(CFG, seed=2)
+    save_checkpoint(tmp_path / "ck", params, CFG)
+    loaded, cfg2 = load_checkpoint(tmp_path / "ck", device=False)
+    assert cfg2.n_experts == CFG.n_experts
+    np.testing.assert_array_equal(
+        np.asarray(params.layers.we_gate_up.codes),
+        np.asarray(loaded.layers.we_gate_up.codes))
+    np.testing.assert_array_equal(
+        np.asarray(params.layers.router, np.float32),
+        np.asarray(loaded.layers.router))
+    assert loaded.layers.w_gate_up is None
+    toks = jnp.asarray([[1, 7, 42]], jnp.int32)
+    ref, _ = llama.forward(params, toks, llama.init_cache(CFG, 1, 8), CFG)
+    out, _ = llama.forward(
+        jax.tree.map(jnp.asarray, loaded), toks,
+        llama.init_cache(cfg2, 1, 8), cfg2)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_moe_checkpoint_mesh_load(tmp_path):
+    """load_checkpoint(mesh=...) with an expert axis reads per-expert
+    blobs into the [E, L, ...] stacks and matches the host load."""
+    params = llama.init_params(CFG, seed=3, tp=2)
+    save_checkpoint(tmp_path / "ck", params, CFG, tp=2)
+    mesh = make_mesh(expert=2, model=2)
+    loaded, cfg2 = load_checkpoint(tmp_path / "ck", mesh=mesh)
+    toks = jnp.asarray([[1, 7, 42, 5]], jnp.int32)
+    ref, _ = llama.forward(llama.init_params(CFG, seed=3, tp=1), toks,
+                           llama.init_cache(CFG, 1, 8), CFG)
+    cs = shard_cache(llama.init_cache(cfg2, 1, 8), mesh)
+    fwd = make_sharded_forward(cfg2, mesh, loaded, cs)
+    lg, _ = fwd(loaded, toks, cs)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _write_fake_hf_mixtral(path, cfg):
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(0)
+    d, it, v, hd = cfg.dim, cfg.intermediate, cfg.vocab_size, cfg.head_dim
+
+    def w(o, i):
+        return rng.standard_normal((o, i)).astype(np.float32) / np.sqrt(i)
+
+    tensors = {
+        "model.embed_tokens.weight": w(v, d),
+        "model.norm.weight": np.ones(d, np.float32),
+        "lm_head.weight": w(v, d),
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        tensors[p + "self_attn.q_proj.weight"] = w(cfg.n_heads * hd, d)
+        tensors[p + "self_attn.k_proj.weight"] = w(cfg.n_kv_heads * hd, d)
+        tensors[p + "self_attn.v_proj.weight"] = w(cfg.n_kv_heads * hd, d)
+        tensors[p + "self_attn.o_proj.weight"] = w(d, cfg.n_heads * hd)
+        tensors[p + "input_layernorm.weight"] = np.ones(d, np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(
+            d, np.float32)
+        tensors[p + "block_sparse_moe.gate.weight"] = w(cfg.n_experts, d)
+        for e in range(cfg.n_experts):
+            ep = p + f"block_sparse_moe.experts.{e}."
+            tensors[ep + "w1.weight"] = w(it, d)
+            tensors[ep + "w3.weight"] = w(it, d)
+            tensors[ep + "w2.weight"] = w(d, it)
+    path.mkdir(parents=True)
+    save_file(tensors, str(path / "model.safetensors"))
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "mixtral", "vocab_size": v, "hidden_size": d,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "intermediate_size": it, "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.norm_eps, "tie_word_embeddings": False,
+        "num_local_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "sliding_window": None,
+    }))
+    return tensors
+
+
+def test_hf_mixtral_convert_and_forward(tmp_path):
+    """HF Mixtral dir → packed checkpoint → forward matches the same
+    dense weights quantized directly."""
+    from quant_tpu.checkpoint.hf import convert_hf_llama
+
+    hf_dir = tmp_path / "hf"
+    tensors = _write_fake_hf_mixtral(hf_dir, CFG)
+    cfg = convert_hf_llama(hf_dir, tmp_path / "ck", bits=CFG.bits,
+                           group_size=CFG.group_size)
+    assert cfg.n_experts == CFG.n_experts
+    assert cfg.experts_per_token == CFG.experts_per_token
+    params, cfg = load_checkpoint(tmp_path / "ck", device=False)
+    params = jax.tree.map(jnp.asarray, params)
+    assert params.layers.we_gate_up.codes.shape[:2] == (
+        cfg.n_experts, cfg.n_layers)
+    # router values survive the round trip exactly (raw blobs)
+    np.testing.assert_allclose(
+        np.asarray(params.layers.router[0]),
+        tensors["model.layers.0.block_sparse_moe.gate.weight"].T,
+        atol=1e-6)
+    toks = jnp.asarray([[1, 7, 42, 5]], jnp.int32)
+    lg, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
+    assert lg.shape == (1, 4, cfg.vocab_size)
+    assert np.isfinite(np.asarray(lg)).all()
