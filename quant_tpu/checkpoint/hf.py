@@ -78,12 +78,23 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         norm_offset=1.0 if mtype.startswith("gemma") else 0.0,
         act_fn="gelu_tanh" if "gelu" in act else "silu",
         embed_scale=mtype.startswith("gemma"),
-        qk_norm=mtype == "qwen3",
-        # Mixtral sparse MoE
-        n_experts=int(hf.get("num_local_experts", 0))
-        if mtype == "mixtral" else 0,
+        qk_norm=mtype in ("qwen3", "qwen3_moe"),
+        # Sparse MoE: Mixtral (num_local_experts) / Qwen3-MoE (num_experts)
+        n_experts=(int(hf.get("num_local_experts", 0))
+                   if mtype == "mixtral"
+                   else int(hf.get("num_experts", 0))
+                   if mtype == "qwen3_moe" else 0),
         experts_per_token=int(hf.get("num_experts_per_tok", 2) or 2),
+        norm_topk=bool(hf.get("norm_topk_prob", True)),
     )
+    if mtype == "qwen3_moe":
+        # our MoE layer stack is uniformly sparse; Qwen3-MoE supports
+        # interleaving dense layers — reject configs that use it
+        if hf.get("mlp_only_layers") or hf.get("decoder_sparse_step", 1) != 1:
+            raise ValueError("qwen3_moe with dense/interleaved MLP layers "
+                             "(mlp_only_layers / decoder_sparse_step != 1) "
+                             "is not supported")
+        kw["intermediate"] = hf["moe_intermediate_size"]
     kw.update(overrides)
     return ModelConfig(**kw)
 
@@ -150,17 +161,23 @@ def convert_hf_llama(
         w.add(f"layers.{i}.wo",
               qz(t(pre + "self_attn.o_proj.weight"), kshards=tp))
         if cfg.n_experts:
-            # Mixtral sparse MoE: router [D, E] raw; per-expert fused
-            # gate|up (HF w1|w3) and down (w2), one blob per
-            # (layer, expert) — streaming-RSS stays one expert tensor.
-            w.add(f"layers.{i}.router",
-                  t(pre + "block_sparse_moe.gate.weight"))
+            # Sparse MoE: router [D, E] raw; per-expert fused gate|up and
+            # down, one blob per (layer, expert) — streaming-RSS stays one
+            # expert tensor. Two HF namings: Mixtral block_sparse_moe
+            # (gate / experts.N.{w1,w3,w2}) and Qwen3-MoE mlp
+            # (gate / experts.N.{gate_proj,up_proj,down_proj}).
+            mixtral = pre + "block_sparse_moe.gate.weight" in hf
+            moe_pre = pre + ("block_sparse_moe." if mixtral else "mlp.")
+            names = (("w1", "w3", "w2") if mixtral
+                     else ("gate_proj", "up_proj", "down_proj"))
+            w.add(f"layers.{i}.router", t(moe_pre + "gate.weight"))
             for e in range(cfg.n_experts):
-                epre = pre + f"block_sparse_moe.experts.{e}."
+                epre = moe_pre + f"experts.{e}."
                 w.add(f"layers.{i}.we_gate_up.{e}", qz(concat_columns(
-                    [t(epre + "w1.weight"), t(epre + "w3.weight")], tp)))
+                    [t(f"{epre}{names[0]}.weight"),
+                     t(f"{epre}{names[1]}.weight")], tp)))
                 w.add(f"layers.{i}.we_down.{e}",
-                      qz(t(epre + "w2.weight"), kshards=tp))
+                      qz(t(f"{epre}{names[2]}.weight"), kshards=tp))
         else:
             w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
                 [t(pre + "mlp.gate_proj.weight"),

@@ -159,4 +159,12 @@ PRESETS: dict[str, ModelConfig] = {
         intermediate=14336, rope_theta=1000000.0, embed_bits=8,
         n_experts=8, experts_per_token=2,
     ),
+    # Qwen3-30B-A3B (128-expert top-8, per-expert intermediate 768,
+    # QK-RMSNorm, renormed top-k probs).
+    "qwen3-30b-a3b": ModelConfig(
+        vocab_size=151936, dim=2048, n_layers=48, n_heads=32, n_kv_heads=4,
+        intermediate=768, head_dim=128, rope_theta=1000000.0,
+        norm_eps=1e-6, qk_norm=True, embed_bits=8,
+        n_experts=128, experts_per_token=8, norm_topk=True,
+    ),
 }

@@ -472,3 +472,90 @@ def test_mixtral_logits_match_transformers():
     ours = np.asarray(ours, np.float32)
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
+def test_qwen3_moe_logits_match_transformers():
+    """Qwen3-MoE parity (per-head QK-RMSNorm + top-k routed MLP with
+    norm_topk_prob) on identical dequantized weights, kv_bits=16."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = dataclasses.replace(
+        PRESETS["test-tiny-moe"], bits=8, dtype="float32", group_size=64,
+        kv_bits=16, qk_norm=True, norm_topk=True)
+    params = llama.init_params(cfg, seed=6)
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        tie_word_embeddings=False, attention_bias=False,
+        num_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        router_aux_loss_coef=0.0,
+    )
+    model = Qwen3MoeForCausalLM(hf_cfg)
+    model.eval()
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).T.copy())
+
+    import dataclasses as dc
+    units = cfg.n_heads + 2 * cfg.n_kv_heads
+    sd = {
+        "model.embed_tokens.weight": torch.from_numpy(
+            np.asarray(params.embed, np.float32)),
+        "model.norm.weight": torch.from_numpy(
+            np.asarray(params.final_norm, np.float32)),
+        "lm_head.weight": t(params.lm_head.dequantize()),
+    }
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        wqkv = np.asarray(dc.replace(
+            params.layers.wqkv, codes=params.layers.wqkv.codes[i],
+            scales=params.layers.wqkv.scales[i]).dequantize())
+        nq = (wqkv.shape[1] * cfg.n_heads) // units
+        nkv = (wqkv.shape[1] * cfg.n_kv_heads) // units
+        sd[pre + "self_attn.q_proj.weight"] = t(wqkv[:, :nq])
+        sd[pre + "self_attn.k_proj.weight"] = t(wqkv[:, nq:nq + nkv])
+        sd[pre + "self_attn.v_proj.weight"] = t(wqkv[:, nq + nkv:])
+        sd[pre + "self_attn.o_proj.weight"] = t(dc.replace(
+            params.layers.wo, codes=params.layers.wo.codes[i],
+            scales=params.layers.wo.scales[i]).dequantize())
+        sd[pre + "self_attn.q_norm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.q_norm[i], np.float32))
+        sd[pre + "self_attn.k_norm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.k_norm[i], np.float32))
+        sd[pre + "input_layernorm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.attn_norm[i], np.float32))
+        sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+            np.asarray(params.layers.mlp_norm[i], np.float32))
+        sd[pre + "mlp.gate.weight"] = t(params.layers.router[i])
+        for e in range(cfg.n_experts):
+            epre = pre + f"mlp.experts.{e}."
+            wgu = np.asarray(dc.replace(
+                params.layers.we_gate_up,
+                codes=params.layers.we_gate_up.codes[e, i],
+                scales=params.layers.we_gate_up.scales[e, i]).dequantize())
+            half = wgu.shape[1] // 2
+            sd[epre + "gate_proj.weight"] = t(wgu[:, :half])
+            sd[epre + "up_proj.weight"] = t(wgu[:, half:])
+            sd[epre + "down_proj.weight"] = t(dc.replace(
+                params.layers.we_down,
+                codes=params.layers.we_down.codes[e, i],
+                scales=params.layers.we_down.scales[e, i]).dequantize())
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("inv_freq" in m for m in missing), missing
+
+    toks = np.random.default_rng(6).integers(2, cfg.vocab_size, (2, 6))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    cache = llama.init_cache(cfg, 2, 8)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache, cfg)
+    ours = np.asarray(ours, np.float32)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))

@@ -241,3 +241,94 @@ def test_hf_mixtral_convert_and_forward(tmp_path):
     lg, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
     assert lg.shape == (1, 4, cfg.vocab_size)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_moe_route_no_renorm():
+    """norm_topk=False keeps the raw softmax mass of the kept experts
+    (Qwen3-MoE configs with norm_topk_prob=false)."""
+    cfg = dataclasses.replace(CFG, norm_topk=False)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 2, cfg.dim)), jnp.float32)
+    router = jnp.asarray(
+        rng.standard_normal((cfg.dim, cfg.n_experts)), jnp.float32)
+    w = np.asarray(llama.moe_route(x, router, cfg))
+    assert ((w > 0).sum(-1) == cfg.experts_per_token).all()
+    probs = np.asarray(jax.nn.softmax(
+        jnp.asarray(np.asarray(x) @ np.asarray(router)), -1))
+    for b in range(1):
+        for t in range(2):
+            top = np.argsort(-probs[b, t])[:cfg.experts_per_token]
+            ref = np.zeros(cfg.n_experts, np.float32)
+            ref[top] = probs[b, t, top]  # kept mass, NOT renormalized
+            np.testing.assert_allclose(w[b, t], ref, atol=1e-6)
+
+
+def _write_fake_hf_qwen3_moe(path, cfg):
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(1)
+    d, it, v, hd = cfg.dim, cfg.intermediate, cfg.vocab_size, cfg.head_dim
+
+    def w(o, i):
+        return rng.standard_normal((o, i)).astype(np.float32) / np.sqrt(i)
+
+    tensors = {
+        "model.embed_tokens.weight": w(v, d),
+        "model.norm.weight": np.ones(d, np.float32),
+        "lm_head.weight": w(v, d),
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        tensors[p + "self_attn.q_proj.weight"] = w(cfg.n_heads * hd, d)
+        tensors[p + "self_attn.k_proj.weight"] = w(cfg.n_kv_heads * hd, d)
+        tensors[p + "self_attn.v_proj.weight"] = w(cfg.n_kv_heads * hd, d)
+        tensors[p + "self_attn.o_proj.weight"] = w(d, cfg.n_heads * hd)
+        tensors[p + "self_attn.q_norm.weight"] = np.ones(hd, np.float32)
+        tensors[p + "self_attn.k_norm.weight"] = np.ones(hd, np.float32)
+        tensors[p + "input_layernorm.weight"] = np.ones(d, np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(
+            d, np.float32)
+        tensors[p + "mlp.gate.weight"] = w(cfg.n_experts, d)
+        for e in range(cfg.n_experts):
+            ep = p + f"mlp.experts.{e}."
+            tensors[ep + "gate_proj.weight"] = w(it, d)
+            tensors[ep + "up_proj.weight"] = w(it, d)
+            tensors[ep + "down_proj.weight"] = w(d, it)
+    path.mkdir(parents=True)
+    save_file(tensors, str(path / "model.safetensors"))
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "qwen3_moe", "vocab_size": v, "hidden_size": d,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "head_dim": hd,
+        "intermediate_size": 4 * it, "moe_intermediate_size": it,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.norm_eps, "tie_word_embeddings": False,
+        "num_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "norm_topk_prob": True, "decoder_sparse_step": 1,
+        "mlp_only_layers": [],
+    }))
+
+
+def test_hf_qwen3_moe_convert_and_forward(tmp_path):
+    """qwen3_moe HF naming (mlp.gate / experts.N.{gate,up,down}_proj)
+    converts; config picks up qk_norm, num_experts, norm_topk_prob and
+    moe_intermediate_size."""
+    from quant_tpu.checkpoint.hf import convert_hf_llama
+
+    base = dataclasses.replace(CFG, qk_norm=True)
+    hf_dir = tmp_path / "hf"
+    _write_fake_hf_qwen3_moe(hf_dir, base)
+    cfg = convert_hf_llama(hf_dir, tmp_path / "ck", bits=base.bits,
+                           group_size=base.group_size)
+    assert cfg.n_experts == base.n_experts
+    assert cfg.qk_norm and cfg.norm_topk
+    assert cfg.intermediate == base.intermediate  # moe_intermediate_size
+    params, cfg = load_checkpoint(tmp_path / "ck", device=False)
+    params = jax.tree.map(jnp.asarray, params)
+    toks = jnp.asarray([[1, 7, 42, 5]], jnp.int32)
+    lg, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
+    assert lg.shape == (1, 4, cfg.vocab_size)
+    assert np.isfinite(np.asarray(lg)).all()
