@@ -332,3 +332,31 @@ def test_hf_qwen3_moe_convert_and_forward(tmp_path):
     lg, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
     assert lg.shape == (1, 4, cfg.vocab_size)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_moe_engine_paged_spec():
+    """MoE composes with the paged KV pool and n-gram speculation
+    through the engine (single device; greedy == plain reference)."""
+    from quant_tpu.engine import Engine
+
+    params = llama.init_params(CFG, seed=7)
+    rng = np.random.default_rng(7)
+    prompts = [list(map(int, rng.integers(3, CFG.vocab_size, n)))
+               for n in (5, 9)]
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(CFG, 1, 64)
+        lg, cache = llama.forward(
+            params, jnp.asarray([prompt], jnp.int32), cache, CFG)
+        out = [int(jnp.argmax(lg[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params, jnp.asarray([[out[-1]]], jnp.int32), cache, CFG)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 paged=True, page_size=16, spec_gamma=2)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)
