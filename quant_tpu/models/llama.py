@@ -625,14 +625,37 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     if expert_axis is not None:
         e0 = jax.lax.axis_index(expert_axis) * e_loc
         w = jax.lax.dynamic_slice_in_dim(w, e0, e_loc, axis=-1)
+    # Zero-routed-expert skip, gated STATICALLY on token count: with few
+    # tokens the lax.cond's false branch never touches an unrouted
+    # expert's packed codes, so HBM reads drop from E experts to the
+    # routed set — measured 1.8x on single-stream decode (B=1: 1.47 vs
+    # 2.70 ms/step, Mixtral-geometry slice). But the conditionals also
+    # SERIALIZE the expert weight streams, so with every expert hot the
+    # same slice ran 3.92 vs 2.70 ms — hence skip only while the token
+    # count keeps the expected hit-rate low (tokens*k*2 <= E: B<=2 for
+    # Mixtral 8x2), where the byte savings dominate the serialization.
+    n_tok = int(np.prod(x.shape[:-1]))
+    use_cond = n_tok * cfg.experts_per_token * 2 <= cfg.n_experts
     out = jnp.zeros(x.shape[:-1] + (wdn.n,), jnp.float32)
     for e in range(e_loc):
         eidx = e * l_stack + idx
-        gu = mm(x, wgu, eidx)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        y = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-               wdn, eidx, out_dtype=jnp.float32)
-        out = out + y * w[..., e:e + 1]
+        we = w[..., e:e + 1]
+
+        def _expert(x, we, eidx=eidx):
+            gu = mm(x, wgu, eidx)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            y = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
+                   wdn, eidx, out_dtype=jnp.float32)
+            return y * we
+
+        if use_cond:
+            out = out + jax.lax.cond(
+                jnp.any(we > 0), _expert,
+                lambda x, we: jnp.zeros(
+                    x.shape[:-1] + (wdn.n,), jnp.float32),
+                x, we)
+        else:
+            out = out + _expert(x, we)
     axes = tuple(a for a in (axis, expert_axis) if a)
     return jax.lax.psum(out, axes) if axes else out
 

@@ -41,7 +41,13 @@ def main():
         cache = llama.init_cache(cfg, b, 1024)
         cache = dataclasses.replace(
             cache, lengths=jnp.full((b,), 900, jnp.int32))
-        tok = jnp.ones((b, 1), jnp.int32)
+        # DIVERSE per-slot tokens: identical slots route identically, so
+        # the zero-routed-expert skip (mlp_block lax.cond) would read only
+        # k experts/layer and overstate tok/s ~2x (measured: 1.4 ms/step
+        # for 16 identical slots vs 2.7 with all experts hot).
+        tok = jnp.asarray(
+            np.random.default_rng(0).integers(1, cfg.vocab_size, (b, 1)),
+            jnp.int32)
 
         def steps_fn(n):
             @jax.jit
