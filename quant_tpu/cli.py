@@ -45,6 +45,8 @@ def _cmd_generate(args):
     params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
     if args.kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
+    if getattr(args, "moe_prefill", None):
+        cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -91,6 +93,8 @@ def _cmd_eval(args):
     params, cfg = load_checkpoint(args.ckpt)
     if args.kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
+    if getattr(args, "moe_prefill", None):
+        cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
     toks = tokens_from_file(args.text, args.tokenizer)
     res = perplexity(params, cfg, toks, window=args.window,
                      limit_windows=args.limit_windows)
@@ -108,6 +112,8 @@ def _cmd_serve(args):
     params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
     if args.kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
+    if getattr(args, "moe_prefill", None):
+        cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
     proposer = None
     if args.draft_ckpt:
         if not args.spec_gamma:
@@ -193,6 +199,11 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--moe-prefill", default=None,
+                   choices=("dense", "capacity"),
+                   help="MoE prefill dispatch: exact dense-all (default) "
+                        "or GShard-style capacity (1.5x prefill, "
+                        "capacity-drop semantics)")
     g.add_argument("--kv-bits", type=int, default=0, choices=(0, 4, 8, 16),
                    help="KV cache quantization override (0 = checkpoint "
                         "default): 4 int4 packed, 8 int8, 16 off")
@@ -237,6 +248,8 @@ def main(argv=None):
                          "(requires --paged; composes with data/model meshes)")
     sv.add_argument("--max-pending", type=int, default=None,
                     help="admission queue cap (HTTP 429 beyond it)")
+    sv.add_argument("--moe-prefill", default=None,
+                    choices=("dense", "capacity"))
     sv.add_argument("--kv-bits", type=int, default=0,
                     choices=(0, 4, 8, 16),
                     help="KV cache quantization override (0 = checkpoint "

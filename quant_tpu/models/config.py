@@ -46,6 +46,16 @@ class ModelConfig:
     n_experts: int = 0
     experts_per_token: int = 2
     norm_topk: bool = True
+    # MoE prefill dispatch. "dense" (default): every expert runs on every
+    # token — EXACT (no drops) and HBM-optimal at decode, but prefill
+    # pays ~E/k x the routed FLOPs on the MXU-bound phase. "capacity":
+    # GShard-style fixed-capacity gather/scatter dispatch for prefill
+    # calls (T>1) — each expert processes at most
+    # ceil(tokens*k/E * moe_capacity_factor) tokens; overflow tokens
+    # LOSE that expert's contribution (standard capacity semantics), so
+    # this is an opt-in throughput mode, never used for decode.
+    moe_prefill: str = "dense"
+    moe_capacity_factor: float = 1.5
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -91,6 +101,9 @@ class ModelConfig:
             raise ValueError(
                 f"experts_per_token {self.experts_per_token} must be in "
                 f"[1, n_experts={self.n_experts}]")
+        if self.moe_prefill not in ("dense", "capacity"):
+            raise ValueError(f"moe_prefill must be dense|capacity, "
+                             f"got {self.moe_prefill!r}")
 
 
 PRESETS: dict[str, ModelConfig] = {

@@ -500,21 +500,27 @@ def quantize_dense_params(
 
     Expected keys: embed [V,D], final_norm [D], lm_head [D,V], and per layer
     i: layers.i.{wq,wk,wv,wo,w_gate,w_up,w_down} as [K,N] float arrays plus
-    layers.i.{attn_norm,mlp_norm} [D]. ``tp``: row-split tensors (wo,
-    w_down) are packed with kshards=tp for tensor-parallel row sharding.
+    layers.i.{attn_norm,mlp_norm} [D]. MoE configs (cfg.n_experts>0)
+    instead expect layers.i.router [D,E] and per expert e:
+    layers.i.expert{e}.{w_gate,w_up,w_down}. ``tp``: row-split tensors
+    (wo, w_down) are packed with kshards=tp for tensor-parallel row
+    sharding.
     """
     def qz(w, kshards=1):
         return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size,
                                kshards=kshards)
 
+    moe = cfg.n_experts > 0
     per_layer = []
     for i in range(cfg.n_layers):
         g = lambda name: np.asarray(dense[f"layers.{i}.{name}"], np.float32)
         per_layer.append(LayerParams(
             wqkv=qz(concat_columns([g("wq"), g("wk"), g("wv")], tp)),
             wo=qz(g("wo"), tp),
-            w_gate_up=qz(concat_columns([g("w_gate"), g("w_up")], tp)),
-            w_down=qz(g("w_down"), tp),
+            w_gate_up=None if moe else qz(
+                concat_columns([g("w_gate"), g("w_up")], tp)),
+            w_down=None if moe else qz(g("w_down"), tp),
+            router=jnp.asarray(g("router"), jnp.float32) if moe else None,
             attn_norm=jnp.asarray(g("attn_norm"), jnp.float32),
             mlp_norm=jnp.asarray(g("mlp_norm"), jnp.float32),
             qkv_bias=jnp.asarray(
@@ -535,6 +541,25 @@ def quantize_dense_params(
                 else np.ones((cfg.head_dim,), np.float32), jnp.float32),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    if moe:
+        def estack(names_fn):
+            per_e = []
+            for e in range(cfg.n_experts):
+                row = [names_fn(e, i) for i in range(cfg.n_layers)]
+                per_e.append(jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *row))
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *per_e)
+
+        def ge(e, i, name):
+            return np.asarray(
+                dense[f"layers.{i}.expert{e}.{name}"], np.float32)
+
+        layers = dataclasses.replace(
+            layers,
+            we_gate_up=estack(lambda e, i: qz(concat_columns(
+                [ge(e, i, "w_gate"), ge(e, i, "w_up")], tp))),
+            we_down=estack(lambda e, i: qz(ge(e, i, "w_down"), tp)),
+        )
     return LlamaParams(
         embed=_make_embed(np.asarray(dense["embed"], np.float32), cfg),
         layers=layers,
@@ -625,6 +650,12 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     if expert_axis is not None:
         e0 = jax.lax.axis_index(expert_axis) * e_loc
         w = jax.lax.dynamic_slice_in_dim(w, e0, e_loc, axis=-1)
+    axes = tuple(a for a in (axis, expert_axis) if a)
+    if (cfg.moe_prefill == "capacity" and x.shape[-2] > 1
+            and int(np.prod(x.shape[:-1])) * cfg.experts_per_token
+            >= 2 * cfg.n_experts):
+        return _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg,
+                             mm, dt, axes)
     # Zero-routed-expert skip, gated STATICALLY on token count: with few
     # tokens the lax.cond's false branch never touches an unrouted
     # expert's packed codes, so HBM reads drop from E experts to the
@@ -656,7 +687,44 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
                 x, we)
         else:
             out = out + _expert(x, we)
-    axes = tuple(a for a in (axis, expert_axis) if a)
+    return jax.lax.psum(out, axes) if axes else out
+
+
+def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
+    """GShard-style fixed-capacity MoE dispatch (cfg.moe_prefill =
+    "capacity", prefill only). Per expert: gather the first C routed
+    tokens (C = ceil(N*k/E * capacity_factor), sublane-aligned), run the
+    expert on [C, D], scatter-add the weighted output. FLOPs drop from
+    N*E to N*k*cf expert-rows; tokens beyond an expert's capacity lose
+    that expert's contribution (standard capacity-drop semantics — the
+    reason this mode is opt-in). Composes with EP/TP: the gather/scatter
+    are per LOCAL expert and the combine psums over (expert, model).
+    """
+    b, t, d = x.shape
+    n = b * t
+    x2 = x.reshape(n, d)
+    w2 = w.reshape(n, e_loc)
+    cap = int(np.ceil(n * cfg.experts_per_token / cfg.n_experts
+                      * cfg.moe_capacity_factor))
+    cap = min(max(8, -(-cap // 8) * 8), n)
+    out = jnp.zeros((n, wdn.n), jnp.float32)
+    for e in range(e_loc):
+        we = w2[:, e]                                  # [N]
+        sel = we > 0
+        pos = jnp.cumsum(sel.astype(jnp.int32)) - 1    # rank among routed
+        slot = jnp.where(sel & (pos < cap), pos, cap)  # cap → dropped
+        slot_tok = jnp.zeros((cap,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        slot_w = jnp.zeros((cap,), jnp.float32).at[slot].set(
+            we, mode="drop")
+        eidx = e * l_stack + idx
+        gu = mm(x2[slot_tok], wgu, eidx)               # [C, 2I]
+        gate, up = jnp.split(gu, 2, axis=-1)
+        ye = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
+                wdn, eidx, out_dtype=jnp.float32)
+        # unused slots carry slot_w=0 (scatter-adds 0 to token 0)
+        out = out.at[slot_tok].add(ye * slot_w[:, None])
+    out = out.reshape(b, t, -1)
     return jax.lax.psum(out, axes) if axes else out
 
 

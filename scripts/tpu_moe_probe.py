@@ -85,5 +85,43 @@ def main():
               f"stream", flush=True)
 
 
+def prefill_timing(b=4, t=512, n_layers=2, n_exp=8):
+    """MoE prefill: dense-all-experts vs capacity dispatch (MXU-bound
+    phase; capacity should approach k*cf/E of the dense MoE-MLP time)."""
+    base = dataclasses.replace(
+        PRESETS["mixtral-8x7b"], n_layers=n_layers, n_experts=n_exp,
+        vocab_size=4096, embed_bits=16, kernel_mode="pallas",
+    )
+    params = llama.init_params_device(base, seed=0)
+    jax.block_until_ready(params.layers.wqkv.codes)
+    toks = jax.random.randint(jax.random.key(1), (b, t), 1, 4096,
+                              jnp.int32)
+
+    def timed(fn, *a, iters=5):
+        np.asarray(fn(*a))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    for name, cfg in (
+        ("dense", base),
+        ("capacity", dataclasses.replace(base, moe_prefill="capacity")),
+    ):
+        @jax.jit
+        def pf(params, toks):
+            cache = llama.init_cache(cfg, b, t)
+            lg, _ = llama.forward(params, toks, cache, cfg)
+            return jnp.sum(lg) * 1e-9
+        dt_s = timed(pf, params, toks)
+        print(f"prefill {name}: {dt_s*1e3:.1f} ms for {b}x{t} tokens "
+              f"({b*t/dt_s:.0f} tok/s)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "prefill":
+        prefill_timing(*(int(a) for a in sys.argv[2:]))
+    else:
+        main()

@@ -360,3 +360,58 @@ def test_moe_engine_paged_spec():
     outs = eng.generate(prompts, max_new_tokens=6)
     for p, o in zip(prompts, outs):
         assert o == ref(p, 6), (p, o)
+
+
+def test_moe_capacity_prefill_matches_dense_when_undropped():
+    """moe_prefill="capacity" with ample capacity == the exact dense-all
+    path (same per-token math, same combine order); with starved
+    capacity it stays finite and differs (documented drop semantics)."""
+    cfg_cap = dataclasses.replace(CFG, moe_prefill="capacity",
+                                  moe_capacity_factor=4.0)
+    params = llama.init_params(CFG, seed=11)
+    toks = jnp.asarray(
+        np.random.default_rng(11).integers(3, CFG.vocab_size, (2, 16)),
+        jnp.int32)
+    ref, ref_cache = llama.forward(params, toks,
+                                   llama.init_cache(CFG, 2, 32), CFG)
+    out, out_cache = llama.forward(params, toks,
+                                   llama.init_cache(cfg_cap, 2, 32),
+                                   cfg_cap)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_cache.k_codes),
+                                  np.asarray(ref_cache.k_codes))
+    # decode steps (T=1) always use the exact dense path
+    nxt = jnp.argmax(ref[:, -1:], -1).astype(jnp.int32)
+    d_ref, _ = llama.forward(params, nxt, ref_cache, CFG)
+    d_out, _ = llama.forward(params, nxt, out_cache, cfg_cap)
+    np.testing.assert_allclose(np.asarray(d_out), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    starved = dataclasses.replace(cfg_cap, moe_capacity_factor=0.3)
+    lg, _ = llama.forward(params, toks, llama.init_cache(starved, 2, 32),
+                          starved)
+    assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_moe_capacity_prefill_sharded():
+    """Capacity dispatch composes with EP x TP (per-local-expert
+    gather/scatter + (expert, model) psum)."""
+    cfg_cap = dataclasses.replace(CFG, moe_prefill="capacity",
+                                  moe_capacity_factor=4.0)
+    params_ref = llama.init_params(CFG, seed=12, tp=1)
+    toks = jnp.asarray(
+        np.random.default_rng(12).integers(3, CFG.vocab_size, (2, 16)),
+        jnp.int32)
+    ref, _ = llama.forward(params_ref, toks,
+                           llama.init_cache(CFG, 2, 32), CFG)
+    params = llama.init_params(CFG, seed=12, tp=2)
+    mesh = make_mesh(expert=2, model=2)
+    ps = shard_params(params, mesh)
+    cs = shard_cache(llama.init_cache(cfg_cap, 2, 32), mesh)
+    fwd = make_sharded_forward(cfg_cap, mesh, ps, cs)
+    lg, _ = fwd(ps, toks, cs)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert np.array_equal(np.argmax(np.asarray(lg), -1),
+                          np.argmax(np.asarray(ref), -1))

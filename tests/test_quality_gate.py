@@ -178,3 +178,95 @@ def test_kv_off_beats_or_matches_int8_kv():
         llama.quantize_dense_params(dense, cfg16), cfg16, toks,
         window=WINDOW)["ppl"] - fp) / fp
     assert d_kv16 <= d_kv8 + 0.005, (d_kv16, d_kv8)
+
+
+# ── MoE variant (Mixtral-style sparse MLP) ──────────────────────────────
+
+MOE_CFG = dataclasses.replace(
+    CFG, n_experts=4, experts_per_token=2, intermediate=512)
+
+
+def _dense_weights_moe(cfg, seed=0):
+    rng = np.random.default_rng(seed + 100)
+    d, hd, it, v = cfg.dim, cfg.head_dim, cfg.intermediate, cfg.vocab_size
+
+    def w(k, n):
+        return rng.standard_normal((k, n)).astype(np.float32) / np.sqrt(k)
+
+    dense = {
+        "embed": rng.standard_normal((v, d)).astype(np.float32) * 0.05,
+        "final_norm": np.ones(d, np.float32),
+        "lm_head": w(d, v),
+    }
+    for i in range(cfg.n_layers):
+        dense[f"layers.{i}.wq"] = w(d, cfg.n_heads * hd)
+        dense[f"layers.{i}.wk"] = w(d, cfg.n_kv_heads * hd)
+        dense[f"layers.{i}.wv"] = w(d, cfg.n_kv_heads * hd)
+        dense[f"layers.{i}.wo"] = w(cfg.n_heads * hd, d)
+        dense[f"layers.{i}.attn_norm"] = np.ones(d, np.float32)
+        dense[f"layers.{i}.mlp_norm"] = np.ones(d, np.float32)
+        dense[f"layers.{i}.router"] = w(d, cfg.n_experts) * 3.0
+        for e in range(cfg.n_experts):
+            dense[f"layers.{i}.expert{e}.w_gate"] = w(d, it)
+            dense[f"layers.{i}.expert{e}.w_up"] = w(d, it)
+            dense[f"layers.{i}.expert{e}.w_down"] = w(it, d)
+    return dense
+
+
+def _torch_fp_moe(dense, cfg):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    model = MixtralForCausalLM(MixtralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        num_local_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        sliding_window=None, attention_bias=False,
+        router_jitter_noise=0.0, tie_word_embeddings=False,
+    ))
+    model.eval()
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x.T))
+    sd = {
+        "model.embed_tokens.weight": torch.from_numpy(dense["embed"]),
+        "model.norm.weight": torch.from_numpy(dense["final_norm"]),
+        "lm_head.weight": t(dense["lm_head"]),
+    }
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        g = lambda n: dense[f"layers.{i}.{n}"]
+        sd[pre + "self_attn.q_proj.weight"] = t(g("wq"))
+        sd[pre + "self_attn.k_proj.weight"] = t(g("wk"))
+        sd[pre + "self_attn.v_proj.weight"] = t(g("wv"))
+        sd[pre + "self_attn.o_proj.weight"] = t(g("wo"))
+        sd[pre + "input_layernorm.weight"] = torch.from_numpy(g("attn_norm"))
+        sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+            g("mlp_norm"))
+        sd[pre + "block_sparse_moe.gate.weight"] = t(g("router"))
+        for e in range(cfg.n_experts):
+            ep = pre + f"block_sparse_moe.experts.{e}."
+            sd[ep + "w1.weight"] = t(dense[f"layers.{i}.expert{e}.w_gate"])
+            sd[ep + "w3.weight"] = t(dense[f"layers.{i}.expert{e}.w_up"])
+            sd[ep + "w2.weight"] = t(dense[f"layers.{i}.expert{e}.w_down"])
+    model.load_state_dict(sd, strict=False)
+    return model
+
+
+# Recorded at introduction (session 6, measured 0.3343); allows 2x drift.
+# Quantized routing can flip near-tie top-k picks, so MoE Δ runs larger
+# than the dense variants — a broken expert path still blows far past 2x.
+RECORDED_MOE = 0.334
+
+
+def test_moe_variant_ppl_within_recorded_delta():
+    toks = _tokens()
+    dense = _dense_weights_moe(MOE_CFG, 0)
+    fp = _torch_ppl(_torch_fp_moe(dense, MOE_CFG), toks, WINDOW)
+    params = llama.quantize_dense_params(dense, MOE_CFG)
+    ours = perplexity(params, MOE_CFG, toks, window=WINDOW)
+    delta = abs(ours["ppl"] - fp) / fp
+    print(f"moe gate: ours={ours['ppl']:.3f} fp={fp:.3f} delta={delta:.4f}")
+    assert delta < 2 * RECORDED_MOE, (ours["ppl"], fp, delta)

@@ -183,3 +183,38 @@ def test_seq_shard_boundary_crossing_decode():
                                    np.asarray(ref_lg, np.float32),
                                    rtol=2e-4, atol=2e-4)
         cur = jnp.argmax(ref_lg[:, -1:], axis=-1).astype(jnp.int32)
+
+
+def test_sp_prefill_moe_through_model():
+    """Sequence-parallel long-context prefill composes with the sparse
+    MoE MLP (router rides xs; mlp_block inside the ring layer step)."""
+    import dataclasses as dc
+
+    from quant_tpu.models import PRESETS
+    from quant_tpu.parallel import shard_params
+    from quant_tpu.parallel.sp import make_sp_prefill
+    from quant_tpu.parallel.tp import cache_specs
+
+    cfg = PRESETS["test-tiny-moe"]
+    params = llama.init_params(cfg, seed=9)
+    batch, t, max_seq = 2, 16, 32
+    toks = jnp.asarray(
+        np.random.default_rng(9).integers(0, cfg.vocab_size, (batch, t)),
+        jnp.int32)
+    ref_logits, ref_cache = llama.forward(
+        params, toks, llama.init_cache(cfg, batch, max_seq), cfg)
+
+    mesh = make_mesh(seq=4)
+    sp_params = shard_params(params, mesh)
+    cache0 = llama.init_cache(cfg, batch, max_seq)
+    sc = jax.tree.map(
+        lambda x, s: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, s)),
+        cache0, cache_specs(cache0))
+    prefill = make_sp_prefill(cfg, mesh, sp_params, sc, mode="ring")
+    out_logits, out_cache = prefill(sp_params, toks, sc)
+    np.testing.assert_allclose(np.asarray(out_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(out_cache.k_codes),
+                                  np.asarray(ref_cache.k_codes))
