@@ -138,6 +138,94 @@ def _cmd_serve(args):
     serve(eng, host=args.host, port=args.port)
 
 
+def _qrf1_encode(x, bits: int) -> bytes:
+    """Float32 array → QRF1 container (the C++ CLI's file format:
+    'QRF1' | u8 bits | f32 per-tensor scale | u64 n | QREF entropy frame
+    of the byte/nibble-packed codes) — byte-compatible with
+    cpp/quantref_cli.cpp cmd_encode, so files interop both ways."""
+    import struct
+
+    import numpy as np
+
+    from quant_tpu.core import codec, entropy
+
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    codes, scale = codec.quantize(x, bits)
+    payload = (codec.pack_int4(codes) if bits == 4
+               else codes.view(np.uint8))
+    frame = entropy.encode(payload)
+    return (b"QRF1" + struct.pack("<Bf", bits, float(scale))
+            + struct.pack("<Q", x.size) + frame)
+
+
+def _qrf1_decode(blob: bytes):
+    import struct
+
+    import numpy as np
+
+    from quant_tpu.core import codec, entropy
+
+    if len(blob) < 17 or blob[:4] != b"QRF1":
+        raise ValueError("not a QRF1 file")
+    bits, scale = struct.unpack("<Bf", blob[4:9])
+    (n,) = struct.unpack("<Q", blob[9:17])
+    payload = np.frombuffer(entropy.decode(blob[17:]), np.uint8)
+    codes = (codec.unpack_int4(payload, n) if bits == 4
+             else payload.view(np.int8)[:n])
+    return codec.dequantize(codes, np.float32(scale)), codes, scale, bits
+
+
+def _read_floats(path):
+    import numpy as np
+
+    if str(path).endswith(".npy"):
+        return np.load(path).astype(np.float32).reshape(-1)
+    return np.fromfile(path, np.float32)
+
+
+def _cmd_encode(args):
+    """File-level codec round trip (the reference CLI's own UX,
+    SURVEY §0.1): raw .f32 / .npy floats → QRF1."""
+    import pathlib
+
+    x = _read_floats(args.infile)
+    blob = _qrf1_encode(x, args.bits)
+    pathlib.Path(args.outfile).write_bytes(blob)
+    print(json.dumps({
+        "n": int(x.size), "bits": args.bits, "bytes": len(blob),
+        "ratio": round(4.0 * x.size / len(blob), 4),
+    }))
+
+
+def _cmd_decode(args):
+    import pathlib
+
+    recon, _, _, bits = _qrf1_decode(
+        pathlib.Path(args.infile).read_bytes())
+    recon.astype("float32").tofile(args.outfile)
+    print(json.dumps({"n": int(recon.size), "bits": int(bits)}))
+
+
+def _cmd_roundtrip(args):
+    """encode → decode in memory; prints codes CRC + MSE (mirrors the
+    C++ CLI's roundtrip report for cross-checking)."""
+    import zlib
+
+    import numpy as np
+
+    x = _read_floats(args.infile)
+    blob = _qrf1_encode(x, args.bits)
+    recon, codes, scale, _ = _qrf1_decode(blob)
+    mse = float(np.mean((x - recon.astype(np.float32)) ** 2))
+    print(json.dumps({
+        "n": int(x.size), "bits": args.bits, "scale": float(scale),
+        "codes_crc32": zlib.crc32(codes.tobytes()) & 0xFFFFFFFF,
+        "mse": mse, "delta_bound": float((scale / 2) ** 2),
+        "ok": mse <= (scale / 2) ** 2,
+    }))
+    return 0 if mse <= (scale / 2) ** 2 else 1
+
+
 def _cmd_selftest(args):
     """Codec bit-exactness vs the C++ oracle + a tiny e2e generate."""
     import numpy as np
@@ -268,6 +356,24 @@ def main(argv=None):
 
     s = sub.add_parser("selftest", help="oracle bit-exactness + e2e smoke")
     s.set_defaults(fn=_cmd_selftest)
+
+    en = sub.add_parser("encode", help="floats (.f32/.npy) -> QRF1 codec "
+                                       "file (C++-CLI-compatible)")
+    en.add_argument("infile")
+    en.add_argument("outfile")
+    en.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    en.set_defaults(fn=_cmd_encode)
+
+    de = sub.add_parser("decode", help="QRF1 file -> raw .f32 floats")
+    de.add_argument("infile")
+    de.add_argument("outfile")
+    de.set_defaults(fn=_cmd_decode)
+
+    rt = sub.add_parser("roundtrip", help="encode+decode in memory; "
+                                          "prints codes CRC32 + MSE")
+    rt.add_argument("infile")
+    rt.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    rt.set_defaults(fn=_cmd_roundtrip)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -97,3 +97,64 @@ def test_cli_selftest(capsys):
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[-1])["ok"]
+
+
+def test_cli_codec_file_roundtrip(tmp_path):
+    """encode/decode/roundtrip subcommands (the reference CLI's own UX):
+    QRF1 file round trip reconstructs within the uniform-quantization MSE
+    bound, bits in {4, 8}."""
+    import numpy as np
+
+    from quant_tpu.cli import main
+
+    x = np.random.default_rng(0).standard_normal(100_003).astype(np.float32)
+    raw = tmp_path / "in.f32"
+    x.tofile(raw)
+    for bits in (8, 4):
+        out = tmp_path / f"c{bits}.qref"
+        dec = tmp_path / f"d{bits}.f32"
+        assert main(["encode", str(raw), str(out), "--bits", str(bits)]) in (
+            0, None)
+        assert main(["decode", str(out), str(dec)]) in (0, None)
+        recon = np.fromfile(dec, np.float32)
+        assert recon.shape == x.shape
+        scale = np.abs(x).max() / (2 ** (bits - 1) - 1)
+        mse = float(np.mean((x - recon) ** 2))
+        assert mse <= (scale / 2) ** 2, (bits, mse)
+        assert main(["roundtrip", str(raw), "--bits", str(bits)]) in (0, None)
+
+
+def test_cli_codec_interops_with_cpp_cli(tmp_path):
+    """Python-written QRF1 files decode through the C++ reference CLI and
+    vice versa, bit-identically on the payload (the at-rest contract)."""
+    import pathlib
+    import subprocess
+
+    import numpy as np
+
+    from quant_tpu.cli import main
+
+    exe = pathlib.Path(__file__).resolve().parents[1] / "cpp/build/quantref"
+    if not exe.exists():
+        pytest.skip("C++ CLI not built")
+    x = np.random.default_rng(1).standard_normal(65_537).astype(np.float32)
+    raw = tmp_path / "in.f32"
+    x.tofile(raw)
+    for bits in (8, 4):
+        py_q = tmp_path / f"py{bits}.qref"
+        main(["encode", str(raw), str(py_q), "--bits", str(bits)])
+        cc_q = tmp_path / f"cc{bits}.qref"
+        subprocess.run([str(exe), "encode", str(raw), str(cc_q),
+                        "--bits", str(bits)], check=True,
+                       capture_output=True)
+        # identical containers byte-for-byte (same codec, same entropy
+        # tables, same packing)
+        assert py_q.read_bytes() == cc_q.read_bytes(), bits
+        # C++ decodes the Python file; Python decodes the C++ file
+        cc_out = tmp_path / f"cc{bits}.f32"
+        subprocess.run([str(exe), "decode", str(py_q), str(cc_out)],
+                       check=True, capture_output=True)
+        py_out = tmp_path / f"py{bits}.f32"
+        main(["decode", str(cc_q), str(py_out)])
+        np.testing.assert_array_equal(np.fromfile(cc_out, np.float32),
+                                      np.fromfile(py_out, np.float32))
