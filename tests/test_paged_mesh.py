@@ -119,3 +119,36 @@ def test_paged_pp_microbatched_matches_reference():
     outs = eng.generate(prompts, max_new_tokens=6)
     for p, o in zip(prompts, outs):
         assert o == _reference_greedy(params_ref, p, 6), (p, o)
+
+
+def test_paged_mesh_engine_moe_expert_axis():
+    """Paged pool + MoE over an (expert, data, model) mesh: the pool
+    shards over data/model and replicates over expert; expert weights
+    shard over the expert axis (SURVEY #14 x #15 composition)."""
+    import dataclasses
+
+    moe_cfg = dataclasses.replace(CFG, n_experts=4, experts_per_token=2)
+    params_ref = llama.init_params(moe_cfg, seed=5, tp=1)
+    params = llama.init_params(moe_cfg, seed=5, tp=2)
+    mesh = make_mesh(expert=2, data=2, model=2)
+    eng = Engine(params, moe_cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh, paged=True, page_size=PAGE)
+    prompts = _prompts(3, seed=5)
+    outs = eng.generate(prompts, max_new_tokens=6)
+
+    def ref(prompt, max_new):
+        cache = llama.init_cache(moe_cfg, 1, 64)
+        lg, cache = llama.forward(
+            params_ref, jnp.asarray([prompt], jnp.int32), cache, moe_cfg)
+        out = [int(jnp.argmax(lg[0, -1]))]
+        for _ in range(max_new - 1):
+            lg, cache = llama.forward(
+                params_ref, jnp.asarray([[out[-1]]], jnp.int32), cache,
+                moe_cfg)
+            out.append(int(jnp.argmax(lg[0, -1])))
+        return out
+
+    for p, o in zip(prompts, outs):
+        assert o == ref(p, 6), (p, o)
+    for free in eng._free_pages:
+        assert len(free) == eng.n_pages - 1
