@@ -67,7 +67,8 @@ def _cmd_generate(args):
     outs = eng.generate(
         prompts, max_new_tokens=args.max_new,
         sampling=SamplingConfig(temperature=args.temperature,
-                                top_k=args.top_k, top_p=args.top_p),
+                                top_k=args.top_k, top_p=args.top_p,
+                                min_p=args.min_p),
     )
     for p, o in zip(prompts, outs):
         rec = {"prompt": p, "output": o}
@@ -135,7 +136,12 @@ def _cmd_serve(args):
                  mesh=mesh, pp_micro=args.pp_micro,
                  max_pending=args.max_pending,
                  prefix_cache=args.prefix_cache)
-    serve(eng, host=args.host, port=args.port)
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    serve(eng, host=args.host, port=args.port, tokenizer=tok,
+          model_name=args.served_name or args.ckpt)
 
 
 def _qrf1_encode(x, bits: int) -> bytes:
@@ -287,6 +293,7 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--min-p", type=float, default=0.0)
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
                    help="MoE prefill dispatch: exact dense-all (default) "
@@ -319,6 +326,12 @@ def main(argv=None):
     sv.add_argument("ckpt")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8400)
+    sv.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer dir: enables text prompts and "
+                         "/v1/chat/completions on the OpenAI surface")
+    sv.add_argument("--served-name", default=None,
+                    help="model id reported by /v1/models "
+                         "(default: the ckpt path)")
     sv.add_argument("--slots", type=int, default=8)
     sv.add_argument("--max-seq", type=int, default=1024)
     sv.add_argument("--eos-id", type=int, default=2)

@@ -286,7 +286,8 @@ class Engine:
         self.params = params
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step(params, tokens, cache, key, temps, topks, topps):
+        def decode_step(params, tokens, cache, key, temps, topks, topps,
+                        minps):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -295,7 +296,8 @@ class Engine:
             # token + logprob ride one packed fetch.
             logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
-            toks = sample_batch(logits[:, -1], sub, temps, topks, topps)
+            toks = sample_batch(logits[:, -1], sub, temps, topks, topps,
+                                minps)
             lp = token_logprob(logits[:, -1], toks)
             packed = jnp.stack(
                 [toks, jax.lax.bitcast_convert_type(lp, jnp.int32)],
@@ -307,7 +309,7 @@ class Engine:
         @functools.partial(jax.jit, static_argnames=("n", "sampled"),
                            donate_argnums=(2,))
         def decode_block(params, tokens, cache, key, temps, topks, topps,
-                         n, sampled):
+                         minps, n, sampled):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
@@ -317,7 +319,8 @@ class Engine:
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
                 if sampled:
-                    nxt = sample_batch(lg, sub, temps, topks, topps)[:, None]
+                    nxt = sample_batch(lg, sub, temps, topks, topps,
+                                       minps)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
                 lp = token_logprob(lg, nxt[:, 0])[:, None]
@@ -364,7 +367,7 @@ class Engine:
             @functools.partial(jax.jit, donate_argnums=(2,),
                                static_argnames=("sampled",))
             def verify_step(params, tokens, cache, key, temps, topks,
-                            topps, sampled=True):
+                            topps, minps, sampled=True):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
                 if sampled:
@@ -375,7 +378,7 @@ class Engine:
                     # program serves mixed batches, so sampled requests
                     # never force the plain-decode fallback.
                     out, acc = spec_commit(logits, tokens, key, temps,
-                                           topks, topps)
+                                           topks, topps, minps)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
@@ -988,18 +991,11 @@ class Engine:
                 toks[i, 1:1 + len(d)] = d
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
-        temps = np.zeros((self.max_slots,), np.float32)
-        topks = np.zeros((self.max_slots,), np.int32)
-        topps = np.ones((self.max_slots,), np.float32)
-        for i in active:
-            sc = self.slots[i].sampling
-            temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
-                                            sc.top_p)
+        knobs = self._sampling_knobs(active)
         self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache = self._verify(
-            self.params, jnp.asarray(toks), self.cache, sub,
-            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
+            self.params, jnp.asarray(toks), self.cache, sub, *knobs,
             sampled=sampled)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]
@@ -1032,6 +1028,20 @@ class Engine:
         self._spec_slot_steps += len(active)
         return committed
 
+    def _sampling_knobs(self, active):
+        """Per-slot traced sampling knobs for the on-device samplers:
+        (temps, topks, topps, minps) as device arrays of [max_slots]."""
+        temps = np.zeros((self.max_slots,), np.float32)
+        topks = np.zeros((self.max_slots,), np.int32)
+        topps = np.ones((self.max_slots,), np.float32)
+        minps = np.zeros((self.max_slots,), np.float32)
+        for i in active:
+            sc = self.slots[i].sampling
+            temps[i], topks[i], topps[i], minps[i] = (
+                sc.temperature, sc.top_k, sc.top_p, sc.min_p)
+        return (jnp.asarray(temps), jnp.asarray(topks),
+                jnp.asarray(topps), jnp.asarray(minps))
+
     def step(self) -> list[Request]:
         """One prefill chunk of admission (budgeted) + one decode advance
         for all active slots: 1 token each, or 1..spec_gamma+1 tokens
@@ -1062,17 +1072,9 @@ class Engine:
             return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
-            temps = np.zeros((self.max_slots,), np.float32)
-            topks = np.zeros((self.max_slots,), np.int32)
-            topps = np.ones((self.max_slots,), np.float32)
-            for i in active:
-                sc = self.slots[i].sampling
-                temps[i], topks[i], topps[i] = (sc.temperature, sc.top_k,
-                                                sc.top_p)
             packed, self.cache, self.key = self._decode(
                 self.params, tokens, self.cache, self.key,
-                jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps)
-            )
+                *self._sampling_knobs(active))
             packed = np.asarray(packed)
             toks = packed[:, 0]
             lps = packed[:, 1].view(np.float32)
@@ -1117,21 +1119,11 @@ class Engine:
         n = max(1, min(n, max(
             self.slots[i].max_new_tokens - len(self.slots[i].output)
             for i in active)))
-        temps = np.zeros((self.max_slots,), np.float32)
-        topks = np.zeros((self.max_slots,), np.int32)
-        topps = np.ones((self.max_slots,), np.float32)
-        sampled = False
-        for i in active:
-            sc = self.slots[i].sampling
-            temps[i] = sc.temperature
-            topks[i] = sc.top_k
-            topps[i] = sc.top_p
-            sampled = sampled or not sc.greedy
+        sampled = any(not self.slots[i].sampling.greedy for i in active)
         tokens = jnp.asarray(self.last_tokens[:, None])
         packed, self.cache, self.key = self._decode_block(
             self.params, tokens, self.cache, self.key,
-            jnp.asarray(temps), jnp.asarray(topks), jnp.asarray(topps),
-            n=n, sampled=sampled,
+            *self._sampling_knobs(active), n=n, sampled=sampled,
         )
         packed = np.asarray(packed)
         toks = packed[:, :n]

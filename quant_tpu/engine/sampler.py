@@ -13,6 +13,7 @@ class SamplingConfig:
     temperature: float = 0.0   # 0 → greedy
     top_k: int = 0             # 0 → disabled
     top_p: float = 1.0         # 1 → disabled
+    min_p: float = 0.0         # 0 → disabled; keep p(tok) ≥ min_p·p_max
 
     @property
     def greedy(self) -> bool:
@@ -24,6 +25,11 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig) -> jax.Array:
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / cfg.temperature
+    if cfg.min_p > 0.0:
+        # p_i/p_max = exp(l_i - l_max) on the temperature-scaled dist, so
+        # the mask is a pure logit threshold — no softmax materialized.
+        mx = jnp.max(lg, axis=-1, keepdims=True)
+        lg = jnp.where(lg < mx + jnp.log(cfg.min_p), -jnp.inf, lg)
     if cfg.top_k > 0:
         kth = jnp.sort(lg, axis=-1)[:, -cfg.top_k][:, None]
         lg = jnp.where(lg < kth, -jnp.inf, lg)
@@ -39,9 +45,13 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig) -> jax.Array:
 
 
 def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
-                  topps: jax.Array) -> jax.Array:
-    """Temperature-scale + top-k/top-p mask, per LEADING-dim slot with
-    traced knobs. Accepts [B, V] or [B, T, V] (knobs broadcast over T).
+                  topps: jax.Array, minps: jax.Array | None = None
+                  ) -> jax.Array:
+    """Temperature-scale + top-k/top-p/min-p mask, per LEADING-dim slot
+    with traced knobs. Accepts [B, V] or [B, T, V] (knobs broadcast over
+    T). ``minps[B]`` f32 (0 → off) keeps tokens with p ≥ min_p·p_max on
+    the temperature-scaled distribution; the max logit survives every
+    mask, so composition with top-k/top-p is order-independent.
     temp==0 rows come back merely 1e6-scaled (callers special-case
     greedy; the scaling keeps the math finite)."""
     lg = logits.astype(jnp.float32)
@@ -67,20 +77,28 @@ def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
     cutoff = jnp.take_along_axis(
         sorted_desc, jnp.clip(cutoff_idx, 0, v - 1)[..., None], axis=-1)
     l2 = jnp.where((topps < 1.0)[expand] & (l2 < cutoff), -jnp.inf, l2)
+    if minps is not None:
+        # p_i/p_max = exp(l_i - l_max); the max logit is never masked by
+        # top-k/top-p, so the threshold reads straight off l2.
+        mx = jnp.max(l2, axis=-1, keepdims=True)
+        thresh = mx + jnp.log(jnp.maximum(minps, 1e-38))[expand]
+        l2 = jnp.where((minps > 0.0)[expand] & (l2 < thresh), -jnp.inf, l2)
     return l2
 
 
 def sample_batch(logits: jax.Array, key, temps: jax.Array,
-                 topks: jax.Array, topps: jax.Array) -> jax.Array:
+                 topks: jax.Array, topps: jax.Array,
+                 minps: jax.Array | None = None) -> jax.Array:
     """Fully-traced per-slot sampling: logits [B, V] → ids [B].
 
     Per-slot traced knobs (so one jit serves every mix of configs — the
     engine's fused decode block samples on device without retracing):
     ``temps[B]`` f32 (0 → greedy), ``topks[B]`` int32 (0 → off),
-    ``topps[B]`` f32 (1 → off). Matches :func:`sample` per slot.
+    ``topps[B]`` f32 (1 → off), ``minps[B]`` f32 (0 → off).
+    Matches :func:`sample` per slot.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    l2 = filter_logits(logits, temps, topks, topps)
+    l2 = filter_logits(logits, temps, topks, topps, minps)
     sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
 
@@ -96,7 +114,8 @@ def token_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
 
 
 def spec_commit(logits: jax.Array, tokens: jax.Array, key,
-                temps: jax.Array, topks: jax.Array, topps: jax.Array
+                temps: jax.Array, topks: jax.Array, topps: jax.Array,
+                minps: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """Speculative rejection sampling against a DELTA proposal, fully on
     device (one [B, gamma+2] host fetch stays enough).
@@ -122,7 +141,7 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
     b, gp1, v = logits.shape
     g = gp1 - 1
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
-    l2 = filter_logits(logits, temps, topks, topps)
+    l2 = filter_logits(logits, temps, topks, topps, minps)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
               == greedy_tok[..., None]).astype(jnp.float32)
     probs = jnp.where((temps == 0.0)[:, None, None],

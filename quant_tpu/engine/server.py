@@ -3,7 +3,8 @@
 JSON API (stdlib http.server — zero deps, one background scheduler thread):
 
     POST /generate   {"prompt_ids": [...], "max_new_tokens": N,
-                      "temperature": T, "top_k": K, "top_p": P}
+                      "temperature": T, "top_k": K, "top_p": P,
+                      "min_p": M}
         → {"req_id": i, "output_ids": [...]}
     POST /generate with "stream": true
         → chunked NDJSON: one {"token_ids": [...]} line per engine step
@@ -13,6 +14,21 @@ JSON API (stdlib http.server — zero deps, one background scheduler thread):
     GET  /healthz    → {"ok": true, ...engine stats}
     GET  /metrics    → Prometheus text format (engine stats as
                        quant_tpu_* gauges + server request counters)
+
+OpenAI-compatible surface (drop-in for openai-client users; token-array
+prompts work without a tokenizer, text prompts and /v1/chat need one):
+
+    GET  /v1/models           → model list (the single served model)
+    POST /v1/completions      {"prompt": "text" | [ids], "max_tokens": N,
+                               "temperature"/"top_p"/"min_p",
+                               "stop_token_ids": [...], "logprobs": true,
+                               "stream": true → SSE}
+    POST /v1/chat/completions {"messages": [{"role","content"},...]}
+                              (requires a tokenizer with a chat template)
+
+Non-standard but useful: every choice carries ``token_ids`` so clients
+without the tokenizer can decode; ``min_p`` and ``stop_token_ids`` are
+accepted (vLLM-style extensions).
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -37,8 +53,15 @@ __all__ = ["serve", "EngineServer"]
 
 
 class EngineServer:
-    def __init__(self, engine: Engine):
+    def __init__(self, engine: Engine, tokenizer=None,
+                 model_name: str = "quant-tpu"):
+        # tokenizer is duck-typed (HF AutoTokenizer or anything with
+        # encode/decode, optionally apply_chat_template); None disables
+        # the text-prompt and /v1/chat paths but token-array prompts on
+        # /v1/completions still work (the OpenAI API allows them).
         self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
         self.lock = threading.Lock()
         self.events: dict[int, threading.Event] = {}
         # rid → (request, tokens-emitted-so-far, delta queue); the
@@ -152,6 +175,10 @@ def _make_handler(srv: EngineServer):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, **srv.engine.stats})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": srv.model_name, "object": "model",
+                     "owned_by": "quant-tpu"}]})
             elif self.path == "/metrics":
                 lines = []
                 stats = dict(srv.engine.stats,
@@ -212,17 +239,173 @@ def _make_handler(srv: EngineServer):
                 log.info("stream client gone; cancelled req=%d",
                          req.req_id)
 
+        # ---- OpenAI-compatible layer -------------------------------
+
+        def _oai_sampling(self, body):
+            # OpenAI defaults: temperature 1.0 (sampled), top_p 1.0
+            return SamplingConfig(
+                temperature=float(body.get("temperature", 1.0)),
+                top_k=int(body.get("top_k", 0)),
+                top_p=float(body.get("top_p", 1.0)),
+                min_p=float(body.get("min_p", 0.0)),
+            )
+
+        def _oai_prompt_ids(self, body):
+            p = body.get("prompt")
+            if isinstance(p, str):
+                if srv.tokenizer is None:
+                    raise ValueError(
+                        "text prompt needs a server-side tokenizer; pass "
+                        "token ids instead (prompt: [int, ...])")
+                return list(srv.tokenizer.encode(p))
+            if (isinstance(p, list) and p
+                    and all(isinstance(t, int) for t in p)):
+                return p
+            raise ValueError("prompt must be a string or a non-empty "
+                             "list of token ids (batched prompts are "
+                             "not supported)")
+
+        def _finish_reason(self, req):
+            last = req.output[-1] if req.output else None
+            if last == srv.engine.eos_id or (last is not None
+                                             and last in req.stop_ids):
+                return "stop"
+            return "length"
+
+        def _decode_text(self, ids):
+            if srv.tokenizer is None:
+                return ""
+            return srv.tokenizer.decode(ids)
+
+        def _oai_choice(self, req, body, chat):
+            reason = self._finish_reason(req)
+            if chat:
+                choice = {"index": 0, "finish_reason": reason,
+                          "message": {"role": "assistant",
+                                      "content":
+                                          self._decode_text(req.output)}}
+            else:
+                choice = {"index": 0, "finish_reason": reason,
+                          "text": self._decode_text(req.output)}
+            choice["token_ids"] = req.output  # extension
+            if body.get("logprobs"):
+                choice["logprobs"] = {"token_logprobs": req.logprobs,
+                                      "tokens": req.output}
+            return choice
+
+        def _oai_generate(self, body, prompt_ids, chat):
+            import time as _t
+            sampling = self._oai_sampling(body)
+            max_new = int(body.get("max_tokens", 16))
+            stop_ids = [int(t) for t in body.get("stop_token_ids", [])]
+            obj = ("chat.completion" if chat else "text_completion")
+            if body.get("stream"):
+                self._oai_stream(body, prompt_ids, sampling, max_new,
+                                 stop_ids, chat)
+                return
+            req = srv.submit(prompt_ids, max_new, sampling, None,
+                             stop_ids)
+            self._json(200, {
+                "id": f"cmpl-{req.req_id}", "object": obj,
+                "created": int(_t.time()), "model": srv.model_name,
+                "choices": [self._oai_choice(req, body, chat)],
+                "usage": {"prompt_tokens": len(req.prompt),
+                          "completion_tokens": len(req.output),
+                          "total_tokens":
+                              len(req.prompt) + len(req.output)}})
+
+        def _oai_stream(self, body, prompt_ids, sampling, max_new,
+                        stop_ids, chat):
+            import time as _t
+            req, q = srv.submit_stream(prompt_ids, max_new, sampling,
+                                       None, stop_ids)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            obj = ("chat.completion.chunk" if chat
+                   else "text_completion")
+
+            def sse(payload):
+                data = b"data: " + payload + b"\n\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode()
+                                 + data + b"\r\n")
+                self.wfile.flush()
+
+            def delta_choice(toks, reason):
+                if chat:
+                    c = {"index": 0, "finish_reason": reason,
+                         "delta": ({"content": self._decode_text(toks)}
+                                   if toks else {})}
+                else:
+                    c = {"index": 0, "finish_reason": reason,
+                         "text": self._decode_text(toks)}
+                c["token_ids"] = toks
+                return c
+
+            try:
+                if chat:
+                    sse(json.dumps(
+                        {"id": f"cmpl-{req.req_id}", "object": obj,
+                         "created": int(_t.time()),
+                         "model": srv.model_name,
+                         "choices": [{"index": 0, "finish_reason": None,
+                                      "delta": {"role": "assistant"},
+                                      "token_ids": []}]}).encode())
+                while True:
+                    toks = q.get()
+                    done = toks is None
+                    choice = delta_choice(
+                        [] if done else toks,
+                        self._finish_reason(req) if done else None)
+                    sse(json.dumps(
+                        {"id": f"cmpl-{req.req_id}", "object": obj,
+                         "created": int(_t.time()),
+                         "model": srv.model_name,
+                         "choices": [choice]}).encode())
+                    if done:
+                        sse(b"[DONE]")
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
+            except OSError:
+                srv.cancel_stream(req.req_id)
+                log.info("SSE client gone; cancelled req=%d", req.req_id)
+
+        def _oai_completions(self, body):
+            self._oai_generate(body, self._oai_prompt_ids(body),
+                               chat=False)
+
+        def _oai_chat(self, body):
+            tok = srv.tokenizer
+            if tok is None or not hasattr(tok, "apply_chat_template"):
+                self._json(400, {"error": "chat completions need a "
+                                 "server-side tokenizer with a chat "
+                                 "template (serve --tokenizer)"})
+                return
+            msgs = body["messages"]
+            ids = tok.apply_chat_template(msgs,
+                                          add_generation_prompt=True)
+            self._oai_generate(body, list(ids), chat=True)
+
         def do_POST(self):
-            if self.path != "/generate":
+            routes = {"/generate": None,
+                      "/v1/completions": self._oai_completions,
+                      "/v1/chat/completions": self._oai_chat}
+            if self.path not in routes:
                 self._json(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n))
+                if routes[self.path] is not None:
+                    routes[self.path](body)
+                    return
                 sampling = SamplingConfig(
                     temperature=float(body.get("temperature", 0.0)),
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
+                    min_p=float(body.get("min_p", 0.0)),
                 )
                 timeout_s = body.get("timeout_s")
                 if timeout_s is not None:
@@ -253,10 +436,11 @@ def _make_handler(srv: EngineServer):
     return Handler
 
 
-def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8400):
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8400,
+          tokenizer=None, model_name: str = "quant-tpu"):
     """Blocking serve loop; returns the (already started) HTTPServer when
     called with ``port=0`` probing in tests via serve_async."""
-    srv = EngineServer(engine)
+    srv = EngineServer(engine, tokenizer=tokenizer, model_name=model_name)
     srv.start()
     httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
     log.info("serving on %s:%d", host, httpd.server_address[1])
@@ -266,9 +450,10 @@ def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8400):
         srv.stop()
 
 
-def serve_async(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+def serve_async(engine: Engine, host: str = "127.0.0.1", port: int = 0,
+                tokenizer=None, model_name: str = "quant-tpu"):
     """Start server in a background thread; returns (httpd, engine_server)."""
-    srv = EngineServer(engine)
+    srv = EngineServer(engine, tokenizer=tokenizer, model_name=model_name)
     srv.start()
     httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

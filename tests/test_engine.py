@@ -128,13 +128,15 @@ def test_mixed_sampling_configs():
     from quant_tpu.engine import SamplingConfig
 
     params = llama.init_params(CFG, seed=7)
-    eng = Engine(params, CFG, max_slots=3, max_seq=32, eos_id=-1)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=-1)
     reqs = [
         Request(req_id=0, prompt=[5, 6], max_new_tokens=4),  # greedy
         Request(req_id=1, prompt=[5, 6], max_new_tokens=4,
                 sampling=SamplingConfig(temperature=5.0, top_k=50)),
         Request(req_id=2, prompt=[5, 6], max_new_tokens=4,
                 sampling=SamplingConfig(temperature=0.7, top_p=0.9)),
+        Request(req_id=3, prompt=[5, 6], max_new_tokens=4,
+                sampling=SamplingConfig(temperature=1.0, min_p=0.3)),
     ]
     for r in reqs:
         eng.add_request(r)

@@ -189,14 +189,42 @@ def test_sample_batch_matches_sample_per_slot():
         SamplingConfig(temperature=0.8),
         SamplingConfig(temperature=1.2, top_k=10),
         SamplingConfig(temperature=0.5, top_k=20, top_p=0.8),
+        SamplingConfig(temperature=1.0, min_p=0.2),
+        SamplingConfig(temperature=0.9, top_k=15, top_p=0.9, min_p=0.05),
     ]
+    logits = jnp.asarray(rng.standard_normal((len(configs), 128)),
+                         jnp.float32) * 3
     temps = jnp.asarray([c.temperature for c in configs], jnp.float32)
     topks = jnp.asarray([c.top_k for c in configs], jnp.int32)
     topps = jnp.asarray([c.top_p for c in configs], jnp.float32)
-    batch = np.asarray(sample_batch(logits, key, temps, topks, topps))
+    minps = jnp.asarray([c.min_p for c in configs], jnp.float32)
+    batch = np.asarray(sample_batch(logits, key, temps, topks, topps,
+                                    minps))
     for i, c in enumerate(configs):
         expect = np.asarray(sample(logits, key, c))
         assert batch[i] == expect[i], (i, c)
+
+
+def test_min_p_masks_low_probability_tokens():
+    """min_p keeps exactly the tokens with p >= min_p * p_max (on the
+    temperature-scaled distribution), per slot; min_p=0 row unchanged."""
+    from quant_tpu.engine.sampler import filter_logits
+
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32) * 2
+    temps = jnp.asarray([1.0, 0.7, 1.3], jnp.float32)
+    off = jnp.zeros((3,), jnp.int32)
+    onep = jnp.ones((3,), jnp.float32)
+    minps = jnp.asarray([0.0, 0.1, 0.5], jnp.float32)
+    out = np.asarray(filter_logits(logits, temps, off, onep, minps))
+    scaled = np.asarray(logits, np.float64) / np.asarray(temps)[:, None]
+    probs = np.exp(scaled - scaled.max(axis=-1, keepdims=True))
+    probs /= probs.sum(axis=-1, keepdims=True)
+    for i in range(3):
+        keep = probs[i] >= float(minps[i]) * probs[i].max() - 1e-12
+        assert np.array_equal(np.isfinite(out[i]), keep), i
+    # masked rows renormalize to the surviving support only
+    assert np.isfinite(out[0]).all()
 
 
 def test_mesh_engine_int4_kv():

@@ -148,3 +148,141 @@ def test_http_queue_full_429():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+class _StubTokenizer:
+    """Duck-typed tokenizer: 1 char = 1 token (offset into vocab)."""
+
+    def encode(self, text):
+        return [ord(c) % 50 + 3 for c in text]
+
+    def decode(self, ids):
+        return "".join(chr((t - 3) % 50 + 97) for t in ids)
+
+    def apply_chat_template(self, messages, add_generation_prompt=False):
+        ids = []
+        for m in messages:
+            ids += self.encode(m["role"]) + self.encode(m["content"])
+        return ids + ([1] if add_generation_prompt else [])
+
+
+def _post(base, path, payload, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_openai_compat_endpoints():
+    params = llama.init_params(CFG, seed=3)
+    eng = Engine(params, CFG, max_slots=4, max_seq=48, eos_id=-1)
+    httpd, srv = serve_async(eng, tokenizer=_StubTokenizer(),
+                             model_name="tiny-test")
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/v1/models", timeout=30) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"] == "tiny-test"
+
+        # token-array prompt, greedy → must equal the native endpoint
+        prompt = [5, 9, 11]
+        with _post(base, "/generate",
+                   {"prompt_ids": prompt, "max_new_tokens": 6}) as r:
+            native = json.loads(r.read())["output_ids"]
+        with _post(base, "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 6,
+                    "temperature": 0, "logprobs": True}) as r:
+            oai = json.loads(r.read())
+        ch = oai["choices"][0]
+        assert ch["token_ids"] == native
+        assert ch["finish_reason"] == "length"
+        assert len(ch["logprobs"]["token_logprobs"]) == 6
+        assert oai["usage"] == {"prompt_tokens": 3,
+                                "completion_tokens": 6,
+                                "total_tokens": 9}
+        assert ch["text"] == _StubTokenizer().decode(native)
+
+        # text prompt goes through the server-side tokenizer
+        with _post(base, "/v1/completions",
+                   {"prompt": "hi", "max_tokens": 4,
+                    "temperature": 0}) as r:
+            txt = json.loads(r.read())
+        assert len(txt["choices"][0]["token_ids"]) == 4
+        assert txt["usage"]["prompt_tokens"] == 2
+
+        # SSE streaming: deltas concatenate to the blocking output
+        streamed, finals = [], []
+        with _post(base, "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 6, "temperature": 0,
+                    "stream": True}) as r:
+            assert r.headers["Content-Type"].startswith(
+                "text/event-stream")
+            for raw in r:
+                raw = raw.strip()
+                if not raw.startswith(b"data: "):
+                    continue
+                payload = raw[len(b"data: "):]
+                if payload == b"[DONE]":
+                    break
+                obj = json.loads(payload)
+                c = obj["choices"][0]
+                streamed.extend(c["token_ids"])
+                if c["finish_reason"]:
+                    finals.append(c["finish_reason"])
+        assert streamed == native
+        assert finals == ["length"]
+
+        # chat completions via the stub chat template
+        msgs = [{"role": "user", "content": "ab"}]
+        with _post(base, "/v1/chat/completions",
+                   {"messages": msgs, "max_tokens": 5,
+                    "temperature": 0}) as r:
+            chat = json.loads(r.read())
+        cch = chat["choices"][0]
+        assert chat["object"] == "chat.completion"
+        assert cch["message"]["role"] == "assistant"
+        assert len(cch["token_ids"]) == 5
+        expect_ids = _StubTokenizer().apply_chat_template(
+            msgs, add_generation_prompt=True)
+        assert chat["usage"]["prompt_tokens"] == len(expect_ids)
+
+        # bad prompt types → 400
+        for bad in [{"prompt": []}, {"prompt": 7}, {}]:
+            try:
+                _post(base, "/v1/completions", bad, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def test_openai_compat_without_tokenizer():
+    """Token-id prompts work tokenizer-less; text/chat give clear 400s."""
+    params = llama.init_params(CFG, seed=4)
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [4, 5], "max_tokens": 3,
+                    "temperature": 0}) as r:
+            out = json.loads(r.read())
+        assert len(out["choices"][0]["token_ids"]) == 3
+        assert out["choices"][0]["text"] == ""  # no tokenizer to decode
+        for payload, needle in [({"prompt": "hello"}, "tokenizer"),
+                                ({"messages": []}, "tokenizer")]:
+            path = ("/v1/chat/completions" if "messages" in payload
+                    else "/v1/completions")
+            try:
+                _post(base, path, payload, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert needle in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
