@@ -66,9 +66,12 @@ def _cmd_generate(args):
         ]
     outs = eng.generate(
         prompts, max_new_tokens=args.max_new,
-        sampling=SamplingConfig(temperature=args.temperature,
-                                top_k=args.top_k, top_p=args.top_p,
-                                min_p=args.min_p),
+        sampling=SamplingConfig(
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, min_p=args.min_p,
+            repetition_penalty=args.repetition_penalty,
+            frequency_penalty=args.frequency_penalty,
+            presence_penalty=args.presence_penalty),
     )
     for p, o in zip(prompts, outs):
         rec = {"prompt": p, "output": o}
@@ -294,6 +297,9 @@ def main(argv=None):
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
     g.add_argument("--min-p", type=float, default=0.0)
+    g.add_argument("--repetition-penalty", type=float, default=1.0)
+    g.add_argument("--frequency-penalty", type=float, default=0.0)
+    g.add_argument("--presence-penalty", type=float, default=0.0)
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
                    help="MoE prefill dispatch: exact dense-all (default) "

@@ -92,6 +92,18 @@ class Request:
     timed_out: bool = False
 
 
+@jax.jit
+def _counts_accumulate(counts, toks, slot, n, reset):
+    """Scatter one prefill chunk's tokens into counts[slot] (zeroing the
+    row first when ``reset`` — the admission's first chunk). ``toks``
+    [1, t_pad] is the already-uploaded chunk, zero-padded past ``n``
+    (the mask keeps pad token 0 uncounted)."""
+    row = jnp.where(reset, jnp.zeros_like(counts[0]), counts[slot])
+    mask = (jnp.arange(toks.shape[1]) < n).astype(jnp.int32)
+    row = row.at[toks[0]].add(mask)
+    return counts.at[slot].set(row)
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     b = lo
     while b < n:
@@ -183,6 +195,11 @@ class Engine:
         # are staged here so step()/step_block() still report them.
         self._admit_finished: list[Request] = []
         self.key = jax.random.key(0)
+        # per-slot token-history counts (prompt + committed output) for
+        # repetition/frequency/presence penalties; maintained exactly for
+        # penalized slots (zeroed + rebuilt at admission), updated by a
+        # cheap scatter-add in every decode program
+        self.counts = jnp.zeros((max_slots, cfg.vocab_size), jnp.int32)
         self._steps = 0
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
@@ -285,58 +302,72 @@ class Engine:
                             else self._insert_single)
         self.params = params
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(jax.jit, donate_argnums=(2, 11),
+                           static_argnames=("use_pen",))
         def decode_step(params, tokens, cache, key, temps, topks, topps,
-                        minps):
+                        minps, reps, freqs, press, counts, use_pen=False):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
             # (each costs 40-80 ms on this relay). Column 1 is the
             # committed token's raw-model logprob, bitcast to int32 so
-            # token + logprob ride one packed fetch.
+            # token + logprob ride one packed fetch. ``counts`` [B, V]
+            # token-history counts ride along donated; the committed
+            # token is scatter-added every step (cheap), the penalty
+            # math itself only when use_pen (static).
             logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
+            pen = (counts, reps, freqs, press) if use_pen else None
             toks = sample_batch(logits[:, -1], sub, temps, topks, topps,
-                                minps)
+                                minps, pen)
+            counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
             lp = token_logprob(logits[:, -1], toks)
             packed = jnp.stack(
                 [toks, jax.lax.bitcast_convert_type(lp, jnp.int32)],
                 axis=1)
-            return packed, cache, keyn
+            return packed, cache, keyn, counts
 
         self._decode = decode_step
 
-        @functools.partial(jax.jit, static_argnames=("n", "sampled"),
-                           donate_argnums=(2,))
+        @functools.partial(jax.jit,
+                           static_argnames=("n", "sampled", "use_pen"),
+                           donate_argnums=(2, 11))
         def decode_block(params, tokens, cache, key, temps, topks, topps,
-                         minps, n, sampled):
+                         minps, reps, freqs, press, counts, n, sampled,
+                         use_pen=False):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
+            # counts carried through the loop → penalties see each
+            # committed token immediately (exact sequential semantics).
             def body(_, carry):
-                tok, cache, key, out, lps, i = carry
+                tok, cache, key, counts, out, lps, i = carry
                 logits, cache = fwd_full(params, tok, cache)
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
                 if sampled:
+                    pen = ((counts, reps, freqs, press) if use_pen
+                           else None)
                     nxt = sample_batch(lg, sub, temps, topks, topps,
-                                       minps)[:, None]
+                                       minps, pen)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
+                counts = counts.at[
+                    jnp.arange(nxt.shape[0]), nxt[:, 0]].add(1)
                 lp = token_logprob(lg, nxt[:, 0])[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
                 lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
-                return nxt, cache, key, out, lps, i + 1
+                return nxt, cache, key, counts, out, lps, i + 1
             out = jnp.zeros((tokens.shape[0], n), jnp.int32)
             lps = jnp.zeros((tokens.shape[0], n), jnp.float32)
-            _, cache, key, out, lps, _ = jax.lax.fori_loop(
-                0, n, body, (tokens, cache, key, out, lps, 0)
+            _, cache, key, counts, out, lps, _ = jax.lax.fori_loop(
+                0, n, body, (tokens, cache, key, counts, out, lps, 0)
             )
             # [B, 2n]: tokens then bitcast logprobs — one packed fetch
             packed = jnp.concatenate(
                 [out, jax.lax.bitcast_convert_type(lps, jnp.int32)],
                 axis=1)
-            return packed, cache, key
+            return packed, cache, key, counts
 
         self._decode_block = decode_block
 
@@ -364,10 +395,11 @@ class Engine:
                     f"proposer gamma {self.proposer.gamma} < engine "
                     f"spec_gamma {spec_gamma}")
 
-            @functools.partial(jax.jit, donate_argnums=(2,),
-                               static_argnames=("sampled",))
+            @functools.partial(jax.jit, donate_argnums=(2, 11),
+                               static_argnames=("sampled", "use_pen"))
             def verify_step(params, tokens, cache, key, temps, topks,
-                            topps, minps, sampled=True):
+                            topps, minps, reps, freqs, press, counts,
+                            sampled=True, use_pen=False):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
                 if sampled:
@@ -376,9 +408,14 @@ class Engine:
                     # slots reduce to the argmax-prefix rule, sampled
                     # slots commit exact target-chain samples — one
                     # program serves mixed batches, so sampled requests
-                    # never force the plain-decode fallback.
+                    # never force the plain-decode fallback. Penalized
+                    # batches always take this path (use_pen → the host
+                    # passes sampled=True): spec_commit builds the exact
+                    # within-window cumulative counts.
+                    pen = ((counts, reps, freqs, press) if use_pen
+                           else None)
                     out, acc = spec_commit(logits, tokens, key, temps,
-                                           topks, topps, minps)
+                                           topks, topps, minps, pen)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
@@ -391,6 +428,13 @@ class Engine:
                 # accepted prefix + commit token (stale tail entries are
                 # masked by lengths and overwritten by later writes)
                 cache = dataclasses.replace(cache, lengths=base + acc + 1)
+                # count the committed tokens (accepted prefix + commit):
+                # positions > acc are garbage and masked to +0
+                b, gp1 = out.shape
+                pos = jax.lax.broadcasted_iota(jnp.int32, (b, gp1), 1)
+                counts = counts.at[
+                    jnp.arange(b)[:, None], out].add(
+                        (pos <= acc[:, None]).astype(jnp.int32))
                 # ONE packed host fetch ([B, 2*(gamma+1)+1]: tokens,
                 # bitcast logprobs, acc): on high-latency links (this
                 # relay: 40-80 ms/RPC) a second device->host read per
@@ -398,7 +442,7 @@ class Engine:
                 lp = token_logprob(logits, out)
                 return jnp.concatenate(
                     [out, jax.lax.bitcast_convert_type(lp, jnp.int32),
-                     acc[:, None]], axis=1), cache
+                     acc[:, None]], axis=1), cache, counts
 
             self._verify = verify_step
 
@@ -853,6 +897,13 @@ class Engine:
         t_pad = _bucket(len(chunk))
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, : len(chunk)] = chunk
+        if req.sampling.has_penalties:
+            # exact prompt(+resumed-output) token counts for the
+            # penalties; rebuilt from scratch on the first chunk, so
+            # preempted re-admissions stay consistent
+            self.counts = _counts_accumulate(
+                self.counts, jnp.asarray(toks), jnp.int32(slot),
+                jnp.int32(len(chunk)), jnp.bool_(off == 0))
         if self.prefix_cache:
             pools = (self.cache.k_codes, self.cache.k_scale,
                      self.cache.v_codes, self.cache.v_scale)
@@ -900,7 +951,12 @@ class Engine:
             self.cache = self._insert(self.cache, self.pf_cache,
                                       jnp.int32(slot))
         self.key, sub = jax.random.split(self.key)
-        tok = int(sample(last[None], sub, req.sampling)[0])
+        if req.sampling.has_penalties:
+            tok = int(sample(last[None], sub, req.sampling,
+                             counts=self.counts[slot][None])[0])
+            self.counts = self.counts.at[slot, tok].add(1)
+        else:
+            tok = int(sample(last[None], sub, req.sampling)[0])
         req.output.append(tok)
         req.logprobs.append(float(token_logprob(
             last[None], jnp.asarray([tok], jnp.int32))[0]))
@@ -991,12 +1047,12 @@ class Engine:
                 toks[i, 1:1 + len(d)] = d
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
-        knobs = self._sampling_knobs(active)
+        knobs, any_pen = self._sampling_knobs(active)
         self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
-        packed, self.cache = self._verify(
+        packed, self.cache, self.counts = self._verify(
             self.params, jnp.asarray(toks), self.cache, sub, *knobs,
-            sampled=sampled)
+            self.counts, sampled=sampled or any_pen, use_pen=any_pen)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]
         lps = packed[:, g + 1:2 * (g + 1)].view(np.float32)
@@ -1030,17 +1086,30 @@ class Engine:
 
     def _sampling_knobs(self, active):
         """Per-slot traced sampling knobs for the on-device samplers:
-        (temps, topks, topps, minps) as device arrays of [max_slots]."""
+        ((temps, topks, topps, minps, reps, freqs, press) device arrays
+        of [max_slots], any_penalties) — the bool drives the programs'
+        static use_pen flag (penalty math compiles in only when some
+        active slot actually asks for it)."""
         temps = np.zeros((self.max_slots,), np.float32)
         topks = np.zeros((self.max_slots,), np.int32)
         topps = np.ones((self.max_slots,), np.float32)
         minps = np.zeros((self.max_slots,), np.float32)
+        reps = np.ones((self.max_slots,), np.float32)
+        freqs = np.zeros((self.max_slots,), np.float32)
+        press = np.zeros((self.max_slots,), np.float32)
+        any_pen = False
         for i in active:
             sc = self.slots[i].sampling
             temps[i], topks[i], topps[i], minps[i] = (
                 sc.temperature, sc.top_k, sc.top_p, sc.min_p)
+            reps[i], freqs[i], press[i] = (sc.repetition_penalty,
+                                           sc.frequency_penalty,
+                                           sc.presence_penalty)
+            any_pen = any_pen or sc.has_penalties
         return (jnp.asarray(temps), jnp.asarray(topks),
-                jnp.asarray(topps), jnp.asarray(minps))
+                jnp.asarray(topps), jnp.asarray(minps),
+                jnp.asarray(reps), jnp.asarray(freqs),
+                jnp.asarray(press)), any_pen
 
     def step(self) -> list[Request]:
         """One prefill chunk of admission (budgeted) + one decode advance
@@ -1072,9 +1141,10 @@ class Engine:
             return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
-            packed, self.cache, self.key = self._decode(
-                self.params, tokens, self.cache, self.key,
-                *self._sampling_knobs(active))
+            knobs, any_pen = self._sampling_knobs(active)
+            packed, self.cache, self.key, self.counts = self._decode(
+                self.params, tokens, self.cache, self.key, *knobs,
+                self.counts, use_pen=any_pen)
             packed = np.asarray(packed)
             toks = packed[:, 0]
             lps = packed[:, 1].view(np.float32)
@@ -1121,9 +1191,10 @@ class Engine:
             for i in active)))
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         tokens = jnp.asarray(self.last_tokens[:, None])
-        packed, self.cache, self.key = self._decode_block(
-            self.params, tokens, self.cache, self.key,
-            *self._sampling_knobs(active), n=n, sampled=sampled,
+        knobs, any_pen = self._sampling_knobs(active)
+        packed, self.cache, self.key, self.counts = self._decode_block(
+            self.params, tokens, self.cache, self.key, *knobs,
+            self.counts, n=n, sampled=sampled or any_pen, use_pen=any_pen,
         )
         packed = np.asarray(packed)
         toks = packed[:, :n]

@@ -14,14 +14,58 @@ class SamplingConfig:
     top_k: int = 0             # 0 → disabled
     top_p: float = 1.0         # 1 → disabled
     min_p: float = 0.0         # 0 → disabled; keep p(tok) ≥ min_p·p_max
+    # token-history penalties (counts cover prompt + committed output):
+    repetition_penalty: float = 1.0  # HF semantics; 1 → disabled
+    frequency_penalty: float = 0.0   # OpenAI: logit -= fp·count
+    presence_penalty: float = 0.0    # OpenAI: logit -= pp·(count>0)
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0
 
+    @property
+    def has_penalties(self) -> bool:
+        return (self.repetition_penalty != 1.0
+                or self.frequency_penalty != 0.0
+                or self.presence_penalty != 0.0)
 
-def sample(logits: jax.Array, key, cfg: SamplingConfig) -> jax.Array:
-    """logits [B, V] → token ids [B]."""
+
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    reps: jax.Array, freqs: jax.Array,
+                    press: jax.Array) -> jax.Array:
+    """Token-history penalties on RAW logits (before temperature).
+
+    ``counts`` int32 of logits' shape-without-tricks ([B, V] or
+    [B, T, V]) — occurrences of each token in the slot's prompt +
+    committed output (+ in-window drafts on the spec path). Per-slot
+    traced knobs broadcast over T. Greedy slots honor penalties too
+    (argmax is taken over the penalized logits), matching HF/vLLM:
+
+    * repetition_penalty r (HF): seen & logit>0 → logit/r, seen &
+      logit<0 → logit·r
+    * frequency/presence (OpenAI): logit -= fp·count + pp·(count>0)
+    """
+    lg = logits.astype(jnp.float32)
+    lead = (slice(None),) + (None,) * (lg.ndim - 1)
+    seen = counts > 0
+    r = jnp.maximum(reps, 1e-6)[lead]
+    lg = jnp.where(seen, jnp.where(lg > 0, lg / r, lg * r), lg)
+    lg = lg - (freqs[lead] * counts.astype(jnp.float32)
+               + press[lead] * seen.astype(jnp.float32))
+    return lg
+
+
+def sample(logits: jax.Array, key, cfg: SamplingConfig,
+           counts: jax.Array | None = None) -> jax.Array:
+    """logits [B, V] → token ids [B]. ``counts`` [B, V] int32 enables the
+    token-history penalties of ``cfg`` (ignored when cfg has none)."""
+    if cfg.has_penalties and counts is not None:
+        b = logits.shape[0]
+        logits = apply_penalties(
+            logits, counts,
+            jnp.full((b,), cfg.repetition_penalty, jnp.float32),
+            jnp.full((b,), cfg.frequency_penalty, jnp.float32),
+            jnp.full((b,), cfg.presence_penalty, jnp.float32))
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / cfg.temperature
@@ -88,15 +132,20 @@ def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
 
 def sample_batch(logits: jax.Array, key, temps: jax.Array,
                  topks: jax.Array, topps: jax.Array,
-                 minps: jax.Array | None = None) -> jax.Array:
+                 minps: jax.Array | None = None,
+                 penalties=None) -> jax.Array:
     """Fully-traced per-slot sampling: logits [B, V] → ids [B].
 
     Per-slot traced knobs (so one jit serves every mix of configs — the
     engine's fused decode block samples on device without retracing):
     ``temps[B]`` f32 (0 → greedy), ``topks[B]`` int32 (0 → off),
     ``topps[B]`` f32 (1 → off), ``minps[B]`` f32 (0 → off).
-    Matches :func:`sample` per slot.
+    ``penalties`` = (counts [B, V] int32, reps, freqs, press) applies
+    token-history penalties first (greedy slots argmax the penalized
+    logits). Matches :func:`sample` per slot.
     """
+    if penalties is not None:
+        logits = apply_penalties(logits, *penalties)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     l2 = filter_logits(logits, temps, topks, topps, minps)
     sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)
@@ -115,8 +164,8 @@ def token_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
 
 def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                 temps: jax.Array, topks: jax.Array, topps: jax.Array,
-                minps: jax.Array | None = None
-                ) -> tuple[jax.Array, jax.Array]:
+                minps: jax.Array | None = None,
+                penalties=None) -> tuple[jax.Array, jax.Array]:
     """Speculative rejection sampling against a DELTA proposal, fully on
     device (one [B, gamma+2] host fetch stays enough).
 
@@ -140,6 +189,17 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
     """
     b, gp1, v = logits.shape
     g = gp1 - 1
+    if penalties is not None:
+        # Position j's target distribution conditions on the fed tokens
+        # 0..j; base counts already include tokens[:, 0] (the last
+        # committed token), so position j adds the in-window drafts
+        # tokens[:, 1..j] — exact sequential-chain counts, keeping the
+        # bit-parity-with-plain-decode guarantee under penalties.
+        counts, reps, freqs, press = penalties
+        oh = jax.nn.one_hot(tokens, v, dtype=jnp.int32)  # [B, g+1, V]
+        cum = jnp.cumsum(oh, axis=1) - oh[:, :1]
+        logits = apply_penalties(logits, counts[:, None, :] + cum,
+                                 reps, freqs, press)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
     l2 = filter_logits(logits, temps, topks, topps, minps)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)

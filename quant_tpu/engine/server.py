@@ -20,15 +20,17 @@ prompts work without a tokenizer, text prompts and /v1/chat need one):
 
     GET  /v1/models           → model list (the single served model)
     POST /v1/completions      {"prompt": "text" | [ids], "max_tokens": N,
-                               "temperature"/"top_p"/"min_p",
+                               "temperature"/"top_p"/"min_p", "n": k,
                                "stop_token_ids": [...], "logprobs": true,
-                               "stream": true → SSE}
+                               "stream": true → SSE (n=1 only)}
     POST /v1/chat/completions {"messages": [{"role","content"},...]}
                               (requires a tokenizer with a chat template)
 
 Non-standard but useful: every choice carries ``token_ids`` so clients
 without the tokenizer can decode; ``min_p`` and ``stop_token_ids`` are
-accepted (vLLM-style extensions).
+accepted (vLLM-style extensions), as are the standard
+``frequency_penalty`` / ``presence_penalty`` and HF-style
+``repetition_penalty``.
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -131,6 +133,39 @@ class EngineServer:
             self.events[rid] = ev
         ev.wait()
         return req
+
+    def submit_many(self, prompt_ids, max_new_tokens, sampling, n,
+                    timeout_s: float | None = None,
+                    stop_ids=()) -> list[Request]:
+        """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
+        for all: the copies co-batch in the engine, so n choices cost one
+        continuous-batching pass, not n sequential generations."""
+        evs, reqs = [], []
+        with self.lock:
+            try:
+                for _ in range(n):
+                    rid = self.next_id
+                    self.next_id += 1
+                    req = Request(req_id=rid, prompt=list(prompt_ids),
+                                  max_new_tokens=max_new_tokens,
+                                  sampling=sampling,
+                                  deadline=self._deadline(timeout_s),
+                                  stop_ids=tuple(stop_ids))
+                    self.engine.add_request(req)
+                    ev = threading.Event()
+                    self.events[rid] = ev
+                    evs.append(ev)
+                    reqs.append(req)
+            except Exception:
+                # roll back the copies already enqueued so a mid-batch
+                # QueueFullError doesn't leak requests/events
+                for req in reqs:
+                    self.engine.cancel(req.req_id)
+                    self.events.pop(req.req_id, None)
+                raise
+        for ev in evs:
+            ev.wait()
+        return reqs
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
                       timeout_s: float | None = None, stop_ids=()):
@@ -248,6 +283,12 @@ def _make_handler(srv: EngineServer):
                 top_k=int(body.get("top_k", 0)),
                 top_p=float(body.get("top_p", 1.0)),
                 min_p=float(body.get("min_p", 0.0)),
+                repetition_penalty=float(
+                    body.get("repetition_penalty", 1.0)),
+                frequency_penalty=float(
+                    body.get("frequency_penalty", 0.0)),
+                presence_penalty=float(
+                    body.get("presence_penalty", 0.0)),
             )
 
         def _oai_prompt_ids(self, body):
@@ -277,15 +318,15 @@ def _make_handler(srv: EngineServer):
                 return ""
             return srv.tokenizer.decode(ids)
 
-        def _oai_choice(self, req, body, chat):
+        def _oai_choice(self, req, body, chat, index=0):
             reason = self._finish_reason(req)
             if chat:
-                choice = {"index": 0, "finish_reason": reason,
+                choice = {"index": index, "finish_reason": reason,
                           "message": {"role": "assistant",
                                       "content":
                                           self._decode_text(req.output)}}
             else:
-                choice = {"index": 0, "finish_reason": reason,
+                choice = {"index": index, "finish_reason": reason,
                           "text": self._decode_text(req.output)}
             choice["token_ids"] = req.output  # extension
             if body.get("logprobs"):
@@ -298,21 +339,28 @@ def _make_handler(srv: EngineServer):
             sampling = self._oai_sampling(body)
             max_new = int(body.get("max_tokens", 16))
             stop_ids = [int(t) for t in body.get("stop_token_ids", [])]
+            nq = int(body.get("n", 1))
+            if nq < 1:
+                raise ValueError("n must be >= 1")
             obj = ("chat.completion" if chat else "text_completion")
             if body.get("stream"):
+                if nq != 1:
+                    raise ValueError("stream requires n=1")
                 self._oai_stream(body, prompt_ids, sampling, max_new,
                                  stop_ids, chat)
                 return
-            req = srv.submit(prompt_ids, max_new, sampling, None,
-                             stop_ids)
+            reqs = srv.submit_many(prompt_ids, max_new, sampling, nq,
+                                   None, stop_ids)
+            comp = sum(len(r.output) for r in reqs)
             self._json(200, {
-                "id": f"cmpl-{req.req_id}", "object": obj,
+                "id": f"cmpl-{reqs[0].req_id}", "object": obj,
                 "created": int(_t.time()), "model": srv.model_name,
-                "choices": [self._oai_choice(req, body, chat)],
-                "usage": {"prompt_tokens": len(req.prompt),
-                          "completion_tokens": len(req.output),
+                "choices": [self._oai_choice(r, body, chat, i)
+                            for i, r in enumerate(reqs)],
+                "usage": {"prompt_tokens": len(reqs[0].prompt),
+                          "completion_tokens": comp,
                           "total_tokens":
-                              len(req.prompt) + len(req.output)}})
+                              len(reqs[0].prompt) + comp}})
 
         def _oai_stream(self, body, prompt_ids, sampling, max_new,
                         stop_ids, chat):
@@ -406,6 +454,12 @@ def _make_handler(srv: EngineServer):
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
                     min_p=float(body.get("min_p", 0.0)),
+                    repetition_penalty=float(
+                        body.get("repetition_penalty", 1.0)),
+                    frequency_penalty=float(
+                        body.get("frequency_penalty", 0.0)),
+                    presence_penalty=float(
+                        body.get("presence_penalty", 0.0)),
                 )
                 timeout_s = body.get("timeout_s")
                 if timeout_s is not None:

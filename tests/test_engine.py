@@ -317,3 +317,124 @@ def test_logprobs_match_reference():
     np.testing.assert_allclose(
         r.logprobs, ref_logprobs(prompt, r.output), rtol=2e-3, atol=5e-3)
     assert all(lp <= 0.0 for lp in r.logprobs)
+
+
+def _np_penalize(lg, counts, sc):
+    """Host-side penalty math (float32, matching the device formula)."""
+    lg = lg.astype(np.float32).copy()
+    seen = counts > 0
+    r = np.float32(sc.repetition_penalty)
+    lg[seen] = np.where(lg[seen] > 0, lg[seen] / r, lg[seen] * r)
+    lg -= (np.float32(sc.frequency_penalty) * counts.astype(np.float32)
+           + np.float32(sc.presence_penalty) * seen.astype(np.float32))
+    return lg
+
+
+def _reference_greedy_penalized(params, prompt, max_new, sc, max_seq=64):
+    """Greedy decode with token-history penalties, replayed on host."""
+    counts = np.zeros(CFG.vocab_size, np.int64)
+    for t in prompt:
+        counts[t] += 1
+    cache = llama.init_cache(CFG, batch=1, max_seq=max_seq)
+    logits, cache = llama.forward(
+        params, jnp.asarray([prompt], jnp.int32), cache, CFG)
+    lg = np.asarray(logits[0, -1], np.float32)
+    out = []
+    for step in range(max_new):
+        tok = int(np.argmax(_np_penalize(lg, counts, sc)))
+        out.append(tok)
+        counts[tok] += 1
+        if step < max_new - 1:
+            logits, cache = llama.forward(
+                params, jnp.asarray([[tok]], jnp.int32), cache, CFG)
+            lg = np.asarray(logits[0, -1], np.float32)
+    return out
+
+
+def test_apply_penalties_formula():
+    from quant_tpu.engine.sampler import apply_penalties
+
+    rng = np.random.default_rng(21)
+    lg = rng.standard_normal((3, 32)).astype(np.float32) * 2
+    counts = rng.integers(0, 3, (3, 32)).astype(np.int32)
+    reps = np.asarray([1.0, 1.5, 0.8], np.float32)   # <1 = anti-penalty
+    freqs = np.asarray([0.0, 0.3, 0.0], np.float32)
+    press = np.asarray([0.0, 0.0, 1.1], np.float32)
+    got = np.asarray(apply_penalties(
+        jnp.asarray(lg), jnp.asarray(counts), jnp.asarray(reps),
+        jnp.asarray(freqs), jnp.asarray(press)))
+    for i in range(3):
+        sc = SamplingConfig(repetition_penalty=float(reps[i]),
+                            frequency_penalty=float(freqs[i]),
+                            presence_penalty=float(press[i]))
+        np.testing.assert_allclose(
+            got[i], _np_penalize(lg[i], counts[i], sc), rtol=1e-6)
+    # row 0 has no penalties enabled → identity
+    np.testing.assert_array_equal(got[0], lg[0])
+
+
+def test_engine_penalties_match_reference():
+    """Greedy + penalties through step() AND step_block() must equal a
+    host replay that recomputes the penalized argmax each step (counts
+    cover prompt + committed output)."""
+    params = llama.init_params(CFG, seed=11)
+    rng = np.random.default_rng(11)
+    prompt = list(map(int, rng.integers(3, CFG.vocab_size, 7)))
+    sc = SamplingConfig(repetition_penalty=1.4, frequency_penalty=0.2,
+                        presence_penalty=0.4)
+    expect = _reference_greedy_penalized(params, prompt, 8, sc)
+    # penalties must actually change the stream, or this test is vacuous
+    assert expect != _reference_greedy(params, prompt, 8)
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=8,
+                sampling=sc)
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    assert r.output == expect
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=8,
+                sampling=sc)
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step_block(3)
+    assert r.output == expect
+
+
+def test_engine_penalties_with_speculation_bitparity():
+    """Penalized greedy through the speculative verify program must stay
+    bit-identical to plain penalized decode (exact in-window counts)."""
+    params = llama.init_params(CFG, seed=12)
+    rng = np.random.default_rng(12)
+    # repetitive prompt so the n-gram proposer actually proposes
+    base = list(map(int, rng.integers(3, CFG.vocab_size, 4)))
+    prompt = base + base + base
+    sc = SamplingConfig(repetition_penalty=1.3, presence_penalty=0.2)
+    expect = _reference_greedy_penalized(params, prompt, 8, sc)
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 spec_gamma=2)
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=8,
+                sampling=sc)
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    assert r.output == expect
+
+
+def test_presence_penalty_forbids_repeats():
+    """A huge presence penalty makes sampled output all-distinct."""
+    params = llama.init_params(CFG, seed=13)
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    r = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=12,
+                sampling=SamplingConfig(temperature=1.0,
+                                        presence_penalty=1e9))
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    seen = set(r.prompt)
+    for t in r.output:
+        assert t not in seen, (t, r.output)
+        seen.add(t)

@@ -286,3 +286,30 @@ def test_openai_compat_without_tokenizer():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_openai_n_choices():
+    """n>1 returns that many co-batched choices; greedy copies agree."""
+    params = llama.init_params(CFG, seed=5)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [6, 7], "max_tokens": 4, "n": 3,
+                    "temperature": 0}) as r:
+            out = json.loads(r.read())
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        ids = [c["token_ids"] for c in out["choices"]]
+        assert ids[0] == ids[1] == ids[2] and len(ids[0]) == 4
+        assert out["usage"]["completion_tokens"] == 12
+        try:
+            _post(base, "/v1/completions",
+                  {"prompt": [6, 7], "n": 2, "stream": True}, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
