@@ -71,7 +71,11 @@ def _cmd_generate(args):
             top_p=args.top_p, min_p=args.min_p,
             repetition_penalty=args.repetition_penalty,
             frequency_penalty=args.frequency_penalty,
-            presence_penalty=args.presence_penalty),
+            presence_penalty=args.presence_penalty,
+            logit_bias=tuple(
+                (int(t), float(v)) for t, v in
+                (pair.split(":") for pair in
+                 args.logit_bias.split(","))) if args.logit_bias else ()),
     )
     for p, o in zip(prompts, outs):
         rec = {"prompt": p, "output": o}
@@ -300,6 +304,8 @@ def main(argv=None):
     g.add_argument("--repetition-penalty", type=float, default=1.0)
     g.add_argument("--frequency-penalty", type=float, default=0.0)
     g.add_argument("--presence-penalty", type=float, default=0.0)
+    g.add_argument("--logit-bias", default=None,
+                   help="comma list of token:bias, e.g. '13:-100,42:5'")
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
                    help="MoE prefill dispatch: exact dense-all (default) "

@@ -302,10 +302,11 @@ class Engine:
                             else self._insert_single)
         self.params = params
 
-        @functools.partial(jax.jit, donate_argnums=(2, 11),
-                           static_argnames=("use_pen",))
+        @functools.partial(jax.jit, donate_argnums=(2, 13),
+                           static_argnames=("use_pen", "use_bias"))
         def decode_step(params, tokens, cache, key, temps, topks, topps,
-                        minps, reps, freqs, press, counts, use_pen=False):
+                        minps, reps, freqs, press, bias_toks, bias_vals,
+                        counts, use_pen=False, use_bias=False):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -318,8 +319,9 @@ class Engine:
             logits, cache = fwd_full(params, tokens, cache)
             keyn, sub = jax.random.split(key)
             pen = (counts, reps, freqs, press) if use_pen else None
+            bias = (bias_toks, bias_vals) if use_bias else None
             toks = sample_batch(logits[:, -1], sub, temps, topks, topps,
-                                minps, pen)
+                                minps, pen, bias)
             counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
             lp = token_logprob(logits[:, -1], toks)
             packed = jnp.stack(
@@ -330,11 +332,13 @@ class Engine:
         self._decode = decode_step
 
         @functools.partial(jax.jit,
-                           static_argnames=("n", "sampled", "use_pen"),
-                           donate_argnums=(2, 11))
+                           static_argnames=("n", "sampled", "use_pen",
+                                            "use_bias"),
+                           donate_argnums=(2, 13))
         def decode_block(params, tokens, cache, key, temps, topks, topps,
-                         minps, reps, freqs, press, counts, n, sampled,
-                         use_pen=False):
+                         minps, reps, freqs, press, bias_toks, bias_vals,
+                         counts, n, sampled, use_pen=False,
+                         use_bias=False):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
@@ -348,8 +352,10 @@ class Engine:
                 if sampled:
                     pen = ((counts, reps, freqs, press) if use_pen
                            else None)
+                    bias = ((bias_toks, bias_vals) if use_bias
+                            else None)
                     nxt = sample_batch(lg, sub, temps, topks, topps,
-                                       minps, pen)[:, None]
+                                       minps, pen, bias)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
                 counts = counts.at[
@@ -395,11 +401,13 @@ class Engine:
                     f"proposer gamma {self.proposer.gamma} < engine "
                     f"spec_gamma {spec_gamma}")
 
-            @functools.partial(jax.jit, donate_argnums=(2, 11),
-                               static_argnames=("sampled", "use_pen"))
+            @functools.partial(jax.jit, donate_argnums=(2, 13),
+                               static_argnames=("sampled", "use_pen",
+                                                "use_bias"))
             def verify_step(params, tokens, cache, key, temps, topks,
-                            topps, minps, reps, freqs, press, counts,
-                            sampled=True, use_pen=False):
+                            topps, minps, reps, freqs, press, bias_toks,
+                            bias_vals, counts, sampled=True,
+                            use_pen=False, use_bias=False):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
                 if sampled:
@@ -414,8 +422,11 @@ class Engine:
                     # within-window cumulative counts.
                     pen = ((counts, reps, freqs, press) if use_pen
                            else None)
+                    bias = ((bias_toks, bias_vals) if use_bias
+                            else None)
                     out, acc = spec_commit(logits, tokens, key, temps,
-                                           topks, topps, minps, pen)
+                                           topks, topps, minps, pen,
+                                           bias)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
@@ -1047,12 +1058,13 @@ class Engine:
                 toks[i, 1:1 + len(d)] = d
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
-        knobs, any_pen = self._sampling_knobs(active)
+        knobs, any_pen, any_bias = self._sampling_knobs(active)
         self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache, self.counts = self._verify(
             self.params, jnp.asarray(toks), self.cache, sub, *knobs,
-            self.counts, sampled=sampled or any_pen, use_pen=any_pen)
+            self.counts, sampled=sampled or any_pen or any_bias,
+            use_pen=any_pen, use_bias=any_bias)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]
         lps = packed[:, g + 1:2 * (g + 1)].view(np.float32)
@@ -1098,6 +1110,14 @@ class Engine:
         freqs = np.zeros((self.max_slots,), np.float32)
         press = np.zeros((self.max_slots,), np.float32)
         any_pen = False
+        # logit_bias entries padded to a bucketed K (unused rows point at
+        # token 0 with value 0 — a no-op add); K only retraces when a
+        # request carries more biases than any before
+        nbias = max((len(self.slots[i].sampling.logit_bias)
+                     for i in active), default=0)
+        k = max(8, _bucket(nbias, lo=8)) if nbias else 8
+        bias_toks = np.zeros((self.max_slots, k), np.int32)
+        bias_vals = np.zeros((self.max_slots, k), np.float32)
         for i in active:
             sc = self.slots[i].sampling
             temps[i], topks[i], topps[i], minps[i] = (
@@ -1106,10 +1126,13 @@ class Engine:
                                            sc.frequency_penalty,
                                            sc.presence_penalty)
             any_pen = any_pen or sc.has_penalties
+            for j, (t, v) in enumerate(sc.logit_bias):
+                bias_toks[i, j], bias_vals[i, j] = t, v
         return (jnp.asarray(temps), jnp.asarray(topks),
                 jnp.asarray(topps), jnp.asarray(minps),
                 jnp.asarray(reps), jnp.asarray(freqs),
-                jnp.asarray(press)), any_pen
+                jnp.asarray(press), jnp.asarray(bias_toks),
+                jnp.asarray(bias_vals)), any_pen, bool(nbias)
 
     def step(self) -> list[Request]:
         """One prefill chunk of admission (budgeted) + one decode advance
@@ -1141,10 +1164,10 @@ class Engine:
             return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
-            knobs, any_pen = self._sampling_knobs(active)
+            knobs, any_pen, any_bias = self._sampling_knobs(active)
             packed, self.cache, self.key, self.counts = self._decode(
                 self.params, tokens, self.cache, self.key, *knobs,
-                self.counts, use_pen=any_pen)
+                self.counts, use_pen=any_pen, use_bias=any_bias)
             packed = np.asarray(packed)
             toks = packed[:, 0]
             lps = packed[:, 1].view(np.float32)
@@ -1191,10 +1214,11 @@ class Engine:
             for i in active)))
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         tokens = jnp.asarray(self.last_tokens[:, None])
-        knobs, any_pen = self._sampling_knobs(active)
+        knobs, any_pen, any_bias = self._sampling_knobs(active)
         packed, self.cache, self.key, self.counts = self._decode_block(
             self.params, tokens, self.cache, self.key, *knobs,
-            self.counts, n=n, sampled=sampled or any_pen, use_pen=any_pen,
+            self.counts, n=n, sampled=sampled or any_pen or any_bias,
+            use_pen=any_pen, use_bias=any_bias,
         )
         packed = np.asarray(packed)
         toks = packed[:, :n]

@@ -18,6 +18,9 @@ class SamplingConfig:
     repetition_penalty: float = 1.0  # HF semantics; 1 → disabled
     frequency_penalty: float = 0.0   # OpenAI: logit -= fp·count
     presence_penalty: float = 0.0    # OpenAI: logit -= pp·(count>0)
+    # OpenAI logit_bias: ((token_id, bias), ...); -100 effectively bans,
+    # +100 effectively forces. Tuple-of-tuples keeps the config hashable.
+    logit_bias: tuple = ()
 
     @property
     def greedy(self) -> bool:
@@ -28,6 +31,22 @@ class SamplingConfig:
         return (self.repetition_penalty != 1.0
                 or self.frequency_penalty != 0.0
                 or self.presence_penalty != 0.0)
+
+
+def apply_logit_bias(logits: jax.Array, bias_toks: jax.Array,
+                     bias_vals: jax.Array) -> jax.Array:
+    """Additive per-slot logit bias (OpenAI logit_bias). ``bias_toks``
+    [B, K] int32 / ``bias_vals`` [B, K] f32; unused entries point at
+    token 0 with value 0 (adding 0 is a no-op). Applied AFTER penalties
+    on raw logits, so a -100 ban survives every other adjustment.
+    Accepts [B, V] or [B, T, V] (same bias at every in-window position)."""
+    b = logits.shape[0]
+    v = logits.shape[-1]
+    dense = jnp.zeros((b, v), jnp.float32).at[
+        jnp.arange(b)[:, None], bias_toks].add(bias_vals)
+    if logits.ndim == 3:
+        dense = dense[:, None, :]
+    return logits.astype(jnp.float32) + dense
 
 
 def apply_penalties(logits: jax.Array, counts: jax.Array,
@@ -66,6 +85,13 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig,
             jnp.full((b,), cfg.repetition_penalty, jnp.float32),
             jnp.full((b,), cfg.frequency_penalty, jnp.float32),
             jnp.full((b,), cfg.presence_penalty, jnp.float32))
+    if cfg.logit_bias:
+        b = logits.shape[0]
+        toks = jnp.asarray([t for t, _ in cfg.logit_bias], jnp.int32)
+        vals = jnp.asarray([v for _, v in cfg.logit_bias], jnp.float32)
+        logits = apply_logit_bias(
+            logits, jnp.broadcast_to(toks, (b, toks.shape[0])),
+            jnp.broadcast_to(vals, (b, vals.shape[0])))
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / cfg.temperature
@@ -133,7 +159,7 @@ def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
 def sample_batch(logits: jax.Array, key, temps: jax.Array,
                  topks: jax.Array, topps: jax.Array,
                  minps: jax.Array | None = None,
-                 penalties=None) -> jax.Array:
+                 penalties=None, bias=None) -> jax.Array:
     """Fully-traced per-slot sampling: logits [B, V] → ids [B].
 
     Per-slot traced knobs (so one jit serves every mix of configs — the
@@ -142,10 +168,13 @@ def sample_batch(logits: jax.Array, key, temps: jax.Array,
     ``topps[B]`` f32 (1 → off), ``minps[B]`` f32 (0 → off).
     ``penalties`` = (counts [B, V] int32, reps, freqs, press) applies
     token-history penalties first (greedy slots argmax the penalized
-    logits). Matches :func:`sample` per slot.
+    logits); ``bias`` = (bias_toks, bias_vals) adds OpenAI logit_bias
+    after them. Matches :func:`sample` per slot.
     """
     if penalties is not None:
         logits = apply_penalties(logits, *penalties)
+    if bias is not None:
+        logits = apply_logit_bias(logits, *bias)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     l2 = filter_logits(logits, temps, topks, topps, minps)
     sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)
@@ -165,7 +194,7 @@ def token_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
 def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                 temps: jax.Array, topks: jax.Array, topps: jax.Array,
                 minps: jax.Array | None = None,
-                penalties=None) -> tuple[jax.Array, jax.Array]:
+                penalties=None, bias=None) -> tuple[jax.Array, jax.Array]:
     """Speculative rejection sampling against a DELTA proposal, fully on
     device (one [B, gamma+2] host fetch stays enough).
 
@@ -200,6 +229,8 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
         cum = jnp.cumsum(oh, axis=1) - oh[:, :1]
         logits = apply_penalties(logits, counts[:, None, :] + cum,
                                  reps, freqs, press)
+    if bias is not None:
+        logits = apply_logit_bias(logits, *bias)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
     l2 = filter_logits(logits, temps, topks, topps, minps)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)

@@ -29,8 +29,8 @@ prompts work without a tokenizer, text prompts and /v1/chat need one):
 Non-standard but useful: every choice carries ``token_ids`` so clients
 without the tokenizer can decode; ``min_p`` and ``stop_token_ids`` are
 accepted (vLLM-style extensions), as are the standard
-``frequency_penalty`` / ``presence_penalty`` and HF-style
-``repetition_penalty``.
+``frequency_penalty`` / ``presence_penalty`` / ``logit_bias`` and
+HF-style ``repetition_penalty``.
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -190,6 +190,13 @@ class EngineServer:
             self.engine.cancel(rid)
 
 
+def _parse_logit_bias(body) -> tuple:
+    """OpenAI logit_bias {"token_id": bias, ...} → sorted tuple of
+    (token_id, bias) pairs (the hashable SamplingConfig form)."""
+    lb = body.get("logit_bias") or {}
+    return tuple(sorted((int(t), float(v)) for t, v in lb.items()))
+
+
 def _make_handler(srv: EngineServer):
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer (the streaming path) needs HTTP/1.1; every
@@ -289,6 +296,7 @@ def _make_handler(srv: EngineServer):
                     body.get("frequency_penalty", 0.0)),
                 presence_penalty=float(
                     body.get("presence_penalty", 0.0)),
+                logit_bias=_parse_logit_bias(body),
             )
 
         def _oai_prompt_ids(self, body):
@@ -460,6 +468,7 @@ def _make_handler(srv: EngineServer):
                         body.get("frequency_penalty", 0.0)),
                     presence_penalty=float(
                         body.get("presence_penalty", 0.0)),
+                    logit_bias=_parse_logit_bias(body),
                 )
                 timeout_s = body.get("timeout_s")
                 if timeout_s is not None:

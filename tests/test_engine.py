@@ -438,3 +438,65 @@ def test_presence_penalty_forbids_repeats():
     for t in r.output:
         assert t not in seen, (t, r.output)
         seen.add(t)
+
+
+def test_logit_bias_bans_and_forces():
+    """-1e9 bias bans a token from every step (greedy + block paths);
+    +1e9 forces one."""
+    params = llama.init_params(CFG, seed=14)
+    rng = np.random.default_rng(14)
+    prompt = list(map(int, rng.integers(3, CFG.vocab_size, 5)))
+    plain = _reference_greedy(params, prompt, 6)
+    banned = plain[0]
+
+    sc = SamplingConfig(logit_bias=((banned, -1e9),))
+    eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                sampling=sc)
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    assert banned not in r.output and len(r.output) == 6
+    assert r.output != plain
+
+    # step_block path agrees with step()
+    eng2 = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    r2 = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                 sampling=sc)
+    eng2.add_request(r2)
+    while eng2.has_work():
+        eng2.step_block(3)
+    assert r2.output == r.output
+
+    # forcing: +1e9 on one token makes every output that token
+    forced = (banned + 7) % CFG.vocab_size
+    eng3 = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1)
+    r3 = Request(req_id=0, prompt=list(prompt), max_new_tokens=4,
+                 sampling=SamplingConfig(logit_bias=((forced, 1e9),)))
+    eng3.add_request(r3)
+    while eng3.has_work():
+        eng3.step()
+    assert r3.output == [forced] * 4
+
+
+def test_logit_bias_spec_bitparity():
+    """Biased greedy through the speculative verify program equals the
+    plain biased decode stream."""
+    params = llama.init_params(CFG, seed=15)
+    rng = np.random.default_rng(15)
+    base = list(map(int, rng.integers(3, CFG.vocab_size, 4)))
+    prompt = base + base + base
+    plain = _reference_greedy(params, prompt, 6)
+    sc = SamplingConfig(logit_bias=((plain[0], -1e9), (plain[1], -1e9)))
+
+    def run(**kw):
+        eng = Engine(params, CFG, max_slots=1, max_seq=64, eos_id=-1,
+                     **kw)
+        r = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                    sampling=sc)
+        eng.add_request(r)
+        while eng.has_work():
+            eng.step()
+        return r.output
+
+    assert run(spec_gamma=2) == run()

@@ -273,6 +273,14 @@ def test_openai_compat_without_tokenizer():
             out = json.loads(r.read())
         assert len(out["choices"][0]["token_ids"]) == 3
         assert out["choices"][0]["text"] == ""  # no tokenizer to decode
+
+        # OpenAI logit_bias dict form bans a token end-to-end
+        banned = out["choices"][0]["token_ids"][0]
+        with _post(base, "/v1/completions",
+                   {"prompt": [4, 5], "max_tokens": 3, "temperature": 0,
+                    "logit_bias": {str(banned): -1e9}}) as r:
+            out2 = json.loads(r.read())
+        assert banned not in out2["choices"][0]["token_ids"]
         for payload, needle in [({"prompt": "hello"}, "tokenizer"),
                                 ({"messages": []}, "tokenizer")]:
             path = ("/v1/chat/completions" if "messages" in payload
