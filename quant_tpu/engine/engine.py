@@ -92,18 +92,6 @@ class Request:
     timed_out: bool = False
 
 
-@jax.jit
-def _counts_accumulate(counts, toks, slot, n, reset):
-    """Scatter one prefill chunk's tokens into counts[slot] (zeroing the
-    row first when ``reset`` — the admission's first chunk). ``toks``
-    [1, t_pad] is the already-uploaded chunk, zero-padded past ``n``
-    (the mask keeps pad token 0 uncounted)."""
-    row = jnp.where(reset, jnp.zeros_like(counts[0]), counts[slot])
-    mask = (jnp.arange(toks.shape[1]) < n).astype(jnp.int32)
-    row = row.at[toks[0]].add(mask)
-    return counts.at[slot].set(row)
-
-
 def _bucket(n: int, lo: int = 16) -> int:
     b = lo
     while b < n:
@@ -908,13 +896,6 @@ class Engine:
         t_pad = _bucket(len(chunk))
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, : len(chunk)] = chunk
-        if req.sampling.has_penalties:
-            # exact prompt(+resumed-output) token counts for the
-            # penalties; rebuilt from scratch on the first chunk, so
-            # preempted re-admissions stay consistent
-            self.counts = _counts_accumulate(
-                self.counts, jnp.asarray(toks), jnp.int32(slot),
-                jnp.int32(len(chunk)), jnp.bool_(off == 0))
         if self.prefix_cache:
             pools = (self.cache.k_codes, self.cache.k_scale,
                      self.cache.v_codes, self.cache.v_scale)
@@ -963,6 +944,21 @@ class Engine:
                                       jnp.int32(slot))
         self.key, sub = jax.random.split(self.key)
         if req.sampling.has_penalties:
+            # Exact prompt(+resumed-output) token counts for the
+            # penalties, built host-side and written as ONE row set at
+            # admission completion. Deliberately NOT accumulated per
+            # chunk on device: the decode/verify programs scatter-add
+            # +1 to EVERY slot row each dispatch (including this one,
+            # mid-prefill, from its stale last_token), so any such
+            # garbage landing during the chunked prefill is overwritten
+            # here before the row is first read. After this point the
+            # slot is active and the per-step adds are the real
+            # committed tokens. Also handles preempted re-admissions
+            # (stream = prompt + output, rebuilt from scratch).
+            row = np.bincount(np.asarray(stream, np.int64),
+                              minlength=self.cfg.vocab_size
+                              ).astype(np.int32)
+            self.counts = self.counts.at[slot].set(jnp.asarray(row))
             tok = int(sample(last[None], sub, req.sampling,
                              counts=self.counts[slot][None])[0])
             self.counts = self.counts.at[slot, tok].add(1)

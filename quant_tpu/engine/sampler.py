@@ -95,11 +95,6 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig,
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / cfg.temperature
-    if cfg.min_p > 0.0:
-        # p_i/p_max = exp(l_i - l_max) on the temperature-scaled dist, so
-        # the mask is a pure logit threshold — no softmax materialized.
-        mx = jnp.max(lg, axis=-1, keepdims=True)
-        lg = jnp.where(lg < mx + jnp.log(cfg.min_p), -jnp.inf, lg)
     if cfg.top_k > 0:
         kth = jnp.sort(lg, axis=-1)[:, -cfg.top_k][:, None]
         lg = jnp.where(lg < kth, -jnp.inf, lg)
@@ -111,6 +106,15 @@ def sample(logits: jax.Array, key, cfg: SamplingConfig,
         cutoff_idx = jnp.sum(cum < cfg.top_p, axis=-1)
         cutoff = jnp.take_along_axis(sorted_lg, cutoff_idx[:, None], axis=-1)
         lg = jnp.where(lg < cutoff, -jnp.inf, lg)
+    if cfg.min_p > 0.0:
+        # p_i/p_max = exp(l_i - l_max) on the temperature-scaled dist, so
+        # the mask is a pure logit threshold — no softmax materialized.
+        # Applied AFTER top-k/top-p to mirror filter_logits exactly (the
+        # max logit survives those masks, so the threshold is identical
+        # and a request's first token follows the same truncated
+        # distribution as all later device-sampled tokens).
+        mx = jnp.max(lg, axis=-1, keepdims=True)
+        lg = jnp.where(lg < mx + jnp.log(cfg.min_p), -jnp.inf, lg)
     return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
 

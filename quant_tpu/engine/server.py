@@ -190,11 +190,23 @@ class EngineServer:
             self.engine.cancel(rid)
 
 
-def _parse_logit_bias(body) -> tuple:
+def _parse_logit_bias(body, vocab_size: int) -> tuple:
     """OpenAI logit_bias {"token_id": bias, ...} → sorted tuple of
-    (token_id, bias) pairs (the hashable SamplingConfig form)."""
+    (token_id, bias) pairs (the hashable SamplingConfig form).
+
+    Ids are validated against the model vocab — JAX scatter would drop
+    out-of-range ids silently, so a wrong-tokenizer typo must 400
+    instead. Bias magnitudes clamp to [-100, 100] (OpenAI semantics:
+    ±100 already bans/forces)."""
     lb = body.get("logit_bias") or {}
-    return tuple(sorted((int(t), float(v)) for t, v in lb.items()))
+    pairs = []
+    for t, v in lb.items():
+        tid = int(t)
+        if not 0 <= tid < vocab_size:
+            raise ValueError(
+                f"logit_bias token id {tid} outside [0, {vocab_size})")
+        pairs.append((tid, min(100.0, max(-100.0, float(v)))))
+    return tuple(sorted(pairs))
 
 
 def _make_handler(srv: EngineServer):
@@ -296,7 +308,8 @@ def _make_handler(srv: EngineServer):
                     body.get("frequency_penalty", 0.0)),
                 presence_penalty=float(
                     body.get("presence_penalty", 0.0)),
-                logit_bias=_parse_logit_bias(body),
+                logit_bias=_parse_logit_bias(
+                    body, srv.engine.cfg.vocab_size),
             )
 
         def _oai_prompt_ids(self, body):
@@ -348,8 +361,12 @@ def _make_handler(srv: EngineServer):
             max_new = int(body.get("max_tokens", 16))
             stop_ids = [int(t) for t in body.get("stop_token_ids", [])]
             nq = int(body.get("n", 1))
-            if nq < 1:
-                raise ValueError("n must be >= 1")
+            if not 1 <= nq <= 128:
+                # OpenAI caps n at 128; without a cap a single request
+                # could enqueue unbounded copies (submit_many blocks the
+                # handler thread until all n complete) even when
+                # max_pending backpressure is off.
+                raise ValueError("n must be in [1, 128]")
             obj = ("chat.completion" if chat else "text_completion")
             if body.get("stream"):
                 if nq != 1:
@@ -468,7 +485,8 @@ def _make_handler(srv: EngineServer):
                         body.get("frequency_penalty", 0.0)),
                     presence_penalty=float(
                         body.get("presence_penalty", 0.0)),
-                    logit_bias=_parse_logit_bias(body),
+                    logit_bias=_parse_logit_bias(
+                        body, srv.engine.cfg.vocab_size),
                 )
                 timeout_s = body.get("timeout_s")
                 if timeout_s is not None:

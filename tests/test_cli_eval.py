@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from quant_tpu import cli
 from quant_tpu.eval import perplexity

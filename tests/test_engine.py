@@ -424,6 +424,36 @@ def test_engine_penalties_with_speculation_bitparity():
     assert r.output == expect
 
 
+def test_penalized_admission_under_load_counts_exact():
+    """A penalized long prompt admitted chunk-by-chunk while another slot
+    keeps decoding must end with EXACT token-history counts. Regression:
+    the decode program scatter-adds +1 to every slot row per dispatch
+    (including a mid-chunked-prefill slot, from its stale last_token), so
+    per-chunk device accumulation corrupted the row under load; the row
+    is now written once, host-built, at admission completion."""
+    params = llama.init_params(CFG, seed=15)
+    rng = np.random.default_rng(15)
+    prompt_b = list(map(int, rng.integers(3, CFG.vocab_size, 21)))
+    sc = SamplingConfig(repetition_penalty=1.4, frequency_penalty=0.2,
+                        presence_penalty=0.4)
+    expect = _reference_greedy_penalized(params, prompt_b, 8, sc)
+    assert expect != _reference_greedy(params, prompt_b, 8)
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    eng.PREFILL_CHUNK = 8  # force multi-chunk admission on a tiny prompt
+    ra = Request(req_id=0, prompt=[5, 6, 7], max_new_tokens=30,
+                 sampling=SamplingConfig())
+    eng.add_request(ra)
+    eng.step()  # admit A; it decodes during every later step
+    assert any(s is ra for s in eng.slots)
+    rb = Request(req_id=1, prompt=list(prompt_b), max_new_tokens=8,
+                 sampling=sc)
+    eng.add_request(rb)
+    while not rb.finished:
+        eng.step()  # B's 3 admission chunks interleave with A's decodes
+    assert rb.output == expect
+
+
 def test_presence_penalty_forbids_repeats():
     """A huge presence penalty makes sampled output all-distinct."""
     params = llama.init_params(CFG, seed=13)
