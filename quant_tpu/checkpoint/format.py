@@ -256,6 +256,9 @@ class _BlobReader:
 # loaders default them instead of KeyErroring on older manifests
 # (write-side always emits them; defaults mirror the converter's).
 _OPTIONAL_LAYER_FIELDS = ("q_norm", "k_norm")
+# Gemma-2 post-block norms: present only when cfg.post_norms (other
+# families' checkpoints simply never reference them).
+_POST_NORM_FIELDS = ("post_attn_norm", "post_mlp_norm")
 # MoE fields: None (absent) for every dense checkpoint.
 _MOE_LAYER_FIELDS = ("router", "we_gate_up", "we_down")
 
@@ -263,6 +266,8 @@ _MOE_LAYER_FIELDS = ("router", "we_gate_up", "we_down")
 def _default_layer_leaf(field: str, cfg: ModelConfig):
     if field in _OPTIONAL_LAYER_FIELDS:
         return np.ones((cfg.head_dim,), np.float32)
+    if field in _POST_NORM_FIELDS:
+        return np.ones((cfg.dim,), np.float32) if cfg.post_norms else None
     if field in _MOE_LAYER_FIELDS:
         return None
     if cfg.n_experts and field in ("w_gate_up", "w_down"):

@@ -35,6 +35,22 @@ class ModelConfig:
     # Qwen3 family: per-head RMSNorm on q and k (over head_dim, learned
     # [Dh] weights shared across heads) after projection, before RoPE.
     qk_norm: bool = False
+    # Gemma-2 family:
+    # * sliding_pattern p alternates local/global attention: layer i is
+    #   GLOBAL iff (i + 1) % p == 0, else it uses sliding_window
+    #   (p=2 → Gemma-2's local/global alternation; p=0 → every layer
+    #   sliding, the Mistral default).
+    # * attn_softcap / final_softcap: tanh softcapping c·tanh(x/c) on
+    #   attention scores (before masking) / LM logits (0 = off).
+    # * post_norms: extra RMSNorms on the attention and MLP block
+    #   OUTPUTS (before the residual add), on top of the pre-norms.
+    # * query_pre_attn_scalar s: attention scores scale by s^-0.5
+    #   instead of head_dim^-0.5 (0 = head_dim).
+    sliding_pattern: int = 0
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    post_norms: bool = False
+    query_pre_attn_scalar: float = 0.0
     # Mixtral-style sparse MoE MLP: n_experts > 0 replaces the dense MLP
     # with a top-k routed mixture (router = linear [D, E], softmax over
     # ALL experts, top ``experts_per_token`` kept; ``norm_topk`` renorms
@@ -104,6 +120,8 @@ class ModelConfig:
         if self.moe_prefill not in ("dense", "capacity"):
             raise ValueError(f"moe_prefill must be dense|capacity, "
                              f"got {self.moe_prefill!r}")
+        if self.sliding_pattern and not self.sliding_window:
+            raise ValueError("sliding_pattern needs sliding_window > 0")
 
 
 PRESETS: dict[str, ModelConfig] = {
@@ -152,6 +170,24 @@ PRESETS: dict[str, ModelConfig] = {
         intermediate=24576, head_dim=256, rope_theta=10000.0,
         norm_eps=1e-6, norm_offset=1.0, act_fn="gelu_tanh",
         embed_scale=True, embed_bits=8,
+    ),
+    # Gemma-2 (alternating local/global attention, attn+final logit
+    # softcapping, post-block norms, query_pre_attn_scalar, tied head).
+    "gemma-2-2b": ModelConfig(
+        vocab_size=256000, dim=2304, n_layers=26, n_heads=8, n_kv_heads=4,
+        intermediate=9216, head_dim=256, rope_theta=10000.0,
+        norm_eps=1e-6, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, embed_bits=8, sliding_window=4096,
+        sliding_pattern=2, attn_softcap=50.0, final_softcap=30.0,
+        post_norms=True, query_pre_attn_scalar=256.0,
+    ),
+    "gemma-2-9b": ModelConfig(
+        vocab_size=256000, dim=3584, n_layers=42, n_heads=16, n_kv_heads=8,
+        intermediate=14336, head_dim=256, rope_theta=10000.0,
+        norm_eps=1e-6, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, embed_bits=8, sliding_window=4096,
+        sliding_pattern=2, attn_softcap=50.0, final_softcap=30.0,
+        post_norms=True, query_pre_attn_scalar=256.0,
     ),
     # Qwen3-8B (QK-RMSNorm, no qkv bias, decoupled head_dim=128).
     "qwen3-8b": ModelConfig(

@@ -87,6 +87,10 @@ class LayerParams:
     router: Any = None        # [L, D, E]
     we_gate_up: Any = None    # QTensor [E, L, D, 2I]
     we_down: Any = None       # QTensor [E, L, I, D]
+    # Gemma-2 post-block norms ([D], applied to the attention / MLP
+    # OUTPUT before the residual add). None unless cfg.post_norms.
+    post_attn_norm: Any = None
+    post_mlp_norm: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -245,9 +249,9 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     ``s_max`` are the SHARD-local static shapes, so the rule applies
     per-chip under data/tensor sharding exactly as measured.
     """
-    if cfg.sliding_window:
-        # the Pallas decode kernels don't implement the window mask; the
-        # XLA paths do (attention/attention_blockwise)
+    if cfg.sliding_window or cfg.attn_softcap:
+        # the Pallas decode kernels implement neither the window mask nor
+        # tanh softcapping; the XLA paths do
         return "xla"
     if cfg.attn_kernel != "auto":
         return cfg.attn_kernel
@@ -368,6 +372,12 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
         k_norm=(jnp.asarray(
             1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
             if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
+        post_attn_norm=(jnp.asarray(
+            0.1 * rng.standard_normal((d,)), jnp.float32)
+            if cfg.post_norms else None),
+        post_mlp_norm=(jnp.asarray(
+            0.1 * rng.standard_normal((d,)), jnp.float32)
+            if cfg.post_norms else None),
     ))
     if moe:
         # expert-major [E, L, ...] stacking: see LayerParams.we_gate_up
@@ -445,6 +455,10 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
             qkv_bias=jnp.zeros((qd + 2 * kvd,), jnp.float32),
             q_norm=jnp.ones((hd,), jnp.float32),
             k_norm=jnp.ones((hd,), jnp.float32),
+            post_attn_norm=(jnp.ones((d,), jnp.float32)
+                            if cfg.post_norms else None),
+            post_mlp_norm=(jnp.ones((d,), jnp.float32)
+                           if cfg.post_norms else None),
         )
 
     lkeys = jax.random.split(key, cfg.n_layers + 3)
@@ -539,6 +553,10 @@ def quantize_dense_params(
             k_norm=jnp.asarray(
                 g("k_norm") if f"layers.{i}.k_norm" in dense
                 else np.ones((cfg.head_dim,), np.float32), jnp.float32),
+            post_attn_norm=(jnp.asarray(g("post_attn_norm"), jnp.float32)
+                            if cfg.post_norms else None),
+            post_mlp_norm=(jnp.asarray(g("post_mlp_norm"), jnp.float32)
+                           if cfg.post_norms else None),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     if moe:
@@ -571,6 +589,35 @@ def quantize_dense_params(
 
 
 # ── math blocks ─────────────────────────────────────────────────────────
+
+
+def layer_windows(cfg: ModelConfig) -> jax.Array:
+    """Per-layer attention window sizes [L] int32 (0 = full causal).
+
+    Encodes ``cfg.sliding_pattern`` (Gemma-2 local/global alternation:
+    layer i is global iff (i+1) % pattern == 0); with pattern=0 every
+    layer gets ``cfg.sliding_window`` (Mistral). Threaded through the
+    layer scan as an xs leaf so the alternation stays one trace."""
+    p = cfg.sliding_pattern
+    return jnp.asarray(
+        [0 if (p and (i + 1) % p == 0) else cfg.sliding_window
+         for i in range(cfg.n_layers)], jnp.int32)
+
+
+def _q_scale(cfg, dh: int) -> float:
+    """Attention score scale: 1/sqrt(query_pre_attn_scalar or head_dim)."""
+    s = cfg.query_pre_attn_scalar if (
+        cfg is not None and cfg.query_pre_attn_scalar) else dh
+    return float(1.0 / np.sqrt(s))
+
+
+def _softcap_scores(logits, cfg):
+    """Gemma-2 tanh softcapping on attention scores; must run BEFORE the
+    causal mask (tanh would saturate the -1e30 mask values to -cap)."""
+    if cfg is not None and cfg.attn_softcap:
+        cap = cfg.attn_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
 
 def rmsnorm(x, w, eps, offset: float = 0.0):
@@ -858,7 +905,7 @@ def _cache_insert(cache_codes, cache_scale, codes, scale, lengths, s0=0):
 
 
 def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
-              seq_axis=None, key_offset=0):
+              seq_axis=None, key_offset=0, window=None):
     """GQA attention over the int8 cache (XLA path; prefill + fallback).
 
     q [B, T, Hq, Dh]; caches [B, Hkv, S, Dh]/[B, Hkv, S]; positions [B, T]
@@ -875,16 +922,21 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     hkv, s = k_codes.shape[1], k_codes.shape[2]
     kv_bits = cfg.kv_bits if cfg is not None else 8
     rep = hq // hkv
-    qf = q.astype(jnp.float32) / np.sqrt(dh)
+    qf = q.astype(jnp.float32) * _q_scale(cfg, dh)
     # [B, T, Hq, Dh] x [B, Hkv, S, Dh] → [B, Hkv, rep, T, S]
     qg = qf.reshape(b, t, hkv, rep, dh)
     kf = dequant_kv(k_codes, kv_bits)
     logits = jnp.einsum("bthrd,bhsd->bhrts", qg, kf)
     logits = logits * k_scale[:, :, None, None, :]
+    logits = _softcap_scores(logits, cfg)
     key_pos = key_offset + jnp.arange(s)[None, None, None, None, :]
     qpos = positions[:, None, None, :, None]
     valid = (key_pos <= qpos) & (key_pos < lengths[:, None, None, None, None])
-    if cfg is not None and cfg.sliding_window:
+    if window is not None:
+        # traced per-layer window (Gemma-2 local/global alternation);
+        # window <= 0 → full causal for this layer
+        valid &= (window <= 0) | (key_pos > qpos - window)
+    elif cfg is not None and cfg.sliding_window:
         valid &= key_pos > qpos - cfg.sliding_window
     logits = jnp.where(valid, logits, -1e30)
     if seq_axis is None:
@@ -910,7 +962,7 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
 
 
 def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
-                        lengths, cfg, block: int = 1024):
+                        lengths, cfg, block: int = 1024, window=None):
     """Flash-style prefill attention in pure XLA: lax.scan over KV blocks
     with an online softmax, so peak memory is O(T·block) instead of the
     O(T·S) logits the one-shot einsum materializes — this is what makes
@@ -924,12 +976,13 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
     kv_bits = cfg.kv_bits if cfg is not None else 8
     if s <= block:
         return attention(q, k_codes, k_scale, v_codes, v_scale, positions,
-                         lengths, cfg)
+                         lengths, cfg, window=window)
     if s % block:
         block = s  # fall back to one-shot for awkward sizes
     rep = hq // hkv
     dc = k_codes.shape[-1]  # code dim: Dh/2 packed bytes for int4 KV
-    qg = (q.astype(jnp.float32) / np.sqrt(dh)).reshape(b, t, hkv, rep, dh)
+    qg = (q.astype(jnp.float32) * _q_scale(cfg, dh)).reshape(
+        b, t, hkv, rep, dh)
     n_blk = s // block
     kb = jnp.moveaxis(k_codes.reshape(b, hkv, n_blk, block, dc), 2, 0)
     ksb = jnp.moveaxis(k_scale.reshape(b, hkv, n_blk, block), 2, 0)
@@ -944,10 +997,13 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
         logits = jnp.einsum("bthrd,bhsd->bhrts", qg,
                             dequant_kv(kcb, kv_bits))
         logits = logits * kscb[:, :, None, None, :]
+        logits = _softcap_scores(logits, cfg)
         key_pos = blk_idx * block + jnp.arange(block)[None, None, None,
                                                       None, :]
         valid = (key_pos <= qpos) & (key_pos < lim)
-        if cfg.sliding_window:
+        if window is not None:
+            valid &= (window <= 0) | (key_pos > qpos - window)
+        elif cfg.sliding_window:
             valid &= key_pos > qpos - cfg.sliding_window
         logits = jnp.where(valid, logits, -1e30)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
@@ -1023,16 +1079,17 @@ def forward(
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
-        (params.layers.attn_norm, params.layers.mlp_norm,
-         params.layers.qkv_bias, params.layers.q_norm,
-         params.layers.k_norm, params.layers.router,
-         jnp.arange(cfg.n_layers)),
+        scan_xs(params.layers, cfg),
     )
     h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
     logits = logits[..., :cfg.vocab_size]  # drop lm_head tile padding
+    if cfg.final_softcap:
+        # Gemma-2 final logit softcapping (elementwise — commutes with
+        # the vocab all-gather/slice above)
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     if paged:
         new_cache = PagedKVCache(
             k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
@@ -1042,6 +1099,28 @@ def forward(
             k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
             lengths=new_lengths)
     return logits, new_cache
+
+
+def scan_xs(layers, cfg: ModelConfig, layer0=None) -> tuple:
+    """Per-layer scan xs for :func:`make_layer_step` (and the SP/PP layer
+    bodies): small leaves + the per-layer attention window + layer index.
+    The post-norm slots fall back to attn_norm (statically ignored by the
+    body) when cfg.post_norms is off, keeping the xs structure uniform
+    across model families.
+
+    ``layer0``: this shard's global layer offset (traced; PP stages) —
+    the window alternation is indexed by GLOBAL layer, so a stage slices
+    its stretch of the full window array. Leaf arrays are already the
+    local stack inside shard_map."""
+    l_stack = layers.attn_norm.shape[0]
+    win = layer_windows(cfg)
+    if layer0 is not None:
+        win = jax.lax.dynamic_slice_in_dim(win, layer0, l_stack)
+    return (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
+            layers.q_norm, layers.k_norm, layers.router,
+            layers.post_attn_norm if cfg.post_norms else layers.attn_norm,
+            layers.post_mlp_norm if cfg.post_norms else layers.attn_norm,
+            win, jnp.arange(l_stack))
 
 
 def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
@@ -1074,7 +1153,11 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router, idx = xs
+        (attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router,
+         post_attn, post_mlp, win, idx) = xs
+        # traced per-layer window only when the family uses one (static
+        # gate keeps the mask out of Llama-style traces entirely)
+        window = win if cfg.sliding_window else None
         x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -1129,8 +1212,9 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            paged_gather(ks, page_tbl, idx),
                            paged_gather(vc, page_tbl, idx),
                            paged_gather(vs, page_tbl, idx),
-                           positions, new_lengths, cfg)
-            return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router)
+                           positions, new_lengths, cfg, window=window)
+            return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
+                         post_attn, post_mlp)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
                  and ak == "flash" and cfg.kv_bits in (8, 4)
@@ -1168,21 +1252,32 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 # memory at O(T*block) regardless of context length
                 attn = attention_blockwise(q, sl(kc), sl(ks), sl(vc),
                                            sl(vs), positions, new_lengths,
-                                           cfg)
+                                           cfg, window=window)
             else:
                 attn = attention(q, sl(kc), sl(ks), sl(vc), sl(vs),
                                  positions, new_lengths, cfg,
-                                 seq_axis=seq_axis, key_offset=s0)
-        return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router)
+                                 seq_axis=seq_axis, key_offset=s0,
+                                 window=window)
+        return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
+                     post_attn, post_mlp)
 
-    def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router):
+    def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
+              post_attn, post_mlp):
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
-        h = h + psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
-                        out_dtype=jnp.float32)).astype(dt)
+        o = psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
+                    out_dtype=jnp.float32))
+        if cfg.post_norms:
+            # Gemma-2: norm the block OUTPUT (after the full TP psum —
+            # RMSNorm is nonlinear) before the residual add
+            o = rmsnorm(o, post_attn, cfg.norm_eps, cfg.norm_offset)
+        h = h + o.astype(dt)
         x = rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
-        h = h + mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
-                          router=router, expert_axis=expert_axis).astype(dt)
+        m = mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
+                      router=router, expert_axis=expert_axis)
+        if cfg.post_norms:
+            m = rmsnorm(m, post_mlp, cfg.norm_eps, cfg.norm_offset)
+        h = h + m.astype(dt)
         return (h, kc, ks, vc, vs), None
 
     return layer_step

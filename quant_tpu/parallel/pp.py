@@ -120,10 +120,9 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     pp = jax.lax.axis_size(pipe_axis)
 
     l_local = cache.k_codes.shape[0]
-    xs = (params.layers.attn_norm, params.layers.mlp_norm,
-          params.layers.qkv_bias, params.layers.q_norm,
-          params.layers.k_norm, params.layers.router,
-          jnp.arange(l_local))
+    # layer0 = my * l_local: the sliding/global alternation (Gemma-2)
+    # indexes by GLOBAL layer, so each stage slices its window stretch
+    xs = llama.scan_xs(params.layers, cfg, layer0=my * l_local)
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
     def scan_local(layer_step, h, kc, ks, vc, vs):

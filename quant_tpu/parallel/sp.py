@@ -176,11 +176,12 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     """
     from quant_tpu.models import llama
 
-    if cfg.sliding_window:
+    if cfg.sliding_window or cfg.attn_softcap:
         raise ValueError(
-            "sp_prefill_forward does not implement the sliding-window "
-            "mask (a <=4k window never needs sequence-parallel prefill; "
-            "use the chunked single-rank prefill path)")
+            "sp_prefill_forward implements neither the sliding-window "
+            "mask nor attention softcapping (a <=4k window never needs "
+            "sequence-parallel prefill; use the chunked single-rank "
+            "prefill path)")
     mm = llama._mm(cfg)
     b, t_loc = tokens.shape
     dt = llama._act_dtype(cfg)
@@ -202,7 +203,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
 
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
-        attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router, idx = xs
+        (attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router,
+         post_attn, post_mlp, _win, idx) = xs
         x = llama.rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
@@ -224,19 +226,23 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         k_hat = llama.dequant_kv(k_q, cfg.kv_bits) * k_s[..., None]
         v_hat = llama.dequant_kv(v_q, cfg.kv_bits) * v_s[..., None]
         attn = attend(q, k_hat, v_hat, q_pos, q_pos, seq_axis)
-        h = h + psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
-                        out_dtype=jnp.float32)).astype(dt)
+        o = psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
+                    out_dtype=jnp.float32))
+        if cfg.post_norms:
+            o = llama.rmsnorm(o, post_attn, cfg.norm_eps, cfg.norm_offset)
+        h = h + o.astype(dt)
         x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
-        h = h + llama.mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
-                                router=router).astype(dt)
+        m = llama.mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
+                            router=router)
+        if cfg.post_norms:
+            m = llama.rmsnorm(m, post_mlp, cfg.norm_eps, cfg.norm_offset)
+        h = h + m.astype(dt)
         return (h, kc, ks, vc, vs), None
 
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
         (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
-        (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
-         layers.q_norm, layers.k_norm, layers.router,
-         jnp.arange(cfg.n_layers)),
+        llama.scan_xs(layers, cfg),
     )
     h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps,
                       cfg.norm_offset)
@@ -244,6 +250,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
     logits = logits[..., :cfg.vocab_size]
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     new_cache = llama.KVCache(
         k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
         lengths=cache.lengths + t_glob,

@@ -227,6 +227,11 @@ def _dense_weights(cfg, seed):
                 hd).astype(np.float32)
             dense[p + "k_norm"] = 1.0 + 0.2 * rng.standard_normal(
                 hd).astype(np.float32)
+        if cfg.post_norms:
+            dense[p + "post_attn_norm"] = rng.standard_normal(d).astype(
+                np.float32) * 0.1
+            dense[p + "post_mlp_norm"] = rng.standard_normal(d).astype(
+                np.float32) * 0.1
     return dense
 
 
@@ -264,8 +269,18 @@ def _hf_state_dict_from_params(params, cfg):
             lp.w_down.local_view().dequantize())
         sd[pre + "input_layernorm.weight"] = torch.from_numpy(
             np.asarray(lp.attn_norm, np.float32))
-        sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
-            np.asarray(lp.mlp_norm, np.float32))
+        if cfg.post_norms:
+            # Gemma-2 four-norm naming: HF's post_attention_layernorm is
+            # the POST norm; the pre-MLP norm is pre_feedforward_layernorm
+            sd[pre + "pre_feedforward_layernorm.weight"] = torch.from_numpy(
+                np.asarray(lp.mlp_norm, np.float32))
+            sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+                np.asarray(lp.post_attn_norm, np.float32))
+            sd[pre + "post_feedforward_layernorm.weight"] = \
+                torch.from_numpy(np.asarray(lp.post_mlp_norm, np.float32))
+        else:
+            sd[pre + "post_attention_layernorm.weight"] = torch.from_numpy(
+                np.asarray(lp.mlp_norm, np.float32))
         if cfg.qk_norm:
             sd[pre + "self_attn.q_norm.weight"] = torch.from_numpy(
                 np.asarray(lp.q_norm, np.float32))
@@ -388,6 +403,89 @@ def test_gemma_matches_transformers():
     ours, hf_logits = _run_both(model, params, cfg, toks)
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
+def test_gemma2_matches_transformers():
+    """Gemma-2 family: alternating local/global attention (layer 0
+    sliding, layer 1 global), attention-score + final-logit tanh
+    softcapping, post-block norms, query_pre_attn_scalar. kv_bits=16
+    isolates architecture semantics at tight tolerance; ablations prove
+    each mechanism is actually exercised."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = dataclasses.replace(
+        CFG, head_dim=128, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, kv_bits=16, sliding_window=8, sliding_pattern=2,
+        attn_softcap=20.0, final_softcap=10.0, post_norms=True,
+        query_pre_attn_scalar=64.0)
+    dense = _dense_weights(cfg, seed=51)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(52).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = Gemma2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        hidden_activation="gelu_pytorch_tanh",
+        sliding_window=cfg.sliding_window,
+        attn_logit_softcapping=cfg.attn_softcap,
+        final_logit_softcapping=cfg.final_softcap,
+        query_pre_attn_scalar=cfg.query_pre_attn_scalar,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    assert hf_cfg.layer_types == ["sliding_attention", "full_attention"]
+    model = Gemma2ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    # window(8) < prompt(16): the sliding mask genuinely cuts keys
+    toks = np.random.default_rng(53).integers(2, cfg.vocab_size, (2, 16))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # each mechanism matters: disabling it must break parity
+    for off in (dict(sliding_window=0, sliding_pattern=0),
+                dict(attn_softcap=0.0),
+                dict(final_softcap=0.0),
+                dict(query_pre_attn_scalar=0.0)):
+        ours_off, _ = _run_both(
+            model, params, dataclasses.replace(cfg, **off), toks)
+        assert not np.allclose(ours_off, hf_logits, rtol=2e-3,
+                               atol=2e-3), off
+    # ...and the alternation itself: all-layers-sliding must differ
+    cfg_all = dataclasses.replace(cfg, sliding_pattern=0)
+    ours_all, _ = _run_both(model, params, cfg_all, toks)
+    assert not np.allclose(ours_all, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_decode_matches_prefill():
+    """Gemma-2 per-layer windows through the DECODE path: token-by-token
+    forward must equal the one-shot prefill logits (the window mask is
+    position-indexed, not cache-slot-indexed)."""
+    cfg = dataclasses.replace(
+        CFG, head_dim=64, norm_offset=1.0, act_fn="gelu_tanh",
+        embed_scale=True, sliding_window=4, sliding_pattern=2,
+        attn_softcap=20.0, final_softcap=10.0, post_norms=True,
+        query_pre_attn_scalar=32.0)
+    params = llama.init_params(cfg, seed=55)
+    toks = np.random.default_rng(55).integers(2, cfg.vocab_size, (1, 10))
+
+    cache = llama.init_cache(cfg, 1, 16)
+    full, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache,
+                            cfg)
+    cache = llama.init_cache(cfg, 1, 16)
+    steps = []
+    for i in range(toks.shape[1]):
+        lg, cache = llama.forward(
+            params, jnp.asarray(toks[:, i:i + 1], jnp.int32), cache, cfg)
+        steps.append(np.asarray(lg[:, 0], np.float32))
+    np.testing.assert_allclose(
+        np.stack(steps, axis=1), np.asarray(full, np.float32),
+        rtol=2e-3, atol=2e-3)
 
 
 def test_mixtral_logits_match_transformers():
