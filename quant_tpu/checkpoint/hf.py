@@ -78,6 +78,15 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         norm_offset=1.0 if mtype.startswith("gemma") else 0.0,
         act_fn="gelu_tanh" if "gelu" in act else "silu",
         embed_scale=mtype.startswith("gemma"),
+        # Gemma-2: local/global alternation (layer 0 sliding), tanh
+        # softcapping on attention scores + final logits, post-block
+        # norms, decoupled attention score scale
+        sliding_pattern=2 if mtype == "gemma2" else 0,
+        attn_softcap=float(hf.get("attn_logit_softcapping") or 0.0),
+        final_softcap=float(hf.get("final_logit_softcapping") or 0.0),
+        post_norms=mtype == "gemma2",
+        query_pre_attn_scalar=float(
+            hf.get("query_pre_attn_scalar") or 0.0),
         qk_norm=mtype in ("qwen3", "qwen3_moe"),
         # Sparse MoE: Mixtral (num_local_experts) / Qwen3-MoE (num_experts)
         n_experts=(int(hf.get("num_local_experts", 0))
@@ -119,6 +128,8 @@ def convert_hf_llama(
     group_size: int = 128,
     tp: int = 1,
     cfg: ModelConfig | None = None,
+    algo: str = "rtn",
+    calib_tokens: np.ndarray | None = None,
 ) -> ModelConfig:
     """Convert a HF Llama directory to a packed quantized checkpoint,
     streaming tensor-by-tensor (bounded RSS).
@@ -126,10 +137,22 @@ def convert_hf_llama(
     ``tp``: intended tensor-parallel degree — column-fused tensors are
     interleaved per shard, int4 row-split tensors packed with kshards=tp,
     and the checkpoint's blobs are split per TP rank (see format.py).
+
+    ``algo="gptq"`` runs the sequential error-compensated calibration
+    (core/calibrate.py) over ``calib_tokens`` [B, T] int ids: each
+    layer's projections are quantized against the running float32
+    activations and the quantized layer's outputs feed the next — same
+    streaming order, same checkpoint format, smarter codes. lm_head is
+    then quantized LAST (against the final-norm output), re-reading its
+    tensor instead of holding it across the pass.
     """
     model_dir = pathlib.Path(model_dir)
     if cfg is None:
         cfg = config_from_hf(model_dir, bits=bits, group_size=group_size)
+    if algo not in ("rtn", "gptq"):
+        raise ValueError(f"algo must be rtn|gptq, got {algo!r}")
+    if algo == "gptq" and calib_tokens is None:
+        raise ValueError("algo='gptq' needs calib_tokens [B, T] int ids")
     hf = _HFReader(model_dir)
     hf_cfg = json.loads((model_dir / "config.json").read_text())
     w = CheckpointWriter(out_dir, cfg, tp=tp)
@@ -141,19 +164,30 @@ def convert_hf_llama(
         return quantize_tensor(arr, cfg.bits, cfg.group_size,
                                kshards=kshards)
 
+    def read_lm_head():
+        if hf_cfg.get("tie_word_embeddings") or "lm_head.weight" not in hf:
+            return np.ascontiguousarray(
+                hf.get("model.embed_tokens.weight").astype(np.float32).T)
+        return t("lm_head.weight")
+
     embed = hf.get("model.embed_tokens.weight").astype(np.float32)
     w.add("embed", _embed_host(embed, cfg))
     w.add("final_norm", hf.get("model.norm.weight").astype(np.float32))
-    if hf_cfg.get("tie_word_embeddings") or "lm_head.weight" not in hf:
-        lm = np.ascontiguousarray(embed.T)
+    cal = None
+    if algo == "gptq":
+        from quant_tpu.core.calibrate import GPTQCalibrator
+
+        cal = GPTQCalibrator(cfg, calib_tokens, embed, tp=tp)
     else:
-        lm = t("lm_head.weight")
+        w.add("lm_head",
+              qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     del embed
-    w.add("lm_head", qz(_pad_cols(lm, _pad_vocab(cfg.vocab_size))))
-    del lm
 
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
+        if cal is not None:
+            _convert_layer_gptq(w, hf, cfg, cal, i, t, tp)
+            continue
         w.add(f"layers.{i}.wqkv", qz(concat_columns(
             [t(pre + "self_attn.q_proj.weight"),
              t(pre + "self_attn.k_proj.weight"),
@@ -186,9 +220,24 @@ def convert_hf_llama(
                   qz(t(pre + "mlp.down_proj.weight"), kshards=tp))
         w.add(f"layers.{i}.attn_norm",
               hf.get(pre + "input_layernorm.weight").astype(np.float32))
-        w.add(f"layers.{i}.mlp_norm",
-              hf.get(pre + "post_attention_layernorm.weight").astype(
-                  np.float32))
+        if cfg.post_norms:
+            # Gemma-2 four-norm layout: HF's post_attention_layernorm is
+            # the POST norm on the attention output; the pre-MLP norm is
+            # pre_feedforward_layernorm (in Llama-likes,
+            # post_attention_layernorm IS the pre-MLP norm).
+            w.add(f"layers.{i}.mlp_norm",
+                  hf.get(pre + "pre_feedforward_layernorm.weight").astype(
+                      np.float32))
+            w.add(f"layers.{i}.post_attn_norm",
+                  hf.get(pre + "post_attention_layernorm.weight").astype(
+                      np.float32))
+            w.add(f"layers.{i}.post_mlp_norm",
+                  hf.get(pre + "post_feedforward_layernorm.weight").astype(
+                      np.float32))
+        else:
+            w.add(f"layers.{i}.mlp_norm",
+                  hf.get(pre + "post_attention_layernorm.weight").astype(
+                      np.float32))
         if pre + "self_attn.q_proj.bias" in hf:  # Qwen2 family
             bias = concat_columns(
                 [hf.get(pre + "self_attn.q_proj.bias")[None, :].astype(
@@ -208,5 +257,90 @@ def convert_hf_llama(
                   hf.get(pre + hf_name).astype(np.float32)
                   if pre + hf_name in hf  # Qwen3 QK-RMSNorm
                   else np.ones((cfg.head_dim,), np.float32))
+    if cal is not None:
+        w.add("lm_head", cal.finish(
+            hf.get("model.norm.weight").astype(np.float32),
+            _pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     w.finish()
     return cfg
+
+
+def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):
+    """One layer of the algo="gptq" conversion: assemble the dense layer
+    dict in the calibrator's naming, run the sequential GPTQ step, and
+    write the exact tensor set the RTN path writes."""
+    pre = f"model.layers.{i}."
+
+    def norm(name, default_shape=None):
+        if pre + name in hf:
+            return hf.get(pre + name).astype(np.float32)
+        return np.ones(default_shape, np.float32)
+
+    dense = {
+        "wq": t(pre + "self_attn.q_proj.weight"),
+        "wk": t(pre + "self_attn.k_proj.weight"),
+        "wv": t(pre + "self_attn.v_proj.weight"),
+        "wo": t(pre + "self_attn.o_proj.weight"),
+        "attn_norm": norm("input_layernorm.weight"),
+    }
+    if cfg.post_norms:
+        dense["mlp_norm"] = norm("pre_feedforward_layernorm.weight")
+        dense["post_attn_norm"] = norm("post_attention_layernorm.weight")
+        dense["post_mlp_norm"] = norm("post_feedforward_layernorm.weight")
+    else:
+        dense["mlp_norm"] = norm("post_attention_layernorm.weight")
+    if pre + "self_attn.q_proj.bias" in hf:
+        for f, n in (("q_bias", "q_proj"), ("k_bias", "k_proj"),
+                     ("v_bias", "v_proj")):
+            dense[f] = hf.get(
+                pre + f"self_attn.{n}.bias").astype(np.float32)
+    if cfg.qk_norm:
+        dense["q_norm"] = norm("self_attn.q_norm.weight",
+                               (cfg.head_dim,))
+        dense["k_norm"] = norm("self_attn.k_norm.weight",
+                               (cfg.head_dim,))
+    if cfg.n_experts:
+        mixtral = pre + "block_sparse_moe.gate.weight" in hf
+        moe_pre = pre + ("block_sparse_moe." if mixtral else "mlp.")
+        names = (("w1", "w3", "w2") if mixtral
+                 else ("gate_proj", "up_proj", "down_proj"))
+        dense["router"] = t(moe_pre + "gate.weight")
+        for e in range(cfg.n_experts):
+            epre = moe_pre + f"experts.{e}."
+            dense[f"expert{e}.w_gate"] = t(f"{epre}{names[0]}.weight")
+            dense[f"expert{e}.w_up"] = t(f"{epre}{names[1]}.weight")
+            dense[f"expert{e}.w_down"] = t(f"{epre}{names[2]}.weight")
+    else:
+        dense["w_gate"] = t(pre + "mlp.gate_proj.weight")
+        dense["w_up"] = t(pre + "mlp.up_proj.weight")
+        dense["w_down"] = t(pre + "mlp.down_proj.weight")
+
+    qd = cal.layer(dense)
+    w.add(f"layers.{i}.wqkv", qd["wqkv"])
+    w.add(f"layers.{i}.wo", qd["wo"])
+    if cfg.n_experts:
+        w.add(f"layers.{i}.router", dense["router"])
+        for e in range(cfg.n_experts):
+            w.add(f"layers.{i}.we_gate_up.{e}", qd[f"we_gate_up.{e}"])
+            w.add(f"layers.{i}.we_down.{e}", qd[f"we_down.{e}"])
+    else:
+        w.add(f"layers.{i}.w_gate_up", qd["w_gate_up"])
+        w.add(f"layers.{i}.w_down", qd["w_down"])
+    w.add(f"layers.{i}.attn_norm", dense["attn_norm"])
+    w.add(f"layers.{i}.mlp_norm", dense["mlp_norm"])
+    if cfg.post_norms:
+        w.add(f"layers.{i}.post_attn_norm", dense["post_attn_norm"])
+        w.add(f"layers.{i}.post_mlp_norm", dense["post_mlp_norm"])
+    nq = cfg.n_heads * cfg.head_dim
+    nkv = cfg.n_kv_heads * cfg.head_dim
+    if "q_bias" in dense:
+        from quant_tpu.core.qtensor import concat_columns as _cc
+        bias = _cc([dense["q_bias"][None, :], dense["k_bias"][None, :],
+                    dense["v_bias"][None, :]], tp)[0]
+    else:
+        bias = np.zeros((nq + 2 * nkv,), np.float32)
+    w.add(f"layers.{i}.qkv_bias", bias)
+    w.add(f"layers.{i}.q_norm",
+          dense.get("q_norm", np.ones((cfg.head_dim,), np.float32)))
+    w.add(f"layers.{i}.k_norm",
+          dense.get("k_norm", np.ones((cfg.head_dim,), np.float32)))

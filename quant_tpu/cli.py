@@ -15,13 +15,26 @@ import sys
 
 
 def _cmd_convert(args):
+    import numpy as np
+
     from quant_tpu.checkpoint import convert_hf_llama
 
+    calib = None
+    if args.algo == "gptq":
+        if args.calib:
+            calib = np.load(args.calib)
+        else:
+            raise SystemExit(
+                "--algo gptq needs --calib <tokens.npy> ([B, T] int ids "
+                "of real text; GPTQ minimizes layer-output error on that "
+                "sample)")
     cfg = convert_hf_llama(
         args.hf_dir, args.out_dir, bits=args.bits,
-        group_size=args.group_size, tp=args.tp,
+        group_size=args.group_size, tp=args.tp, algo=args.algo,
+        calib_tokens=calib,
     )
-    print(json.dumps({"converted": args.out_dir, "config": cfg.__dict__}))
+    print(json.dumps({"converted": args.out_dir, "algo": args.algo,
+                      "config": cfg.__dict__}))
 
 
 def _parse_mesh(spec: str):
@@ -283,6 +296,11 @@ def main(argv=None):
     c.add_argument("--bits", type=int, default=4)
     c.add_argument("--group-size", type=int, default=128)
     c.add_argument("--tp", type=int, default=1)
+    c.add_argument("--algo", choices=("rtn", "gptq"), default="rtn",
+                   help="rtn: round-to-nearest (codec default); gptq: "
+                        "error-compensated calibration (needs --calib)")
+    c.add_argument("--calib",
+                   help=".npy of [B, T] int token ids for --algo gptq")
     c.set_defaults(fn=_cmd_convert)
 
     g = sub.add_parser("generate", help="generate from a packed ckpt")

@@ -1,0 +1,413 @@
+"""Calibrated (activation-aware) weight quantization — GPTQ.
+
+The codec's RTN (round-to-nearest with symmetric absmax scales,
+core/codec.py) treats every weight entry alike. GPTQ [Frantar et al.,
+2023] instead minimizes the LAYER OUTPUT error ``||XW - XQ||_F`` over a
+calibration activation sample X: input dimensions are quantized one at a
+time and the (Hessian-weighted) rounding error of each is folded back
+into the not-yet-quantized rows, so correlated input features compensate
+for each other's rounding. The result is bit-for-bit the SAME storage
+format as RTN — a :class:`~quant_tpu.core.qtensor.QTensor` with
+per-(group, column) scales and the split-K int4 packing — so kernels,
+checkpoints, sharding and serving are untouched; only the codes/scales
+get smarter.
+
+Two entry points:
+
+* :func:`gptq_quantize_tensor` — one [K, N] weight + a Hessian proxy
+  ``H = Xᵀ diag(wgt) X`` over its calibration inputs.
+* :class:`GPTQCalibrator` — the sequential model-level pipeline: runs a
+  float32 forward of each decoder layer on calibration tokens (with the
+  DEPLOYED KV quantization and attention semantics, including Gemma-2
+  windows/softcap), captures each projection's inputs, GPTQ-quantizes
+  it, and propagates the QUANTIZED layer's outputs to the next layer —
+  the standard error-compounding-aware schedule. Consumed by
+  :func:`gptq_quantize_dense` (in-memory dense dicts, mirrors
+  ``llama.quantize_dense_params``) and by the HF converter's
+  ``algo="gptq"`` streaming path (checkpoint/hf.py).
+
+No reference counterpart (the C++ oracle is a round-trip codec —
+SURVEY.md §0); this generalizes its scheme exactly as the fused kernels
+do [B:5], on the calibration side instead of the serving side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.core import codec
+from quant_tpu.core.qtensor import QTensor, concat_columns
+
+__all__ = [
+    "accumulate_hessian", "gptq_quantize_tensor", "GPTQCalibrator",
+    "gptq_quantize_dense",
+]
+
+
+def accumulate_hessian(x: np.ndarray, wgt: np.ndarray | None = None,
+                       h: np.ndarray | None = None) -> np.ndarray:
+    """H += 2 · Xᵀ diag(wgt) X for calibration inputs x [M, K].
+
+    ``wgt`` [M] weights samples (MoE: a token's routing weight scales its
+    contribution to that expert's objective); None → all-ones."""
+    x = np.asarray(x, np.float32).reshape(-1, x.shape[-1])
+    if wgt is not None:
+        x = x * np.sqrt(np.maximum(
+            np.asarray(wgt, np.float32).reshape(-1), 0.0))[:, None]
+    g = 2.0 * (x.T @ x)
+    return g if h is None else h + g
+
+
+def gptq_quantize_tensor(
+    w: np.ndarray,
+    hessian: np.ndarray,
+    bits: int,
+    group_size: int | None = None,
+    kshards: int = 1,
+    percdamp: float = 0.01,
+    blocksize: int = 128,
+) -> QTensor:
+    """GPTQ-quantize a dense [K, N] weight into a QTensor.
+
+    ``hessian`` [K, K] from :func:`accumulate_hessian`. Same storage
+    contract as :func:`~quant_tpu.core.qtensor.quantize_tensor` (scales
+    per (K-group, column), round-half-even, split-K int4 packing with
+    ``kshards`` row blocks); only the code VALUES differ — each input
+    dim's rounding error is propagated into later rows via the inverse
+    Hessian's Cholesky factor, lazily in ``blocksize`` row blocks so the
+    cross-block update is one BLAS matmul.
+    """
+    w = np.array(w, dtype=np.float32, copy=True)
+    if w.ndim != 2:
+        raise ValueError(f"expected [K, N] weight, got shape {w.shape}")
+    k, n = w.shape
+    gs = k if group_size is None else group_size
+    if k % gs:
+        raise ValueError(f"group_size {gs} must divide K={k}")
+    qmax = np.float32(codec.qmax_for_bits(bits))
+
+    h = np.array(hessian, dtype=np.float64, copy=True)
+    if h.shape != (k, k):
+        raise ValueError(f"hessian shape {h.shape} != ({k}, {k})")
+    dead = np.diag(h) <= 0
+    h[dead, dead] = 1.0
+    w[dead, :] = 0.0
+    # damping keeps the Cholesky well-posed on rank-deficient samples
+    h[np.arange(k), np.arange(k)] += percdamp * np.mean(np.diag(h))
+    # upper factor U with UᵀU = H⁻¹: d_i = U[i,i], update row U[i, i+1:]
+    hinv = np.linalg.inv(h)
+    u = np.linalg.cholesky(hinv).T.astype(np.float32)
+
+    codes = np.zeros((k, n), np.int8)
+    scales = np.zeros((k // gs, n), np.float32)
+    for i1 in range(0, k, blocksize):
+        i2 = min(i1 + blocksize, k)
+        w1 = w[i1:i2].copy()
+        err1 = np.zeros_like(w1)
+        u1 = u[i1:i2, i1:i2]
+        for j in range(i2 - i1):
+            i = i1 + j
+            if i % gs == 0:
+                # group scale from the CURRENT (error-compensated so
+                # far) weights of the group — codec absmax semantics
+                absmax = np.max(np.abs(w[i:i + gs]), axis=0)
+                scales[i // gs] = np.where(absmax == 0.0, 1.0,
+                                           absmax / qmax)
+            s = scales[i // gs]
+            q = np.clip(np.round(w1[j] / s), -qmax, qmax)
+            codes[i] = q.astype(np.int8)
+            err = (w1[j] - q * s) / u1[j, j]
+            if j + 1 < i2 - i1:
+                w1[j + 1:] -= np.outer(u1[j, j + 1:], err)
+            err1[j] = err
+        w[i1:i2] = w1
+        if i2 < k:
+            w[i2:] -= u[i1:i2, i2:].T @ err1
+
+    if bits == 4:
+        if k % (2 * kshards):
+            raise ValueError("int4 requires even K per shard block")
+        kb = k // kshards
+        codes = np.concatenate(
+            [codec.pack_int4_matmul(codes[s * kb:(s + 1) * kb])
+             for s in range(kshards)], axis=0)
+    return QTensor(codes=codes, scales=scales, bits=bits, group_size=gs,
+                   shape=(k, n), kshards=kshards)
+
+
+# ── model-level sequential calibration ──────────────────────────────────
+
+
+class GPTQCalibrator:
+    """Sequential layer-wise GPTQ over a float32 calibration forward.
+
+    Feed decoder layers in order via :meth:`layer` (dense [K, N] numpy
+    weights in the ``quantize_dense_params`` naming); each call captures
+    the projections' inputs from the running hidden state, quantizes
+    them with GPTQ, recomputes the layer with the QUANTIZED weights and
+    advances the state. :meth:`finish` quantizes lm_head against the
+    final-norm output. The forward mirrors deployment semantics: the
+    configured KV quantization, per-layer sliding windows, softcaps,
+    post-norms, QK-norms and MoE routing all apply (llama.forward's
+    math, batch-prefill shape [B, T]).
+    """
+
+    def __init__(self, cfg, tokens: np.ndarray, embed,
+                 percdamp: float = 0.01, blocksize: int = 128,
+                 tp: int = 1):
+        from quant_tpu.models import llama
+
+        self.cfg = cfg
+        self.percdamp = percdamp
+        self.blocksize = blocksize
+        self.tp = tp
+        self._llama = llama
+        tokens = np.asarray(tokens, np.int64)
+        if tokens.ndim == 1:
+            tokens = tokens[None, :]
+        self.b, self.t = tokens.shape
+        # deployment-faithful embedding (embed_bits=8 noise included)
+        table = llama._make_embed(np.asarray(embed, np.float32), cfg)
+        self.h = np.asarray(
+            llama._embed_lookup(table, jnp.asarray(tokens), jnp.float32,
+                                cfg), np.float32)
+        self.positions = jnp.broadcast_to(
+            jnp.arange(self.t)[None, :], (self.b, self.t))
+        self._windows = np.asarray(llama.layer_windows(cfg))
+        self._layer_idx = 0
+
+    # -- helpers --------------------------------------------------------
+
+    def _norm(self, x, wn):
+        cfg = self.cfg
+        return np.asarray(self._llama.rmsnorm(
+            jnp.asarray(x), jnp.asarray(wn, jnp.float32), cfg.norm_eps,
+            cfg.norm_offset), np.float32)
+
+    def _gptq(self, w, x, kshards=1, wgt=None):
+        h = accumulate_hessian(x, wgt)
+        return gptq_quantize_tensor(
+            w, h, self.cfg.bits, self.cfg.group_size, kshards=kshards,
+            percdamp=self.percdamp, blocksize=self.blocksize)
+
+    def _mm(self, x, qt: QTensor):
+        return np.asarray(
+            jnp.asarray(x) @ qt.dequantize(jnp.float32), np.float32)
+
+    def _attn(self, q, k, v, window: int):
+        """Deployment-semantics attention: KV quantized at cfg.kv_bits,
+        full causal prefill over [B, T]."""
+        llama, cfg = self._llama, self.cfg
+        k_q, k_s = llama.quantize_kv(jnp.asarray(k), cfg.kv_bits)
+        v_q, v_s = llama.quantize_kv(jnp.asarray(v), cfg.kv_bits)
+        out = llama.attention(
+            jnp.asarray(q),
+            jnp.moveaxis(k_q, 1, 2), jnp.moveaxis(k_s, 1, 2),
+            jnp.moveaxis(v_q, 1, 2), jnp.moveaxis(v_s, 1, 2),
+            self.positions, jnp.full((self.b,), self.t, jnp.int32), cfg,
+            window=jnp.int32(window) if cfg.sliding_window else None)
+        return np.asarray(out, np.float32)
+
+    # -- pipeline -------------------------------------------------------
+
+    def layer(self, dense: dict) -> dict:
+        """Quantize one decoder layer; returns {name: QTensor | array}
+        in quantize_dense_params' per-layer naming (wqkv/wo fused with
+        the calibrator's ``tp`` interleave, MoE experts included)."""
+        llama, cfg = self._llama, self.cfg
+        d, hd = cfg.dim, cfg.head_dim
+        nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+        out: dict = {}
+        moe = cfg.n_experts > 0
+
+        x1 = self._norm(self.h, dense["attn_norm"])
+        wqkv_dense = concat_columns(
+            [np.asarray(dense["wq"], np.float32),
+             np.asarray(dense["wk"], np.float32),
+             np.asarray(dense["wv"], np.float32)], self.tp)
+        wqkv = self._gptq(wqkv_dense, x1)
+        out["wqkv"] = wqkv
+
+        bias = dense.get("qkv_bias")
+        if bias is None and "q_bias" in dense:
+            bias = concat_columns(
+                [np.asarray(dense["q_bias"], np.float32)[None, :],
+                 np.asarray(dense["k_bias"], np.float32)[None, :],
+                 np.asarray(dense["v_bias"], np.float32)[None, :]],
+                self.tp)[0]
+        qkv = self._mm(x1, wqkv)
+        if bias is not None:
+            # un-interleave not needed: bias rides the fused column order
+            qkv = qkv + np.asarray(bias, np.float32)
+        if self.tp > 1:
+            # fused shard-major columns → part-major for the head split
+            qkv = _departition_columns(qkv, (nq, nkv, nkv), self.tp)
+        q = qkv[..., :nq].reshape(self.b, self.t, -1, hd)
+        k = qkv[..., nq:nq + nkv].reshape(self.b, self.t, -1, hd)
+        v = qkv[..., nq + nkv:].reshape(self.b, self.t, -1, hd)
+        if cfg.qk_norm:
+            q = np.asarray(llama.rmsnorm(
+                jnp.asarray(q), jnp.asarray(dense["q_norm"], jnp.float32),
+                cfg.norm_eps), np.float32)
+            k = np.asarray(llama.rmsnorm(
+                jnp.asarray(k), jnp.asarray(dense["k_norm"], jnp.float32),
+                cfg.norm_eps), np.float32)
+        q = np.asarray(llama._rope(jnp.asarray(q), self.positions,
+                                   cfg.rope_theta), np.float32)
+        k = np.asarray(llama._rope(jnp.asarray(k), self.positions,
+                                   cfg.rope_theta), np.float32)
+        attn = self._attn(q, k, v, int(self._windows[self._layer_idx]))
+        attn = attn.reshape(self.b, self.t, -1)
+
+        wo = self._gptq(np.asarray(dense["wo"], np.float32), attn,
+                        kshards=self.tp)
+        out["wo"] = wo
+        o = self._mm(attn, wo)
+        if cfg.post_norms:
+            o = self._norm(o, dense["post_attn_norm"])
+        self.h = self.h + o
+
+        x2 = self._norm(self.h, dense["mlp_norm"])
+        act = (jax.nn.gelu if cfg.act_fn == "gelu_tanh" else jax.nn.silu)
+
+        def mlp(wgu_qt: QTensor, wdn_dense, wgt=None):
+            gu = self._mm(x2, wgu_qt)
+            gate, up = np.split(gu, 2, axis=-1)
+            a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
+            wdn = self._gptq(np.asarray(wdn_dense, np.float32), a,
+                             kshards=self.tp, wgt=wgt)
+            return wdn, self._mm(a, wdn)
+
+        if not moe:
+            wgu = self._gptq(concat_columns(
+                [np.asarray(dense["w_gate"], np.float32),
+                 np.asarray(dense["w_up"], np.float32)], self.tp), x2)
+            wdn, m = mlp(wgu, dense["w_down"])
+            out["w_gate_up"], out["w_down"] = wgu, wdn
+        else:
+            router = np.asarray(dense["router"], np.float32)
+            rw = np.asarray(llama.moe_route(
+                jnp.asarray(x2), jnp.asarray(router), cfg), np.float32)
+            out["router"] = router
+            m = np.zeros_like(x2)
+            x2_flat = x2.reshape(-1, d)
+            for e in range(cfg.n_experts):
+                wgt = rw[..., e].reshape(-1)
+                # expert Hessian weighted by the token's routing weight:
+                # unrouted tokens contribute nothing to its objective
+                h_e = accumulate_hessian(x2_flat, wgt)
+                wgu = gptq_quantize_tensor(
+                    concat_columns(
+                        [np.asarray(dense[f"expert{e}.w_gate"],
+                                    np.float32),
+                         np.asarray(dense[f"expert{e}.w_up"],
+                                    np.float32)], self.tp),
+                    h_e, cfg.bits, cfg.group_size,
+                    percdamp=self.percdamp, blocksize=self.blocksize)
+                gu = self._mm(x2, wgu)
+                gate, up = np.split(gu, 2, axis=-1)
+                a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
+                wdn = self._gptq(
+                    np.asarray(dense[f"expert{e}.w_down"], np.float32),
+                    a, kshards=self.tp, wgt=wgt)
+                out[f"we_gate_up.{e}"], out[f"we_down.{e}"] = wgu, wdn
+                m = m + self._mm(a, wdn) * rw[..., e:e + 1]
+        if cfg.post_norms:
+            m = self._norm(m, dense["post_mlp_norm"])
+        self.h = self.h + m
+        self._layer_idx += 1
+        return out
+
+    def finish(self, final_norm, lm_head_dense: np.ndarray) -> QTensor:
+        """GPTQ lm_head against the final-norm output (call after every
+        layer; ``lm_head_dense`` [D, V_padded])."""
+        xf = self._norm(self.h, final_norm)
+        return self._gptq(np.asarray(lm_head_dense, np.float32), xf)
+
+
+def _departition_columns(y: np.ndarray, widths: tuple, tp: int):
+    """Undo concat_columns' shard-major interleave on a fused OUTPUT
+    [..., sum(widths)] so it can be split part-major (q|k|v)."""
+    parts = [[] for _ in widths]
+    off = 0
+    for _ in range(tp):
+        for p, w in enumerate(widths):
+            parts[p].append(y[..., off:off + w // tp])
+            off += w // tp
+    return np.concatenate([np.concatenate(c, axis=-1) for c in parts],
+                          axis=-1)
+
+
+def gptq_quantize_dense(dense: dict, cfg, tokens: np.ndarray, tp: int = 1,
+                        percdamp: float = 0.01, blocksize: int = 128):
+    """GPTQ counterpart of ``llama.quantize_dense_params``: same input
+    dict / output LlamaParams, but every linear projection is quantized
+    with sequential error compensation over ``tokens`` [B, T] (int ids).
+    Norms/bias/embed handling is identical to the RTN path."""
+    from quant_tpu.models import llama
+
+    cal = GPTQCalibrator(cfg, tokens, dense["embed"],
+                         percdamp=percdamp, blocksize=blocksize, tp=tp)
+    per_layer = []
+    layer_qds = []
+    moe = cfg.n_experts > 0
+    for i in range(cfg.n_layers):
+        ld = {k[len(f"layers.{i}."):]: v for k, v in dense.items()
+              if k.startswith(f"layers.{i}.")}
+        qd = cal.layer(ld)
+        layer_qds.append(qd)
+        nqd = cfg.n_heads * cfg.head_dim
+        nkv = cfg.n_kv_heads * cfg.head_dim
+        per_layer.append(llama.LayerParams(
+            wqkv=qd["wqkv"], wo=qd["wo"],
+            w_gate_up=qd.get("w_gate_up"), w_down=qd.get("w_down"),
+            router=(jnp.asarray(qd["router"], jnp.float32)
+                    if moe else None),
+            attn_norm=jnp.asarray(ld["attn_norm"], jnp.float32),
+            mlp_norm=jnp.asarray(ld["mlp_norm"], jnp.float32),
+            qkv_bias=jnp.asarray(
+                concat_columns(
+                    [ld["q_bias"][None, :], ld["k_bias"][None, :],
+                     ld["v_bias"][None, :]], tp)[0]
+                if "q_bias" in ld
+                else np.zeros((nqd + 2 * nkv,), np.float32), jnp.float32),
+            q_norm=jnp.asarray(
+                ld.get("q_norm", np.ones((cfg.head_dim,), np.float32)),
+                jnp.float32),
+            k_norm=jnp.asarray(
+                ld.get("k_norm", np.ones((cfg.head_dim,), np.float32)),
+                jnp.float32),
+            post_attn_norm=(jnp.asarray(ld["post_attn_norm"], jnp.float32)
+                            if cfg.post_norms else None),
+            post_mlp_norm=(jnp.asarray(ld["post_mlp_norm"], jnp.float32)
+                           if cfg.post_norms else None),
+        ))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    if moe:
+        # [E, L, ...] expert-major stacks from the per-layer GPTQ dicts
+        cal_fields = {}
+        for f in ("we_gate_up", "we_down"):
+            per_e = [
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[layer_qds[i][f"{f}.{e}"]
+                      for i in range(cfg.n_layers)])
+                for e in range(cfg.n_experts)
+            ]
+            cal_fields[f] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *per_e)
+        layers = dataclasses.replace(layers, **cal_fields)
+    return llama.LlamaParams(
+        embed=llama._make_embed(np.asarray(dense["embed"], np.float32),
+                                cfg),
+        layers=layers,
+        final_norm=jnp.asarray(dense["final_norm"], jnp.float32),
+        lm_head=cal.finish(
+            dense["final_norm"],
+            llama._pad_cols(np.asarray(dense["lm_head"], np.float32),
+                            llama._pad_vocab(cfg.vocab_size))),
+    )

@@ -1,0 +1,197 @@
+"""GPTQ calibrated quantization (core/calibrate.py).
+
+The contract: identical storage format to RTN (QTensor codes/scales,
+split-K int4 packing) with strictly better layer-output reconstruction
+on the calibration distribution, and a model-level sequential pipeline
+whose params serve/checkpoint exactly like RTN params.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.core.calibrate import (
+    accumulate_hessian,
+    gptq_quantize_dense,
+    gptq_quantize_tensor,
+)
+from quant_tpu.core.qtensor import quantize_tensor
+from quant_tpu.models import PRESETS, llama
+
+CFG = dataclasses.replace(PRESETS["test-tiny"], bits=4, dtype="float32",
+                          group_size=64)
+
+
+def _correlated_inputs(rng, m, k):
+    """Activations with strong cross-feature correlation (the regime
+    where error compensation beats round-to-nearest)."""
+    mix = rng.standard_normal((k, k)).astype(np.float32)
+    mix = mix * (np.abs(rng.standard_normal((1, k))) ** 2 + 0.05)
+    return (rng.standard_normal((m, k)).astype(np.float32) @ mix) / np.sqrt(k)
+
+
+def test_gptq_reduces_output_mse_vs_rtn():
+    rng = np.random.default_rng(0)
+    k, n, m = 256, 128, 512
+    w = (rng.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    x = _correlated_inputs(rng, m, k)
+    h = accumulate_hessian(x)
+
+    for bits in (4, 8):
+        qt_g = gptq_quantize_tensor(w, h, bits=bits, group_size=64)
+        qt_r = quantize_tensor(w, bits=bits, group_size=64)
+        # identical storage contract
+        assert qt_g.codes.dtype == qt_r.codes.dtype
+        assert qt_g.codes.shape == qt_r.codes.shape
+        assert qt_g.scales.shape == qt_r.scales.shape
+        err_g = np.linalg.norm(x @ w - x @ np.asarray(qt_g.dequantize()))
+        err_r = np.linalg.norm(x @ w - x @ np.asarray(qt_r.dequantize()))
+        # error compensation must buy a real margin on correlated inputs
+        assert err_g < 0.9 * err_r, (bits, err_g, err_r)
+
+
+def test_gptq_kshards_packing_roundtrip():
+    """int4 kshards packing must follow the same split-K block layout as
+    quantize_tensor (dequantize reorders identically)."""
+    rng = np.random.default_rng(1)
+    k, n, m = 128, 64, 256
+    w = (rng.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    x = _correlated_inputs(rng, m, k)
+    h = accumulate_hessian(x)
+    qt1 = gptq_quantize_tensor(w, h, bits=4, group_size=64, kshards=1)
+    qt2 = gptq_quantize_tensor(w, h, bits=4, group_size=64, kshards=2)
+    # same effective weights regardless of packing blocks
+    np.testing.assert_array_equal(np.asarray(qt1.dequantize()),
+                                  np.asarray(qt2.dequantize()))
+    assert qt2.kshards == 2
+
+
+def _dense_dict(cfg, seed):
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.dim, cfg.head_dim
+    nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+
+    def w(k, n):
+        return (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+
+    dense = {
+        "embed": (rng.standard_normal((cfg.vocab_size, d)) * 0.05
+                  ).astype(np.float32),
+        "final_norm": 1.0 + 0.1 * rng.standard_normal(d).astype(
+            np.float32),
+        "lm_head": w(d, cfg.vocab_size),
+    }
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        dense[p + "wq"] = w(d, nq)
+        dense[p + "wk"] = w(d, nkv)
+        dense[p + "wv"] = w(d, nkv)
+        dense[p + "wo"] = w(nq, d)
+        dense[p + "attn_norm"] = 1.0 + 0.1 * rng.standard_normal(
+            d).astype(np.float32)
+        dense[p + "mlp_norm"] = 1.0 + 0.1 * rng.standard_normal(
+            d).astype(np.float32)
+        if cfg.n_experts:
+            dense[p + "router"] = (rng.standard_normal(
+                (d, cfg.n_experts)) * 0.5).astype(np.float32)
+            for e in range(cfg.n_experts):
+                dense[p + f"expert{e}.w_gate"] = w(d, cfg.intermediate)
+                dense[p + f"expert{e}.w_up"] = w(d, cfg.intermediate)
+                dense[p + f"expert{e}.w_down"] = w(cfg.intermediate, d)
+        else:
+            dense[p + "w_gate"] = w(d, cfg.intermediate)
+            dense[p + "w_up"] = w(d, cfg.intermediate)
+            dense[p + "w_down"] = w(cfg.intermediate, d)
+    return dense
+
+
+def _logits(params, cfg, toks):
+    cache = llama.init_cache(cfg, toks.shape[0], toks.shape[1] + 2)
+    lg, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache, cfg)
+    return np.asarray(lg, np.float32)
+
+
+def test_gptq_dense_pipeline_beats_rtn_on_logits():
+    """Sequential model-level GPTQ must track the (near-fp) reference
+    logits at least as well as RTN at the same bit-width."""
+    cfg = CFG
+    dense = _dense_dict(cfg, seed=7)
+    toks = np.random.default_rng(7).integers(
+        2, cfg.vocab_size, (2, 64))
+
+    ref_cfg = dataclasses.replace(cfg, bits=8, group_size=16)
+    ref = _logits(llama.quantize_dense_params(dense, ref_cfg), ref_cfg,
+                  toks)
+    p_rtn = llama.quantize_dense_params(dense, cfg)
+    p_gptq = gptq_quantize_dense(dense, cfg, toks)
+    mse_r = float(np.mean((_logits(p_rtn, cfg, toks) - ref) ** 2))
+    mse_g = float(np.mean((_logits(p_gptq, cfg, toks) - ref) ** 2))
+    assert mse_g < mse_r, (mse_g, mse_r)
+
+
+def test_gptq_params_checkpoint_roundtrip(tmp_path):
+    """GPTQ params ARE ordinary params: checkpoint save/load is bit-exact
+    and the loaded model forwards."""
+    from quant_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = CFG
+    dense = _dense_dict(cfg, seed=8)
+    toks = np.random.default_rng(8).integers(2, cfg.vocab_size, (1, 32))
+    params = gptq_quantize_dense(dense, cfg, toks)
+    save_checkpoint(tmp_path / "ck", params, cfg)
+    loaded, lcfg = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(
+        np.asarray(params.layers.wqkv.codes),
+        np.asarray(loaded.layers.wqkv.codes))
+    lg = _logits(loaded, lcfg, toks)
+    np.testing.assert_allclose(lg, _logits(params, cfg, toks),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hf_convert_gptq_e2e(tmp_path):
+    """convert_hf_llama(algo='gptq') produces a loadable checkpoint that
+    tracks the near-fp reference better than the RTN conversion of the
+    same HF dir."""
+    from test_checkpoint import _write_fake_hf
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+
+    cfg0 = CFG
+    hf_dir = tmp_path / "hf"
+    _write_fake_hf(hf_dir, cfg0)
+    toks = np.random.default_rng(11).integers(
+        2, cfg0.vocab_size, (2, 64))
+
+    convert_hf_llama(hf_dir, tmp_path / "rtn", bits=4, group_size=64)
+    convert_hf_llama(hf_dir, tmp_path / "gptq", bits=4, group_size=64,
+                     algo="gptq", calib_tokens=toks)
+    convert_hf_llama(hf_dir, tmp_path / "ref", bits=8, group_size=16)
+
+    p_ref, c_ref = load_checkpoint(tmp_path / "ref")
+    p_rtn, c_rtn = load_checkpoint(tmp_path / "rtn")
+    p_g, c_g = load_checkpoint(tmp_path / "gptq")
+    ref = _logits(p_ref, c_ref, toks)
+    mse_r = float(np.mean((_logits(p_rtn, c_rtn, toks) - ref) ** 2))
+    mse_g = float(np.mean((_logits(p_g, c_g, toks) - ref) ** 2))
+    assert mse_g < mse_r, (mse_g, mse_r)
+
+
+def test_gptq_moe_pipeline():
+    """MoE: per-expert Hessians weighted by routing weights; output
+    format identical to the RTN MoE path and at least as accurate."""
+    cfg = dataclasses.replace(PRESETS["test-tiny-moe"], bits=4,
+                              dtype="float32", group_size=64)
+    dense = _dense_dict(cfg, seed=9)
+    toks = np.random.default_rng(9).integers(2, cfg.vocab_size, (2, 48))
+
+    ref_cfg = dataclasses.replace(cfg, bits=8, group_size=16)
+    ref = _logits(llama.quantize_dense_params(dense, ref_cfg), ref_cfg,
+                  toks)
+    p_rtn = llama.quantize_dense_params(dense, cfg)
+    p_gptq = gptq_quantize_dense(dense, cfg, toks)
+    assert (p_gptq.layers.we_gate_up.codes.shape
+            == p_rtn.layers.we_gate_up.codes.shape)
+    mse_r = float(np.mean((_logits(p_rtn, cfg, toks) - ref) ** 2))
+    mse_g = float(np.mean((_logits(p_gptq, cfg, toks) - ref) ** 2))
+    assert mse_g < 1.05 * mse_r, (mse_g, mse_r)
