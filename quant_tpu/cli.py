@@ -77,8 +77,16 @@ def _cmd_generate(args):
             [int(t) for t in p.split(",")]
             for p in args.prompt_ids.split(";")
         ]
+    fsm = None
+    if getattr(args, "guided_regex", None):
+        from quant_tpu.engine.grammar import regex_fsm
+        if tok is None:
+            raise SystemExit("--guided-regex requires --tokenizer")
+        vocab = [tok.decode([i]).encode("utf-8")
+                 for i in range(cfg.vocab_size)]
+        fsm = regex_fsm(args.guided_regex, vocab, eng.eos_id)
     outs = eng.generate(
-        prompts, max_new_tokens=args.max_new,
+        prompts, max_new_tokens=args.max_new, fsm=fsm,
         sampling=SamplingConfig(
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, min_p=args.min_p,
@@ -324,6 +332,9 @@ def main(argv=None):
     g.add_argument("--presence-penalty", type=float, default=0.0)
     g.add_argument("--logit-bias", default=None,
                    help="comma list of token:bias, e.g. '13:-100,42:5'")
+    g.add_argument("--guided-regex", default=None,
+                   help="constrain the output to this regex "
+                        "(device-resident token FSM; needs --tokenizer)")
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
                    help="MoE prefill dispatch: exact dense-all (default) "

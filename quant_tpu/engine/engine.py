@@ -84,6 +84,11 @@ class Request:
     # extra per-request stop tokens (in addition to the engine's eos_id);
     # the stop token itself is included in the output like eos
     stop_ids: tuple[int, ...] = ()
+    # grammar-constrained decoding: a grammar.TokenFSM whose transition
+    # table lives on device; the decode programs mask illegal tokens and
+    # advance the per-slot state entirely inside the jit (no per-step
+    # host sync). Does not compose with speculative decoding.
+    fsm: Any = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     # log p(token) under the raw model distribution, one per output token
@@ -191,6 +196,18 @@ class Engine:
         self._steps = 0
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
+        # Grammar-constrained decoding (engine/grammar.py): registered
+        # TokenFSM transition tables, stacked [F, S_max, V] on device
+        # (id 0 = the trivial all-legal single-state FSM every
+        # unconstrained slot points at). Per-slot id/state live on host
+        # (tiny [B] uploads per dispatch); the decode programs gather
+        # trans[id, state] to mask logits and advance states in-jit.
+        self._fsm_np: list[np.ndarray] = [
+            np.zeros((1, cfg.vocab_size), np.int32)]
+        self._fsm_dev = jnp.asarray(self._fsm_np[0][None])
+        self._fsm_key: dict[int, int] = {}
+        self._fsm_ids = np.zeros((max_slots,), np.int32)
+        self._fsm_state = np.zeros((max_slots,), np.int32)
 
         data_groups = mesh.shape.get("data", 1) if mesh is not None else 1
         self._data_groups = data_groups
@@ -291,10 +308,13 @@ class Engine:
         self.params = params
 
         @functools.partial(jax.jit, donate_argnums=(2, 13),
-                           static_argnames=("use_pen", "use_bias"))
+                           static_argnames=("use_pen", "use_bias",
+                                            "use_fsm"))
         def decode_step(params, tokens, cache, key, temps, topks, topps,
                         minps, reps, freqs, press, bias_toks, bias_vals,
-                        counts, use_pen=False, use_bias=False):
+                        counts, fsm_trans=None, fsm_ids=None,
+                        fsm_states=None, use_pen=False, use_bias=False,
+                        use_fsm=False):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -308,8 +328,9 @@ class Engine:
             keyn, sub = jax.random.split(key)
             pen = (counts, reps, freqs, press) if use_pen else None
             bias = (bias_toks, bias_vals) if use_bias else None
+            rows = fsm_trans[fsm_ids, fsm_states] if use_fsm else None
             toks = sample_batch(logits[:, -1], sub, temps, topks, topps,
-                                minps, pen, bias)
+                                minps, pen, bias, fsm_rows=rows)
             counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
             lp = token_logprob(logits[:, -1], toks)
             packed = jnp.stack(
@@ -321,41 +342,56 @@ class Engine:
 
         @functools.partial(jax.jit,
                            static_argnames=("n", "sampled", "use_pen",
-                                            "use_bias"),
+                                            "use_bias", "use_fsm"),
                            donate_argnums=(2, 13))
         def decode_block(params, tokens, cache, key, temps, topks, topps,
                          minps, reps, freqs, press, bias_toks, bias_vals,
-                         counts, n, sampled, use_pen=False,
-                         use_bias=False):
+                         counts, fsm_trans=None, fsm_ids=None,
+                         fsm_states=None, n=1, sampled=False,
+                         use_pen=False, use_bias=False, use_fsm=False):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
             # counts carried through the loop → penalties see each
             # committed token immediately (exact sequential semantics).
+            # FSM states thread through the loop the same way (the whole
+            # point of the device-resident grammar tables: n constrained
+            # steps per host round-trip).
+            if fsm_states is None:
+                fsm_states = jnp.zeros((tokens.shape[0],), jnp.int32)
+
             def body(_, carry):
-                tok, cache, key, counts, out, lps, i = carry
+                tok, cache, key, counts, fstate, out, lps, i = carry
                 logits, cache = fwd_full(params, tok, cache)
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
+                rows = fsm_trans[fsm_ids, fstate] if use_fsm else None
                 if sampled:
                     pen = ((counts, reps, freqs, press) if use_pen
                            else None)
                     bias = ((bias_toks, bias_vals) if use_bias
                             else None)
                     nxt = sample_batch(lg, sub, temps, topks, topps,
-                                       minps, pen, bias)[:, None]
+                                       minps, pen, bias,
+                                       fsm_rows=rows)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
                 counts = counts.at[
                     jnp.arange(nxt.shape[0]), nxt[:, 0]].add(1)
+                if use_fsm:
+                    # masked sampling guarantees a legal transition;
+                    # clip guards inactive slots' garbage rows
+                    fstate = jnp.maximum(
+                        rows[jnp.arange(nxt.shape[0]), nxt[:, 0]], 0)
                 lp = token_logprob(lg, nxt[:, 0])[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
                 lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
-                return nxt, cache, key, counts, out, lps, i + 1
+                return nxt, cache, key, counts, fstate, out, lps, i + 1
             out = jnp.zeros((tokens.shape[0], n), jnp.int32)
             lps = jnp.zeros((tokens.shape[0], n), jnp.float32)
-            _, cache, key, counts, out, lps, _ = jax.lax.fori_loop(
-                0, n, body, (tokens, cache, key, counts, out, lps, 0)
+            _, cache, key, counts, _, out, lps, _ = jax.lax.fori_loop(
+                0, n, body,
+                (tokens, cache, key, counts, fsm_states, out, lps, 0)
             )
             # [B, 2n]: tokens then bitcast logprobs — one packed fetch
             packed = jnp.concatenate(
@@ -818,7 +854,41 @@ class Engine:
 
     # ── public API ──────────────────────────────────────────────────
 
+    def register_fsm(self, fsm) -> int:
+        """Register a grammar.TokenFSM's transition table on device;
+        returns its id. Idempotent per TokenFSM object. Dead rows (no
+        legal token at all — e.g. a byte path no vocab token realizes)
+        get an EOS self-loop so a stuck slot terminates cleanly instead
+        of sampling from an empty distribution."""
+        key = id(fsm)
+        if key in self._fsm_key:
+            return self._fsm_key[key]
+        trans = np.array(fsm.trans, np.int32, copy=True)
+        if trans.ndim != 2 or trans.shape[1] != self.cfg.vocab_size:
+            raise ValueError(
+                f"fsm table shape {trans.shape} != [S, {self.cfg.vocab_size}]")
+        dead = (trans < 0).all(axis=1)
+        trans[dead, self.eos_id] = np.arange(trans.shape[0])[dead]
+        fid = len(self._fsm_np)
+        self._fsm_np.append(trans)
+        s_max = max(t.shape[0] for t in self._fsm_np)
+        stack = np.zeros((len(self._fsm_np), s_max, self.cfg.vocab_size),
+                         np.int32)
+        for i, t in enumerate(self._fsm_np):
+            stack[i, :t.shape[0]] = t
+        # shape change → the decode programs retrace once per new (F, S)
+        # high-water mark; register grammars before serving steady-state
+        self._fsm_dev = jnp.asarray(stack)
+        self._fsm_key[key] = fid
+        return fid
+
     def add_request(self, req: Request) -> None:
+        if req.fsm is not None:
+            if self.spec_gamma:
+                raise ValueError(
+                    "grammar-constrained requests do not compose with "
+                    "speculative decoding (spec_gamma > 0)")
+            self.register_fsm(req.fsm)
         if len(req.prompt) + req.max_new_tokens > self.max_seq:
             raise ValueError(
                 f"request {req.req_id}: prompt({len(req.prompt)}) + "
@@ -943,6 +1013,23 @@ class Engine:
             self.cache = self._insert(self.cache, self.pf_cache,
                                       jnp.int32(slot))
         self.key, sub = jax.random.split(self.key)
+        fsm_row = None
+        if req.fsm is not None:
+            # constraint applies to the OUTPUT stream: replay any
+            # already-committed output (preempted re-admission) from the
+            # start state, then mask this first sample with the state's
+            # row. Dead-row → EOS handling happened at registration.
+            fid = self.register_fsm(req.fsm)
+            trans_np = self._fsm_np[fid]
+            st = req.fsm.start
+            for tkn in req.output:
+                st = max(0, int(trans_np[st, int(tkn)]))
+            self._fsm_ids[slot] = fid
+            self._fsm_state[slot] = st
+            fsm_row = jnp.asarray(trans_np[st][None])
+        else:
+            self._fsm_ids[slot] = 0
+            self._fsm_state[slot] = 0
         if req.sampling.has_penalties:
             # Exact prompt(+resumed-output) token counts for the
             # penalties, built host-side and written as ONE row set at
@@ -960,10 +1047,16 @@ class Engine:
                               ).astype(np.int32)
             self.counts = self.counts.at[slot].set(jnp.asarray(row))
             tok = int(sample(last[None], sub, req.sampling,
-                             counts=self.counts[slot][None])[0])
+                             counts=self.counts[slot][None],
+                             fsm_rows=fsm_row)[0])
             self.counts = self.counts.at[slot, tok].add(1)
         else:
-            tok = int(sample(last[None], sub, req.sampling)[0])
+            tok = int(sample(last[None], sub, req.sampling,
+                             fsm_rows=fsm_row)[0])
+        if req.fsm is not None:
+            self._fsm_state[slot] = max(0, int(
+                self._fsm_np[self._fsm_ids[slot]][
+                    self._fsm_state[slot], tok]))
         req.output.append(tok)
         req.logprobs.append(float(token_logprob(
             last[None], jnp.asarray([tok], jnp.int32))[0]))
@@ -1054,7 +1147,7 @@ class Engine:
                 toks[i, 1:1 + len(d)] = d
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
-        knobs, any_pen, any_bias = self._sampling_knobs(active)
+        knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
         self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache, self.counts = self._verify(
@@ -1114,6 +1207,7 @@ class Engine:
         k = max(8, _bucket(nbias, lo=8)) if nbias else 8
         bias_toks = np.zeros((self.max_slots, k), np.int32)
         bias_vals = np.zeros((self.max_slots, k), np.float32)
+        any_fsm = False
         for i in active:
             sc = self.slots[i].sampling
             temps[i], topks[i], topps[i], minps[i] = (
@@ -1122,13 +1216,14 @@ class Engine:
                                            sc.frequency_penalty,
                                            sc.presence_penalty)
             any_pen = any_pen or sc.has_penalties
+            any_fsm = any_fsm or self.slots[i].fsm is not None
             for j, (t, v) in enumerate(sc.logit_bias):
                 bias_toks[i, j], bias_vals[i, j] = t, v
-        return (jnp.asarray(temps), jnp.asarray(topks),
-                jnp.asarray(topps), jnp.asarray(minps),
-                jnp.asarray(reps), jnp.asarray(freqs),
-                jnp.asarray(press), jnp.asarray(bias_toks),
-                jnp.asarray(bias_vals)), any_pen, bool(nbias)
+        return ((jnp.asarray(temps), jnp.asarray(topks),
+                 jnp.asarray(topps), jnp.asarray(minps),
+                 jnp.asarray(reps), jnp.asarray(freqs),
+                 jnp.asarray(press), jnp.asarray(bias_toks),
+                 jnp.asarray(bias_vals)), any_pen, bool(nbias), any_fsm)
 
     def step(self) -> list[Request]:
         """One prefill chunk of admission (budgeted) + one decode advance
@@ -1160,10 +1255,14 @@ class Engine:
             return finished
         if active:
             tokens = jnp.asarray(self.last_tokens[:, None])
-            knobs, any_pen, any_bias = self._sampling_knobs(active)
+            knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(
+                active)
             packed, self.cache, self.key, self.counts = self._decode(
                 self.params, tokens, self.cache, self.key, *knobs,
-                self.counts, use_pen=any_pen, use_bias=any_bias)
+                self.counts, fsm_trans=self._fsm_dev,
+                fsm_ids=jnp.asarray(self._fsm_ids),
+                fsm_states=jnp.asarray(self._fsm_state),
+                use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm)
             packed = np.asarray(packed)
             toks = packed[:, 0]
             lps = packed[:, 1].view(np.float32)
@@ -1172,6 +1271,13 @@ class Engine:
                 tok = int(toks[i])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i]))
+                if req.fsm is not None:
+                    # mirror the device's transition host-side (the
+                    # per-slot state is a host array re-uploaded each
+                    # dispatch)
+                    fid = self._fsm_key[id(req.fsm)]
+                    self._fsm_state[i] = max(0, int(self._fsm_np[fid][
+                        self._fsm_state[i], tok]))
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:
@@ -1210,21 +1316,30 @@ class Engine:
             for i in active)))
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         tokens = jnp.asarray(self.last_tokens[:, None])
-        knobs, any_pen, any_bias = self._sampling_knobs(active)
+        knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(active)
         packed, self.cache, self.key, self.counts = self._decode_block(
             self.params, tokens, self.cache, self.key, *knobs,
-            self.counts, n=n, sampled=sampled or any_pen or any_bias,
-            use_pen=any_pen, use_bias=any_bias,
+            self.counts, fsm_trans=self._fsm_dev,
+            fsm_ids=jnp.asarray(self._fsm_ids),
+            fsm_states=jnp.asarray(self._fsm_state),
+            n=n, sampled=sampled or any_pen or any_bias or any_fsm,
+            use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
         )
         packed = np.asarray(packed)
         toks = packed[:, :n]
         lps = packed[:, n:].view(np.float32)
         for i in active:
             req = self.slots[i]
+            fid = (self._fsm_key[id(req.fsm)] if req.fsm is not None
+                   else None)
             for j in range(n):
                 tok = int(toks[i, j])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i, j]))
+                if fid is not None:
+                    # replay the device's in-loop transitions host-side
+                    self._fsm_state[i] = max(0, int(self._fsm_np[fid][
+                        self._fsm_state[i], tok]))
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:
@@ -1268,6 +1383,7 @@ class Engine:
         prompts: list[list[int]],
         max_new_tokens: int = 32,
         sampling: SamplingConfig = SamplingConfig(),
+        fsm=None,
     ) -> list[list[int]]:
         """Convenience batch API over the continuous-batching loop.
 
@@ -1277,7 +1393,7 @@ class Engine:
         singly so the host can draft between verifies."""
         reqs = [
             Request(req_id=i, prompt=p, max_new_tokens=max_new_tokens,
-                    sampling=sampling)
+                    sampling=sampling, fsm=fsm)
             for i, p in enumerate(prompts)
         ]
         for r in reqs:

@@ -75,9 +75,16 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
 
 
 def sample(logits: jax.Array, key, cfg: SamplingConfig,
-           counts: jax.Array | None = None) -> jax.Array:
+           counts: jax.Array | None = None,
+           fsm_rows: jax.Array | None = None) -> jax.Array:
     """logits [B, V] → token ids [B]. ``counts`` [B, V] int32 enables the
-    token-history penalties of ``cfg`` (ignored when cfg has none)."""
+    token-history penalties of ``cfg`` (ignored when cfg has none).
+    ``fsm_rows`` [B, V] int32 (grammar-constrained decoding): tokens with
+    a negative FSM transition are masked out entirely — the LAST mask, so
+    a grammar ban survives penalties/bias/filtering."""
+    if fsm_rows is not None:
+        logits = jnp.where(fsm_rows < 0, -jnp.inf,
+                           logits.astype(jnp.float32))
     if cfg.has_penalties and counts is not None:
         b = logits.shape[0]
         logits = apply_penalties(
@@ -163,7 +170,8 @@ def filter_logits(logits: jax.Array, temps: jax.Array, topks: jax.Array,
 def sample_batch(logits: jax.Array, key, temps: jax.Array,
                  topks: jax.Array, topps: jax.Array,
                  minps: jax.Array | None = None,
-                 penalties=None, bias=None) -> jax.Array:
+                 penalties=None, bias=None,
+                 fsm_rows: jax.Array | None = None) -> jax.Array:
     """Fully-traced per-slot sampling: logits [B, V] → ids [B].
 
     Per-slot traced knobs (so one jit serves every mix of configs — the
@@ -179,6 +187,13 @@ def sample_batch(logits: jax.Array, key, temps: jax.Array,
         logits = apply_penalties(logits, *penalties)
     if bias is not None:
         logits = apply_logit_bias(logits, *bias)
+    if fsm_rows is not None:
+        # grammar mask last: a forbidden token stays forbidden no matter
+        # what penalties/bias did. Registration guarantees every row has
+        # at least one legal token (dead rows get an EOS self-loop), so
+        # the masked distribution is never empty.
+        logits = jnp.where(fsm_rows < 0, -jnp.inf,
+                           logits.astype(jnp.float32))
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     l2 = filter_logits(logits, temps, topks, topps, minps)
     sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)

@@ -30,7 +30,11 @@ Non-standard but useful: every choice carries ``token_ids`` so clients
 without the tokenizer can decode; ``min_p`` and ``stop_token_ids`` are
 accepted (vLLM-style extensions), as are the standard
 ``frequency_penalty`` / ``presence_penalty`` / ``logit_bias`` and
-HF-style ``repetition_penalty``.
+HF-style ``repetition_penalty``. Guided decoding (all endpoints):
+``guided_regex`` (needs a server-side tokenizer for the vocab) or
+``guided_choice`` (list of strings or token-id lists) compile to a
+device-resident token FSM (engine/grammar.py) — masking and state
+advance run inside the decode jit, with FSMs cached per pattern.
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -117,7 +121,7 @@ class EngineServer:
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s: float | None = None,
-               stop_ids=()) -> Request:
+               stop_ids=(), fsm=None) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
@@ -125,7 +129,7 @@ class EngineServer:
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
-                          stop_ids=tuple(stop_ids))
+                          stop_ids=tuple(stop_ids), fsm=fsm)
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -136,7 +140,7 @@ class EngineServer:
 
     def submit_many(self, prompt_ids, max_new_tokens, sampling, n,
                     timeout_s: float | None = None,
-                    stop_ids=()) -> list[Request]:
+                    stop_ids=(), fsm=None) -> list[Request]:
         """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
         for all: the copies co-batch in the engine, so n choices cost one
         continuous-batching pass, not n sequential generations."""
@@ -150,7 +154,7 @@ class EngineServer:
                                   max_new_tokens=max_new_tokens,
                                   sampling=sampling,
                                   deadline=self._deadline(timeout_s),
-                                  stop_ids=tuple(stop_ids))
+                                  stop_ids=tuple(stop_ids), fsm=fsm)
                     self.engine.add_request(req)
                     ev = threading.Event()
                     self.events[rid] = ev
@@ -168,7 +172,8 @@ class EngineServer:
         return reqs
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
-                      timeout_s: float | None = None, stop_ids=()):
+                      timeout_s: float | None = None, stop_ids=(),
+                      fsm=None):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -179,7 +184,7 @@ class EngineServer:
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
-                          stop_ids=tuple(stop_ids))
+                          stop_ids=tuple(stop_ids), fsm=fsm)
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
         return req, q
@@ -188,6 +193,70 @@ class EngineServer:
         with self.lock:
             self.streams.pop(rid, None)
             self.engine.cancel(rid)
+
+    # ---- guided decoding --------------------------------------------
+
+    def _vocab_bytes(self) -> list[bytes]:
+        """Tokenizer vocabulary as byte strings (built once; regex FSMs
+        walk these). Per-id decode handles byte-level BPE and
+        SentencePiece markers uniformly; specials decode empty and are
+        therefore forbidden by every grammar."""
+        if getattr(self, "_vocab_bytes_cache", None) is None:
+            v = self.engine.cfg.vocab_size
+            tok = self.tokenizer
+            self._vocab_bytes_cache = [
+                tok.decode([i]).encode("utf-8") for i in range(v)]
+        return self._vocab_bytes_cache
+
+    def guided_fsm(self, body):
+        """Build (and cache) a TokenFSM for a request body's
+        ``guided_regex`` / ``guided_choice`` field; None if neither."""
+        from quant_tpu.engine.grammar import choice_fsm, regex_fsm
+
+        pattern = body.get("guided_regex")
+        choice = body.get("guided_choice")
+        if pattern is not None and choice is not None:
+            raise ValueError("guided_regex and guided_choice are "
+                             "mutually exclusive")
+        if pattern is None and choice is None:
+            return None
+        cache = getattr(self, "_fsm_cache", None)
+        if cache is None:
+            cache = self._fsm_cache = {}
+        if pattern is not None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "guided_regex needs a server-side tokenizer "
+                    "(serve --tokenizer)")
+            key = ("regex", pattern)
+            if key not in cache:
+                cache[key] = regex_fsm(pattern, self._vocab_bytes(),
+                                       self.engine.eos_id)
+            return cache[key]
+        if not isinstance(choice, list) or not choice:
+            raise ValueError("guided_choice must be a non-empty list")
+        seqs = []
+        for c in choice:
+            if isinstance(c, str):
+                if self.tokenizer is None:
+                    raise ValueError("string guided_choice needs a "
+                                     "server-side tokenizer")
+                try:
+                    ids = self.tokenizer.encode(c,
+                                                add_special_tokens=False)
+                except TypeError:  # duck-typed tokenizer without kwarg
+                    ids = self.tokenizer.encode(c)
+                seqs.append([int(t) for t in ids])
+            elif isinstance(c, list):
+                seqs.append([int(t) for t in c])
+            else:
+                raise ValueError("guided_choice entries must be strings "
+                                 "or token-id lists")
+        key = ("choice", tuple(tuple(s) for s in seqs))
+        if key not in cache:
+            cache[key] = choice_fsm(seqs, self.engine.cfg.vocab_size,
+                                    self.engine.eos_id)
+        return cache[key]
 
 
 def _parse_logit_bias(body, vocab_size: int) -> tuple:
@@ -254,13 +323,15 @@ def _make_handler(srv: EngineServer):
             else:
                 self._json(404, {"error": "not found"})
 
-        def _stream(self, body, sampling, timeout_s=None, stop_ids=()):
+        def _stream(self, body, sampling, timeout_s=None, stop_ids=(),
+                    fsm=None):
             req, q = srv.submit_stream(
                 body["prompt_ids"],
                 int(body.get("max_new_tokens", 32)),
                 sampling,
                 timeout_s,
                 stop_ids,
+                fsm=fsm,
             )
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -375,7 +446,8 @@ def _make_handler(srv: EngineServer):
                                  stop_ids, chat)
                 return
             reqs = srv.submit_many(prompt_ids, max_new, sampling, nq,
-                                   None, stop_ids)
+                                   None, stop_ids,
+                                   fsm=srv.guided_fsm(body))
             comp = sum(len(r.output) for r in reqs)
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
@@ -391,7 +463,8 @@ def _make_handler(srv: EngineServer):
                         stop_ids, chat):
             import time as _t
             req, q = srv.submit_stream(prompt_ids, max_new, sampling,
-                                       None, stop_ids)
+                                       None, stop_ids,
+                                       fsm=srv.guided_fsm(body))
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -492,8 +565,10 @@ def _make_handler(srv: EngineServer):
                 if timeout_s is not None:
                     timeout_s = float(timeout_s)  # ValueError/TypeError→400
                 stop_ids = [int(t) for t in body.get("stop_ids", [])]
+                fsm = srv.guided_fsm(body)
                 if body.get("stream"):
-                    self._stream(body, sampling, timeout_s, stop_ids)
+                    self._stream(body, sampling, timeout_s, stop_ids,
+                                 fsm=fsm)
                     return
                 req = srv.submit(
                     body["prompt_ids"],
@@ -501,6 +576,7 @@ def _make_handler(srv: EngineServer):
                     sampling,
                     timeout_s,
                     stop_ids,
+                    fsm=fsm,
                 )
                 resp = {"req_id": req.req_id,
                         "output_ids": req.output,

@@ -321,3 +321,43 @@ def test_openai_n_choices():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_guided_decoding_endpoints():
+    """guided_choice (token-id lists, no tokenizer needed) and
+    guided_regex (server-side tokenizer vocab) through the HTTP API."""
+    params = llama.init_params(CFG, seed=6)
+    eng = Engine(params, CFG, max_slots=4, max_seq=48, eos_id=7)
+    httpd, srv = serve_async(eng, tokenizer=_StubTokenizer())
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/generate",
+                   {"prompt_ids": [5, 9], "max_new_tokens": 8,
+                    "temperature": 1.0,
+                    "guided_choice": [[30, 31, 32], [40, 41]]}) as r:
+            out = json.loads(r.read())["output_ids"]
+        assert out in ([30, 31, 32, 7], [40, 41, 7]), out
+
+        # regex over the stub tokenizer's vocab: ids decoding to 'a'
+        a_ids = {t for t in range(CFG.vocab_size)
+                 if _StubTokenizer().decode([t]) == "a"}
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9], "max_tokens": 8,
+                    "temperature": 1.0, "guided_regex": "a{3}"}) as r:
+            ch = json.loads(r.read())["choices"][0]
+        assert len(ch["token_ids"]) == 4 and ch["token_ids"][-1] == 7
+        assert all(t in a_ids for t in ch["token_ids"][:3]), ch
+
+        # mutually exclusive fields -> 400
+        import urllib.error
+        try:
+            _post(base, "/generate",
+                  {"prompt_ids": [5], "max_new_tokens": 2,
+                   "guided_regex": "a", "guided_choice": [[1]]})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
