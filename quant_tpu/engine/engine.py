@@ -95,6 +95,26 @@ class Request:
     logprobs: list[float] = dataclasses.field(default_factory=list)
     finished: bool = False
     timed_out: bool = False
+    # latency bookkeeping (time.monotonic()): set at add_request /
+    # first committed token / finish — TTFT and TPOT derive from these
+    submit_t: float | None = None
+    first_token_t: float | None = None
+    finish_t: float | None = None
+
+    @property
+    def ttft(self) -> float | None:
+        """Time to first token (s); None until the first token lands."""
+        if self.submit_t is None or self.first_token_t is None:
+            return None
+        return self.first_token_t - self.submit_t
+
+    @property
+    def tpot(self) -> float | None:
+        """Mean time per output token after the first (s)."""
+        if (self.first_token_t is None or self.finish_t is None
+                or len(self.output) < 2):
+            return None
+        return (self.finish_t - self.first_token_t) / (len(self.output) - 1)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -208,6 +228,11 @@ class Engine:
         self._fsm_key: dict[int, int] = {}
         self._fsm_ids = np.zeros((max_slots,), np.int32)
         self._fsm_state = np.zeros((max_slots,), np.int32)
+        # rolling latency reservoirs (last 512 finished requests) for the
+        # TTFT / TPOT percentiles in ``stats`` and /metrics
+        from collections import deque
+        self._ttfts: deque = deque(maxlen=512)
+        self._tpots: deque = deque(maxlen=512)
 
         data_groups = mesh.shape.get("data", 1) if mesh is not None else 1
         self._data_groups = data_groups
@@ -902,6 +927,8 @@ class Engine:
                 and len(self.pending) >= self.max_pending):
             raise QueueFullError(
                 f"pending queue full ({self.max_pending})")
+        if req.submit_t is None:
+            req.submit_t = time.monotonic()
         self.pending.append(req)
 
     def _expire_deadlines(self, finished: list[Request]) -> None:
@@ -1060,6 +1087,7 @@ class Engine:
         req.output.append(tok)
         req.logprobs.append(float(token_logprob(
             last[None], jnp.asarray([tok], jnp.int32))[0]))
+        req.first_token_t = time.monotonic()
         self.slots[slot] = req
         self.last_tokens[slot] = tok
         self._maybe_finish(slot, tok)
@@ -1088,6 +1116,11 @@ class Engine:
                 or len(req.output) >= req.max_new_tokens
                 or used >= self.max_seq):
             req.finished = True
+            req.finish_t = time.monotonic()
+            if req.ttft is not None:
+                self._ttfts.append(req.ttft)
+            if req.tpot is not None:
+                self._tpots.append(req.tpot)
             self.slots[i] = None
             if self.paged:
                 self._free_slot_pages(i)
@@ -1348,6 +1381,15 @@ class Engine:
         self._steps += n
         return finished
 
+    @staticmethod
+    def _pcts(xs, name) -> dict:
+        if not xs:
+            return {}
+        a = np.asarray(xs, np.float64)
+        return {f"{name}_p50_ms": round(float(np.percentile(a, 50)) * 1e3, 2),
+                f"{name}_p90_ms": round(float(np.percentile(a, 90)) * 1e3, 2),
+                f"{name}_p99_ms": round(float(np.percentile(a, 99)) * 1e3, 2)}
+
     @property
     def stats(self) -> dict:
         return {
@@ -1356,6 +1398,10 @@ class Engine:
             "pending": len(self.pending)
             + (1 if self._prefilling is not None else 0),
             "tokens_per_s_ema": round(self._tok_ema, 1),
+            # rolling request-latency percentiles (last 512 finishes):
+            # TTFT = enqueue -> first token; TPOT = mean inter-token
+            **self._pcts(self._ttfts, "ttft"),
+            **self._pcts(self._tpots, "tpot"),
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": sum(len(m) for m in self._prefix_map)}
                if self.prefix_cache else {}),

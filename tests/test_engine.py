@@ -530,3 +530,20 @@ def test_logit_bias_spec_bitparity():
         return r.output
 
     assert run(spec_gamma=2) == run()
+
+
+def test_latency_percentile_stats():
+    """Finished requests feed rolling TTFT/TPOT percentiles in stats."""
+    params = llama.init_params(CFG, seed=17)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    for k in range(3):
+        eng.add_request(Request(req_id=k, prompt=[5 + k, 6, 7],
+                                max_new_tokens=4))
+    while eng.has_work():
+        eng.step()
+    st = eng.stats
+    for key in ("ttft_p50_ms", "ttft_p99_ms", "tpot_p50_ms",
+                "tpot_p90_ms"):
+        assert key in st and st[key] > 0, (key, st)
+    # and per-request accessors agree in spirit
+    assert st["ttft_p50_ms"] >= 0 and st["tpot_p50_ms"] >= 0
