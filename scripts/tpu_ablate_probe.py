@@ -17,10 +17,12 @@ from quant_tpu.utils.timing import differential_time
 
 import os
 CFG = ModelConfig(
-    vocab_size=4096, dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
+    vocab_size=int(os.environ.get("ABLATE_V", "4096")),
+    dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
     intermediate=14336, group_size=128, kernel_mode="pallas",
 )
-B, S = 8, 1024
+B = int(os.environ.get("ABLATE_B", "8"))
+S = int(os.environ.get("ABLATE_S", "1024"))
 T = int(os.environ.get("ABLATE_T", "1"))
 
 
@@ -81,11 +83,13 @@ def make_step(variant):
             h = h + mm(attn.reshape(b, t, -1), params.layers.wo, idx,
                        out_dtype=jnp.float32).astype(dt)
             x = llama.rmsnorm(h, mlp_norm, cfg.norm_eps)
-            gu = mm(x, params.layers.w_gate_up, idx)
-            gate, up = jnp.split(gu, 2, axis=-1)
-            h = h + mm(jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
-                       params.layers.w_down, idx,
-                       out_dtype=jnp.float32).astype(dt)
+            if variant != "nomlp":
+                gu = mm(x, params.layers.w_gate_up, idx)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                h = h + mm(
+                    jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up,
+                    params.layers.w_down, idx,
+                    out_dtype=jnp.float32).astype(dt)
             return (h, kc, ks, vc, vs), None
 
         if variant == "nolayers":
@@ -100,7 +104,10 @@ def make_step(variant):
                  params.layers.qkv_bias, jnp.arange(cfg.n_layers)),
             )
         h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps)
-        logits = mm(h, params.lm_head, out_dtype=jnp.float32)
+        if variant == "nolmhead":
+            logits = h[..., :1]
+        else:
+            logits = mm(h, params.lm_head, out_dtype=jnp.float32)
         cache2 = llama.KVCache(k_codes=kc, k_scale=ks, v_codes=vc,
                                v_scale=vs, lengths=new_lengths)
         return logits, cache2
@@ -123,11 +130,16 @@ def make_step(variant):
 def main():
     params, cache = build()
     tok = jnp.ones((B, T), jnp.int32)
-    for variant in ["full", "noinsert", "noattn", "xla_attn", "nolayers"]:
+    variants = os.environ.get(
+        "ABLATE_VARIANTS",
+        "full,noinsert,noattn,xla_attn,nolayers").split(",")
+    lo = int(os.environ.get("ABLATE_LO", "2"))
+    hi = int(os.environ.get("ABLATE_HI", "14"))
+    for variant in variants:
         try:
             t0 = time.perf_counter()
             per = differential_time(
-                make_step(variant), (params, tok, cache), 2, 14, iters=3)
+                make_step(variant), (params, tok, cache), lo, hi, iters=3)
             print(f"{variant:10s}: {per*1e3:.2f} ms/step "
                   f"(compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
         except Exception as e:
