@@ -89,12 +89,19 @@ class Request:
     # advance the per-slot state entirely inside the jit (no per-step
     # host sync). Does not compose with speculative decoding.
     fsm: Any = None
+    # OpenAI top-logprobs: also return the top-K raw-model logprobs per
+    # output position (ids + logprobs computed on device, packed into
+    # the same fetch as the tokens). 0 = off.
+    top_logprobs: int = 0
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     # log p(token) under the raw model distribution, one per output token
     logprobs: list[float] = dataclasses.field(default_factory=list)
     finished: bool = False
     timed_out: bool = False
+    # per-position top-K alternatives when top_logprobs > 0
+    top_ids: list = dataclasses.field(default_factory=list)
+    top_lps: list = dataclasses.field(default_factory=list)
     # latency bookkeeping (time.monotonic()): set at add_request /
     # first committed token / finish — TTFT and TPOT derive from these
     submit_t: float | None = None
@@ -122,6 +129,16 @@ def _bucket(n: int, lo: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _top_logprobs(logits, k: int):
+    """(ids [B, k] int32, logprobs [B, k] f32) of the raw model
+    distribution — the OpenAI top-logprobs payload. Accepts [B, V] or
+    [B, T, V] (then [B, T, k])."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
+    tl, ti = jax.lax.top_k(lg, k)
+    return ti.astype(jnp.int32), tl - lse
 
 
 class Engine:
@@ -334,12 +351,12 @@ class Engine:
 
         @functools.partial(jax.jit, donate_argnums=(2, 13),
                            static_argnames=("use_pen", "use_bias",
-                                            "use_fsm"))
+                                            "use_fsm", "topk_lp"))
         def decode_step(params, tokens, cache, key, temps, topks, topps,
                         minps, reps, freqs, press, bias_toks, bias_vals,
                         counts, fsm_trans=None, fsm_ids=None,
                         fsm_states=None, use_pen=False, use_bias=False,
-                        use_fsm=False):
+                        use_fsm=False, topk_lp=0):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -358,22 +375,29 @@ class Engine:
                                 minps, pen, bias, fsm_rows=rows)
             counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
             lp = token_logprob(logits[:, -1], toks)
-            packed = jnp.stack(
-                [toks, jax.lax.bitcast_convert_type(lp, jnp.int32)],
-                axis=1)
+            cols = [toks[:, None],
+                    jax.lax.bitcast_convert_type(lp, jnp.int32)[:, None]]
+            if topk_lp:
+                # OpenAI top-logprobs: top-K of the RAW model
+                # distribution, riding the same packed fetch
+                ti, tl = _top_logprobs(logits[:, -1], topk_lp)
+                cols += [ti, jax.lax.bitcast_convert_type(tl, jnp.int32)]
+            packed = jnp.concatenate(cols, axis=1)
             return packed, cache, keyn, counts
 
         self._decode = decode_step
 
         @functools.partial(jax.jit,
                            static_argnames=("n", "sampled", "use_pen",
-                                            "use_bias", "use_fsm"),
+                                            "use_bias", "use_fsm",
+                                            "topk_lp"),
                            donate_argnums=(2, 13))
         def decode_block(params, tokens, cache, key, temps, topks, topps,
                          minps, reps, freqs, press, bias_toks, bias_vals,
                          counts, fsm_trans=None, fsm_ids=None,
                          fsm_states=None, n=1, sampled=False,
-                         use_pen=False, use_bias=False, use_fsm=False):
+                         use_pen=False, use_bias=False, use_fsm=False,
+                         topk_lp=0):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
@@ -386,7 +410,8 @@ class Engine:
                 fsm_states = jnp.zeros((tokens.shape[0],), jnp.int32)
 
             def body(_, carry):
-                tok, cache, key, counts, fstate, out, lps, i = carry
+                tok, cache, key, counts, fstate, out, lps, tis, tls, i = \
+                    carry
                 logits, cache = fwd_full(params, tok, cache)
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
@@ -411,17 +436,32 @@ class Engine:
                 lp = token_logprob(lg, nxt[:, 0])[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
                 lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
-                return nxt, cache, key, counts, fstate, out, lps, i + 1
-            out = jnp.zeros((tokens.shape[0], n), jnp.int32)
-            lps = jnp.zeros((tokens.shape[0], n), jnp.float32)
-            _, cache, key, counts, _, out, lps, _ = jax.lax.fori_loop(
-                0, n, body,
-                (tokens, cache, key, counts, fsm_states, out, lps, 0)
-            )
-            # [B, 2n]: tokens then bitcast logprobs — one packed fetch
-            packed = jnp.concatenate(
-                [out, jax.lax.bitcast_convert_type(lps, jnp.int32)],
-                axis=1)
+                if topk_lp:
+                    ti, tl = _top_logprobs(lg, topk_lp)
+                    tis = jax.lax.dynamic_update_slice(
+                        tis, ti[:, None], (0, i, 0))
+                    tls = jax.lax.dynamic_update_slice(
+                        tls, tl[:, None], (0, i, 0))
+                return (nxt, cache, key, counts, fstate, out, lps, tis,
+                        tls, i + 1)
+            b0 = tokens.shape[0]
+            out = jnp.zeros((b0, n), jnp.int32)
+            lps = jnp.zeros((b0, n), jnp.float32)
+            tis = jnp.zeros((b0, n, max(topk_lp, 1)), jnp.int32)
+            tls = jnp.zeros((b0, n, max(topk_lp, 1)), jnp.float32)
+            (_, cache, key, counts, _, out, lps, tis, tls, _) = \
+                jax.lax.fori_loop(
+                    0, n, body,
+                    (tokens, cache, key, counts, fsm_states, out, lps,
+                     tis, tls, 0))
+            # [B, 2n(+2nK)]: tokens, bitcast logprobs(, top ids, top
+            # bitcast logprobs) — one packed fetch
+            cols = [out, jax.lax.bitcast_convert_type(lps, jnp.int32)]
+            if topk_lp:
+                cols += [tis.reshape(b0, n * topk_lp),
+                         jax.lax.bitcast_convert_type(
+                             tls, jnp.int32).reshape(b0, n * topk_lp)]
+            packed = jnp.concatenate(cols, axis=1)
             return packed, cache, key, counts
 
         self._decode_block = decode_block
@@ -452,11 +492,11 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(2, 13),
                                static_argnames=("sampled", "use_pen",
-                                                "use_bias"))
+                                                "use_bias", "topk_lp"))
             def verify_step(params, tokens, cache, key, temps, topks,
                             topps, minps, reps, freqs, press, bias_toks,
                             bias_vals, counts, sampled=True,
-                            use_pen=False, use_bias=False):
+                            use_pen=False, use_bias=False, topk_lp=0):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache)
                 if sampled:
@@ -495,14 +535,22 @@ class Engine:
                 counts = counts.at[
                     jnp.arange(b)[:, None], out].add(
                         (pos <= acc[:, None]).astype(jnp.int32))
-                # ONE packed host fetch ([B, 2*(gamma+1)+1]: tokens,
-                # bitcast logprobs, acc): on high-latency links (this
+                # ONE packed host fetch ([B, 2*(gamma+1)(+2K') + 1]:
+                # tokens, bitcast logprobs, optional top-K ids+logprobs
+                # per position, acc LAST): on high-latency links (this
                 # relay: 40-80 ms/RPC) a second device->host read per
                 # step would cost more than speculation saves
                 lp = token_logprob(logits, out)
+                b_, gp1_ = out.shape
+                cols = [out, jax.lax.bitcast_convert_type(lp, jnp.int32)]
+                if topk_lp:
+                    ti, tl = _top_logprobs(logits, topk_lp)
+                    cols += [ti.reshape(b_, gp1_ * topk_lp),
+                             jax.lax.bitcast_convert_type(
+                                 tl, jnp.int32).reshape(
+                                     b_, gp1_ * topk_lp)]
                 return jnp.concatenate(
-                    [out, jax.lax.bitcast_convert_type(lp, jnp.int32),
-                     acc[:, None]], axis=1), cache, counts
+                    cols + [acc[:, None]], axis=1), cache, counts
 
             self._verify = verify_step
 
@@ -908,6 +956,8 @@ class Engine:
         return fid
 
     def add_request(self, req: Request) -> None:
+        if not 0 <= req.top_logprobs <= 20:
+            raise ValueError("top_logprobs must be in [0, 20]")
         if req.fsm is not None:
             if self.spec_gamma:
                 raise ValueError(
@@ -1087,6 +1137,16 @@ class Engine:
         req.output.append(tok)
         req.logprobs.append(float(token_logprob(
             last[None], jnp.asarray([tok], jnp.int32))[0]))
+        if req.top_logprobs:
+            # first token is host-sampled at admission — host top-K
+            lg = np.asarray(last, np.float32)
+            m = float(lg.max())
+            lse = m + float(np.log(np.sum(np.exp(lg - m))))
+            kk = req.top_logprobs
+            idx = np.argpartition(-lg, kk)[:kk]
+            idx = idx[np.argsort(-lg[idx])]
+            req.top_ids.append([int(t) for t in idx])
+            req.top_lps.append([float(lg[t] - lse) for t in idx])
         req.first_token_t = time.monotonic()
         self.slots[slot] = req
         self.last_tokens[slot] = tok
@@ -1181,15 +1241,22 @@ class Engine:
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
         knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
+        k_lp = self._k_lp(active)
         self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache, self.counts = self._verify(
             self.params, jnp.asarray(toks), self.cache, sub, *knobs,
             self.counts, sampled=sampled or any_pen or any_bias,
-            use_pen=any_pen, use_bias=any_bias)
+            use_pen=any_pen, use_bias=any_bias, topk_lp=k_lp)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]
         lps = packed[:, g + 1:2 * (g + 1)].view(np.float32)
+        if k_lp:
+            b0, o0 = packed.shape[0], 2 * (g + 1)
+            t_ids = packed[:, o0:o0 + (g + 1) * k_lp].reshape(
+                b0, g + 1, k_lp)
+            t_lps = packed[:, o0 + (g + 1) * k_lp:-1].view(
+                np.float32).reshape(b0, g + 1, k_lp)
         acc = packed[:, -1]
         self._spec_dispatches += 1
         committed = 0
@@ -1208,6 +1275,12 @@ class Engine:
                 tok = int(tgt[i, j])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i, j]))
+                if req.top_logprobs:
+                    kk = req.top_logprobs
+                    req.top_ids.append(
+                        [int(t) for t in t_ids[i, j, :kk]])
+                    req.top_lps.append(
+                        [float(v) for v in t_lps[i, j, :kk]])
                 self.last_tokens[i] = tok
                 committed += 1
                 self._maybe_finish(i, tok)
@@ -1217,6 +1290,13 @@ class Engine:
         self._spec_committed += committed
         self._spec_slot_steps += len(active)
         return committed
+
+    def _k_lp(self, active) -> int:
+        """Static top-logprobs K for this dispatch: the max over active
+        slots (each request keeps only its own first K entries).
+        Retraces once per new high-water K — capped at 20 (OpenAI)."""
+        return min(20, max((self.slots[i].top_logprobs for i in active),
+                           default=0))
 
     def _sampling_knobs(self, active):
         """Per-slot traced sampling knobs for the on-device samplers:
@@ -1290,20 +1370,29 @@ class Engine:
             tokens = jnp.asarray(self.last_tokens[:, None])
             knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(
                 active)
+            k_lp = self._k_lp(active)
             packed, self.cache, self.key, self.counts = self._decode(
                 self.params, tokens, self.cache, self.key, *knobs,
                 self.counts, fsm_trans=self._fsm_dev,
                 fsm_ids=jnp.asarray(self._fsm_ids),
                 fsm_states=jnp.asarray(self._fsm_state),
-                use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm)
+                use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
+                topk_lp=k_lp)
             packed = np.asarray(packed)
             toks = packed[:, 0]
             lps = packed[:, 1].view(np.float32)
+            if k_lp:
+                t_ids = packed[:, 2:2 + k_lp]
+                t_lps = packed[:, 2 + k_lp:2 + 2 * k_lp].view(np.float32)
             for i in active:
                 req = self.slots[i]
                 tok = int(toks[i])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i]))
+                if req.top_logprobs:
+                    kk = req.top_logprobs
+                    req.top_ids.append([int(t) for t in t_ids[i, :kk]])
+                    req.top_lps.append([float(v) for v in t_lps[i, :kk]])
                 if req.fsm is not None:
                     # mirror the device's transition host-side (the
                     # per-slot state is a host array re-uploaded each
@@ -1350,6 +1439,7 @@ class Engine:
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         tokens = jnp.asarray(self.last_tokens[:, None])
         knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(active)
+        k_lp = self._k_lp(active)
         packed, self.cache, self.key, self.counts = self._decode_block(
             self.params, tokens, self.cache, self.key, *knobs,
             self.counts, fsm_trans=self._fsm_dev,
@@ -1357,10 +1447,16 @@ class Engine:
             fsm_states=jnp.asarray(self._fsm_state),
             n=n, sampled=sampled or any_pen or any_bias or any_fsm,
             use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
+            topk_lp=k_lp,
         )
         packed = np.asarray(packed)
         toks = packed[:, :n]
-        lps = packed[:, n:].view(np.float32)
+        lps = packed[:, n:2 * n].view(np.float32)
+        if k_lp:
+            b0 = packed.shape[0]
+            t_ids = packed[:, 2 * n:2 * n + n * k_lp].reshape(b0, n, k_lp)
+            t_lps = packed[:, 2 * n + n * k_lp:].view(
+                np.float32).reshape(b0, n, k_lp)
         for i in active:
             req = self.slots[i]
             fid = (self._fsm_key[id(req.fsm)] if req.fsm is not None
@@ -1369,6 +1465,12 @@ class Engine:
                 tok = int(toks[i, j])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i, j]))
+                if req.top_logprobs:
+                    kk = req.top_logprobs
+                    req.top_ids.append(
+                        [int(t) for t in t_ids[i, j, :kk]])
+                    req.top_lps.append(
+                        [float(v) for v in t_lps[i, j, :kk]])
                 if fid is not None:
                     # replay the device's in-loop transitions host-side
                     self._fsm_state[i] = max(0, int(self._fsm_np[fid][

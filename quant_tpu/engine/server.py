@@ -121,7 +121,7 @@ class EngineServer:
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s: float | None = None,
-               stop_ids=(), fsm=None) -> Request:
+               stop_ids=(), fsm=None, top_logprobs=0) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
@@ -129,7 +129,8 @@ class EngineServer:
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
-                          stop_ids=tuple(stop_ids), fsm=fsm)
+                          stop_ids=tuple(stop_ids), fsm=fsm,
+                          top_logprobs=top_logprobs)
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -140,7 +141,8 @@ class EngineServer:
 
     def submit_many(self, prompt_ids, max_new_tokens, sampling, n,
                     timeout_s: float | None = None,
-                    stop_ids=(), fsm=None) -> list[Request]:
+                    stop_ids=(), fsm=None,
+                    top_logprobs=0) -> list[Request]:
         """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
         for all: the copies co-batch in the engine, so n choices cost one
         continuous-batching pass, not n sequential generations."""
@@ -154,7 +156,8 @@ class EngineServer:
                                   max_new_tokens=max_new_tokens,
                                   sampling=sampling,
                                   deadline=self._deadline(timeout_s),
-                                  stop_ids=tuple(stop_ids), fsm=fsm)
+                                  stop_ids=tuple(stop_ids), fsm=fsm,
+                                  top_logprobs=top_logprobs)
                     self.engine.add_request(req)
                     ev = threading.Event()
                     self.events[rid] = ev
@@ -173,7 +176,7 @@ class EngineServer:
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
                       timeout_s: float | None = None, stop_ids=(),
-                      fsm=None):
+                      fsm=None, top_logprobs=0):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -184,7 +187,8 @@ class EngineServer:
             req = Request(req_id=rid, prompt=list(prompt_ids),
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
-                          stop_ids=tuple(stop_ids), fsm=fsm)
+                          stop_ids=tuple(stop_ids), fsm=fsm,
+                          top_logprobs=top_logprobs)
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
         return req, q
@@ -410,6 +414,19 @@ def _make_handler(srv: EngineServer):
                 return ""
             return srv.tokenizer.decode(ids)
 
+        @staticmethod
+        def _oai_top_logprobs(body):
+            """OpenAI top-K request: completions' legacy integer
+            ``logprobs`` or chat's ``top_logprobs`` (with logprobs
+            true). Bools stay chosen-token-only."""
+            lp = body.get("logprobs")
+            if isinstance(lp, int) and not isinstance(lp, bool) and lp > 0:
+                return min(lp, 20)
+            tk = body.get("top_logprobs")
+            if lp and tk:
+                return min(int(tk), 20)
+            return 0
+
         def _oai_choice(self, req, body, chat, index=0):
             reason = self._finish_reason(req)
             if chat:
@@ -422,8 +439,17 @@ def _make_handler(srv: EngineServer):
                           "text": self._decode_text(req.output)}
             choice["token_ids"] = req.output  # extension
             if body.get("logprobs"):
-                choice["logprobs"] = {"token_logprobs": req.logprobs,
-                                      "tokens": req.output}
+                lpobj = {"token_logprobs": req.logprobs,
+                         "tokens": req.output}
+                if req.top_logprobs and req.top_ids:
+                    def tok_key(t):
+                        s = self._decode_text([t])
+                        return s if s else str(t)
+                    lpobj["top_logprobs"] = [
+                        {tok_key(t): lp for t, lp in zip(ids, lps)}
+                        for ids, lps in zip(req.top_ids, req.top_lps)]
+                    lpobj["top_token_ids"] = req.top_ids  # extension
+                choice["logprobs"] = lpobj
             return choice
 
         def _oai_generate(self, body, prompt_ids, chat):
@@ -447,7 +473,9 @@ def _make_handler(srv: EngineServer):
                 return
             reqs = srv.submit_many(prompt_ids, max_new, sampling, nq,
                                    None, stop_ids,
-                                   fsm=srv.guided_fsm(body))
+                                   fsm=srv.guided_fsm(body),
+                                   top_logprobs=self._oai_top_logprobs(
+                                       body))
             comp = sum(len(r.output) for r in reqs)
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
@@ -577,12 +605,16 @@ def _make_handler(srv: EngineServer):
                     timeout_s,
                     stop_ids,
                     fsm=fsm,
+                    top_logprobs=int(body.get("top_logprobs", 0)),
                 )
                 resp = {"req_id": req.req_id,
                         "output_ids": req.output,
                         "timed_out": req.timed_out}
                 if body.get("logprobs"):
                     resp["logprobs"] = req.logprobs
+                if req.top_logprobs:
+                    resp["top_token_ids"] = req.top_ids
+                    resp["top_logprobs"] = req.top_lps
                 self._json(200, resp)
             except QueueFullError as e:
                 self._json(429, {"error": str(e)})

@@ -547,3 +547,60 @@ def test_latency_percentile_stats():
         assert key in st and st[key] > 0, (key, st)
     # and per-request accessors agree in spirit
     assert st["ttft_p50_ms"] >= 0 and st["tpot_p50_ms"] >= 0
+
+
+def test_loadgen_poisson():
+    """The serving load generator completes all requests and reports
+    throughput + latency percentiles."""
+    from quant_tpu.engine.loadgen import LoadSpec, run_load
+
+    params = llama.init_params(CFG, seed=18)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1)
+    rep = run_load(eng, LoadSpec(n_requests=8, rate=100.0,
+                                 prompt_len=(3, 8), max_new=(2, 6),
+                                 seed=18))
+    assert rep["requests"] == 8
+    assert rep["output_tokens"] >= 8 * 2
+    assert rep["tokens_per_s"] > 0
+    assert "ttft_p50_ms" in rep and "tpot_p50_ms" in rep
+
+    # block-dispatch mode drains too
+    eng2 = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1)
+    rep2 = run_load(eng2, LoadSpec(n_requests=6, rate=100.0,
+                                   prompt_len=(3, 8), max_new=(2, 6),
+                                   seed=19, block=4))
+    assert rep2["requests"] == 6
+
+
+def test_top_logprobs_all_paths():
+    """top_logprobs=k returns per-position top-k (ids, raw logprobs) on
+    every dispatch path; for greedy requests the top-1 entry IS the
+    committed token with its recorded logprob."""
+    params = llama.init_params(CFG, seed=20)
+    rng = np.random.default_rng(20)
+    prompt = list(map(int, rng.integers(3, CFG.vocab_size, 6)))
+
+    def run(spec_gamma=0, block=0):
+        eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                     spec_gamma=spec_gamma)
+        r = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                    top_logprobs=3)
+        eng.add_request(r)
+        while eng.has_work():
+            eng.step_block(block) if block else eng.step()
+        return r
+
+    for r in (run(), run(block=3), run(spec_gamma=2)):
+        assert len(r.top_ids) == len(r.output) == 6
+        for j in range(6):
+            assert len(r.top_ids[j]) == 3
+            assert r.top_ids[j][0] == r.output[j]          # greedy top-1
+            np.testing.assert_allclose(r.top_lps[j][0], r.logprobs[j],
+                                       rtol=1e-4, atol=1e-5)
+            assert r.top_lps[j] == sorted(r.top_lps[j], reverse=True)
+
+    import pytest
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)
+    with pytest.raises(ValueError, match="top_logprobs"):
+        eng.add_request(Request(req_id=0, prompt=[1], max_new_tokens=1,
+                                top_logprobs=21))

@@ -361,3 +361,32 @@ def test_guided_decoding_endpoints():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_openai_top_logprobs():
+    """Legacy integer ``logprobs`` on /v1/completions returns per-token
+    top-K dicts; top-1 equals the committed token for greedy."""
+    params = llama.init_params(CFG, seed=7)
+    eng = Engine(params, CFG, max_slots=2, max_seq=48, eos_id=-1)
+    httpd, srv = serve_async(eng, tokenizer=_StubTokenizer())
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9, 11], "max_tokens": 4,
+                    "temperature": 0, "logprobs": 2}) as r:
+            ch = json.loads(r.read())["choices"][0]
+        lp = ch["logprobs"]
+        assert len(lp["top_logprobs"]) == 4
+        assert all(len(d) == 2 for d in lp["top_logprobs"])
+        assert [ids[0] for ids in lp["top_token_ids"]] == ch["token_ids"]
+        # native endpoint exposes the parallel arrays too
+        with _post(base, "/generate",
+                   {"prompt_ids": [5, 9, 11], "max_new_tokens": 3,
+                    "top_logprobs": 2}) as r:
+            out = json.loads(r.read())
+        assert len(out["top_token_ids"]) == 3
+        assert [t[0] for t in out["top_token_ids"]] == out["output_ids"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
