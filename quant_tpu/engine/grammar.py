@@ -35,7 +35,7 @@ import dataclasses
 import numpy as np
 
 __all__ = ["TokenFSM", "compile_regex", "token_fsm", "regex_fsm",
-           "choice_fsm"]
+           "choice_fsm", "json_schema_regex", "json_fsm"]
 
 
 # ── regex parsing (bytes, ASCII classes) ────────────────────────────────
@@ -355,6 +355,87 @@ def regex_fsm(pattern: str, vocab: list[bytes], eos_id: int) -> TokenFSM:
     """compile_regex + token_fsm in one call."""
     tb, acc = compile_regex(pattern)
     return token_fsm(tb, acc, vocab, eos_id)
+
+
+_WS = r"[ \n\t\r]{0,4}"  # bounded inter-token whitespace (caps DFA size)
+
+
+def _re_lit(s: str) -> str:
+    """Escape a literal for the regex engine."""
+    out = []
+    for c in s:
+        if c in r"\.[]{}()*+?|":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _json_value_regex(schema: dict) -> str:
+    """JSON-schema subset → regex over the value's canonical-ish JSON
+    text (bounded optional whitespace between structural tokens).
+
+    Supported: type string/integer/number/boolean/null, enum (JSON
+    literals), array of items (minItems/maxItems, default 0..8), object
+    with ``properties`` emitted in declaration order (all listed
+    properties are required — optional properties would square the DFA;
+    reject via ValueError so callers know the contract)."""
+    if "enum" in schema:
+        import json as _json
+
+        alts = "|".join(_re_lit(_json.dumps(v)) for v in schema["enum"])
+        return f"({alts})"
+    t = schema.get("type")
+    if t == "string":
+        # ASCII string with escapes; no raw control chars
+        return r'"([^"\\]|\\.)*"'
+    if t == "integer":
+        return r"-?(0|[1-9]\d*)"
+    if t == "number":
+        return r"-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?"
+    if t == "boolean":
+        return r"(true|false)"
+    if t == "null":
+        return r"null"
+    if t == "array":
+        item = _json_value_regex(schema.get("items", {"type": "string"}))
+        lo = int(schema.get("minItems", 0))
+        hi = int(schema.get("maxItems", 8))
+        if lo > hi:
+            raise ValueError("minItems > maxItems")
+        more = f"({_WS},{_WS}{item})"
+        if lo == 0:
+            body = (f"({item}{more}{{0,{hi - 1}}})?" if hi > 0 else "")
+        else:
+            body = f"{item}{more}{{{lo - 1},{hi - 1}}}"
+        return rf"\[{_WS}{body}{_WS}\]"
+    if t == "object":
+        props = schema.get("properties", {})
+        if not props:
+            return rf"\{{{_WS}\}}"
+        req = schema.get("required")
+        if req is not None and set(req) != set(props):
+            raise ValueError(
+                "guided_json supports all-required objects only "
+                "(optional properties square the DFA)")
+        parts = []
+        for k, sub in props.items():
+            parts.append(
+                rf'"{_re_lit(k)}"{_WS}:{_WS}{_json_value_regex(sub)}')
+        body = (_WS + "," + _WS).join(parts)
+        return rf"\{{{_WS}{body}{_WS}\}}"
+    raise ValueError(f"unsupported schema: {schema!r}")
+
+
+def json_schema_regex(schema: dict) -> str:
+    """Top-level JSON-schema → anchored regex (compose with
+    :func:`regex_fsm`). See :func:`_json_value_regex` for the subset."""
+    return _json_value_regex(schema)
+
+
+def json_fsm(schema: dict, vocab: list[bytes], eos_id: int) -> TokenFSM:
+    """JSON-schema-constrained decoding: schema → regex → token FSM."""
+    return regex_fsm(json_schema_regex(schema), vocab, eos_id)
 
 
 def choice_fsm(choices: list[list[int]], vocab_size: int,

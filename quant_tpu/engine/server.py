@@ -31,10 +31,11 @@ without the tokenizer can decode; ``min_p`` and ``stop_token_ids`` are
 accepted (vLLM-style extensions), as are the standard
 ``frequency_penalty`` / ``presence_penalty`` / ``logit_bias`` and
 HF-style ``repetition_penalty``. Guided decoding (all endpoints):
-``guided_regex`` (needs a server-side tokenizer for the vocab) or
-``guided_choice`` (list of strings or token-id lists) compile to a
-device-resident token FSM (engine/grammar.py) — masking and state
-advance run inside the decode jit, with FSMs cached per pattern.
+``guided_regex`` / ``guided_json`` (a JSON-schema subset; both need a
+server-side tokenizer for the vocab) or ``guided_choice`` (list of
+strings or token-id lists) compile to a device-resident token FSM
+(engine/grammar.py) — masking and state advance run inside the decode
+jit, with FSMs cached per pattern/schema.
 
 The HTTP handler enqueues into the Engine and waits on a per-request event;
 the scheduler thread drives ``Engine.step()`` continuously, so concurrent
@@ -214,14 +215,22 @@ class EngineServer:
 
     def guided_fsm(self, body):
         """Build (and cache) a TokenFSM for a request body's
-        ``guided_regex`` / ``guided_choice`` field; None if neither."""
-        from quant_tpu.engine.grammar import choice_fsm, regex_fsm
+        ``guided_regex`` / ``guided_json`` / ``guided_choice`` field;
+        None if none set."""
+        from quant_tpu.engine.grammar import (
+            choice_fsm, json_schema_regex, regex_fsm,
+        )
 
         pattern = body.get("guided_regex")
+        schema = body.get("guided_json")
         choice = body.get("guided_choice")
-        if pattern is not None and choice is not None:
-            raise ValueError("guided_regex and guided_choice are "
-                             "mutually exclusive")
+        if sum(x is not None for x in (pattern, schema, choice)) > 1:
+            raise ValueError("guided_regex / guided_json / guided_choice "
+                             "are mutually exclusive")
+        if schema is not None:
+            if not isinstance(schema, dict):
+                raise ValueError("guided_json must be a schema object")
+            pattern = json_schema_regex(schema)
         if pattern is None and choice is None:
             return None
         cache = getattr(self, "_fsm_cache", None)

@@ -194,3 +194,65 @@ def test_token_fsm_multibyte_tokens():
     s_a = fsm.trans[s0, 1]
     assert fsm.trans[s_a, 2] >= 0      # "a" then "b"
     assert fsm.trans[s_a, eos] < 0
+
+
+def test_json_schema_regex():
+    """JSON-schema subset → regex → DFA: canonical output matches,
+    violations don't."""
+    import json as _json
+
+    from quant_tpu.engine.grammar import json_schema_regex
+
+    schema = {"type": "object", "properties": {
+        "name": {"type": "string"},
+        "age": {"type": "integer"},
+        "tags": {"type": "array", "items": {"enum": ["a", "b"]},
+                 "maxItems": 3},
+        "ok": {"type": "boolean"},
+    }}
+    pat = json_schema_regex(schema)
+    good = _json.dumps({"name": "Ann", "age": 34, "tags": ["a"],
+                        "ok": True})
+    assert _dfa_match(pat, good)
+    assert _dfa_match(pat, '{ "name": "x\\"y", "age": 0, "tags": [],'
+                           ' "ok": false }')
+    assert not _dfa_match(pat, '{"name": "Ann"}')           # missing keys
+    assert not _dfa_match(pat, good[:-1])                   # truncated
+    assert not _dfa_match(pat, good.replace("34", "3.4"))   # wrong type
+    assert not _dfa_match(pat, good.replace('"a"', '"c"'))  # enum
+
+    arr = json_schema_regex({"type": "array",
+                             "items": {"type": "integer"},
+                             "minItems": 2, "maxItems": 3})
+    assert _dfa_match(arr, "[1, 2]") and _dfa_match(arr, "[1,2,3]")
+    assert not _dfa_match(arr, "[1]")
+    assert not _dfa_match(arr, "[1,2,3,4]")
+
+    import pytest
+    with pytest.raises(ValueError, match="all-required"):
+        json_schema_regex({"type": "object",
+                           "properties": {"a": {"type": "null"}},
+                           "required": []})
+
+
+def test_engine_json_schema_digits():
+    """guided_json through the engine: the sampled output must BE valid
+    JSON matching the schema (tiny integer-array schema over the digit
+    vocab; [, ], comma mapped onto ids)."""
+    import json as _json
+
+    from quant_tpu.engine.grammar import json_schema_regex, regex_fsm
+
+    eos = 500
+    vocab = _digit_vocab(CFG.vocab_size, eos)
+    vocab[20], vocab[21], vocab[22] = b"[", b"]", b","
+    schema = {"type": "array", "items": {"type": "integer"},
+              "minItems": 1, "maxItems": 4}
+    fsm = regex_fsm(json_schema_regex(schema), vocab, eos)
+    out = _run_engine(fsm, SamplingConfig(temperature=1.0), eos,
+                      use_block=False, max_new=16, seed=7)
+    assert out[-1] == eos
+    text = b"".join(vocab[t] for t in out[:-1]).decode()
+    parsed = _json.loads(text)
+    assert isinstance(parsed, list) and 1 <= len(parsed) <= 4
+    assert all(isinstance(x, int) for x in parsed)

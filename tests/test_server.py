@@ -390,3 +390,36 @@ def test_openai_top_logprobs():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_guided_json_endpoint():
+    """guided_json (schema → regex → FSM) over HTTP with a tokenizer
+    whose vocab contains the JSON structural bytes."""
+    class _JsonStub:
+        # id i ∈ [3, 130) decodes to chr(i); enough to cover JSON text
+        def encode(self, text):
+            return [ord(c) for c in text]
+
+        def decode(self, ids):
+            return "".join(chr(t) if 3 <= t < 130 else "" for t in ids)
+
+    params = llama.init_params(CFG, seed=8)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=2)
+    httpd, srv = serve_async(eng, tokenizer=_JsonStub())
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9], "max_tokens": 24,
+                    "temperature": 1.0,
+                    "guided_json": {"type": "array",
+                                    "items": {"type": "boolean"},
+                                    "minItems": 1, "maxItems": 2}}) as r:
+            ch = json.loads(r.read())["choices"][0]
+        text = ch["text"]
+        parsed = json.loads(text)
+        assert isinstance(parsed, list) and 1 <= len(parsed) <= 2
+        assert all(isinstance(x, bool) for x in parsed)
+    finally:
+        httpd.shutdown()
+        srv.stop()
