@@ -149,10 +149,11 @@ def convert_hf_llama(
     model_dir = pathlib.Path(model_dir)
     if cfg is None:
         cfg = config_from_hf(model_dir, bits=bits, group_size=group_size)
-    if algo not in ("rtn", "gptq"):
-        raise ValueError(f"algo must be rtn|gptq, got {algo!r}")
-    if algo == "gptq" and calib_tokens is None:
-        raise ValueError("algo='gptq' needs calib_tokens [B, T] int ids")
+    if algo not in ("rtn", "gptq", "awq", "awq+gptq"):
+        raise ValueError(
+            f"algo must be rtn|gptq|awq|awq+gptq, got {algo!r}")
+    if algo != "rtn" and calib_tokens is None:
+        raise ValueError(f"algo={algo!r} needs calib_tokens [B, T] ids")
     hf = _HFReader(model_dir)
     hf_cfg = json.loads((model_dir / "config.json").read_text())
     w = CheckpointWriter(out_dir, cfg, tp=tp)
@@ -174,10 +175,13 @@ def convert_hf_llama(
     w.add("embed", _embed_host(embed, cfg))
     w.add("final_norm", hf.get("model.norm.weight").astype(np.float32))
     cal = None
-    if algo == "gptq":
+    if algo != "rtn":
         from quant_tpu.core.calibrate import GPTQCalibrator
 
-        cal = GPTQCalibrator(cfg, calib_tokens, embed, tp=tp)
+        cal = GPTQCalibrator(
+            cfg, calib_tokens, embed, tp=tp,
+            algo=("rtn" if algo == "awq" else "gptq"),
+            awq=algo in ("awq", "awq+gptq"))
     else:
         w.add("lm_head",
               qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
@@ -316,6 +320,9 @@ def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):
         dense["w_down"] = t(pre + "mlp.down_proj.weight")
 
     qd = cal.layer(dense)
+    # AWQ may fold equalization scales into the norm gains
+    dense["attn_norm"] = np.asarray(qd["attn_norm"], np.float32)
+    dense["mlp_norm"] = np.asarray(qd["mlp_norm"], np.float32)
     w.add(f"layers.{i}.wqkv", qd["wqkv"])
     w.add(f"layers.{i}.wo", qd["wo"])
     if cfg.n_experts:

@@ -20,14 +20,14 @@ def _cmd_convert(args):
     from quant_tpu.checkpoint import convert_hf_llama
 
     calib = None
-    if args.algo == "gptq":
+    if args.algo != "rtn":
         if args.calib:
             calib = np.load(args.calib)
         else:
             raise SystemExit(
-                "--algo gptq needs --calib <tokens.npy> ([B, T] int ids "
-                "of real text; GPTQ minimizes layer-output error on that "
-                "sample)")
+                f"--algo {args.algo} needs --calib <tokens.npy> "
+                "([B, T] int ids of real text; calibration minimizes "
+                "layer-output error on that sample)")
     cfg = convert_hf_llama(
         args.hf_dir, args.out_dir, bits=args.bits,
         group_size=args.group_size, tp=args.tp, algo=args.algo,
@@ -304,9 +304,13 @@ def main(argv=None):
     c.add_argument("--bits", type=int, default=4)
     c.add_argument("--group-size", type=int, default=128)
     c.add_argument("--tp", type=int, default=1)
-    c.add_argument("--algo", choices=("rtn", "gptq"), default="rtn",
+    c.add_argument("--algo",
+                   choices=("rtn", "gptq", "awq", "awq+gptq"),
+                   default="rtn",
                    help="rtn: round-to-nearest (codec default); gptq: "
-                        "error-compensated calibration (needs --calib)")
+                        "error-compensated calibration; awq: "
+                        "activation-aware scale folding; awq+gptq: "
+                        "both (all but rtn need --calib)")
     c.add_argument("--calib",
                    help=".npy of [B, T] int token ids for --algo gptq")
     c.set_defaults(fn=_cmd_convert)

@@ -43,9 +43,40 @@ from quant_tpu.core import codec
 from quant_tpu.core.qtensor import QTensor, concat_columns
 
 __all__ = [
-    "accumulate_hessian", "gptq_quantize_tensor", "GPTQCalibrator",
-    "gptq_quantize_dense",
+    "accumulate_hessian", "gptq_quantize_tensor", "awq_scales",
+    "GPTQCalibrator", "gptq_quantize_dense",
 ]
+
+
+def awq_scales(w: np.ndarray, x: np.ndarray, bits: int,
+               group_size: int | None = None,
+               alphas=(0.0, 0.15, 0.3, 0.45, 0.6, 0.75, 0.9)
+               ) -> np.ndarray:
+    """AWQ-style per-input-channel equalization scales s [K].
+
+    Protects activation-salient channels from quantization error: the
+    runtime computes ``(x/s) @ Q(s·W)`` — s is folded into the PRECEDING
+    op (norm weights / up-proj columns), so serving kernels are
+    untouched. s = (mean|x| / geo-mean)^α with α grid-searched to
+    minimize ``‖x Q_eff(W) − x W‖²`` on the calibration sample
+    [Lin et al., AWQ 2023 — pattern only].
+    """
+    from quant_tpu.core.qtensor import quantize_tensor
+
+    w = np.asarray(w, np.float32)
+    x = np.asarray(x, np.float32).reshape(-1, w.shape[0])
+    xm = np.mean(np.abs(x), axis=0) + 1e-8
+    xm = xm / np.exp(np.mean(np.log(xm)))  # geo-mean normalized
+    ref = x @ w
+    best_s, best_err = np.ones(w.shape[0], np.float32), np.inf
+    for a in alphas:
+        s = np.clip(xm ** a, 1e-4, 1e4).astype(np.float32)
+        dq = np.asarray(quantize_tensor(
+            w * s[:, None], bits, group_size).dequantize())
+        err = float(np.mean((x @ (dq / s[:, None]) - ref) ** 2))
+        if err < best_err:
+            best_s, best_err = s, err
+    return best_s
 
 
 def accumulate_hessian(x: np.ndarray, wgt: np.ndarray | None = None,
@@ -158,13 +189,21 @@ class GPTQCalibrator:
 
     def __init__(self, cfg, tokens: np.ndarray, embed,
                  percdamp: float = 0.01, blocksize: int = 128,
-                 tp: int = 1):
+                 tp: int = 1, algo: str = "gptq", awq: bool = False):
         from quant_tpu.models import llama
 
+        if algo not in ("gptq", "rtn"):
+            raise ValueError(f"algo must be gptq|rtn, got {algo!r}")
+        if awq and cfg.n_experts:
+            raise ValueError("awq scale folding is not supported for "
+                             "MoE models (expert up-proj folds would "
+                             "need per-expert scales)")
         self.cfg = cfg
         self.percdamp = percdamp
         self.blocksize = blocksize
         self.tp = tp
+        self.algo = algo
+        self.awq = awq
         self._llama = llama
         tokens = np.asarray(tokens, np.int64)
         if tokens.ndim == 1:
@@ -189,10 +228,24 @@ class GPTQCalibrator:
             cfg.norm_offset), np.float32)
 
     def _gptq(self, w, x, kshards=1, wgt=None):
+        if self.algo == "rtn":
+            from quant_tpu.core.qtensor import quantize_tensor
+
+            return quantize_tensor(np.asarray(w, np.float32),
+                                   self.cfg.bits, self.cfg.group_size,
+                                   kshards=kshards)
         h = accumulate_hessian(x, wgt)
         return gptq_quantize_tensor(
             w, h, self.cfg.bits, self.cfg.group_size, kshards=kshards,
             percdamp=self.percdamp, blocksize=self.blocksize)
+
+    def _awq_fold_norm(self, w, x, norm):
+        """AWQ for a norm-fed projection: search s, fold into the norm's
+        effective gain (offset + w)/s, return (scaled W, x/s, norm')."""
+        s = awq_scales(w, x, self.cfg.bits, self.cfg.group_size)
+        off = self.cfg.norm_offset
+        norm2 = (off + np.asarray(norm, np.float32)) / s - off
+        return w * s[:, None], x / s[None, :], norm2
 
     def _mm(self, x, qt: QTensor):
         return np.asarray(
@@ -224,13 +277,20 @@ class GPTQCalibrator:
         out: dict = {}
         moe = cfg.n_experts > 0
 
-        x1 = self._norm(self.h, dense["attn_norm"])
+        attn_norm = np.asarray(dense["attn_norm"], np.float32)
+        x1 = self._norm(self.h, attn_norm)
         wqkv_dense = concat_columns(
             [np.asarray(dense["wq"], np.float32),
              np.asarray(dense["wk"], np.float32),
              np.asarray(dense["wv"], np.float32)], self.tp)
+        if self.awq:
+            x1f = x1.reshape(-1, d)
+            wqkv_dense, x1f, attn_norm = self._awq_fold_norm(
+                wqkv_dense, x1f, attn_norm)
+            x1 = x1f.reshape(x1.shape)
         wqkv = self._gptq(wqkv_dense, x1)
         out["wqkv"] = wqkv
+        out["attn_norm"] = attn_norm
 
         bias = dense.get("qkv_bias")
         if bias is None and "q_bias" in dense:
@@ -271,22 +331,50 @@ class GPTQCalibrator:
             o = self._norm(o, dense["post_attn_norm"])
         self.h = self.h + o
 
-        x2 = self._norm(self.h, dense["mlp_norm"])
+        mlp_norm = np.asarray(dense["mlp_norm"], np.float32)
+        x2 = self._norm(self.h, mlp_norm)
         act = (jax.nn.gelu if cfg.act_fn == "gelu_tanh" else jax.nn.silu)
+        it = cfg.intermediate
+
+        def split_gu(gu):
+            # fused gate|up products are shard-major under tp interleave
+            if self.tp > 1:
+                gu = _departition_columns(gu, (it, it), self.tp)
+            return np.split(gu, 2, axis=-1)
 
         def mlp(wgu_qt: QTensor, wdn_dense, wgt=None):
-            gu = self._mm(x2, wgu_qt)
-            gate, up = np.split(gu, 2, axis=-1)
+            gate, up = split_gu(self._mm(x2, wgu_qt))
             a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
             wdn = self._gptq(np.asarray(wdn_dense, np.float32), a,
                              kshards=self.tp, wgt=wgt)
             return wdn, self._mm(a, wdn)
 
         if not moe:
-            wgu = self._gptq(concat_columns(
+            fused = concat_columns(
                 [np.asarray(dense["w_gate"], np.float32),
-                 np.asarray(dense["w_up"], np.float32)], self.tp), x2)
-            wdn, m = mlp(wgu, dense["w_down"])
+                 np.asarray(dense["w_up"], np.float32)], self.tp)
+            wdn_dense = np.asarray(dense["w_down"], np.float32)
+            if self.awq:
+                x2f = x2.reshape(-1, d)
+                fused, x2f, mlp_norm = self._awq_fold_norm(
+                    fused, x2f, mlp_norm)
+                x2 = x2f.reshape(x2.shape)
+                # down-proj scales search on the FP activations; fold
+                # 1/s into w_up's columns (runtime unchanged) and s
+                # into w_down's rows
+                gate_fp, up_fp = split_gu(
+                    x2.reshape(-1, d) @ fused)
+                a_fp = np.asarray(act(jnp.asarray(gate_fp)),
+                                  np.float32) * up_fp
+                s3 = awq_scales(wdn_dense, a_fp, cfg.bits,
+                                cfg.group_size)
+                w = it // self.tp
+                for sh in range(self.tp):
+                    off = (2 * sh + 1) * w
+                    fused[:, off:off + w] /= s3[None, sh * w:(sh + 1) * w]
+                wdn_dense = wdn_dense * s3[:, None]
+            wgu = self._gptq(fused, x2)
+            wdn, m = mlp(wgu, wdn_dense)
             out["w_gate_up"], out["w_down"] = wgu, wdn
         else:
             router = np.asarray(dense["router"], np.float32)
@@ -308,8 +396,7 @@ class GPTQCalibrator:
                                     np.float32)], self.tp),
                     h_e, cfg.bits, cfg.group_size,
                     percdamp=self.percdamp, blocksize=self.blocksize)
-                gu = self._mm(x2, wgu)
-                gate, up = np.split(gu, 2, axis=-1)
+                gate, up = split_gu(self._mm(x2, wgu))
                 a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
                 wdn = self._gptq(
                     np.asarray(dense[f"expert{e}.w_down"], np.float32),
@@ -320,6 +407,7 @@ class GPTQCalibrator:
             m = self._norm(m, dense["post_mlp_norm"])
         self.h = self.h + m
         self._layer_idx += 1
+        out["mlp_norm"] = mlp_norm
         return out
 
     def finish(self, final_norm, lm_head_dense: np.ndarray) -> QTensor:
@@ -343,15 +431,20 @@ def _departition_columns(y: np.ndarray, widths: tuple, tp: int):
 
 
 def gptq_quantize_dense(dense: dict, cfg, tokens: np.ndarray, tp: int = 1,
-                        percdamp: float = 0.01, blocksize: int = 128):
-    """GPTQ counterpart of ``llama.quantize_dense_params``: same input
-    dict / output LlamaParams, but every linear projection is quantized
-    with sequential error compensation over ``tokens`` [B, T] (int ids).
-    Norms/bias/embed handling is identical to the RTN path."""
+                        percdamp: float = 0.01, blocksize: int = 128,
+                        algo: str = "gptq", awq: bool = False):
+    """Calibrated counterpart of ``llama.quantize_dense_params``: same
+    input dict / output LlamaParams, but every linear projection is
+    quantized with sequential error compensation over ``tokens`` [B, T]
+    (int ids). ``awq=True`` prepends activation-aware scale folding
+    (norm gains / up-proj columns absorb the scales — runtime
+    unchanged); ``algo="rtn"`` + awq gives pure AWQ. Bias/embed handling
+    is identical to the RTN path; norms may come back folded."""
     from quant_tpu.models import llama
 
     cal = GPTQCalibrator(cfg, tokens, dense["embed"],
-                         percdamp=percdamp, blocksize=blocksize, tp=tp)
+                         percdamp=percdamp, blocksize=blocksize, tp=tp,
+                         algo=algo, awq=awq)
     per_layer = []
     layer_qds = []
     moe = cfg.n_experts > 0
@@ -367,8 +460,8 @@ def gptq_quantize_dense(dense: dict, cfg, tokens: np.ndarray, tp: int = 1,
             w_gate_up=qd.get("w_gate_up"), w_down=qd.get("w_down"),
             router=(jnp.asarray(qd["router"], jnp.float32)
                     if moe else None),
-            attn_norm=jnp.asarray(ld["attn_norm"], jnp.float32),
-            mlp_norm=jnp.asarray(ld["mlp_norm"], jnp.float32),
+            attn_norm=jnp.asarray(qd["attn_norm"], jnp.float32),
+            mlp_norm=jnp.asarray(qd["mlp_norm"], jnp.float32),
             qkv_bias=jnp.asarray(
                 concat_columns(
                     [ld["q_bias"][None, :], ld["k_bias"][None, :],

@@ -195,3 +195,76 @@ def test_gptq_moe_pipeline():
     mse_r = float(np.mean((_logits(p_rtn, cfg, toks) - ref) ** 2))
     mse_g = float(np.mean((_logits(p_gptq, cfg, toks) - ref) ** 2))
     assert mse_g < 1.05 * mse_r, (mse_g, mse_r)
+
+
+def test_awq_beats_rtn_and_composes_with_gptq():
+    """AWQ scale folding (norm gains / up-proj columns absorb the
+    equalization scales — runtime kernels unchanged) must beat plain RTN
+    on logits-vs-near-fp MSE; awq+gptq must run and stay in the
+    calibrated-quality ballpark.
+
+    Random-init activations are near-isotropic (AWQ's alpha-search then
+    correctly degenerates to s=1), so the fixture manufactures the
+    outlier channels real LLMs have: a few norm gains are boosted 8x,
+    making those input channels activation-salient."""
+    cfg = CFG
+    dense = _dense_dict(cfg, seed=13)
+    rng = np.random.default_rng(99)
+    for i in range(cfg.n_layers):
+        for nm in ("attn_norm", "mlp_norm"):
+            idx = rng.choice(cfg.dim, 12, replace=False)
+            dense[f"layers.{i}.{nm}"][idx] *= 8.0
+    toks = np.random.default_rng(13).integers(2, cfg.vocab_size, (2, 64))
+
+    ref_cfg = dataclasses.replace(cfg, bits=8, group_size=16)
+    ref = _logits(llama.quantize_dense_params(dense, ref_cfg), ref_cfg,
+                  toks)
+    mse = {}
+    mse["rtn"] = float(np.mean(
+        (_logits(llama.quantize_dense_params(dense, cfg), cfg, toks)
+         - ref) ** 2))
+    p_awq = gptq_quantize_dense(dense, cfg, toks, algo="rtn", awq=True)
+    mse["awq"] = float(np.mean((_logits(p_awq, cfg, toks) - ref) ** 2))
+    p_both = gptq_quantize_dense(dense, cfg, toks, algo="gptq", awq=True)
+    mse["awq+gptq"] = float(np.mean(
+        (_logits(p_both, cfg, toks) - ref) ** 2))
+    assert mse["awq"] < mse["rtn"], mse
+    assert mse["awq+gptq"] < mse["rtn"], mse
+    # folded norms actually changed (the fold is real, not a no-op)
+    assert not np.allclose(np.asarray(p_awq.layers.attn_norm[0]),
+                           dense["layers.0.attn_norm"])
+
+
+def test_awq_rejects_moe():
+    import pytest
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-moe"], bits=4,
+                              dtype="float32", group_size=64)
+    dense = _dense_dict(cfg, seed=14)
+    toks = np.random.default_rng(14).integers(2, cfg.vocab_size, (1, 16))
+    with pytest.raises(ValueError, match="MoE"):
+        gptq_quantize_dense(dense, cfg, toks, awq=True)
+
+
+def test_hf_convert_awq_e2e(tmp_path):
+    """convert_hf_llama(algo='awq+gptq') writes folded norms and loads
+    into a better-than-RTN model."""
+    from test_checkpoint import _write_fake_hf
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+
+    cfg0 = CFG
+    hf_dir = tmp_path / "hf"
+    _write_fake_hf(hf_dir, cfg0)
+    toks = np.random.default_rng(15).integers(2, cfg0.vocab_size, (2, 48))
+    convert_hf_llama(hf_dir, tmp_path / "rtn", bits=4, group_size=64)
+    convert_hf_llama(hf_dir, tmp_path / "awq", bits=4, group_size=64,
+                     algo="awq+gptq", calib_tokens=toks)
+    convert_hf_llama(hf_dir, tmp_path / "ref", bits=8, group_size=16)
+    p_ref, c_ref = load_checkpoint(tmp_path / "ref")
+    p_rtn, c_rtn = load_checkpoint(tmp_path / "rtn")
+    p_a, c_a = load_checkpoint(tmp_path / "awq")
+    ref = _logits(p_ref, c_ref, toks)
+    mse_r = float(np.mean((_logits(p_rtn, c_rtn, toks) - ref) ** 2))
+    mse_a = float(np.mean((_logits(p_a, c_a, toks) - ref) ** 2))
+    assert mse_a < mse_r, (mse_a, mse_r)
