@@ -284,3 +284,26 @@ def test_mesh_engine_moe_expert_axis():
 
     for p, o in zip(prompts, outs):
         assert o == ref(p, 6), (p, o)
+
+
+def test_mesh_engine_fsm_and_top_logprobs():
+    """Grammar FSM + top_logprobs through the (data, model) mesh engine:
+    the FSM tables/states ride the sharded decode programs unchanged."""
+    from quant_tpu.engine.grammar import choice_fsm
+
+    params = llama.init_params(CFG, seed=31, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=7,
+                 mesh=mesh)
+    fsm = choice_fsm([[40, 41, 42], [50]], CFG.vocab_size, 7)
+    rc = Request(req_id=0, prompt=[5, 6], max_new_tokens=6, fsm=fsm,
+                 sampling=SamplingConfig(temperature=1.0))
+    rt = Request(req_id=1, prompt=[8, 9], max_new_tokens=3,
+                 top_logprobs=2)
+    eng.add_request(rc)
+    eng.add_request(rt)
+    while eng.has_work():
+        eng.step()
+    assert rc.output in ([40, 41, 42, 7], [50, 7]), rc.output
+    assert len(rt.top_ids) == len(rt.output)
+    assert all(ids[0] == t for ids, t in zip(rt.top_ids, rt.output))
