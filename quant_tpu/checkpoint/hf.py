@@ -54,6 +54,30 @@ class _HFReader:
         return self._index[name].get_tensor(name)
 
 
+def _rope_scaling_kw(rs) -> dict:
+    """HF config.rope_scaling → ModelConfig rope fields. Supports the
+    llama3 NTK-by-parts (Llama-3.1/3.2) and linear types."""
+    if not rs:
+        return {}
+    rtype = rs.get("rope_type") or rs.get("type")
+    if rtype == "llama3":
+        return dict(
+            rope_scaling="llama3",
+            rope_factor=float(rs.get("factor", 8.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_orig_max_pos=int(
+                rs.get("original_max_position_embeddings", 8192)),
+        )
+    if rtype == "linear":
+        return dict(rope_scaling="linear",
+                    rope_factor=float(rs.get("factor", 1.0)))
+    if rtype in (None, "default"):
+        return {}
+    raise ValueError(f"unsupported rope_scaling type {rtype!r} "
+                     "(supported: llama3, linear)")
+
+
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
     hf = json.loads((pathlib.Path(model_dir) / "config.json").read_text())
     mtype = hf.get("model_type", "llama")
@@ -71,6 +95,7 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         intermediate=hf["intermediate_size"],
         head_dim=int(hf.get("head_dim") or 0),
         rope_theta=hf.get("rope_theta", 10000.0),
+        **_rope_scaling_kw(hf.get("rope_scaling")),
         norm_eps=hf.get("rms_norm_eps", 1e-5),
         # Mistral v0.1 sets sliding_window=4096; v0.2+ stores null
         sliding_window=int(hf.get("sliding_window") or 0)

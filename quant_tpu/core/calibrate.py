@@ -317,9 +317,9 @@ class GPTQCalibrator:
                 jnp.asarray(k), jnp.asarray(dense["k_norm"], jnp.float32),
                 cfg.norm_eps), np.float32)
         q = np.asarray(llama._rope(jnp.asarray(q), self.positions,
-                                   cfg.rope_theta), np.float32)
+                                   cfg.rope_theta, cfg), np.float32)
         k = np.asarray(llama._rope(jnp.asarray(k), self.positions,
-                                   cfg.rope_theta), np.float32)
+                                   cfg.rope_theta, cfg), np.float32)
         attn = self._attn(q, k, v, int(self._windows[self._layer_idx]))
         attn = attn.reshape(self.b, self.t, -1)
 

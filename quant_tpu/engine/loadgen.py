@@ -34,6 +34,11 @@ class LoadSpec:
     sampling: SamplingConfig = SamplingConfig()
     seed: int = 0
     block: int = 0               # >0 → drive step_block(block)
+    # compile every prefill bucket + the decode program BEFORE the
+    # clock starts (mid-run jit compiles would dominate TTFT, multi-
+    # second on the axon relay); warmup requests are excluded from the
+    # reported latency reservoirs
+    warmup: bool = True
 
 
 def _arrivals(spec: LoadSpec, vocab: int):
@@ -54,7 +59,19 @@ def _arrivals(spec: LoadSpec, vocab: int):
 
 def run_load(eng: Engine, spec: LoadSpec) -> dict:
     """Run the load to completion; returns the serving-metrics report."""
+    from quant_tpu.engine.engine import _bucket
+
     arrivals = _arrivals(spec, eng.cfg.vocab_size)
+    if spec.warmup:
+        buckets = sorted({_bucket(len(r.prompt)) for _, r in arrivals})
+        for j, b in enumerate(buckets):
+            eng.add_request(Request(
+                req_id=-1 - j, prompt=[3] * min(b, eng.max_seq - 4),
+                max_new_tokens=2, sampling=spec.sampling))
+        while eng.has_work():
+            eng.step_block(spec.block) if spec.block else eng.step()
+        eng._ttfts.clear()
+        eng._tpots.clear()
     occ_samples: list[int] = []
     finished: list[Request] = []
     i = 0

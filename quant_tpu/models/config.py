@@ -21,6 +21,18 @@ class ModelConfig:
     # newer Qwen/Llama variants) set it explicitly (ADVICE r1).
     head_dim: int = 0
     rope_theta: float = 10000.0
+    # RoPE frequency scaling for long-context models:
+    # * "none": plain RoPE.
+    # * "linear": positions effectively divided by rope_factor.
+    # * "llama3" (Llama-3.1/3.2): NTK-by-parts — low-frequency bands
+    #   scale by 1/factor, high-frequency bands stay, with a smooth
+    #   ramp between rope_low_freq_factor and rope_high_freq_factor
+    #   wavelength thresholds of rope_orig_max_pos.
+    rope_scaling: str = "none"
+    rope_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_orig_max_pos: int = 8192
     norm_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2 family
     # Mistral-v0.1-style sliding-window attention: key s is visible to
@@ -122,6 +134,9 @@ class ModelConfig:
                              f"got {self.moe_prefill!r}")
         if self.sliding_pattern and not self.sliding_window:
             raise ValueError("sliding_pattern needs sliding_window > 0")
+        if self.rope_scaling not in ("none", "linear", "llama3"):
+            raise ValueError(f"rope_scaling must be none|linear|llama3, "
+                             f"got {self.rope_scaling!r}")
 
 
 PRESETS: dict[str, ModelConfig] = {
@@ -136,13 +151,20 @@ PRESETS: dict[str, ModelConfig] = {
     ),
     # Llama-3.2 small models: natural DRAFT models for speculative
     # decoding against the 8B/70B targets (same tokenizer/vocab).
+    # 128k-context via the llama3 NTK-by-parts rope scaling (factor 32).
     "llama-3.2-1b": ModelConfig(
         vocab_size=128256, dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
         intermediate=8192, head_dim=64, rope_theta=500000.0, embed_bits=8,
+        rope_scaling="llama3", rope_factor=32.0,
+        rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+        rope_orig_max_pos=8192,
     ),
     "llama-3.2-3b": ModelConfig(
         vocab_size=128256, dim=3072, n_layers=28, n_heads=24, n_kv_heads=8,
         intermediate=8192, head_dim=128, rope_theta=500000.0, embed_bits=8,
+        rope_scaling="llama3", rope_factor=32.0,
+        rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+        rope_orig_max_pos=8192,
     ),
     "llama-3-8b": ModelConfig(
         vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,

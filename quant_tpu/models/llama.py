@@ -775,11 +775,36 @@ def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
     return jax.lax.psum(out, axes) if axes else out
 
 
-def _rope(x, positions, theta):
-    """Rotate-half RoPE. x [B, T, H, Dh], positions [B, T] int32."""
+def _rope_freqs(theta: float, half: int, cfg: ModelConfig | None):
+    """Inverse frequencies [half], with the config's long-context
+    scaling applied (mirrors HF's ROPE_INIT_FUNCTIONS semantics)."""
+    freqs = theta ** (-np.arange(0, half, dtype=np.float32) / half)
+    if cfg is None or cfg.rope_scaling == "none":
+        return jnp.asarray(freqs)
+    if cfg.rope_scaling == "linear":
+        return jnp.asarray(freqs / cfg.rope_factor)
+    # "llama3" NTK-by-parts (Llama-3.1/3.2): scale low-frequency bands
+    # by 1/factor, keep high-frequency bands, smooth ramp between
+    factor = cfg.rope_factor
+    low_wl = cfg.rope_orig_max_pos / cfg.rope_low_freq_factor
+    high_wl = cfg.rope_orig_max_pos / cfg.rope_high_freq_factor
+    wavelen = 2.0 * np.pi / freqs
+    scaled = np.where(wavelen > low_wl, freqs / factor, freqs)
+    smooth = ((cfg.rope_orig_max_pos / wavelen
+               - cfg.rope_low_freq_factor)
+              / (cfg.rope_high_freq_factor - cfg.rope_low_freq_factor))
+    smoothed = (1.0 - smooth) / factor * freqs + smooth * freqs
+    medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return jnp.asarray(np.where(medium, smoothed, scaled)
+                       .astype(np.float32))
+
+
+def _rope(x, positions, theta, cfg: ModelConfig | None = None):
+    """Rotate-half RoPE. x [B, T, H, Dh], positions [B, T] int32.
+    ``cfg`` applies its rope_scaling (None → plain RoPE)."""
     b, t, h, dh = x.shape
     half = dh // 2
-    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    freqs = _rope_freqs(theta, half, cfg)
     ang = positions[:, :, None].astype(jnp.float32) * freqs  # [B, T, half]
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
@@ -1170,8 +1195,8 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # Qwen3: per-head RMSNorm over Dh before RoPE
             q = rmsnorm(q, q_norm, cfg.norm_eps)
             k = rmsnorm(k, k_norm, cfg.norm_eps)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg)
+        k = _rope(k, positions, cfg.rope_theta, cfg)
         k_q, k_s = quantize_kv(k, cfg.kv_bits)
         v_q, v_s = quantize_kv(v, cfg.kv_bits)
         if page_tbl is not None:

@@ -216,8 +216,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         if cfg.qk_norm:
             q = llama.rmsnorm(q, q_norm, cfg.norm_eps)
             k = llama.rmsnorm(k, k_norm, cfg.norm_eps)
-        q = llama._rope(q, q_pos, cfg.rope_theta)
-        k = llama._rope(k, q_pos, cfg.rope_theta)
+        q = llama._rope(q, q_pos, cfg.rope_theta, cfg)
+        k = llama._rope(k, q_pos, cfg.rope_theta, cfg)
         k_q, k_s = llama.quantize_kv(k, cfg.kv_bits)
         v_q, v_s = llama.quantize_kv(v, cfg.kv_bits)
         kc, ks, vc, vs = _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s,

@@ -405,6 +405,51 @@ def test_gemma_matches_transformers():
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
 
 
+def test_llama3_rope_scaling_matches_transformers():
+    """Llama-3.1/3.2 NTK-by-parts rope scaling: our per-band frequency
+    scaling must match HF's ROPE_INIT llama3 implementation (and the
+    run must actually exercise scaled bands — unscaled must differ)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = dataclasses.replace(
+        CFG, kv_bits=16, rope_theta=500000.0, rope_scaling="llama3",
+        rope_factor=32.0, rope_low_freq_factor=1.0,
+        rope_high_freq_factor=4.0, rope_orig_max_pos=64)
+    dense = _dense_weights(cfg, seed=61)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(62).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager",
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    model = LlamaForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(63).integers(2, cfg.vocab_size, (2, 48))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # the scaling genuinely matters: with it off, the error must be
+    # orders of magnitude above the scaled-parity error (tiny random
+    # weights damp absolute logit shifts, so compare errors directly)
+    cfg_off = dataclasses.replace(cfg, rope_scaling="none")
+    ours_off, _ = _run_both(model, params, cfg_off, toks)
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    err_off = float(np.max(np.abs(ours_off - hf_logits)))
+    assert err_off > 50 * max(err_on, 1e-7), (err_on, err_off)
+
+
 def test_gemma2_matches_transformers():
     """Gemma-2 family: alternating local/global attention (layer 0
     sliding, layer 1 global), attention-score + final-logit tanh
