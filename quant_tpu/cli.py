@@ -157,13 +157,23 @@ def _cmd_serve(args):
         proposer = DraftModelProposer(
             d_params, d_cfg, gamma=args.spec_gamma,
             max_slots=args.slots, max_seq=args.max_seq)
+    loras = None
+    if getattr(args, "lora", None):
+        from quant_tpu.models.lora import load_hf_adapter
+
+        loras = {}
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit("--lora expects name=/path/to/adapter")
+            loras[name] = load_hf_adapter(path)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
                  eos_id=args.eos_id, paged=args.paged,
                  page_size=args.page_size, n_pages=args.n_pages,
                  spec_gamma=args.spec_gamma, spec_proposer=proposer,
                  mesh=mesh, pp_micro=args.pp_micro,
                  max_pending=args.max_pending,
-                 prefix_cache=args.prefix_cache)
+                 prefix_cache=args.prefix_cache, loras=loras)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -394,6 +404,11 @@ def main(argv=None):
                          "(requires --paged; composes with data/model meshes)")
     sv.add_argument("--max-pending", type=int, default=None,
                     help="admission queue cap (HTTP 429 beyond it)")
+    sv.add_argument("--lora", action="append", default=None,
+                    metavar="NAME=PATH",
+                    help="register a HF PEFT LoRA adapter dir under "
+                         "NAME (repeatable); requests select via "
+                         "'lora' or the OpenAI 'model' field")
     sv.add_argument("--moe-prefill", default=None,
                     choices=("dense", "capacity"))
     sv.add_argument("--kv-bits", type=int, default=0,

@@ -93,6 +93,9 @@ class Request:
     # output position (ids + logprobs computed on device, packed into
     # the same fetch as the tokens). 0 = off.
     top_logprobs: int = 0
+    # Multi-LoRA: name of a registered adapter (Engine(loras={...}));
+    # None = the base model.
+    lora: Any = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     # log p(token) under the raw model distribution, one per output token
@@ -168,10 +171,28 @@ class Engine:
         spec_gamma: int = 0,
         spec_proposer=None,
         max_pending: int | None = None,
+        loras: dict | None = None,
     ):
         self.cfg = cfg
         self.max_pending = max_pending
         self.mesh = mesh
+        # Multi-LoRA: adapters register at construction (one retrace
+        # per engine, never mid-serving); requests pick by name.
+        self.lora_names: dict = {None: 0}
+        if loras:
+            from quant_tpu.models.lora import make_lora_stack
+
+            if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+                raise ValueError("loras do not compose with pipe > 1")
+            if spec_gamma:
+                raise ValueError("loras do not compose with speculative "
+                                 "decoding (the draft/verify programs "
+                                 "have no adapter path)")
+            tp_ = mesh.shape.get("model", 1) if mesh is not None else 1
+            stack = make_lora_stack(list(loras.values()), cfg, tp=tp_)
+            params = dataclasses.replace(params, lora=stack)
+            for j, name in enumerate(loras):
+                self.lora_names[name] = j + 1
         self.max_slots = max_slots
         self.max_seq = max_seq
         self.eos_id = eos_id
@@ -245,6 +266,8 @@ class Engine:
         self._fsm_key: dict[int, int] = {}
         self._fsm_ids = np.zeros((max_slots,), np.int32)
         self._fsm_state = np.zeros((max_slots,), np.int32)
+        # per-slot LoRA adapter ids (0 = base) for the decode programs
+        self._adapter_slot = np.zeros((max_slots,), np.int32)
         # rolling latency reservoirs (last 512 finished requests) for the
         # TTFT / TPOT percentiles in ``stats`` and /metrics
         from collections import deque
@@ -355,8 +378,8 @@ class Engine:
         def decode_step(params, tokens, cache, key, temps, topks, topps,
                         minps, reps, freqs, press, bias_toks, bias_vals,
                         counts, fsm_trans=None, fsm_ids=None,
-                        fsm_states=None, use_pen=False, use_bias=False,
-                        use_fsm=False, topk_lp=0):
+                        fsm_states=None, adapter_ids=None, use_pen=False,
+                        use_bias=False, use_fsm=False, topk_lp=0):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -366,7 +389,8 @@ class Engine:
             # token-history counts ride along donated; the committed
             # token is scatter-added every step (cheap), the penalty
             # math itself only when use_pen (static).
-            logits, cache = fwd_full(params, tokens, cache)
+            logits, cache = fwd_full(params, tokens, cache,
+                                     adapter_ids=adapter_ids)
             keyn, sub = jax.random.split(key)
             pen = (counts, reps, freqs, press) if use_pen else None
             bias = (bias_toks, bias_vals) if use_bias else None
@@ -395,9 +419,9 @@ class Engine:
         def decode_block(params, tokens, cache, key, temps, topks, topps,
                          minps, reps, freqs, press, bias_toks, bias_vals,
                          counts, fsm_trans=None, fsm_ids=None,
-                         fsm_states=None, n=1, sampled=False,
-                         use_pen=False, use_bias=False, use_fsm=False,
-                         topk_lp=0):
+                         fsm_states=None, adapter_ids=None, n=1,
+                         sampled=False, use_pen=False, use_bias=False,
+                         use_fsm=False, topk_lp=0):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
@@ -412,7 +436,8 @@ class Engine:
             def body(_, carry):
                 tok, cache, key, counts, fstate, out, lps, tis, tls, i = \
                     carry
-                logits, cache = fwd_full(params, tok, cache)
+                logits, cache = fwd_full(params, tok, cache,
+                                         adapter_ids=adapter_ids)
                 key, sub = jax.random.split(key)
                 lg = logits[:, -1]
                 rows = fsm_trans[fsm_ids, fstate] if use_fsm else None
@@ -684,13 +709,14 @@ class Engine:
         if self.mesh is None:
             @functools.partial(jax.jit, donate_argnums=(2,))
             def prefill(params, tokens, pools, tbl_row, start, true_len,
-                        slot):
+                        slot, aid):
                 del slot
                 kc, ks, vc, vs = pools
                 view = llama.PagedKVCache(
                     k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
                     page_tbl=tbl_row[None], lengths=start[None])
-                logits, view = fwd_one(params, tokens, view)
+                logits, view = fwd_one(params, tokens, view,
+                                       adapter_ids=aid)
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, 0, False)
                 return last, (view.k_codes, view.k_scale,
@@ -708,7 +734,7 @@ class Engine:
             fwd = functools.partial(llama.forward, cfg=cfg, axis="model")
 
             def inner(params, tokens, pools, tbl_row, start, true_len,
-                      slot):
+                      slot, aid):
                 kc, ks, vc, vs = pools
                 di = jax.lax.axis_index("data")
                 owned = (slot // slots_per) == di
@@ -723,7 +749,8 @@ class Engine:
                 view = llama.PagedKVCache(
                     k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
                     page_tbl=tbl[None], lengths=start[None])
-                logits, view = fwd(params, tokens, view)
+                logits, view = fwd(params, tokens, view,
+                                   adapter_ids=aid)
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, 0, False)
                 last = jax.lax.psum(
@@ -734,7 +761,7 @@ class Engine:
             sm = jax.shard_map(
                 inner, mesh=mesh,
                 in_specs=(p_specs, P(None, None), pool_specs, P(), P(),
-                          P(), P()),
+                          P(), P(), P()),
                 out_specs=(P(), pool_specs),
                 check_vma=False,
             )
@@ -749,9 +776,9 @@ class Engine:
         fwd_one = self._fwd_one
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill(params, tokens, pfc, true_len):
+        def prefill(params, tokens, pfc, true_len, aid):
             start = pfc.lengths
-            logits, pfc = fwd_one(params, tokens, pfc)
+            logits, pfc = fwd_one(params, tokens, pfc, adapter_ids=aid)
             # forward advanced lengths by the PADDED chunk; rewind to the
             # true length (pad rows sit beyond it, masked / overwritten by
             # the next chunk).
@@ -958,6 +985,10 @@ class Engine:
     def add_request(self, req: Request) -> None:
         if not 0 <= req.top_logprobs <= 20:
             raise ValueError("top_logprobs must be in [0, 20]")
+        if req.lora is not None and req.lora not in self.lora_names:
+            raise ValueError(
+                f"unknown lora adapter {req.lora!r} (registered: "
+                f"{[k for k in self.lora_names if k]})")
         if req.fsm is not None:
             if self.spec_gamma:
                 raise ValueError(
@@ -1036,6 +1067,11 @@ class Engine:
                     lengths=jnp.zeros_like(self.pf_cache.lengths))
                 self._prefilling = [req, free, 0, None]
         req, slot, off, _ = self._prefilling
+        # the chunk prefill and all later decode dispatches use this
+        # slot's adapter (0 = base; stale ids on freed slots only feed
+        # masked/garbage lanes)
+        self._adapter_slot[slot] = self.lora_names.get(req.lora, 0)
+        aid = jnp.asarray([self._adapter_slot[slot]], jnp.int32)
         # stream = prompt + output: a PREEMPTED request resumes by
         # prefilling everything it had produced so far (paged engine).
         stream = req.prompt + req.output
@@ -1049,14 +1085,15 @@ class Engine:
             last, pools = self._prefix_prefill_fn(t_pad)(
                 self.params, jnp.asarray(toks), pools,
                 jnp.asarray(self._page_tbl[slot], jnp.int32),
-                jnp.int32(off), jnp.int32(len(chunk)), jnp.int32(slot))
+                jnp.int32(off), jnp.int32(len(chunk)), jnp.int32(slot),
+                aid)
             self.cache = dataclasses.replace(
                 self.cache, k_codes=pools[0], k_scale=pools[1],
                 v_codes=pools[2], v_scale=pools[3])
         else:
             last, self.pf_cache = self._prefill_fn(t_pad)(
                 self.params, jnp.asarray(toks), self.pf_cache,
-                jnp.int32(len(chunk)))
+                jnp.int32(len(chunk)), aid)
         off += len(chunk)
         if off < len(stream):
             self._prefilling = [req, slot, off, None]
@@ -1376,6 +1413,7 @@ class Engine:
                 self.counts, fsm_trans=self._fsm_dev,
                 fsm_ids=jnp.asarray(self._fsm_ids),
                 fsm_states=jnp.asarray(self._fsm_state),
+                adapter_ids=jnp.asarray(self._adapter_slot),
                 use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
                 topk_lp=k_lp)
             packed = np.asarray(packed)
@@ -1445,6 +1483,7 @@ class Engine:
             self.counts, fsm_trans=self._fsm_dev,
             fsm_ids=jnp.asarray(self._fsm_ids),
             fsm_states=jnp.asarray(self._fsm_state),
+            adapter_ids=jnp.asarray(self._adapter_slot),
             n=n, sampled=sampled or any_pen or any_bias or any_fsm,
             use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
             topk_lp=k_lp,
@@ -1532,6 +1571,7 @@ class Engine:
         max_new_tokens: int = 32,
         sampling: SamplingConfig = SamplingConfig(),
         fsm=None,
+        lora=None,
     ) -> list[list[int]]:
         """Convenience batch API over the continuous-batching loop.
 
@@ -1541,7 +1581,7 @@ class Engine:
         singly so the host can draft between verifies."""
         reqs = [
             Request(req_id=i, prompt=p, max_new_tokens=max_new_tokens,
-                    sampling=sampling, fsm=fsm)
+                    sampling=sampling, fsm=fsm, lora=lora)
             for i, p in enumerate(prompts)
         ]
         for r in reqs:

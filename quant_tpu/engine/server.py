@@ -122,7 +122,8 @@ class EngineServer:
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s: float | None = None,
-               stop_ids=(), fsm=None, top_logprobs=0) -> Request:
+               stop_ids=(), fsm=None, top_logprobs=0,
+               lora=None) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
@@ -131,7 +132,7 @@ class EngineServer:
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
                           stop_ids=tuple(stop_ids), fsm=fsm,
-                          top_logprobs=top_logprobs)
+                          top_logprobs=top_logprobs, lora=lora)
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -143,7 +144,7 @@ class EngineServer:
     def submit_many(self, prompt_ids, max_new_tokens, sampling, n,
                     timeout_s: float | None = None,
                     stop_ids=(), fsm=None,
-                    top_logprobs=0) -> list[Request]:
+                    top_logprobs=0, lora=None) -> list[Request]:
         """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
         for all: the copies co-batch in the engine, so n choices cost one
         continuous-batching pass, not n sequential generations."""
@@ -158,7 +159,7 @@ class EngineServer:
                                   sampling=sampling,
                                   deadline=self._deadline(timeout_s),
                                   stop_ids=tuple(stop_ids), fsm=fsm,
-                                  top_logprobs=top_logprobs)
+                                  top_logprobs=top_logprobs, lora=lora)
                     self.engine.add_request(req)
                     ev = threading.Event()
                     self.events[rid] = ev
@@ -177,7 +178,7 @@ class EngineServer:
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
                       timeout_s: float | None = None, stop_ids=(),
-                      fsm=None, top_logprobs=0):
+                      fsm=None, top_logprobs=0, lora=None):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -189,7 +190,7 @@ class EngineServer:
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
                           stop_ids=tuple(stop_ids), fsm=fsm,
-                          top_logprobs=top_logprobs)
+                          top_logprobs=top_logprobs, lora=lora)
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
         return req, q
@@ -212,6 +213,21 @@ class EngineServer:
             self._vocab_bytes_cache = [
                 tok.decode([i]).encode("utf-8") for i in range(v)]
         return self._vocab_bytes_cache
+
+    def request_lora(self, body):
+        """Adapter for a request: explicit ``lora`` field, or the
+        OpenAI ``model`` name when it names a registered adapter
+        (vLLM-style multi-LoRA routing). 400s on unknown ``lora``."""
+        name = body.get("lora")
+        if name is None:
+            m = body.get("model")
+            if m in self.engine.lora_names:
+                name = m
+            else:
+                return None
+        if name not in self.engine.lora_names:
+            raise ValueError(f"unknown lora adapter {name!r}")
+        return name
 
     def guided_fsm(self, body):
         """Build (and cache) a TokenFSM for a request body's
@@ -312,9 +328,13 @@ def _make_handler(srv: EngineServer):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, **srv.engine.stats})
             elif self.path == "/v1/models":
-                self._json(200, {"object": "list", "data": [
-                    {"id": srv.model_name, "object": "model",
-                     "owned_by": "quant-tpu"}]})
+                models = [{"id": srv.model_name, "object": "model",
+                           "owned_by": "quant-tpu"}]
+                models += [{"id": n, "object": "model",
+                            "owned_by": "quant-tpu",
+                            "parent": srv.model_name}
+                           for n in srv.engine.lora_names if n]
+                self._json(200, {"object": "list", "data": models})
             elif self.path == "/metrics":
                 lines = []
                 stats = dict(srv.engine.stats,
@@ -337,7 +357,7 @@ def _make_handler(srv: EngineServer):
                 self._json(404, {"error": "not found"})
 
         def _stream(self, body, sampling, timeout_s=None, stop_ids=(),
-                    fsm=None):
+                    fsm=None, lora=None):
             req, q = srv.submit_stream(
                 body["prompt_ids"],
                 int(body.get("max_new_tokens", 32)),
@@ -345,6 +365,7 @@ def _make_handler(srv: EngineServer):
                 timeout_s,
                 stop_ids,
                 fsm=fsm,
+                lora=lora,
             )
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -484,7 +505,8 @@ def _make_handler(srv: EngineServer):
                                    None, stop_ids,
                                    fsm=srv.guided_fsm(body),
                                    top_logprobs=self._oai_top_logprobs(
-                                       body))
+                                       body),
+                                   lora=srv.request_lora(body))
             comp = sum(len(r.output) for r in reqs)
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
@@ -501,7 +523,8 @@ def _make_handler(srv: EngineServer):
             import time as _t
             req, q = srv.submit_stream(prompt_ids, max_new, sampling,
                                        None, stop_ids,
-                                       fsm=srv.guided_fsm(body))
+                                       fsm=srv.guided_fsm(body),
+                                       lora=srv.request_lora(body))
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -605,7 +628,7 @@ def _make_handler(srv: EngineServer):
                 fsm = srv.guided_fsm(body)
                 if body.get("stream"):
                     self._stream(body, sampling, timeout_s, stop_ids,
-                                 fsm=fsm)
+                                 fsm=fsm, lora=srv.request_lora(body))
                     return
                 req = srv.submit(
                     body["prompt_ids"],
@@ -615,6 +638,7 @@ def _make_handler(srv: EngineServer):
                     stop_ids,
                     fsm=fsm,
                     top_logprobs=int(body.get("top_logprobs", 0)),
+                    lora=srv.request_lora(body),
                 )
                 resp = {"req_id": req.req_id,
                         "output_ids": req.output,

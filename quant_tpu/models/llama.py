@@ -132,6 +132,10 @@ class LlamaParams:
     layers: LayerParams  # leaves stacked [L, ...]
     final_norm: Any   # [D]
     lm_head: QTensor  # [D, V]
+    # Multi-LoRA serving: a models.lora.LoraStack of registered adapters
+    # (None = no adapters; forward's ``adapter_ids`` selects per slot).
+    # Not part of the base checkpoint.
+    lora: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -663,7 +667,7 @@ def moe_route(x, router, cfg: ModelConfig):
 
 
 def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
-              expert_axis=None):
+              expert_axis=None, lora=None, adapter_ids=None):
     """MLP residual delta in f32, psum'd over the given mesh axes.
 
     Dense (n_experts=0): fused gate|up column matmul + row-split down,
@@ -684,9 +688,17 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     """
     if not cfg.n_experts:
         gu = mm(x, layers.w_gate_up, idx)
+        if lora is not None:
+            from quant_tpu.models.lora import lora_delta
+            gu = gu + lora_delta(x, lora.a_gu, lora.b_gu, idx,
+                                 adapter_ids).astype(gu.dtype)
         gate, up = jnp.split(gu, 2, axis=-1)
-        out = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-                 layers.w_down, idx, out_dtype=jnp.float32)
+        a_in = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
+        out = mm(a_in, layers.w_down, idx, out_dtype=jnp.float32)
+        if lora is not None:
+            from quant_tpu.models.lora import lora_delta
+            out = out + lora_delta(a_in, lora.a_down, lora.b_down, idx,
+                                   adapter_ids)
         return jax.lax.psum(out, axis) if axis else out
 
     w = moe_route(x, router, cfg)                      # [B, T, E]
@@ -1061,6 +1073,7 @@ def forward(
     axis: str | None = None,
     seq_axis: str | None = None,
     expert_axis: str | None = None,
+    adapter_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill if T>1, decode if T==1).
 
@@ -1095,11 +1108,14 @@ def forward(
     h = _embed_lookup(params.embed, tokens, dt, cfg)
     new_lengths = cache.lengths + t
 
+    if params.lora is not None and adapter_ids is None:
+        adapter_ids = jnp.zeros((b,), jnp.int32)  # all-base
     layer_step = make_layer_step(
         params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
         s0, axis, dt, seq_axis,
         page_tbl=cache.page_tbl if paged else None,
         expert_axis=expert_axis,
+        lora=params.lora, adapter_ids=adapter_ids,
     )
     (h, kc, ks, vc, vs), _ = jax.lax.scan(
         layer_step,
@@ -1150,7 +1166,7 @@ def scan_xs(layers, cfg: ModelConfig, layer0=None) -> tuple:
 
 def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                     s0, axis, dt, seq_axis, batch0=None, page_tbl=None,
-                    expert_axis=None):
+                    expert_axis=None, lora=None, adapter_ids=None):
     """Scan body over the stacked layer axis, carrying the FULL caches.
 
     The carry is (h, k_codes, k_scale, v_codes, v_scale) with caches at
@@ -1171,6 +1187,9 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         lengths = jax.lax.dynamic_slice_in_dim(lengths, batch0, b)
         positions = jax.lax.dynamic_slice_in_dim(positions, batch0, b)
         new_lengths = jax.lax.dynamic_slice_in_dim(new_lengths, batch0, b)
+        if adapter_ids is not None:
+            adapter_ids = jax.lax.dynamic_slice_in_dim(
+                adapter_ids, batch0, b)
         if page_tbl is not None:
             # microbatched PP over a paged pool: the table rows follow
             # the microbatch's slot window
@@ -1185,6 +1204,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         window = win if cfg.sliding_window else None
         x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
+        if lora is not None:
+            from quant_tpu.models.lora import lora_delta
+            qkv = qkv + lora_delta(x, lora.a_qkv, lora.b_qkv, idx,
+                                   adapter_ids).astype(qkv.dtype)
         units = cfg.n_heads + 2 * cfg.n_kv_heads
         nq = (qkv.shape[-1] * cfg.n_heads) // units
         nkv = (qkv.shape[-1] * cfg.n_kv_heads) // units
@@ -1290,8 +1313,14 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
               post_attn, post_mlp):
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
-        o = psum(mm(attn.reshape(b, t, -1), layers.wo, idx,
-                    out_dtype=jnp.float32))
+        attn2 = attn.reshape(b, t, -1)
+        o_part = mm(attn2, layers.wo, idx, out_dtype=jnp.float32)
+        if lora is not None:
+            # row-split input → shard-local partial delta joins the psum
+            from quant_tpu.models.lora import lora_delta
+            o_part = o_part + lora_delta(attn2, lora.a_o, lora.b_o, idx,
+                                         adapter_ids)
+        o = psum(o_part)
         if cfg.post_norms:
             # Gemma-2: norm the block OUTPUT (after the full TP psum —
             # RMSNorm is nonlinear) before the residual add
@@ -1299,7 +1328,8 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         h = h + o.astype(dt)
         x = rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
         m = mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
-                      router=router, expert_axis=expert_axis)
+                      router=router, expert_axis=expert_axis,
+                      lora=lora, adapter_ids=adapter_ids)
         if cfg.post_norms:
             m = rmsnorm(m, post_mlp, cfg.norm_eps, cfg.norm_offset)
         h = h + m.astype(dt)

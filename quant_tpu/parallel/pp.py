@@ -234,13 +234,23 @@ def pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
         forward_pp, cfg=cfg, pipe_axis="pipe", axis="model",
         seq_axis="seq" if sp > 1 else None, n_micro=n_micro,
     )
-    return jax.shard_map(
+    sharded = jax.shard_map(
         lambda pr, tok, ca: fwd(pr, tok, ca),
         mesh=mesh,
         in_specs=(p_specs, P(batch_axis, None), c_specs),
         out_specs=(P(batch_axis, None, None), c_specs),
         check_vma=False,
     )
+
+    def wrapped(pr, tok, ca, adapter_ids=None):
+        # PP does not implement LoRA deltas; the engine rejects adapter
+        # registration on pipe meshes, so non-None ids here are a bug
+        if adapter_ids is not None and pr.lora is not None:
+            raise ValueError("LoRA adapters do not compose with "
+                             "pipeline parallelism")
+        return sharded(pr, tok, ca)
+
+    return wrapped
 
 
 def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params, cache,

@@ -182,6 +182,9 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
             "mask nor attention softcapping (a <=4k window never needs "
             "sequence-parallel prefill; use the chunked single-rank "
             "prefill path)")
+    if params.lora is not None:
+        raise ValueError("sp_prefill_forward does not implement LoRA "
+                         "deltas")
     mm = llama._mm(cfg)
     b, t_loc = tokens.shape
     dt = llama._act_dtype(cfg)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quant_tpu.models import llama
@@ -50,6 +51,16 @@ def _spec_for(path, leaf) -> P:
     names = _path_names(path)
     field = names[-1]          # codes | scales | embed | ...
     owner = names[-2] if len(names) >= 2 else ""
+    if owner == "lora":
+        # LoraStack leaves [A, L, K, r] / [A, L, r, N]: fused-column
+        # B's split N with the QTensors they shadow; row-split
+        # projections' A's split the input dim (partials join the
+        # existing psum); everything else replicates (r is tiny).
+        if field in ("b_qkv", "b_gu"):
+            return P(None, None, None, "model")
+        if field in ("a_o", "a_down"):
+            return P(None, None, "model", None)
+        return P()
     stacked = owner != "lm_head" and "layers" in names
     lead = (None,) if stacked else ()
     if field == "qkv_bias":    # column-fused bias shards with wqkv's N
@@ -163,13 +174,20 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
         expert_axis="expert" if ep > 1 else None,
     )
 
-    return jax.shard_map(
-        lambda pr, tok, ca: fwd(pr, tok, ca),
+    sharded = jax.shard_map(
+        lambda pr, tok, ca, ids: fwd(pr, tok, ca, adapter_ids=ids),
         mesh=mesh,
-        in_specs=(p_specs, P(batch_axis, None), c_specs),
+        in_specs=(p_specs, P(batch_axis, None), c_specs, P(batch_axis)),
         out_specs=(P(batch_axis, None, None), c_specs),
         check_vma=False,
     )
+
+    def wrapped(pr, tok, ca, adapter_ids=None):
+        if adapter_ids is None:
+            adapter_ids = jnp.zeros((tok.shape[0],), jnp.int32)
+        return sharded(pr, tok, ca, adapter_ids)
+
+    return wrapped
 
 
 def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, params, cache):

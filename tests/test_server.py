@@ -423,3 +423,53 @@ def test_guided_json_endpoint():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_multi_lora_endpoint():
+    """Adapter selection over HTTP: explicit "lora" field and OpenAI
+    "model"-name routing; /v1/models lists adapters; 400 on unknown."""
+    import dataclasses
+    import urllib.error
+
+    from test_lora import _adapter
+
+    cfg = dataclasses.replace(CFG, kv_bits=16, dtype="float32", bits=8,
+                              group_size=64)
+    params = llama.init_params(cfg, seed=9)
+    eng = Engine(params, cfg, max_slots=4, max_seq=48, eos_id=-1,
+                 loras={"fin": _adapter(cfg, 91)})
+    httpd, srv = serve_async(eng, model_name="base-tiny")
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/v1/models",
+                                    timeout=30) as r:
+            ids = [m["id"] for m in json.loads(r.read())["data"]]
+        assert ids == ["base-tiny", "fin"]
+
+        prompt = [5, 9, 11]
+        with _post(base, "/generate",
+                   {"prompt_ids": prompt, "max_new_tokens": 6}) as r:
+            base_out = json.loads(r.read())["output_ids"]
+        with _post(base, "/generate",
+                   {"prompt_ids": prompt, "max_new_tokens": 6,
+                    "lora": "fin"}) as r:
+            lora_out = json.loads(r.read())["output_ids"]
+        assert lora_out != base_out
+        # OpenAI model-name routing reaches the same adapter
+        with _post(base, "/v1/completions",
+                   {"model": "fin", "prompt": prompt, "max_tokens": 6,
+                    "temperature": 0}) as r:
+            oai = json.loads(r.read())["choices"][0]["token_ids"]
+        assert oai == lora_out
+
+        try:
+            _post(base, "/generate", {"prompt_ids": prompt,
+                                      "max_new_tokens": 2,
+                                      "lora": "nope"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
