@@ -129,8 +129,36 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
                              "(mlp_only_layers / decoder_sparse_step != 1) "
                              "is not supported")
         kw["intermediate"] = hf["moe_intermediate_size"]
+    if float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
+        raise ValueError("partial_rotary_factor != 1 is not supported")
     kw.update(overrides)
     return ModelConfig(**kw)
+
+
+def _qkv_parts(hf, cfg, pre: str, t) -> list[np.ndarray]:
+    """[wq, wk, wv] as [K, N] parts — from separate q/k/v projections or
+    Phi-3's fused qkv_proj ([q | k | v] columns, the same part order as
+    our fusion)."""
+    if pre + "self_attn.qkv_proj.weight" in hf:
+        fused = t(pre + "self_attn.qkv_proj.weight")
+        nq = cfg.n_heads * cfg.head_dim
+        nkv = cfg.n_kv_heads * cfg.head_dim
+        return [fused[:, :nq], fused[:, nq:nq + nkv],
+                fused[:, nq + nkv:]]
+    return [t(pre + "self_attn.q_proj.weight"),
+            t(pre + "self_attn.k_proj.weight"),
+            t(pre + "self_attn.v_proj.weight")]
+
+
+def _gu_parts(hf, cfg, pre: str, t) -> list[np.ndarray]:
+    """[w_gate, w_up] — separate projections or Phi-3's fused
+    gate_up_proj ([gate | up] columns)."""
+    if pre + "mlp.gate_up_proj.weight" in hf:
+        fused = t(pre + "mlp.gate_up_proj.weight")
+        half = fused.shape[1] // 2
+        return [fused[:, :half], fused[:, half:]]
+    return [t(pre + "mlp.gate_proj.weight"),
+            t(pre + "mlp.up_proj.weight")]
 
 
 def _embed_host(table: np.ndarray, cfg: ModelConfig):
@@ -218,9 +246,7 @@ def convert_hf_llama(
             _convert_layer_gptq(w, hf, cfg, cal, i, t, tp)
             continue
         w.add(f"layers.{i}.wqkv", qz(concat_columns(
-            [t(pre + "self_attn.q_proj.weight"),
-             t(pre + "self_attn.k_proj.weight"),
-             t(pre + "self_attn.v_proj.weight")], tp)))
+            _qkv_parts(hf, cfg, pre, t), tp)))
         w.add(f"layers.{i}.wo",
               qz(t(pre + "self_attn.o_proj.weight"), kshards=tp))
         if cfg.n_experts:
@@ -243,8 +269,7 @@ def convert_hf_llama(
                       qz(t(f"{epre}{names[2]}.weight"), kshards=tp))
         else:
             w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
-                [t(pre + "mlp.gate_proj.weight"),
-                 t(pre + "mlp.up_proj.weight")], tp)))
+                _gu_parts(hf, cfg, pre, t), tp)))
             w.add(f"layers.{i}.w_down",
                   qz(t(pre + "mlp.down_proj.weight"), kshards=tp))
         w.add(f"layers.{i}.attn_norm",
@@ -305,10 +330,9 @@ def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):
             return hf.get(pre + name).astype(np.float32)
         return np.ones(default_shape, np.float32)
 
+    wq, wk, wv = _qkv_parts(hf, cfg, pre, t)
     dense = {
-        "wq": t(pre + "self_attn.q_proj.weight"),
-        "wk": t(pre + "self_attn.k_proj.weight"),
-        "wv": t(pre + "self_attn.v_proj.weight"),
+        "wq": wq, "wk": wk, "wv": wv,
         "wo": t(pre + "self_attn.o_proj.weight"),
         "attn_norm": norm("input_layernorm.weight"),
     }
@@ -340,8 +364,7 @@ def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):
             dense[f"expert{e}.w_up"] = t(f"{epre}{names[1]}.weight")
             dense[f"expert{e}.w_down"] = t(f"{epre}{names[2]}.weight")
     else:
-        dense["w_gate"] = t(pre + "mlp.gate_proj.weight")
-        dense["w_up"] = t(pre + "mlp.up_proj.weight")
+        dense["w_gate"], dense["w_up"] = _gu_parts(hf, cfg, pre, t)
         dense["w_down"] = t(pre + "mlp.down_proj.weight")
 
     qd = cal.layer(dense)

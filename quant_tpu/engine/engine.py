@@ -790,6 +790,71 @@ class Engine:
         self._prefills[t_pad] = prefill
         return prefill
 
+    def _embed_fn(self, t_pad: int):
+        key = ("emb", t_pad)
+        if key in self._prefills:
+            return self._prefills[key]
+        cfg = self.cfg
+        if self.mesh is None:
+            fwd = functools.partial(llama.forward, cfg=cfg,
+                                    return_hidden=True)
+        else:
+            from quant_tpu.parallel import tp as tp_mod
+
+            if self.mesh.shape.get("pipe", 1) > 1:
+                raise ValueError("embeddings are not supported with "
+                                 "pipe > 1")
+            ep = self.mesh.shape.get("expert", 1)
+            p_specs = tp_mod.param_specs(self.params)
+            c_specs = tp_mod.cache_specs(
+                llama.init_cache(cfg, 1, t_pad), batch_axis=None)
+            fwd = jax.shard_map(
+                functools.partial(
+                    llama.forward, cfg=cfg, axis="model",
+                    expert_axis="expert" if ep > 1 else None,
+                    return_hidden=True),
+                mesh=self.mesh,
+                in_specs=(p_specs, P(None, None), c_specs),
+                out_specs=(P(None, None, None), c_specs),
+                check_vma=False,
+            )
+
+        @jax.jit
+        def emb(params, toks, cache, n):
+            h, _ = fwd(params, toks, cache)          # [1, t_pad, D]
+            mask = (jnp.arange(toks.shape[1]) < n)[None, :, None]
+            v = jnp.sum(h * mask, axis=1) / jnp.maximum(
+                n.astype(jnp.float32), 1.0)
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+            return v[0]
+
+        self._prefills[key] = emb
+        return emb
+
+    def embed(self, prompt_ids) -> np.ndarray:
+        """[D] L2-normalized mean-pooled final-norm hidden state of the
+        prompt (the /v1/embeddings payload). Uses a throwaway cache —
+        engine slots/KV state are untouched."""
+        n = len(prompt_ids)
+        if not 0 < n <= self.max_seq:
+            raise ValueError(f"embedding input length {n} outside "
+                             f"(0, {self.max_seq}]")
+        t_pad = _bucket(n)
+        toks = np.zeros((1, t_pad), np.int32)
+        toks[0, :n] = prompt_ids
+        cache = llama.init_cache(self.cfg, 1, t_pad)
+        if self.mesh is not None:
+            from quant_tpu.parallel import tp as tp_mod
+
+            specs = tp_mod.cache_specs(cache, batch_axis=None)
+            cache = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)), cache, specs)
+        vec = self._embed_fn(t_pad)(
+            self.params, jnp.asarray(toks), cache, jnp.int32(n))
+        return np.asarray(vec, np.float32)
+
     # ── paged allocator (free list over the page pool) ───────────────
 
     def _pages_for(self, n_tokens: int) -> int:

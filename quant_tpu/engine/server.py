@@ -594,10 +594,40 @@ def _make_handler(srv: EngineServer):
                                           add_generation_prompt=True)
             self._oai_generate(body, list(ids), chat=True)
 
+        def _oai_embeddings(self, body):
+            inp = body.get("input")
+            if inp is None:
+                raise ValueError("input required")
+            if isinstance(inp, str) or (
+                    isinstance(inp, list) and inp
+                    and isinstance(inp[0], int)):
+                inp = [inp]
+            data = []
+            n_tok = 0
+            for i, item in enumerate(inp):
+                if isinstance(item, str):
+                    if srv.tokenizer is None:
+                        raise ValueError("text input needs a server-side"
+                                         " tokenizer (serve --tokenizer)")
+                    ids = list(srv.tokenizer.encode(item))
+                else:
+                    ids = [int(t) for t in item]
+                n_tok += len(ids)
+                with srv.lock:
+                    vec = srv.engine.embed(ids)
+                data.append({"object": "embedding", "index": i,
+                             "embedding": [float(v) for v in vec]})
+            self._json(200, {
+                "object": "list", "data": data,
+                "model": srv.model_name,
+                "usage": {"prompt_tokens": n_tok,
+                          "total_tokens": n_tok}})
+
         def do_POST(self):
             routes = {"/generate": None,
                       "/v1/completions": self._oai_completions,
-                      "/v1/chat/completions": self._oai_chat}
+                      "/v1/chat/completions": self._oai_chat,
+                      "/v1/embeddings": self._oai_embeddings}
             if self.path not in routes:
                 self._json(404, {"error": "not found"})
                 return

@@ -179,6 +179,13 @@ PRESETS: dict[str, ModelConfig] = {
         vocab_size=128256, dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
         intermediate=28672, rope_theta=500000.0, embed_bits=8,
     ),
+    # Phi-3-mini-4k (fused qkv/gate_up in the HF checkpoint — split by
+    # the converter; MHA, silu, plain RoPE).
+    "phi-3-mini-4k": ModelConfig(
+        vocab_size=32064, dim=3072, n_layers=32, n_heads=32,
+        n_kv_heads=32, intermediate=8192, rope_theta=10000.0,
+        embed_bits=8,
+    ),
     # Mistral-7B-v0.1 (sliding-window attention, window 4096).
     "mistral-7b": ModelConfig(
         vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,

@@ -1074,6 +1074,7 @@ def forward(
     seq_axis: str | None = None,
     expert_axis: str | None = None,
     adapter_ids: jax.Array | None = None,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """One model step (prefill if T>1, decode if T==1).
 
@@ -1123,6 +1124,18 @@ def forward(
         scan_xs(params.layers, cfg),
     )
     h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
+    if return_hidden:
+        # final-norm hidden states instead of logits (embeddings API);
+        # cache updates still apply
+        if paged:
+            hidden_cache = PagedKVCache(
+                k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+                page_tbl=cache.page_tbl, lengths=new_lengths)
+        else:
+            hidden_cache = KVCache(
+                k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
+                lengths=new_lengths)
+        return h.astype(jnp.float32), hidden_cache
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)

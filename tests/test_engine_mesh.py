@@ -307,3 +307,17 @@ def test_mesh_engine_fsm_and_top_logprobs():
     assert rc.output in ([40, 41, 42, 7], [50, 7]), rc.output
     assert len(rt.top_ids) == len(rt.output)
     assert all(ids[0] == t for ids, t in zip(rt.top_ids, rt.output))
+
+
+def test_mesh_engine_embed_matches_single_device():
+    """Engine.embed over a (data, model) mesh equals single-device."""
+    params1 = llama.init_params(CFG, seed=41, tp=1)
+    eng1 = Engine(params1, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    ref = eng1.embed([5, 6, 7, 8])
+
+    params = llama.init_params(CFG, seed=41, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, CFG, max_slots=4, max_seq=32, eos_id=-1,
+                 mesh=mesh)
+    got = eng.embed([5, 6, 7, 8])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

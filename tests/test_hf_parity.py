@@ -533,6 +533,64 @@ def test_gemma2_decode_matches_prefill():
         rtol=2e-3, atol=2e-3)
 
 
+def test_phi3_matches_transformers(tmp_path):
+    """Phi-3 family: fused qkv_proj / gate_up_proj in the HF layout —
+    parity through the CONVERTER (fused tensors split back to our part
+    fusion) at kv_bits=16 tight tolerance."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+
+    cfg = dataclasses.replace(CFG, kv_bits=16)
+    hf_cfg = Phi3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", sliding_window=None,
+        pad_token_id=0,  # Phi3Config defaults 32000 > tiny test vocab
+    )
+    model = Phi3ForCausalLM(hf_cfg)
+    model.eval()
+
+    # HF-layout safetensors dir straight from the torch model
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if "rotary" not in k}
+    save_file(sd, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(_json.dumps({
+        "model_type": "phi3", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim, "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "intermediate_size": cfg.intermediate,
+        "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": False,
+    }))
+    convert_hf_llama(hf_dir, tmp_path / "out", bits=8, group_size=64)
+    params, lcfg = load_checkpoint(tmp_path / "out")
+    lcfg = dataclasses.replace(lcfg, kv_bits=16, dtype="float32")
+
+    toks = np.random.default_rng(91).integers(2, cfg.vocab_size, (2, 7))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    cache = llama.init_cache(lcfg, 2, 16)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache,
+                            lcfg)
+    ours = np.asarray(ours, np.float32)
+    # int8 weights on our side only (HF runs fp32) → modest tolerance,
+    # near-perfect correlation and overwhelming argmax agreement
+    c = np.corrcoef(ours.reshape(-1), hf_logits.reshape(-1))[0, 1]
+    assert c > 0.999, c
+    agree = np.mean(np.argmax(ours, -1) == np.argmax(hf_logits, -1))
+    assert agree >= 0.85, agree
+
+
 def test_mixtral_logits_match_transformers():
     """Mixtral sparse-MoE parity on identical dequantized weights
     (router semantics, top-k renorm, expert wiring). kv_bits=16 so the

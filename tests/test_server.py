@@ -473,3 +473,38 @@ def test_multi_lora_endpoint():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_embeddings_endpoint():
+    """/v1/embeddings: L2-normalized mean-pooled hidden states; batched
+    inputs; deterministic; engine state untouched."""
+    import numpy as np
+
+    params = llama.init_params(CFG, seed=10)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1)
+    httpd, srv = serve_async(eng, tokenizer=_StubTokenizer())
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/v1/embeddings",
+                   {"input": [[5, 6, 7], "hello"]}) as r:
+            out = json.loads(r.read())
+        assert len(out["data"]) == 2
+        v0 = np.asarray(out["data"][0]["embedding"])
+        assert v0.shape == (CFG.dim,)
+        np.testing.assert_allclose(np.linalg.norm(v0), 1.0, rtol=1e-4)
+        # deterministic + distinct inputs differ
+        with _post(base, "/v1/embeddings", {"input": [5, 6, 7]}) as r:
+            again = np.asarray(
+                json.loads(r.read())["data"][0]["embedding"])
+        np.testing.assert_allclose(v0, again, rtol=1e-6)
+        v1 = np.asarray(out["data"][1]["embedding"])
+        assert not np.allclose(v0, v1)
+        assert out["usage"]["prompt_tokens"] == 3 + len("hello")
+        # generation still works after embedding calls
+        with _post(base, "/generate",
+                   {"prompt_ids": [5, 6], "max_new_tokens": 3}) as r:
+            assert len(json.loads(r.read())["output_ids"]) == 3
+    finally:
+        httpd.shutdown()
+        srv.stop()
