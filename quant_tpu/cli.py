@@ -79,12 +79,11 @@ def _cmd_generate(args):
         ]
     fsm = None
     if getattr(args, "guided_regex", None):
-        from quant_tpu.engine.grammar import regex_fsm
+        from quant_tpu.engine.grammar import regex_fsm, vocab_bytes
         if tok is None:
             raise SystemExit("--guided-regex requires --tokenizer")
-        vocab = [tok.decode([i]).encode("utf-8")
-                 for i in range(cfg.vocab_size)]
-        fsm = regex_fsm(args.guided_regex, vocab, eng.eos_id)
+        fsm = regex_fsm(args.guided_regex,
+                        vocab_bytes(tok, cfg.vocab_size), eng.eos_id)
     outs = eng.generate(
         prompts, max_new_tokens=args.max_new, fsm=fsm,
         sampling=SamplingConfig(

@@ -144,8 +144,16 @@ def gptq_quantize_tensor(
             i = i1 + j
             if i % gs == 0:
                 # group scale from the CURRENT (error-compensated so
-                # far) weights of the group — codec absmax semantics
-                absmax = np.max(np.abs(w[i:i + gs]), axis=0)
+                # far) weights: rows inside this block live in w1 (w is
+                # only written back at block end), rows past it in w —
+                # reading only w would miss the in-block compensation
+                # and clip-saturate compensated values (codec absmax
+                # semantics on the freshest data)
+                hi = min(i + gs, i2)
+                seg = w1[j:hi - i1]
+                if i + gs > i2:
+                    seg = np.concatenate([seg, w[i2:i + gs]], axis=0)
+                absmax = np.max(np.abs(seg), axis=0)
                 scales[i // gs] = np.where(absmax == 0.0, 1.0,
                                            absmax / qmax)
             s = scales[i // gs]

@@ -154,6 +154,7 @@ class Engine:
     """
 
     PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
+    MAX_FSMS = 16        # grammar-table registry cap (HBM + re-upload cost)
 
     def __init__(
         self,
@@ -264,6 +265,7 @@ class Engine:
             np.zeros((1, cfg.vocab_size), np.int32)]
         self._fsm_dev = jnp.asarray(self._fsm_np[0][None])
         self._fsm_key: dict[int, int] = {}
+        self._fsm_objs: list = []
         self._fsm_ids = np.zeros((max_slots,), np.int32)
         self._fsm_state = np.zeros((max_slots,), np.int32)
         # per-slot LoRA adapter ids (0 = base) for the decode programs
@@ -1028,6 +1030,12 @@ class Engine:
         key = id(fsm)
         if key in self._fsm_key:
             return self._fsm_key[key]
+        if len(self._fsm_np) - 1 >= self.MAX_FSMS:
+            # the [F, S_max, V] device stack grows (and fully re-uploads)
+            # per registration and clients control both F and S — cap it
+            raise ValueError(
+                f"fsm registry full ({self.MAX_FSMS}); reuse TokenFSM "
+                "objects (the HTTP layer caches per pattern/schema)")
         trans = np.array(fsm.trans, np.int32, copy=True)
         if trans.ndim != 2 or trans.shape[1] != self.cfg.vocab_size:
             raise ValueError(
@@ -1045,9 +1053,21 @@ class Engine:
         # high-water mark; register grammars before serving steady-state
         self._fsm_dev = jnp.asarray(stack)
         self._fsm_key[key] = fid
+        # retain the object: the id()-keyed cache must never see a
+        # GC'd address reused by a DIFFERENT TokenFSM (silently wrong
+        # grammar otherwise)
+        self._fsm_objs.append(fsm)
         return fid
 
     def add_request(self, req: Request) -> None:
+        if not req.prompt or any(
+                not 0 <= int(t) < self.cfg.vocab_size
+                for t in req.prompt):
+            # validate up front: out-of-range ids would crash host-side
+            # consumers (penalty bincount) or silently gather garbage
+            raise ValueError(
+                f"request {req.req_id}: prompt ids must be in "
+                f"[0, {self.cfg.vocab_size}) and non-empty")
         if not 0 <= req.top_logprobs <= 20:
             raise ValueError("top_logprobs must be in [0, 20]")
         if req.lora is not None and req.lora not in self.lora_names:

@@ -35,7 +35,64 @@ import dataclasses
 import numpy as np
 
 __all__ = ["TokenFSM", "compile_regex", "token_fsm", "regex_fsm",
-           "choice_fsm", "json_schema_regex", "json_fsm"]
+           "choice_fsm", "json_schema_regex", "json_fsm", "vocab_bytes"]
+
+
+def _gpt2_unicode_to_byte() -> dict:
+    """Inverse of GPT-2's bytes_to_unicode map (byte-level BPE tokens
+    spell raw bytes via this printable-unicode alphabet)."""
+    bs = (list(range(0x21, 0x7F)) + list(range(0xA1, 0xAD))
+          + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(0x100 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+def vocab_bytes(tokenizer, vocab_size: int) -> list[bytes]:
+    """Tokenizer vocabulary as the EXACT byte strings each token
+    contributes to decoded text — the alphabet the token FSM walks.
+
+    Per-id ``decode([i])`` is NOT faithful: SentencePiece strips the
+    leading ``▁`` space marker (so grammars would accept "yesmaybe" for
+    "yes maybe") and byte-level-BPE tokens holding partial UTF-8 decode
+    to U+FFFD. This reads the raw token strings instead and undoes the
+    two standard surface encodings: SentencePiece (``▁`` → space,
+    ``<0xHH>`` → the raw byte) and GPT-2 byte-level BPE (each char maps
+    to one byte via bytes_to_unicode). Tokenizers without
+    ``convert_ids_to_tokens`` (duck-typed stubs) fall back to per-id
+    decode. Tokens that resolve empty are forbidden by every grammar.
+    """
+    conv = getattr(tokenizer, "convert_ids_to_tokens", None)
+    if conv is None:
+        return [str(tokenizer.decode([i])).encode("utf-8")
+                for i in range(vocab_size)]
+    toks = [conv(i) for i in range(vocab_size)]
+    sample = [t for t in toks if t][:4096]
+    byte_level = any(any(ch in ("Ġ", "Ċ") for ch in t)
+                     for t in sample if isinstance(t, str))
+    u2b = _gpt2_unicode_to_byte() if byte_level else None
+    special = set(getattr(tokenizer, "all_special_ids", ()) or ())
+    out: list[bytes] = []
+    for i, t in enumerate(toks):
+        if t is None or i in special:
+            out.append(b"")
+            continue
+        if byte_level:
+            try:
+                out.append(bytes(u2b[ch] for ch in t))
+                continue
+            except KeyError:
+                pass  # added/special token spelled literally
+        if t.startswith("<0x") and t.endswith(">") and len(t) == 6:
+            out.append(bytes([int(t[3:5], 16)]))  # SP raw-byte token
+            continue
+        out.append(t.replace("▁", " ").encode("utf-8"))
+    return out
 
 
 # ── regex parsing (bytes, ASCII classes) ────────────────────────────────

@@ -89,14 +89,32 @@ class EngineServer:
     def _loop(self):
         import time
         while not self.stop_flag.is_set():
-            with self.lock:
-                busy = self.engine.has_work()
-                finished = self.engine.step() if busy else []
-                self._push_stream_deltas()
-            for req in finished:
-                ev = self.events.pop(req.req_id, None)
-                if ev:
-                    ev.set()
+            try:
+                with self.lock:
+                    busy = self.engine.has_work()
+                    finished = self.engine.step() if busy else []
+                    self._push_stream_deltas()
+                for req in finished:
+                    ev = self.events.pop(req.req_id, None)
+                    if ev:
+                        ev.set()
+            except Exception:
+                # a step() exception must not kill the scheduler thread
+                # (every handler would hang on ev.wait() forever): cancel
+                # all in-flight requests so clients get their partial
+                # output, then keep serving
+                log.exception("engine step failed; cancelling in-flight "
+                              "requests")
+                with self.lock:
+                    rids = list(self.events) + list(self.streams)
+                    for rid in rids:
+                        self.engine.cancel(rid)
+                    for rid, (req, _, q) in list(self.streams.items()):
+                        q.put(None)
+                        del self.streams[rid]
+                    for rid in list(self.events):
+                        self.events.pop(rid).set()
+                busy = False
             if not busy:
                 time.sleep(0.005)
 
@@ -203,15 +221,14 @@ class EngineServer:
     # ---- guided decoding --------------------------------------------
 
     def _vocab_bytes(self) -> list[bytes]:
-        """Tokenizer vocabulary as byte strings (built once; regex FSMs
-        walk these). Per-id decode handles byte-level BPE and
-        SentencePiece markers uniformly; specials decode empty and are
-        therefore forbidden by every grammar."""
+        """Tokenizer vocabulary as exact byte strings (built once;
+        regex FSMs walk these) — see grammar.vocab_bytes for the
+        SentencePiece / byte-level-BPE fidelity rules."""
         if getattr(self, "_vocab_bytes_cache", None) is None:
-            v = self.engine.cfg.vocab_size
-            tok = self.tokenizer
-            self._vocab_bytes_cache = [
-                tok.decode([i]).encode("utf-8") for i in range(v)]
+            from quant_tpu.engine.grammar import vocab_bytes
+
+            self._vocab_bytes_cache = vocab_bytes(
+                self.tokenizer, self.engine.cfg.vocab_size)
         return self._vocab_bytes_cache
 
     def request_lora(self, body):
@@ -366,6 +383,7 @@ def _make_handler(srv: EngineServer):
                 stop_ids,
                 fsm=fsm,
                 lora=lora,
+                top_logprobs=int(body.get("top_logprobs", 0)),
             )
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -387,6 +405,9 @@ def _make_handler(srv: EngineServer):
                                 "timed_out": req.timed_out}
                         if body.get("logprobs"):
                             done["logprobs"] = req.logprobs
+                        if req.top_logprobs:
+                            done["top_token_ids"] = req.top_ids
+                            done["top_logprobs"] = req.top_lps
                         chunk(done)
                         self.wfile.write(b"0\r\n\r\n")
                         return
@@ -472,11 +493,20 @@ def _make_handler(srv: EngineServer):
                 lpobj = {"token_logprobs": req.logprobs,
                          "tokens": req.output}
                 if req.top_logprobs and req.top_ids:
-                    def tok_key(t):
-                        s = self._decode_text([t])
-                        return s if s else str(t)
+                    def pos_dict(ids, lps):
+                        # distinct ids can decode to the same string —
+                        # disambiguate collisions with an id suffix so
+                        # all K entries survive (lossless ids ride the
+                        # top_token_ids extension regardless)
+                        d = {}
+                        for t, lp in zip(ids, lps):
+                            s = self._decode_text([t]) or str(t)
+                            if s in d:
+                                s = f"{s}#{t}"
+                            d[s] = lp
+                        return d
                     lpobj["top_logprobs"] = [
-                        {tok_key(t): lp for t, lp in zip(ids, lps)}
+                        pos_dict(ids, lps)
                         for ids, lps in zip(req.top_ids, req.top_lps)]
                     lpobj["top_token_ids"] = req.top_ids  # extension
                 choice["logprobs"] = lpobj
@@ -524,7 +554,9 @@ def _make_handler(srv: EngineServer):
             req, q = srv.submit_stream(prompt_ids, max_new, sampling,
                                        None, stop_ids,
                                        fsm=srv.guided_fsm(body),
-                                       lora=srv.request_lora(body))
+                                       lora=srv.request_lora(body),
+                                       top_logprobs=self._oai_top_logprobs(
+                                           body))
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -565,6 +597,9 @@ def _make_handler(srv: EngineServer):
                     choice = delta_choice(
                         [] if done else toks,
                         self._finish_reason(req) if done else None)
+                    if done and req.top_logprobs:
+                        choice["top_token_ids"] = req.top_ids
+                        choice["top_logprobs"] = req.top_lps
                     sse(json.dumps(
                         {"id": f"cmpl-{req.req_id}", "object": obj,
                          "created": int(_t.time()),

@@ -143,7 +143,10 @@ def make_lora_stack(adapters: list[dict], cfg, tp: int = 1) -> LoraStack:
             ab = [adapter_group(ad, projs, k_in, widths, i)
                   for i in range(cfg.n_layers)]
             layers[g] = ab
-            r_max[g] = max(r_max[g], ab[0][0].shape[1])
+            # max over ALL layers: PEFT layers_to_transform /
+            # rank_pattern adapters vary rank (or absence) per layer
+            r_max[g] = max(r_max[g],
+                           max(a.shape[1] for a, _ in ab))
         per_adapter.append(layers)
 
     def pad_a(a, r):

@@ -256,3 +256,49 @@ def test_engine_json_schema_digits():
     parsed = _json.loads(text)
     assert isinstance(parsed, list) and 1 <= len(parsed) <= 4
     assert all(isinstance(x, int) for x in parsed)
+
+
+def test_vocab_bytes_tokenizer_fidelity():
+    """vocab_bytes must preserve SentencePiece space markers and raw-byte
+    tokens, and invert GPT-2 byte-level BPE — per-id decode loses both."""
+    from quant_tpu.engine.grammar import vocab_bytes
+
+    class _SP:
+        # SentencePiece-style: '▁' marks a space, <0xHH> raw bytes
+        toks = ["<s>", "▁yes", "maybe", "<0x0A>", "▁no"]
+        all_special_ids = [0]
+
+        def convert_ids_to_tokens(self, i):
+            return self.toks[i]
+
+        def decode(self, ids):
+            raise AssertionError("must not fall back to decode")
+
+    vb = vocab_bytes(_SP(), 5)
+    assert vb == [b"", b" yes", b"maybe", b"\n", b" no"]
+
+    class _BPE:
+        # GPT-2 byte-level: 'Ġ' (U+0120) encodes 0x20
+        toks = ["Ġhello", "ab", "Ġ", "Ċ"]
+        all_special_ids = []
+
+        def convert_ids_to_tokens(self, i):
+            return self.toks[i]
+
+    vb = vocab_bytes(_BPE(), 4)
+    assert vb == [b" hello", b"ab", b" ", b"\n"]
+
+    class _Stub:  # duck-typed: falls back to per-id decode
+        def decode(self, ids):
+            return chr(97 + ids[0])
+
+    assert vocab_bytes(_Stub(), 3) == [b"a", b"b", b"c"]
+
+
+def test_fsm_registry_cap():
+    params = llama.init_params(CFG, seed=30)
+    eng = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=7)
+    for i in range(eng.MAX_FSMS):
+        eng.register_fsm(choice_fsm([[i + 10]], CFG.vocab_size, 7))
+    with pytest.raises(ValueError, match="registry full"):
+        eng.register_fsm(choice_fsm([[200]], CFG.vocab_size, 7))

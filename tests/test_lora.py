@@ -248,3 +248,27 @@ def test_lora_rejects_bad_compositions():
                                   group_size=64)
     with pytest.raises(ValueError, match="MoE"):
         make_lora_stack([_adapter(cfg, 85)], moe_cfg)
+
+
+def test_lora_layer_varying_rank():
+    """PEFT layers_to_transform-style adapters (some layers untouched,
+    ranks varying per layer) must build and apply."""
+    cfg = CFG
+    ad = {"alpha": 8.0}
+    rng = np.random.default_rng(90)
+    # only layer 1 adapted, r=4 — layer 0 gets dummy rank-1 zeros
+    d = cfg.dim
+    ad["layers.1.wq.a"] = rng.standard_normal(
+        (d, 4)).astype(np.float32) * 0.2
+    ad["layers.1.wq.b"] = rng.standard_normal(
+        (4, cfg.n_heads * cfg.head_dim)).astype(np.float32) * 0.2
+    stack = make_lora_stack([ad], cfg)
+    params = dataclasses.replace(llama.init_params(cfg, seed=91),
+                                 lora=stack)
+    toks = jnp.asarray([[5, 6, 7]], jnp.int32)
+    base, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8),
+                            cfg, adapter_ids=jnp.asarray([0], jnp.int32))
+    with_l, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8),
+                              cfg,
+                              adapter_ids=jnp.asarray([1], jnp.int32))
+    assert not np.allclose(np.asarray(base), np.asarray(with_l))

@@ -508,3 +508,52 @@ def test_embeddings_endpoint():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_invalid_prompt_ids_rejected_and_server_survives():
+    """Out-of-range prompt ids must 400 (not crash the scheduler) and
+    the server keeps serving afterwards (regression: host-side bincount
+    of a penalized request crashed the step loop)."""
+    import urllib.error
+
+    params = llama.init_params(CFG, seed=11)
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for bad in ([-1], [CFG.vocab_size], []):
+            try:
+                _post(base, "/generate",
+                      {"prompt_ids": bad, "max_new_tokens": 2,
+                       "repetition_penalty": 1.2})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        with _post(base, "/generate",
+                   {"prompt_ids": [5, 6], "max_new_tokens": 3}) as r:
+            assert len(json.loads(r.read())["output_ids"]) == 3
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def test_streaming_top_logprobs():
+    """stream:true must still compute and return top-logprobs (in the
+    final done/SSE message)."""
+    params = llama.init_params(CFG, seed=12)
+    eng = Engine(params, CFG, max_slots=2, max_seq=32, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with _post(base, "/generate",
+                   {"prompt_ids": [5, 6], "max_new_tokens": 3,
+                    "stream": True, "top_logprobs": 2}) as r:
+            lines = [json.loads(ln) for ln in r.read().splitlines() if ln]
+        done = lines[-1]
+        assert done["done"] and len(done["top_token_ids"]) == 3
+        assert [t[0] for t in done["top_token_ids"]] == done["output_ids"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
