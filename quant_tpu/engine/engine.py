@@ -185,10 +185,12 @@ class Engine:
 
             if mesh is not None and mesh.shape.get("pipe", 1) > 1:
                 raise ValueError("loras do not compose with pipe > 1")
-            if spec_gamma:
-                raise ValueError("loras do not compose with speculative "
-                                 "decoding (the draft/verify programs "
-                                 "have no adapter path)")
+            if spec_gamma and spec_proposer is not None and hasattr(
+                    spec_proposer, "draft_batch"):
+                raise ValueError(
+                    "loras do not compose with a draft-MODEL proposer "
+                    "(the draft has no adapters, so its KV would "
+                    "desynchronize); n-gram speculation composes fine")
             tp_ = mesh.shape.get("model", 1) if mesh is not None else 1
             stack = make_lora_stack(list(loras.values()), cfg, tp=tp_)
             params = dataclasses.replace(params, lora=stack)
@@ -522,10 +524,12 @@ class Engine:
                                                 "use_bias", "topk_lp"))
             def verify_step(params, tokens, cache, key, temps, topks,
                             topps, minps, reps, freqs, press, bias_toks,
-                            bias_vals, counts, sampled=True,
-                            use_pen=False, use_bias=False, topk_lp=0):
+                            bias_vals, counts, adapter_ids=None,
+                            sampled=True, use_pen=False, use_bias=False,
+                            topk_lp=0):
                 base = cache.lengths
-                logits, cache = fwd_full(params, tokens, cache)
+                logits, cache = fwd_full(params, tokens, cache,
+                                         adapter_ids=adapter_ids)
                 if sampled:
                     # On-device speculative rejection sampling against
                     # the delta proposal (sampler.spec_commit): greedy
@@ -1368,7 +1372,8 @@ class Engine:
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache, self.counts = self._verify(
             self.params, jnp.asarray(toks), self.cache, sub, *knobs,
-            self.counts, sampled=sampled or any_pen or any_bias,
+            self.counts, adapter_ids=jnp.asarray(self._adapter_slot),
+            sampled=sampled or any_pen or any_bias,
             use_pen=any_pen, use_bias=any_bias, topk_lp=k_lp)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]

@@ -272,3 +272,44 @@ def test_lora_layer_varying_rank():
                               cfg,
                               adapter_ids=jnp.asarray([1], jnp.int32))
     assert not np.allclose(np.asarray(base), np.asarray(with_l))
+
+
+def test_lora_with_ngram_speculation():
+    """LoRA composes with n-gram speculative decoding: spec output is
+    bit-identical to plain LoRA greedy decode; draft-MODEL proposers
+    stay rejected."""
+    cfg = CFG
+    params = llama.init_params(cfg, seed=95)
+    ads = {"a": _adapter(cfg, 96, r=4)}
+    rng = np.random.default_rng(97)
+    base = list(map(int, rng.integers(3, cfg.vocab_size, 4)))
+    prompt = base + base + base  # repetitive → proposer proposes
+
+    plain = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                   loras=ads)
+    expect = plain.generate([prompt], max_new_tokens=8, lora="a")[0]
+
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 loras=ads, spec_gamma=2)
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=8,
+                lora="a")
+    eng.add_request(r)
+    while eng.has_work():
+        eng.step()
+    assert r.output == expect, (r.output, expect)
+    # the adapter mattered (different from base-model spec decode)
+    eng2 = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                  spec_gamma=2)
+    r2 = Request(req_id=0, prompt=list(prompt), max_new_tokens=8)
+    eng2.add_request(r2)
+    while eng2.has_work():
+        eng2.step()
+    assert r2.output != expect
+
+    from quant_tpu.engine.spec import DraftModelProposer
+
+    draft = DraftModelProposer(params, cfg, gamma=2, max_slots=2,
+                               max_seq=64)
+    with pytest.raises(ValueError, match="draft-MODEL"):
+        Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+               loras=ads, spec_gamma=2, spec_proposer=draft)
