@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from quant_tpu.engine import Engine, Request
+from quant_tpu.engine import Engine, Request, SamplingConfig
 from quant_tpu.models import PRESETS, llama
 
 CFG = PRESETS["test-tiny"]
@@ -273,3 +273,36 @@ def test_paged_engine_int4_kv_matches_reference():
 
     for p, o in zip(prompts, outs):
         assert o == ref(p, 6), (p, o)
+
+
+def test_paged_engine_fsm_and_lora():
+    """Grammar FSM and LoRA adapters compose with the paged pool (and
+    prefix caching): the device FSM/adapters are orthogonal to the KV
+    layout."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_lora import _adapter
+
+    from quant_tpu.engine.grammar import choice_fsm
+
+    cfg = dataclasses.replace(CFG, kv_bits=8)
+    params = llama.init_params(cfg, seed=51)
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=7,
+                 paged=True, page_size=16, prefix_cache=True,
+                 loras={"a": _adapter(cfg, 52, r=2)})
+    fsm = choice_fsm([[100, 101], [200]], cfg.vocab_size, 7)
+    rc = Request(req_id=0, prompt=[5, 6, 8], max_new_tokens=6, fsm=fsm,
+                 sampling=SamplingConfig(temperature=1.0))
+    rl = Request(req_id=1, prompt=[9, 10, 11], max_new_tokens=4,
+                 lora="a")
+    eng.add_request(rc)
+    eng.add_request(rl)
+    while eng.has_work():
+        eng.step()
+    assert rc.output in ([100, 101, 7], [200, 7]), rc.output
+    assert len(rl.output) == 4
+    # the adapter changed the stream vs a base paged engine
+    eng2 = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=7,
+                  paged=True, page_size=16)
+    base = eng2.generate([[9, 10, 11]], max_new_tokens=4)[0]
+    assert rl.output != base
