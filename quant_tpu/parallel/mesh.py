@@ -94,8 +94,13 @@ def make_mesh(
     if jax.process_count() > 1:
         ici, dcn = hybrid_mesh_shapes(pipe, data, model, seq,
                                       jax.process_count(), expert)
+        # hybrid_mesh_shapes factors the DCN axis by PROCESS count, so
+        # granules must be processes — slice granules would mis-count
+        # both on multi-host single-slice pods (1 slice, N processes)
+        # and on CPU multi-process (slice_index 0 everywhere)
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=ici, dcn_mesh_shape=dcn,
+            process_is_granule=True,
         )
     else:
         arr = np.asarray(devices).reshape(pipe, data, expert, model, seq)

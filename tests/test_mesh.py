@@ -61,7 +61,8 @@ def test_make_mesh_uses_hybrid_when_multiprocess(monkeypatch):
 
     calls = {}
 
-    def fake_hybrid(mesh_shape, dcn_mesh_shape):
+    def fake_hybrid(mesh_shape, dcn_mesh_shape, process_is_granule):
+        assert process_is_granule  # DCN factor is process-based
         calls["args"] = (mesh_shape, dcn_mesh_shape)
         import numpy as np
         n = 1
