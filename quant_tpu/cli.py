@@ -64,10 +64,20 @@ def _cmd_generate(args):
     if args.tokenizer:
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    loras = None
+    if getattr(args, "lora", None):
+        from quant_tpu.models.lora import load_hf_adapter
+
+        loras = {}
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit("--lora expects name=/path/to/adapter")
+            loras[name] = load_hf_adapter(path)
     eng = Engine(params, cfg, max_slots=args.slots, max_seq=args.max_seq,
                  eos_id=(tok.eos_token_id if tok and args.eos_id == 2
                          else args.eos_id),
-                 mesh=mesh, pp_micro=args.pp_micro)
+                 mesh=mesh, pp_micro=args.pp_micro, loras=loras)
     if args.prompt is not None:
         if tok is None:
             raise SystemExit("--prompt requires --tokenizer")
@@ -86,6 +96,8 @@ def _cmd_generate(args):
                         vocab_bytes(tok, cfg.vocab_size), eng.eos_id)
     outs = eng.generate(
         prompts, max_new_tokens=args.max_new, fsm=fsm,
+        lora=(args.use_lora if getattr(args, "use_lora", None)
+              else None),
         sampling=SamplingConfig(
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, min_p=args.min_p,
@@ -348,6 +360,11 @@ def main(argv=None):
     g.add_argument("--guided-regex", default=None,
                    help="constrain the output to this regex "
                         "(device-resident token FSM; needs --tokenizer)")
+    g.add_argument("--lora", action="append", default=None,
+                   metavar="NAME=PATH",
+                   help="register a HF PEFT adapter dir (repeatable)")
+    g.add_argument("--use-lora", default=None,
+                   help="generate with this registered adapter")
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
                    help="MoE prefill dispatch: exact dense-all (default) "

@@ -1633,6 +1633,10 @@ class Engine:
             # TTFT = enqueue -> first token; TPOT = mean inter-token
             **self._pcts(self._ttfts, "ttft"),
             **self._pcts(self._tpots, "tpot"),
+            **({"loras": len(self.lora_names) - 1}
+               if len(self.lora_names) > 1 else {}),
+            **({"fsms": len(self._fsm_np) - 1}
+               if len(self._fsm_np) > 1 else {}),
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": sum(len(m) for m in self._prefix_map)}
                if self.prefix_cache else {}),
