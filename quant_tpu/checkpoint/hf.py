@@ -105,14 +105,18 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         embed_scale=mtype.startswith("gemma"),
         # Gemma-2: local/global alternation (layer 0 sliding), tanh
         # softcapping on attention scores + final logits, post-block
-        # norms, decoupled attention score scale
-        sliding_pattern=2 if mtype == "gemma2" else 0,
+        # norms, decoupled attention score scale. Gemma-3 (text): 5:1
+        # alternation, per-layer-type rope bases, QK-RMSNorm, no caps.
+        sliding_pattern=(2 if mtype == "gemma2"
+                         else 6 if mtype == "gemma3_text" else 0),
         attn_softcap=float(hf.get("attn_logit_softcapping") or 0.0),
         final_softcap=float(hf.get("final_logit_softcapping") or 0.0),
-        post_norms=mtype == "gemma2",
+        post_norms=mtype in ("gemma2", "gemma3_text"),
         query_pre_attn_scalar=float(
             hf.get("query_pre_attn_scalar") or 0.0),
-        qk_norm=mtype in ("qwen3", "qwen3_moe"),
+        rope_local_theta=(float(hf.get("rope_local_base_freq") or 0.0)
+                          if mtype == "gemma3_text" else 0.0),
+        qk_norm=mtype in ("qwen3", "qwen3_moe", "gemma3_text"),
         # Sparse MoE: Mixtral (num_local_experts) / Qwen3-MoE (num_experts)
         n_experts=(int(hf.get("num_local_experts", 0))
                    if mtype == "mixtral"

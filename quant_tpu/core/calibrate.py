@@ -320,14 +320,18 @@ class GPTQCalibrator:
         if cfg.qk_norm:
             q = np.asarray(llama.rmsnorm(
                 jnp.asarray(q), jnp.asarray(dense["q_norm"], jnp.float32),
-                cfg.norm_eps), np.float32)
+                cfg.norm_eps, cfg.norm_offset), np.float32)
             k = np.asarray(llama.rmsnorm(
                 jnp.asarray(k), jnp.asarray(dense["k_norm"], jnp.float32),
-                cfg.norm_eps), np.float32)
+                cfg.norm_eps, cfg.norm_offset), np.float32)
+        tov = llama._layer_theta(
+            cfg, jnp.int32(self._windows[self._layer_idx]))
         q = np.asarray(llama._rope(jnp.asarray(q), self.positions,
-                                   cfg.rope_theta, cfg), np.float32)
+                                   cfg.rope_theta, cfg,
+                                   theta_override=tov), np.float32)
         k = np.asarray(llama._rope(jnp.asarray(k), self.positions,
-                                   cfg.rope_theta, cfg), np.float32)
+                                   cfg.rope_theta, cfg,
+                                   theta_override=tov), np.float32)
         attn = self._attn(q, k, v, int(self._windows[self._layer_idx]))
         attn = attn.reshape(self.b, self.t, -1)
 

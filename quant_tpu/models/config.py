@@ -63,6 +63,11 @@ class ModelConfig:
     final_softcap: float = 0.0
     post_norms: bool = False
     query_pre_attn_scalar: float = 0.0
+    # Gemma-3: sliding layers use a DIFFERENT rope base (local theta);
+    # global layers keep rope_theta. 0 = off (uniform theta). With
+    # rope_scaling="linear", the factor applies to GLOBAL layers only
+    # (the HF Gemma-3 semantics); other scaling types are rejected.
+    rope_local_theta: float = 0.0
     # Mixtral-style sparse MoE MLP: n_experts > 0 replaces the dense MLP
     # with a top-k routed mixture (router = linear [D, E], softmax over
     # ALL experts, top ``experts_per_token`` kept; ``norm_topk`` renorms
@@ -137,6 +142,12 @@ class ModelConfig:
         if self.rope_scaling not in ("none", "linear", "llama3"):
             raise ValueError(f"rope_scaling must be none|linear|llama3, "
                              f"got {self.rope_scaling!r}")
+        if self.rope_local_theta:
+            if not self.sliding_window:
+                raise ValueError("rope_local_theta needs sliding_window")
+            if self.rope_scaling not in ("none", "linear"):
+                raise ValueError("rope_local_theta composes only with "
+                                 "none/linear rope_scaling")
 
 
 PRESETS: dict[str, ModelConfig] = {
@@ -217,6 +228,16 @@ PRESETS: dict[str, ModelConfig] = {
         embed_scale=True, embed_bits=8, sliding_window=4096,
         sliding_pattern=2, attn_softcap=50.0, final_softcap=30.0,
         post_norms=True, query_pre_attn_scalar=256.0,
+    ),
+    # Gemma-3-1B (5:1 local/global alternation with per-type rope bases,
+    # zero-centered QK-RMSNorm, post-norms, no softcaps, tied head).
+    "gemma-3-1b": ModelConfig(
+        vocab_size=262144, dim=1152, n_layers=26, n_heads=4, n_kv_heads=1,
+        intermediate=6912, head_dim=256, rope_theta=1000000.0,
+        rope_local_theta=10000.0, norm_eps=1e-6, norm_offset=1.0,
+        act_fn="gelu_tanh", embed_scale=True, embed_bits=8,
+        sliding_window=512, sliding_pattern=6, post_norms=True,
+        qk_norm=True, query_pre_attn_scalar=256.0,
     ),
     # Qwen3-8B (QK-RMSNorm, no qkv bias, decoupled head_dim=128).
     "qwen3-8b": ModelConfig(

@@ -811,12 +811,35 @@ def _rope_freqs(theta: float, half: int, cfg: ModelConfig | None):
                        .astype(np.float32))
 
 
-def _rope(x, positions, theta, cfg: ModelConfig | None = None):
+def _layer_theta(cfg: ModelConfig, window):
+    """Per-layer traced (theta, freq_divisor) for rope_local_theta
+    models (Gemma-3): sliding layers (window > 0) use the local base
+    unscaled; global layers use rope_theta with the linear factor.
+    None when the model has a uniform rope base."""
+    if cfg is None or not cfg.rope_local_theta:
+        return None
+    local = window > 0
+    th = jnp.where(local, cfg.rope_local_theta, cfg.rope_theta)
+    div = jnp.where(
+        local, 1.0,
+        cfg.rope_factor if cfg.rope_scaling == "linear" else 1.0)
+    return th, div
+
+
+def _rope(x, positions, theta, cfg: ModelConfig | None = None,
+          theta_override=None):
     """Rotate-half RoPE. x [B, T, H, Dh], positions [B, T] int32.
-    ``cfg`` applies its rope_scaling (None → plain RoPE)."""
+    ``cfg`` applies its rope_scaling (None → plain RoPE);
+    ``theta_override`` = (traced theta, freq divisor) from
+    :func:`_layer_theta` for per-layer rope bases."""
     b, t, h, dh = x.shape
     half = dh // 2
-    freqs = _rope_freqs(theta, half, cfg)
+    if theta_override is not None:
+        th, div = theta_override
+        freqs = th ** (-jnp.arange(0, half, dtype=jnp.float32)
+                       / half) / div
+    else:
+        freqs = _rope_freqs(theta, half, cfg)
     ang = positions[:, :, None].astype(jnp.float32) * freqs  # [B, T, half]
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
@@ -1228,11 +1251,13 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         k = qkv[..., nq:nq + nkv].reshape(b, t, -1, cfg.head_dim)
         v = qkv[..., nq + nkv:].reshape(b, t, -1, cfg.head_dim)
         if cfg.qk_norm:
-            # Qwen3: per-head RMSNorm over Dh before RoPE
-            q = rmsnorm(q, q_norm, cfg.norm_eps)
-            k = rmsnorm(k, k_norm, cfg.norm_eps)
-        q = _rope(q, positions, cfg.rope_theta, cfg)
-        k = _rope(k, positions, cfg.rope_theta, cfg)
+            # Qwen3 / Gemma-3: per-head RMSNorm over Dh before RoPE
+            # (Gemma-3 stores zero-centered gains — norm_offset applies)
+            q = rmsnorm(q, q_norm, cfg.norm_eps, cfg.norm_offset)
+            k = rmsnorm(k, k_norm, cfg.norm_eps, cfg.norm_offset)
+        tov = _layer_theta(cfg, win)
+        q = _rope(q, positions, cfg.rope_theta, cfg, theta_override=tov)
+        k = _rope(k, positions, cfg.rope_theta, cfg, theta_override=tov)
         k_q, k_s = quantize_kv(k, cfg.kv_bits)
         v_q, v_s = quantize_kv(v, cfg.kv_bits)
         if page_tbl is not None:

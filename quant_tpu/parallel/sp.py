@@ -217,8 +217,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         k = qkv[..., nq:nq + nkv].reshape(b, t_loc, -1, cfg.head_dim)
         v = qkv[..., nq + nkv:].reshape(b, t_loc, -1, cfg.head_dim)
         if cfg.qk_norm:
-            q = llama.rmsnorm(q, q_norm, cfg.norm_eps)
-            k = llama.rmsnorm(k, k_norm, cfg.norm_eps)
+            q = llama.rmsnorm(q, q_norm, cfg.norm_eps, cfg.norm_offset)
+            k = llama.rmsnorm(k, k_norm, cfg.norm_eps, cfg.norm_offset)
         q = llama._rope(q, q_pos, cfg.rope_theta, cfg)
         k = llama._rope(k, q_pos, cfg.rope_theta, cfg)
         k_q, k_s = llama.quantize_kv(k, cfg.kv_bits)

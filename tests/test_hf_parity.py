@@ -533,6 +533,60 @@ def test_gemma2_decode_matches_prefill():
         rtol=2e-3, atol=2e-3)
 
 
+def test_gemma3_matches_transformers():
+    """Gemma-3 (text): 5:1 local/global alternation with PER-TYPE rope
+    bases (local theta on sliding layers), zero-centered QK-RMSNorm,
+    post-norms, query_pre_attn_scalar, no softcaps. 6 layers so the
+    global layer (index 5) is exercised; ablations prove the per-layer
+    theta and the QK-norm both matter."""
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    cfg = dataclasses.replace(
+        CFG, n_layers=6, head_dim=64, norm_offset=1.0,
+        act_fn="gelu_tanh", embed_scale=True, kv_bits=16,
+        rope_theta=1000000.0, rope_local_theta=10000.0,
+        sliding_window=8, sliding_pattern=6, post_norms=True,
+        qk_norm=True, query_pre_attn_scalar=32.0, norm_eps=1e-6)
+    dense = _dense_weights(cfg, seed=66)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(67).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        rope_local_base_freq=cfg.rope_local_theta,
+        sliding_window=cfg.sliding_window,
+        query_pre_attn_scalar=cfg.query_pre_attn_scalar,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    assert hf_cfg.layer_types[5] == "full_attention"
+    assert all(t == "sliding_attention"
+               for t in hf_cfg.layer_types[:5])
+    model = Gemma3ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(68).integers(2, cfg.vocab_size, (2, 16))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # per-layer rope base and the QK-norm must both matter
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    for off in (dict(rope_local_theta=0.0), dict(qk_norm=False),
+                dict(sliding_window=0, sliding_pattern=0,
+                     rope_local_theta=0.0)):
+        ours_off, _ = _run_both(
+            model, params, dataclasses.replace(cfg, **off), toks)
+        err_off = float(np.max(np.abs(ours_off - hf_logits)))
+        assert err_off > 50 * max(err_on, 1e-7), (off, err_on, err_off)
+
+
 def test_phi3_matches_transformers(tmp_path):
     """Phi-3 family: fused qkv_proj / gate_up_proj in the HF layout —
     parity through the CONVERTER (fused tensors split back to our part
