@@ -81,6 +81,25 @@ def _rope_scaling_kw(rs) -> dict:
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
     hf = json.loads((pathlib.Path(model_dir) / "config.json").read_text())
     mtype = hf.get("model_type", "llama")
+    if mtype == "gemma3":
+        raise ValueError(
+            "multimodal gemma3 checkpoints (nested text_config + vision "
+            "tower) are not supported; convert a gemma3_text checkpoint")
+    if mtype == "gemma3_text":
+        # HF stores the pattern explicitly and DEFAULTS the local rope
+        # base to 10000 when absent — mirror both (a silent uniform-theta
+        # fallback would wrong every sliding layer's rotation)
+        pat = hf.get("sliding_window_pattern")
+        if pat is not None and int(pat) != 6:
+            raise ValueError(
+                f"gemma3_text sliding_window_pattern {pat} != 6 is not "
+                "supported")
+        lts = hf.get("layer_types")
+        if lts is not None and any(
+                (t == "full_attention") != ((i + 1) % 6 == 0)
+                for i, t in enumerate(lts)):
+            raise ValueError("gemma3_text layer_types deviate from the "
+                             "5:1 local/global pattern")
     # Gemma: (1+w) norms, tanh-GeLU gate, sqrt(dim)-scaled embeddings. HF
     # spells the activation gelu/gelu_pytorch_tanh under
     # hidden_act/hidden_activation depending on version.
@@ -114,8 +133,9 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         post_norms=mtype in ("gemma2", "gemma3_text"),
         query_pre_attn_scalar=float(
             hf.get("query_pre_attn_scalar") or 0.0),
-        rope_local_theta=(float(hf.get("rope_local_base_freq") or 0.0)
-                          if mtype == "gemma3_text" else 0.0),
+        rope_local_theta=(
+            float(hf.get("rope_local_base_freq", 10000.0) or 10000.0)
+            if mtype == "gemma3_text" else 0.0),
         qk_norm=mtype in ("qwen3", "qwen3_moe", "gemma3_text"),
         # Sparse MoE: Mixtral (num_local_experts) / Qwen3-MoE (num_experts)
         n_experts=(int(hf.get("num_local_experts", 0))

@@ -309,3 +309,47 @@ def test_load_pre_qknorm_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded_m.layers.k_norm),
         np.ones((CFG.n_layers, CFG.head_dim), np.float32))
+
+
+def test_config_from_hf_gemma3_text(tmp_path):
+    """gemma3_text field mapping (pattern 6, local rope base incl. the
+    HF default, qk/post norms) and the multimodal/deviant rejections."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from quant_tpu.checkpoint.hf import config_from_hf
+
+    base = {
+        "model_type": "gemma3_text", "vocab_size": 512,
+        "hidden_size": 256, "num_hidden_layers": 6,
+        "num_attention_heads": 4, "num_key_value_heads": 1,
+        "intermediate_size": 512, "head_dim": 64,
+        "rope_theta": 1000000.0, "rope_local_base_freq": 10000.0,
+        "rms_norm_eps": 1e-6, "sliding_window": 512,
+        "query_pre_attn_scalar": 256,
+        "hidden_activation": "gelu_pytorch_tanh",
+    }
+    (tmp_path / "config.json").write_text(_json.dumps(base))
+    cfg = config_from_hf(tmp_path)
+    assert cfg.sliding_pattern == 6 and cfg.sliding_window == 512
+    assert cfg.rope_local_theta == 10000.0 and cfg.rope_theta == 1e6
+    assert cfg.qk_norm and cfg.post_norms and cfg.embed_scale
+    assert cfg.norm_offset == 1.0 and cfg.act_fn == "gelu_tanh"
+    assert cfg.query_pre_attn_scalar == 256
+
+    # absent rope_local_base_freq → the HF DEFAULT (10000), never 0
+    b2 = dict(base)
+    del b2["rope_local_base_freq"]
+    (tmp_path / "config.json").write_text(_json.dumps(b2))
+    assert config_from_hf(tmp_path).rope_local_theta == 10000.0
+
+    # deviant layer pattern and multimodal wrapper are rejected
+    b3 = dict(base, sliding_window_pattern=4)
+    (tmp_path / "config.json").write_text(_json.dumps(b3))
+    with _pytest.raises(ValueError, match="pattern"):
+        config_from_hf(tmp_path)
+    (tmp_path / "config.json").write_text(
+        _json.dumps({"model_type": "gemma3"}))
+    with _pytest.raises(ValueError, match="multimodal"):
+        config_from_hf(tmp_path)

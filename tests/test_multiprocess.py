@@ -8,6 +8,7 @@ with gRPC standing in for DCN. This is the one piece the 8-virtual-
 device tests cannot cover (they fake process_count via monkeypatch).
 """
 
+import pathlib
 import socket
 import subprocess
 import sys
@@ -50,6 +51,9 @@ print(f"RANK{rank}_OK", flush=True)
 """
 
 
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
 def test_two_process_distributed_psum():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -58,8 +62,13 @@ def test_two_process_distributed_psum():
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(port), str(rank)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, cwd="/root/repo",
-            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+            text=True, cwd=str(_REPO),
+            # PYTHONPATH deliberately EXCLUDES /root/.axon_site here
+            # (contra the usual repo rule): its sitecustomize imports
+            # jax on the axon backend at interpreter start, before the
+            # worker can force CPU — which would both break the pure-CPU
+            # distributed test and contend the TPU relay.
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": str(_REPO),
                  "HOME": "/root"},
         )
         for rank in range(2)

@@ -279,8 +279,6 @@ def test_paged_engine_fsm_and_lora():
     """Grammar FSM and LoRA adapters compose with the paged pool (and
     prefix caching): the device FSM/adapters are orthogonal to the KV
     layout."""
-    import sys
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_lora import _adapter
 
     from quant_tpu.engine.grammar import choice_fsm
