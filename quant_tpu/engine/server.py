@@ -75,6 +75,10 @@ class EngineServer:
         # scheduler thread is the only producer, the HTTP handler the
         # only consumer
         self.streams: dict[int, tuple[Request, int, queue.Queue]] = {}
+        # OpenAI string stop sequences: rid → (request, [strings]);
+        # checked in the scheduler loop after each step (the engine
+        # works in tokens; string stops need the decoded text)
+        self.stop_strs: dict[int, tuple[Request, list]] = {}
         self.next_id = 0
         self.stop_flag = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -93,6 +97,7 @@ class EngineServer:
                 with self.lock:
                     busy = self.engine.has_work()
                     finished = self.engine.step() if busy else []
+                    finished += self._check_stop_strings()
                     self._push_stream_deltas()
                 for req in finished:
                     ev = self.events.pop(req.req_id, None)
@@ -118,6 +123,45 @@ class EngineServer:
             if not busy:
                 time.sleep(0.005)
 
+    def _check_stop_strings(self) -> list:
+        """Early-terminate requests whose DECODED output contains one of
+        their stop strings (OpenAI ``stop``): truncate the token stream
+        at the shortest prefix containing the match, cancel the slot,
+        and record the text cut so responses exclude the stop sequence.
+        Runs under the scheduler lock, BEFORE stream deltas are pushed
+        (stopped tokens are never emitted)."""
+        finished = []
+        for rid, (req, strs) in list(self.stop_strs.items()):
+            if req.finished:
+                del self.stop_strs[rid]
+                continue
+            if not req.output:
+                continue
+            text = self.tokenizer.decode(req.output)
+            idx = min((text.find(s) for s in strs if s in text),
+                      default=-1)
+            if idx < 0:
+                continue
+            # shortest token prefix whose decode already contains a stop
+            ntok = len(req.output)
+            for n in range(1, len(req.output) + 1):
+                t = self.tokenizer.decode(req.output[:n])
+                if any(s in t for s in strs):
+                    ntok = n
+                    break
+            del req.output[ntok:]
+            del req.logprobs[ntok:]
+            if req.top_ids:
+                del req.top_ids[ntok:]
+                del req.top_lps[ntok:]
+            req.stopped_text = text[:idx]  # response text cut
+            self.engine.cancel(rid)
+            req.finished = True
+            del self.stop_strs[rid]
+            finished.append(req)
+            log.info("string stop hit req=%d at %d tokens", rid, ntok)
+        return finished
+
     def _push_stream_deltas(self):
         """Push newly committed tokens of streaming requests into their
         queues (called under the lock, after each engine step)."""
@@ -141,7 +185,7 @@ class EngineServer:
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s: float | None = None,
                stop_ids=(), fsm=None, top_logprobs=0,
-               lora=None) -> Request:
+               lora=None, stop_strs=()) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
@@ -156,13 +200,16 @@ class EngineServer:
             # dict leaks an entry per failed submit.
             self.engine.add_request(req)
             self.events[rid] = ev
+            if stop_strs:
+                self.stop_strs[rid] = (req, list(stop_strs))
         ev.wait()
         return req
 
     def submit_many(self, prompt_ids, max_new_tokens, sampling, n,
                     timeout_s: float | None = None,
                     stop_ids=(), fsm=None,
-                    top_logprobs=0, lora=None) -> list[Request]:
+                    top_logprobs=0, lora=None,
+                    stop_strs=()) -> list[Request]:
         """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
         for all: the copies co-batch in the engine, so n choices cost one
         continuous-batching pass, not n sequential generations."""
@@ -181,6 +228,8 @@ class EngineServer:
                     self.engine.add_request(req)
                     ev = threading.Event()
                     self.events[rid] = ev
+                    if stop_strs:
+                        self.stop_strs[rid] = (req, list(stop_strs))
                     evs.append(ev)
                     reqs.append(req)
             except Exception:
@@ -196,7 +245,8 @@ class EngineServer:
 
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
                       timeout_s: float | None = None, stop_ids=(),
-                      fsm=None, top_logprobs=0, lora=None):
+                      fsm=None, top_logprobs=0, lora=None,
+                      stop_strs=()):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -211,6 +261,8 @@ class EngineServer:
                           top_logprobs=top_logprobs, lora=lora)
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
+            if stop_strs:
+                self.stop_strs[rid] = (req, list(stop_strs))
         return req, q
 
     def cancel_stream(self, rid: int):
@@ -230,6 +282,24 @@ class EngineServer:
             self._vocab_bytes_cache = vocab_bytes(
                 self.tokenizer, self.engine.cfg.vocab_size)
         return self._vocab_bytes_cache
+
+    def stop_strings(self, body):
+        """OpenAI ``stop``: a string or list of up to 4 strings
+        (needs the server-side tokenizer to decode output text)."""
+        s = body.get("stop")
+        if s is None:
+            return ()
+        if isinstance(s, str):
+            s = [s]
+        if (not isinstance(s, list) or not s or len(s) > 4
+                or not all(isinstance(x, str) and x for x in s)):
+            raise ValueError("stop must be a non-empty string or a "
+                             "list of 1-4 non-empty strings")
+        if self.tokenizer is None:
+            raise ValueError("string stop sequences need a server-side "
+                             "tokenizer (serve --tokenizer); use "
+                             "stop_token_ids instead")
+        return tuple(s)
 
     def request_lora(self, body):
         """Adapter for a request: explicit ``lora`` field, or the
@@ -454,6 +524,8 @@ def _make_handler(srv: EngineServer):
                              "not supported)")
 
         def _finish_reason(self, req):
+            if getattr(req, "stopped_text", None) is not None:
+                return "stop"
             last = req.output[-1] if req.output else None
             if last == srv.engine.eos_id or (last is not None
                                              and last in req.stop_ids):
@@ -464,6 +536,12 @@ def _make_handler(srv: EngineServer):
             if srv.tokenizer is None:
                 return ""
             return srv.tokenizer.decode(ids)
+
+        def _choice_text(self, req):
+            # a string-stop cut excludes the stop sequence (OpenAI)
+            cut = getattr(req, "stopped_text", None)
+            return cut if cut is not None else self._decode_text(
+                req.output)
 
         @staticmethod
         def _oai_top_logprobs(body):
@@ -484,10 +562,10 @@ def _make_handler(srv: EngineServer):
                 choice = {"index": index, "finish_reason": reason,
                           "message": {"role": "assistant",
                                       "content":
-                                          self._decode_text(req.output)}}
+                                          self._choice_text(req)}}
             else:
                 choice = {"index": index, "finish_reason": reason,
-                          "text": self._decode_text(req.output)}
+                          "text": self._choice_text(req)}
             choice["token_ids"] = req.output  # extension
             if body.get("logprobs"):
                 lpobj = {"token_logprobs": req.logprobs,
@@ -536,7 +614,8 @@ def _make_handler(srv: EngineServer):
                                    fsm=srv.guided_fsm(body),
                                    top_logprobs=self._oai_top_logprobs(
                                        body),
-                                   lora=srv.request_lora(body))
+                                   lora=srv.request_lora(body),
+                                   stop_strs=srv.stop_strings(body))
             comp = sum(len(r.output) for r in reqs)
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
@@ -556,7 +635,8 @@ def _make_handler(srv: EngineServer):
                                        fsm=srv.guided_fsm(body),
                                        lora=srv.request_lora(body),
                                        top_logprobs=self._oai_top_logprobs(
-                                           body))
+                                           body),
+                                       stop_strs=srv.stop_strings(body))
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -704,6 +784,7 @@ def _make_handler(srv: EngineServer):
                     fsm=fsm,
                     top_logprobs=int(body.get("top_logprobs", 0)),
                     lora=srv.request_lora(body),
+                    stop_strs=srv.stop_strings(body),
                 )
                 resp = {"req_id": req.req_id,
                         "output_ids": req.output,

@@ -557,3 +557,53 @@ def test_streaming_top_logprobs():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_openai_string_stop_sequences():
+    """OpenAI ``stop`` (strings): decode-level early termination — text
+    excludes the stop sequence, finish_reason 'stop', the slot frees
+    (request ends before max_tokens)."""
+    import urllib.error
+
+    params = llama.init_params(CFG, seed=13)
+    eng = Engine(params, CFG, max_slots=2, max_seq=48, eos_id=-1)
+    httpd, srv = serve_async(eng, tokenizer=_StubTokenizer())
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # discover the greedy text, pick a stop string inside it
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9, 11], "max_tokens": 8,
+                    "temperature": 0}) as r:
+            full = json.loads(r.read())["choices"][0]
+        stop = full["text"][3:5]
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9, 11], "max_tokens": 8,
+                    "temperature": 0, "stop": stop}) as r:
+            ch = json.loads(r.read())["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert stop not in ch["text"]
+        assert full["text"].startswith(ch["text"])
+        assert len(ch["token_ids"]) < 8
+        # list form + unknown-stop passthrough ("length")
+        with _post(base, "/v1/completions",
+                   {"prompt": [5, 9, 11], "max_tokens": 4,
+                    "temperature": 0, "stop": ["@@@never@@@"]}) as r:
+            ch2 = json.loads(r.read())["choices"][0]
+        assert ch2["finish_reason"] == "length"
+        # no tokenizer → stop needs one (fresh server without tokenizer)
+        eng2 = Engine(params, CFG, max_slots=1, max_seq=32, eos_id=-1)
+        httpd2, srv2 = serve_async(eng2)
+        try:
+            _post(f"http://127.0.0.1:{httpd2.server_address[1]}",
+                  "/v1/completions",
+                  {"prompt": [5], "max_tokens": 2, "stop": "x"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        finally:
+            httpd2.shutdown()
+            srv2.stop()
+    finally:
+        httpd.shutdown()
+        srv.stop()
