@@ -151,6 +151,15 @@ class Engine:
     engine shards params/caches itself (idempotent if already sharded).
     ``seq`` must be 1 — long-context sequence parallelism applies to
     prefill via parallel.sp, not to slot decode.
+
+    Per-request capabilities (all on-device in the decode programs):
+    sampling knobs + penalties + logit_bias, grammar FSMs
+    (``Request.fsm`` — register_fsm/engine.grammar), top-K logprobs
+    (``top_logprobs``), LoRA adapters (``Engine(loras=...)`` +
+    ``Request.lora``; composes with n-gram speculation), paged KV /
+    prefix caching, speculative decoding (``spec_gamma``), deadlines,
+    and :meth:`embed` for /v1/embeddings. ``stats`` exposes rolling
+    TTFT/TPOT percentiles.
     """
 
     PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
