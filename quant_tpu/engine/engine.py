@@ -96,6 +96,11 @@ class Request:
     # Multi-LoRA: name of a registered adapter (Engine(loras={...}));
     # None = the base model.
     lora: Any = None
+    # Per-request PRNG seed: the sampled stream is a pure function of
+    # (seed, prompt, sampling config) — INDEPENDENT of co-batched
+    # traffic, dispatch sizes or engine history (per-slot on-device
+    # keys). None derives a deterministic seed from req_id.
+    seed: int | None = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     # log p(token) under the raw model distribution, one per output token
@@ -105,6 +110,10 @@ class Request:
     # per-position top-K alternatives when top_logprobs > 0
     top_ids: list = dataclasses.field(default_factory=list)
     top_lps: list = dataclasses.field(default_factory=list)
+    # number of PRNG splits this request's slot key has consumed
+    # (one per dispatch participation) — lets preempted re-admissions
+    # replay to the exact key state
+    key_draws: int = 0
     # latency bookkeeping (time.monotonic()): set at add_request /
     # first committed token / finish — TTFT and TPOT derive from these
     submit_t: float | None = None
@@ -132,6 +141,18 @@ def _bucket(n: int, lo: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _advance_key(kd, n):
+    """Split-chain a key n times (one dispatch): the decode programs
+    consume one split per dispatch, so a preempted request re-admitted
+    with k prior draws resumes the EXACT stream it would have produced
+    uninterrupted."""
+    def body(_, k):
+        return jax.random.split(k)[0]
+    return jax.random.key_data(jax.lax.fori_loop(
+        0, n, body, jax.random.wrap_key_data(kd)))
 
 
 def _top_logprobs(logits, k: int):
@@ -258,6 +279,10 @@ class Engine:
         # are staged here so step()/step_block() still report them.
         self._admit_finished: list[Request] = []
         self.key = jax.random.key(0)
+        # per-slot PRNG key data [B, 2] uint32 (threefry): every sampled
+        # draw splits the SLOT's key on device, so a request's stream
+        # depends only on its own seed/steps — never on co-batching
+        self.slot_keys = jnp.zeros((max_slots, 2), jnp.uint32)
         # per-slot token-history counts (prompt + committed output) for
         # repetition/frequency/presence penalties; maintained exactly for
         # penalized slots (zeroed + rebuilt at admission), updated by a
@@ -388,11 +413,12 @@ class Engine:
         @functools.partial(jax.jit, donate_argnums=(2, 13),
                            static_argnames=("use_pen", "use_bias",
                                             "use_fsm", "topk_lp"))
-        def decode_step(params, tokens, cache, key, temps, topks, topps,
-                        minps, reps, freqs, press, bias_toks, bias_vals,
-                        counts, fsm_trans=None, fsm_ids=None,
-                        fsm_states=None, adapter_ids=None, use_pen=False,
-                        use_bias=False, use_fsm=False, topk_lp=0):
+        def decode_step(params, tokens, cache, slot_keys, temps,
+                        topks, topps, minps, reps, freqs, press,
+                        bias_toks, bias_vals, counts, fsm_trans=None,
+                        fsm_ids=None, fsm_states=None, adapter_ids=None,
+                        use_pen=False, use_bias=False, use_fsm=False,
+                        topk_lp=0):
             # sampling happens ON DEVICE (sample_batch, per-slot traced
             # knobs): one dispatch and one [B, 2]-int fetch per step —
             # the host never touches logits, and no per-config extra RPC
@@ -404,12 +430,14 @@ class Engine:
             # math itself only when use_pen (static).
             logits, cache = fwd_full(params, tokens, cache,
                                      adapter_ids=adapter_ids)
-            keyn, sub = jax.random.split(key)
+            ks = jax.vmap(jax.random.split)(
+                jax.random.wrap_key_data(slot_keys))
+            keyn = jax.random.key_data(ks[:, 0])
             pen = (counts, reps, freqs, press) if use_pen else None
             bias = (bias_toks, bias_vals) if use_bias else None
             rows = fsm_trans[fsm_ids, fsm_states] if use_fsm else None
-            toks = sample_batch(logits[:, -1], sub, temps, topks, topps,
-                                minps, pen, bias, fsm_rows=rows)
+            toks = sample_batch(logits[:, -1], ks[:, 1], temps, topks,
+                                topps, minps, pen, bias, fsm_rows=rows)
             counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
             lp = token_logprob(logits[:, -1], toks)
             cols = [toks[:, None],
@@ -429,12 +457,12 @@ class Engine:
                                             "use_bias", "use_fsm",
                                             "topk_lp"),
                            donate_argnums=(2, 13))
-        def decode_block(params, tokens, cache, key, temps, topks, topps,
-                         minps, reps, freqs, press, bias_toks, bias_vals,
-                         counts, fsm_trans=None, fsm_ids=None,
-                         fsm_states=None, adapter_ids=None, n=1,
-                         sampled=False, use_pen=False, use_bias=False,
-                         use_fsm=False, topk_lp=0):
+        def decode_block(params, tokens, cache, slot_keys, temps,
+                         topks, topps, minps, reps, freqs, press,
+                         bias_toks, bias_vals, counts, fsm_trans=None,
+                         fsm_ids=None, fsm_states=None, adapter_ids=None,
+                         n=1, sampled=False, use_pen=False,
+                         use_bias=False, use_fsm=False, topk_lp=0):
             # n decode steps fused in one dispatch (device-side loop) with
             # on-device per-slot sampling — amortizes host dispatch latency
             # (critical on high-latency links); used by step_block().
@@ -447,11 +475,13 @@ class Engine:
                 fsm_states = jnp.zeros((tokens.shape[0],), jnp.int32)
 
             def body(_, carry):
-                tok, cache, key, counts, fstate, out, lps, tis, tls, i = \
+                tok, cache, kd, counts, fstate, out, lps, tis, tls, i = \
                     carry
                 logits, cache = fwd_full(params, tok, cache,
                                          adapter_ids=adapter_ids)
-                key, sub = jax.random.split(key)
+                ks = jax.vmap(jax.random.split)(
+                    jax.random.wrap_key_data(kd))
+                kd = jax.random.key_data(ks[:, 0])
                 lg = logits[:, -1]
                 rows = fsm_trans[fsm_ids, fstate] if use_fsm else None
                 if sampled:
@@ -459,8 +489,8 @@ class Engine:
                            else None)
                     bias = ((bias_toks, bias_vals) if use_bias
                             else None)
-                    nxt = sample_batch(lg, sub, temps, topks, topps,
-                                       minps, pen, bias,
+                    nxt = sample_batch(lg, ks[:, 1], temps, topks,
+                                       topps, minps, pen, bias,
                                        fsm_rows=rows)[:, None]
                 else:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
@@ -480,18 +510,18 @@ class Engine:
                         tis, ti[:, None], (0, i, 0))
                     tls = jax.lax.dynamic_update_slice(
                         tls, tl[:, None], (0, i, 0))
-                return (nxt, cache, key, counts, fstate, out, lps, tis,
+                return (nxt, cache, kd, counts, fstate, out, lps, tis,
                         tls, i + 1)
             b0 = tokens.shape[0]
             out = jnp.zeros((b0, n), jnp.int32)
             lps = jnp.zeros((b0, n), jnp.float32)
             tis = jnp.zeros((b0, n, max(topk_lp, 1)), jnp.int32)
             tls = jnp.zeros((b0, n, max(topk_lp, 1)), jnp.float32)
-            (_, cache, key, counts, _, out, lps, tis, tls, _) = \
+            (_, cache, keyn, counts, _, out, lps, tis, tls, _) = \
                 jax.lax.fori_loop(
                     0, n, body,
-                    (tokens, cache, key, counts, fsm_states, out, lps,
-                     tis, tls, 0))
+                    (tokens, cache, slot_keys, counts, fsm_states, out,
+                     lps, tis, tls, 0))
             # [B, 2n(+2nK)]: tokens, bitcast logprobs(, top ids, top
             # bitcast logprobs) — one packed fetch
             cols = [out, jax.lax.bitcast_convert_type(lps, jnp.int32)]
@@ -500,7 +530,7 @@ class Engine:
                          jax.lax.bitcast_convert_type(
                              tls, jnp.int32).reshape(b0, n * topk_lp)]
             packed = jnp.concatenate(cols, axis=1)
-            return packed, cache, key, counts
+            return packed, cache, keyn, counts
 
         self._decode_block = decode_block
 
@@ -531,14 +561,17 @@ class Engine:
             @functools.partial(jax.jit, donate_argnums=(2, 13),
                                static_argnames=("sampled", "use_pen",
                                                 "use_bias", "topk_lp"))
-            def verify_step(params, tokens, cache, key, temps, topks,
-                            topps, minps, reps, freqs, press, bias_toks,
-                            bias_vals, counts, adapter_ids=None,
-                            sampled=True, use_pen=False, use_bias=False,
-                            topk_lp=0):
+            def verify_step(params, tokens, cache, slot_keys, temps,
+                            topks, topps, minps, reps, freqs, press,
+                            bias_toks, bias_vals, counts,
+                            adapter_ids=None, sampled=True,
+                            use_pen=False, use_bias=False, topk_lp=0):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache,
                                          adapter_ids=adapter_ids)
+                ks = jax.vmap(jax.random.split)(
+                    jax.random.wrap_key_data(slot_keys))
+                keyn = jax.random.key_data(ks[:, 0])
                 if sampled:
                     # On-device speculative rejection sampling against
                     # the delta proposal (sampler.spec_commit): greedy
@@ -553,9 +586,9 @@ class Engine:
                            else None)
                     bias = ((bias_toks, bias_vals) if use_bias
                             else None)
-                    out, acc = spec_commit(logits, tokens, key, temps,
-                                           topks, topps, minps, pen,
-                                           bias)
+                    out, acc = spec_commit(logits, tokens, ks[:, 1],
+                                           temps, topks, topps, minps,
+                                           pen, bias)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
@@ -590,7 +623,7 @@ class Engine:
                                  tl, jnp.int32).reshape(
                                      b_, gp1_ * topk_lp)]
                 return jnp.concatenate(
-                    cols + [acc[:, None]], axis=1), cache, counts
+                    cols + [acc[:, None]], axis=1), cache, counts, keyn
 
             self._verify = verify_step
 
@@ -1224,7 +1257,15 @@ class Engine:
         else:
             self.cache = self._insert(self.cache, self.pf_cache,
                                       jnp.int32(slot))
-        self.key, sub = jax.random.split(self.key)
+        seed = req.seed if req.seed is not None else req.req_id
+        kd = jax.random.key_data(jax.random.key(int(seed) & 0x7FFFFFFF))
+        if req.key_draws:
+            kd = _advance_key(kd, jnp.int32(req.key_draws))
+        ks = jax.random.split(jax.random.wrap_key_data(kd))
+        self.slot_keys = self.slot_keys.at[slot].set(
+            jax.random.key_data(ks[0]))
+        req.key_draws += 1
+        sub = ks[1]
         fsm_row = None
         if req.fsm is not None:
             # constraint applies to the OUTPUT stream: replay any
@@ -1377,10 +1418,10 @@ class Engine:
                 self._spec_proposed += len(d)
         knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
         k_lp = self._k_lp(active)
-        self.key, sub = jax.random.split(self.key)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
-        packed, self.cache, self.counts = self._verify(
-            self.params, jnp.asarray(toks), self.cache, sub, *knobs,
+        packed, self.cache, self.counts, self.slot_keys = self._verify(
+            self.params, jnp.asarray(toks), self.cache, self.slot_keys,
+            *knobs,
             self.counts, adapter_ids=jnp.asarray(self._adapter_slot),
             sampled=sampled or any_pen or any_bias,
             use_pen=any_pen, use_bias=any_bias, topk_lp=k_lp)
@@ -1398,6 +1439,7 @@ class Engine:
         committed = 0
         for i in active:
             req = self.slots[i]
+            req.key_draws += 1
             used = len(req.prompt) + len(req.output)
             # a token at stream position p needs every KV write < p to
             # have landed; writes at >= max_seq were dropped, so only the
@@ -1507,8 +1549,10 @@ class Engine:
             knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(
                 active)
             k_lp = self._k_lp(active)
-            packed, self.cache, self.key, self.counts = self._decode(
-                self.params, tokens, self.cache, self.key, *knobs,
+            packed, self.cache, self.slot_keys, self.counts = \
+                self._decode(
+                    self.params, tokens, self.cache, self.slot_keys,
+                    *knobs,
                 self.counts, fsm_trans=self._fsm_dev,
                 fsm_ids=jnp.asarray(self._fsm_ids),
                 fsm_states=jnp.asarray(self._fsm_state),
@@ -1523,6 +1567,7 @@ class Engine:
                 t_lps = packed[:, 2 + k_lp:2 + 2 * k_lp].view(np.float32)
             for i in active:
                 req = self.slots[i]
+                req.key_draws += 1
                 tok = int(toks[i])
                 req.output.append(tok)
                 req.logprobs.append(float(lps[i]))
@@ -1577,8 +1622,9 @@ class Engine:
         tokens = jnp.asarray(self.last_tokens[:, None])
         knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(active)
         k_lp = self._k_lp(active)
-        packed, self.cache, self.key, self.counts = self._decode_block(
-            self.params, tokens, self.cache, self.key, *knobs,
+        packed, self.cache, self.slot_keys, self.counts = \
+            self._decode_block(
+                self.params, tokens, self.cache, self.slot_keys, *knobs,
             self.counts, fsm_trans=self._fsm_dev,
             fsm_ids=jnp.asarray(self._fsm_ids),
             fsm_states=jnp.asarray(self._fsm_state),
@@ -1597,6 +1643,7 @@ class Engine:
                 np.float32).reshape(b0, n, k_lp)
         for i in active:
             req = self.slots[i]
+            req.key_draws += n
             fid = (self._fsm_key[id(req.fsm)] if req.fsm is not None
                    else None)
             for j in range(n):

@@ -196,7 +196,13 @@ def sample_batch(logits: jax.Array, key, temps: jax.Array,
                            logits.astype(jnp.float32))
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     l2 = filter_logits(logits, temps, topks, topps, minps)
-    sampled = jax.random.categorical(key, l2, axis=-1).astype(jnp.int32)
+    if key.ndim:  # per-slot keys [B]: batching-invariant streams
+        sampled = jax.vmap(
+            lambda k, lg: jax.random.categorical(k, lg))(key, l2)
+        sampled = sampled.astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(key, l2,
+                                         axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
 
 
@@ -257,12 +263,19 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
     probs = jnp.where((temps == 0.0)[:, None, None],
                       onehot, jax.nn.softmax(l2, axis=-1))
     draft = tokens[:, 1:]                                       # [B, g]
-    key_u, key_s = jax.random.split(key)
+    if key.ndim:  # per-slot keys [B] (batching-invariant streams)
+        ks = jax.vmap(lambda k: jax.random.split(k))(key)
+        key_u, key_s = ks[:, 0], ks[:, 1]
+    else:
+        key_u, key_s = jax.random.split(key)
     if g:
         p_draft = jnp.take_along_axis(
             probs[:, :g], draft[..., None], axis=-1)[..., 0]    # [B, g]
-        accept = (jax.random.uniform(key_u, (b, g)) < p_draft
-                  ).astype(jnp.int32)
+        if key.ndim:
+            u = jax.vmap(lambda k: jax.random.uniform(k, (g,)))(key_u)
+        else:
+            u = jax.random.uniform(key_u, (b, g))
+        accept = (u < p_draft).astype(jnp.int32)
         acc = jnp.cumprod(accept, axis=1).sum(axis=1)           # [B]
         # residual (p - q)+ with q = delta: zero the draft entry
         resid = probs[:, :g] * (
@@ -273,9 +286,14 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
     else:
         acc = jnp.zeros((b,), jnp.int32)
         dist = probs
-    samples = jax.random.categorical(
-        key_s, jnp.log(jnp.maximum(dist, 1e-38)), axis=-1
-    ).astype(jnp.int32)                                         # [B, g+1]
+    logdist = jnp.log(jnp.maximum(dist, 1e-38))
+    if key.ndim:
+        samples = jax.vmap(
+            lambda k, lg: jax.random.categorical(k, lg, axis=-1))(
+                key_s, logdist).astype(jnp.int32)
+    else:
+        samples = jax.random.categorical(
+            key_s, logdist, axis=-1).astype(jnp.int32)          # [B, g+1]
     # greedy slots must stay exactly argmax at the commit position (the
     # categorical over a one-hot is argmax anyway; this keeps bit-parity
     # with the plain greedy program explicit)

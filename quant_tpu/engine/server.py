@@ -185,7 +185,7 @@ class EngineServer:
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s: float | None = None,
                stop_ids=(), fsm=None, top_logprobs=0,
-               lora=None, stop_strs=()) -> Request:
+               lora=None, stop_strs=(), seed=None) -> Request:
         ev = threading.Event()
         with self.lock:
             rid = self.next_id
@@ -194,7 +194,8 @@ class EngineServer:
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
                           stop_ids=tuple(stop_ids), fsm=fsm,
-                          top_logprobs=top_logprobs, lora=lora)
+                          top_logprobs=top_logprobs, lora=lora,
+                          seed=seed)
             # add_request may reject (oversized prompt) — only register the
             # event once the request is actually enqueued, or the events
             # dict leaks an entry per failed submit.
@@ -209,14 +210,14 @@ class EngineServer:
                     timeout_s: float | None = None,
                     stop_ids=(), fsm=None,
                     top_logprobs=0, lora=None,
-                    stop_strs=()) -> list[Request]:
+                    stop_strs=(), seed=None) -> list[Request]:
         """Enqueue n copies of one prompt (OpenAI ``n`` choices) and wait
         for all: the copies co-batch in the engine, so n choices cost one
         continuous-batching pass, not n sequential generations."""
         evs, reqs = [], []
         with self.lock:
             try:
-                for _ in range(n):
+                for j in range(n):
                     rid = self.next_id
                     self.next_id += 1
                     req = Request(req_id=rid, prompt=list(prompt_ids),
@@ -224,7 +225,11 @@ class EngineServer:
                                   sampling=sampling,
                                   deadline=self._deadline(timeout_s),
                                   stop_ids=tuple(stop_ids), fsm=fsm,
-                                  top_logprobs=top_logprobs, lora=lora)
+                                  top_logprobs=top_logprobs, lora=lora,
+                                  # explicit seed + n choices: fold the
+                                  # choice index so choices still differ
+                                  seed=(None if seed is None
+                                        else int(seed) + j))
                     self.engine.add_request(req)
                     ev = threading.Event()
                     self.events[rid] = ev
@@ -246,7 +251,7 @@ class EngineServer:
     def submit_stream(self, prompt_ids, max_new_tokens, sampling,
                       timeout_s: float | None = None, stop_ids=(),
                       fsm=None, top_logprobs=0, lora=None,
-                      stop_strs=()):
+                      stop_strs=(), seed=None):
         """Enqueue a streaming request; returns (request, token queue).
         The queue yields lists of newly committed token ids, then None."""
         q: queue.Queue = queue.Queue()
@@ -258,7 +263,8 @@ class EngineServer:
                           max_new_tokens=max_new_tokens, sampling=sampling,
                           deadline=self._deadline(timeout_s),
                           stop_ids=tuple(stop_ids), fsm=fsm,
-                          top_logprobs=top_logprobs, lora=lora)
+                          top_logprobs=top_logprobs, lora=lora,
+                          seed=seed)
             self.engine.add_request(req)
             self.streams[rid] = (req, 0, q)
             if stop_strs:
@@ -615,7 +621,10 @@ def _make_handler(srv: EngineServer):
                                    top_logprobs=self._oai_top_logprobs(
                                        body),
                                    lora=srv.request_lora(body),
-                                   stop_strs=srv.stop_strings(body))
+                                   stop_strs=srv.stop_strings(body),
+                                   seed=(int(body["seed"])
+                                         if body.get("seed") is not None
+                                         else None))
             comp = sum(len(r.output) for r in reqs)
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
@@ -636,7 +645,10 @@ def _make_handler(srv: EngineServer):
                                        lora=srv.request_lora(body),
                                        top_logprobs=self._oai_top_logprobs(
                                            body),
-                                       stop_strs=srv.stop_strings(body))
+                                       stop_strs=srv.stop_strings(body),
+                                       seed=(int(body["seed"])
+                                             if body.get("seed")
+                                             is not None else None))
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -785,6 +797,8 @@ def _make_handler(srv: EngineServer):
                     top_logprobs=int(body.get("top_logprobs", 0)),
                     lora=srv.request_lora(body),
                     stop_strs=srv.stop_strings(body),
+                    seed=(int(body["seed"])
+                          if body.get("seed") is not None else None),
                 )
                 resp = {"req_id": req.req_id,
                         "output_ids": req.output,

@@ -604,3 +604,76 @@ def test_top_logprobs_all_paths():
     with pytest.raises(ValueError, match="top_logprobs"):
         eng.add_request(Request(req_id=0, prompt=[1], max_new_tokens=1,
                                 top_logprobs=21))
+
+
+def test_seeded_sampling_batching_invariant():
+    """A sampled request's stream is a pure function of (seed, prompt,
+    config): identical whether it runs alone, co-batched with other
+    traffic, through step() or step_block(), and across engines."""
+    params = llama.init_params(CFG, seed=22)
+    rng = np.random.default_rng(22)
+    prompt = list(map(int, rng.integers(3, CFG.vocab_size, 5)))
+    sc = SamplingConfig(temperature=1.0, top_p=0.95)
+
+    def run(co_batch, block, seed=1234):
+        eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1)
+        r = Request(req_id=7, prompt=list(prompt), max_new_tokens=8,
+                    sampling=sc, seed=seed)
+        eng.add_request(r)
+        for k in range(co_batch):
+            eng.add_request(Request(
+                req_id=100 + k,
+                prompt=list(map(int, rng.integers(3, CFG.vocab_size, 4))),
+                max_new_tokens=8, sampling=SamplingConfig(temperature=0.7),
+                seed=k))
+        while eng.has_work():
+            eng.step_block(3) if block else eng.step()
+        return r.output
+
+    alone = run(0, False)
+    assert run(2, False) == alone          # co-batching invariant
+    assert run(0, True) == alone           # dispatch-shape invariant
+    assert run(3, True) == alone
+    assert run(0, False, seed=99) != alone  # the seed matters
+
+
+def test_seeded_sampling_survives_preemption():
+    """A preempted (paged, oversubscribed) seeded request resumes the
+    EXACT stream it would have produced uninterrupted (key replay by
+    recorded draw count)."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(CFG)
+    params = llama.init_params(cfg, seed=23)
+    sc = SamplingConfig(temperature=1.0)
+    prompt = [5, 6, 7, 8]
+
+    ref_eng = Engine(params, cfg, max_slots=1, max_seq=64, eos_id=-1,
+                     paged=True, page_size=16)
+    ref = Request(req_id=0, prompt=list(prompt), max_new_tokens=12,
+                  sampling=sc, seed=77)
+    ref_eng.add_request(ref)
+    while ref_eng.has_work():
+        ref_eng.step()
+
+    # tiny pool (2 usable pages): B's 2-page prompt preempts A
+    # mid-generation; A later re-admits and must resume exactly
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 paged=True, page_size=16, n_pages=3)
+    a = Request(req_id=0, prompt=list(prompt), max_new_tokens=12,
+                sampling=sc, seed=77)
+    b_prompt = list(np.random.default_rng(5).integers(3, cfg.vocab_size,
+                                                      20))
+    b = Request(req_id=1, prompt=[int(t) for t in b_prompt],
+                max_new_tokens=4, sampling=SamplingConfig(), seed=5)
+    eng.add_request(a)
+    for _ in range(3):
+        eng.step()
+    eng.add_request(b)
+    a_preempted = False
+    while eng.has_work():
+        eng.step()
+        a_preempted = a_preempted or (
+            not a.finished and all(s is not a for s in eng.slots))
+    assert a_preempted, "scenario must actually preempt A"
+    assert a.output == ref.output, (a.output, ref.output)

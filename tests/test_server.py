@@ -607,3 +607,34 @@ def test_openai_string_stop_sequences():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_seed_param_over_http():
+    """OpenAI ``seed``: same seed → identical sampled completion; n>1
+    with an explicit seed folds the choice index so choices differ but
+    stay reproducible."""
+    params = llama.init_params(CFG, seed=14)
+    eng = Engine(params, CFG, max_slots=4, max_seq=48, eos_id=-1)
+    httpd, srv = serve_async(eng)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    body = {"prompt": [5, 9, 11], "max_tokens": 6, "temperature": 1.0,
+            "seed": 42}
+    try:
+        outs = []
+        for _ in range(2):
+            with _post(base, "/v1/completions", body) as r:
+                outs.append(
+                    json.loads(r.read())["choices"][0]["token_ids"])
+        assert outs[0] == outs[1]
+        with _post(base, "/v1/completions",
+                   dict(body, seed=43)) as r:
+            other = json.loads(r.read())["choices"][0]["token_ids"]
+        assert other != outs[0]
+        with _post(base, "/v1/completions", dict(body, n=2)) as r:
+            chs = json.loads(r.read())["choices"]
+        assert chs[0]["token_ids"] == outs[0]     # seed+0 = base seed
+        assert chs[1]["token_ids"] != chs[0]["token_ids"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
