@@ -278,7 +278,6 @@ class Engine:
         # Requests that finish DURING admission (max_new=1 / immediate EOS)
         # are staged here so step()/step_block() still report them.
         self._admit_finished: list[Request] = []
-        self.key = jax.random.key(0)
         # per-slot PRNG key data [B, 2] uint32 (threefry): every sampled
         # draw splits the SLOT's key on device, so a request's stream
         # depends only on its own seed/steps — never on co-batching
