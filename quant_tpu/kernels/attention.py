@@ -8,12 +8,16 @@ in VMEM — the float cache is never materialized, so HBM traffic is
 Shape/layout choices:
 * q is viewed [B, Hkv, rep, Dh] (GQA: the ``rep`` query heads sharing one
   kv head form the sublane dim of a small MXU operand).
-* grid (B, S/S_BLK) with ALL kv heads handled inside one program (static
-  head loop over the VMEM-resident [Hkv, S_blk, Dh] tile) — a (B, Hkv, S)
-  grid would mean hundreds of micro-programs whose fixed overhead dominates
-  at decode sizes. The sequence dim is innermost ("arbitrary") with an
-  online-softmax state (m, l, acc) in VMEM scratch — classic
-  flash-decoding, one pass over the cache.
+* grid (B, S/S_BLK) with ALL kv heads handled inside one program as ONE
+  batched dot_general over the VMEM-resident [Hkv, S_blk, Dh] tile (hkv is
+  a batch dim of the dot) — a (B, Hkv, S) grid would mean hundreds of
+  micro-programs, and even an in-program per-head loop serializes 2*hkv
+  tiny [rep, ...] dots whose issue latencies dominate (r4 measurement at
+  B=48/S=1024: 413 GB/s head-loop → 955 GB/s batched, bit-identical —
+  scripts/tpu_flash_sweep.py; the DMA-only ceiling for this access
+  pattern measured 806-870 GB/s in the same windows). The sequence dim is
+  innermost ("arbitrary") with an online-softmax state (m, l, acc) in
+  VMEM scratch — classic flash-decoding, one pass over the cache.
 * k/v scales apply to the [rep, S_blk] LOGITS after the q·k dot and to the
   softmax probs before the p·v dot — exact (scales are per token+head: they
   factor out of the D-contraction) and ~Dh× cheaper on the VPU than scaling
@@ -47,22 +51,38 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
     s_idx = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
-    kv = (lambda r, h: r[0, 0, h]) if stacked else (lambda r, h: r[0, h])
-    stride = max(rep, 8)  # 8-aligned per-head scratch blocks (sublane rule)
+    kv = (lambda r: r[0, 0]) if stacked else (lambda r: r[0])
 
     def dq_pair(tile):
         # int4 KV: split-D nibble unpack. uint8 bitwise has no Mosaic
         # lowering on this toolchain — go through int32 like the matmul
         # kernel (dequant_matmul.py) does. The halves are NOT
         # concatenated along lanes (a [S_blk, Dh] cross-lane shuffle that
-        # made kv4 SLOWER than int8 on hardware, 2026-08-18): the caller
-        # contracts each half against the matching half of q / writes
-        # each half of pv, so only tiny [rep, Dh/2] outputs ever merge.
+        # made kv4 SLOWER than int8 on hardware, 2026-08-18): each half
+        # is contracted against the matching half of q / written to its
+        # half of pv, so only tiny [rep, Dh/2] outputs ever merge.
         if not kv4:
             return tile.astype(jnp.float32), None
         wi = tile.astype(jnp.int32)
         return (((wi & 0xF) - 8).astype(jnp.float32),
                 ((wi >> 4) - 8).astype(jnp.float32))
+
+    # Batched dots over the head dim (r4 rewrite): ONE dot_general with
+    # hkv as a batch dimension replaces the per-head python loop — the
+    # loop's 2*hkv tiny [rep, ...] dots and their issue latencies were
+    # the kernel's real bottleneck, measured 2026-08-19 at B=48/S=1024:
+    # 413 GB/s (head loop, s_blk=512) → 955 GB/s batched, bit-identical
+    # output (scripts/tpu_flash_sweep.py).
+    dot_k = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dot_v = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
 
     @pl.when(s_idx == 0)
     def _():
@@ -72,53 +92,38 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
     @pl.when(start < length)
     def _():
-        dot_t = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        for h in range(hkv):
-            r0 = h * stride
-            q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            klo, khi = dq_pair(kv(kc_ref, h))              # [S_blk, Dh(/2)]
-            if khi is None:
-                logits = dot_t(q, klo)                     # [rep, S_blk]
-            else:
-                h2 = q.shape[1] // 2
-                logits = dot_t(q[:, :h2], klo) + dot_t(q[:, h2:], khi)
-            # per-token scale on the small logits block (exact: the scale
-            # factors out of the Dh contraction)
-            logits = logits * kv(ks_ref, h)[None, :]
-            pos = start + jax.lax.broadcasted_iota(
-                jnp.int32, logits.shape, 1
-            )
-            logits = jnp.where(pos < length, logits, -1e30)
+        q = q_ref[0].astype(jnp.float32) * scale       # [hkv, rep, Dh]
+        klo, khi = dq_pair(kv(kc_ref))                 # [hkv, S_blk, Dh(/2)]
+        if khi is None:
+            logits = dot_k(q, klo)                     # [hkv, rep, S_blk]
+        else:
+            h2 = q.shape[2] // 2
+            logits = dot_k(q[:, :, :h2], klo) + dot_k(q[:, :, h2:], khi)
+        # per-token scale on the small logits block (exact: the scale
+        # factors out of the Dh contraction)
+        logits = logits * kv(ks_ref)[:, None, :]
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(pos < length, logits, -1e30)
 
-            m_prev = m_ref[r0:r0 + rep, :1]
-            m_new = jnp.maximum(
-                m_prev, jnp.max(logits, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)                    # [rep, S_blk]
-            l_new = (alpha * l_ref[r0:r0 + rep, :1]
-                     + jnp.sum(p, axis=1, keepdims=True))
+        m_prev = m_ref[:, :rep, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                    # [hkv, rep, S_blk]
+        l_new = (alpha * l_ref[:, :rep, :1]
+                 + jnp.sum(p, axis=2, keepdims=True))
 
-            vlo, vhi = dq_pair(kv(vc_ref, h))
-            ps = p * kv(vs_ref, h)[None, :]
-            pv = jnp.dot(ps, vlo, preferred_element_type=jnp.float32,
-                         precision=prec)
-            if vhi is not None:
-                pv = jnp.concatenate(
-                    [pv, jnp.dot(ps, vhi,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)], axis=1)
-            acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
-            m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
-            l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
+        vlo, vhi = dq_pair(kv(vc_ref))
+        ps = p * kv(vs_ref)[:, None, :]
+        pv = dot_v(ps, vlo)                            # [hkv, rep, Dh(/2)]
+        if vhi is not None:
+            pv = jnp.concatenate([pv, dot_v(ps, vhi)], axis=2)
+        acc_ref[:, :rep] = acc_ref[:, :rep] * alpha + pv
+        m_ref[:, :rep] = jnp.broadcast_to(m_new, m_ref[:, :rep].shape)
+        l_ref[:, :rep] = jnp.broadcast_to(l_new, l_ref[:, :rep].shape)
 
     @pl.when(s_idx == n_s - 1)
     def _():
-        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-20)
-        out = out.reshape(hkv, stride, -1)[:, :rep]
+        out = acc_ref[:, :rep] / jnp.maximum(l_ref[:, :rep, :1], 1e-20)
         o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -182,9 +187,9 @@ def flash_decode_int8(
     )
     stride = max(rep, 8)
     scratch = [
-        pltpu.VMEM((hkv * stride, 128), jnp.float32),
-        pltpu.VMEM((hkv * stride, 128), jnp.float32),
-        pltpu.VMEM((hkv * stride, dh), jnp.float32),
+        pltpu.VMEM((hkv, stride, 128), jnp.float32),
+        pltpu.VMEM((hkv, stride, 128), jnp.float32),
+        pltpu.VMEM((hkv, stride, dh), jnp.float32),
     ]
     out_shape = jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype)
     if not stacked:

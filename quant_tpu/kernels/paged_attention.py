@@ -70,49 +70,48 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
 
     @pl.when(start < length)
     def _():
-        dot_t = functools.partial(
+        # Batched dots over the head dim — same r4 rewrite as
+        # attention.py._kernel (the per-head loop's tiny-dot issue
+        # latencies halved the kernel's bandwidth; see that docstring).
+        dot_k = functools.partial(
             jax.lax.dot_general,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        for h in range(hkv):
-            r0 = h * stride
-            q = q_ref[0, h].astype(jnp.float32) * scale    # [rep, Dh]
-            klo, khi = dq_pair(kc_ref[0, 0, h])            # [page, Dh(/2)]
-            if khi is None:
-                logits = dot_t(q, klo)                     # [rep, page]
-            else:
-                h2 = q.shape[1] // 2
-                logits = dot_t(q[:, :h2], klo) + dot_t(q[:, h2:], khi)
-            logits = logits * ks_ref[0, 0, h][None, :]
-            pos = start + jax.lax.broadcasted_iota(
-                jnp.int32, logits.shape, 1)
-            logits = jnp.where(pos < length, logits, -1e30)
+        dot_v = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        q = q_ref[0].astype(jnp.float32) * scale       # [hkv, rep, Dh]
+        klo, khi = dq_pair(kc_ref[0, 0])               # [hkv, page, Dh(/2)]
+        if khi is None:
+            logits = dot_k(q, klo)                     # [hkv, rep, page]
+        else:
+            h2 = q.shape[2] // 2
+            logits = dot_k(q[:, :, :h2], klo) + dot_k(q[:, :, h2:], khi)
+        logits = logits * ks_ref[0, 0][:, None, :]
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(pos < length, logits, -1e30)
 
-            m_prev = m_ref[r0:r0 + rep, :1]
-            m_new = jnp.maximum(
-                m_prev, jnp.max(logits, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)
-            l_new = (alpha * l_ref[r0:r0 + rep, :1]
-                     + jnp.sum(p, axis=1, keepdims=True))
-            vlo, vhi = dq_pair(vc_ref[0, 0, h])
-            ps = p * vs_ref[0, 0, h][None, :]
-            pv = jnp.dot(ps, vlo, preferred_element_type=jnp.float32,
-                         precision=prec)
-            if vhi is not None:
-                pv = jnp.concatenate(
-                    [pv, jnp.dot(ps, vhi,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)], axis=1)
-            acc_ref[r0:r0 + rep, :] = acc_ref[r0:r0 + rep, :] * alpha + pv
-            m_ref[r0:r0 + rep, :] = jnp.broadcast_to(m_new, (rep, 128))
-            l_ref[r0:r0 + rep, :] = jnp.broadcast_to(l_new, (rep, 128))
+        m_prev = m_ref[:, :rep, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                    # [hkv, rep, page]
+        l_new = (alpha * l_ref[:, :rep, :1]
+                 + jnp.sum(p, axis=2, keepdims=True))
+        vlo, vhi = dq_pair(vc_ref[0, 0])
+        ps = p * vs_ref[0, 0][:, None, :]
+        pv = dot_v(ps, vlo)                            # [hkv, rep, Dh(/2)]
+        if vhi is not None:
+            pv = jnp.concatenate([pv, dot_v(ps, vhi)], axis=2)
+        acc_ref[:, :rep] = acc_ref[:, :rep] * alpha + pv
+        m_ref[:, :rep] = jnp.broadcast_to(m_new, m_ref[:, :rep].shape)
+        l_ref[:, :rep] = jnp.broadcast_to(l_new, l_ref[:, :rep].shape)
 
     @pl.when(s_idx == n_pages - 1)
     def _():
-        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-20)
-        out = out.reshape(hkv, max(rep, 8), -1)[:, :rep]
+        out = acc_ref[:, :rep] / jnp.maximum(l_ref[:, :rep, :1], 1e-20)
         o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -176,9 +175,9 @@ def paged_flash_decode_int8(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((hkv * stride, 128), jnp.float32),
-            pltpu.VMEM((hkv * stride, 128), jnp.float32),
-            pltpu.VMEM((hkv * stride, dh), jnp.float32),
+            pltpu.VMEM((hkv, stride, 128), jnp.float32),
+            pltpu.VMEM((hkv, stride, 128), jnp.float32),
+            pltpu.VMEM((hkv, stride, dh), jnp.float32),
         ],
     )
     out = pl.pallas_call(
