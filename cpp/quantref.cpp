@@ -102,6 +102,102 @@ int64_t qr_unpack_int4(const uint8_t* packed, int64_t n, int8_t* codes_out) {
   return n;
 }
 
+/* ── Codebook ("bin-lookup") variant ───────────────────────────────── */
+
+/* NF4 constants (QLoRA §3): the 16 quantiles of N(0,1) renormalized to
+ * [-1, 1], with 0 as an exact entry. Normative for this oracle. */
+const float QR_NF4_TABLE[16] = {
+    -1.0f,
+    -0.6961928009986877f,
+    -0.5250730514526367f,
+    -0.39491748809814453f,
+    -0.28444138169288635f,
+    -0.18477343022823334f,
+    -0.09105003625154495f,
+    0.0f,
+    0.07958029955625534f,
+    0.16093020141124725f,
+    0.24611230194568634f,
+    0.33791524171829224f,
+    0.44070982933044434f,
+    0.5626170039176941f,
+    0.7229568362236023f,
+    1.0f,
+};
+
+namespace {
+
+/* Quantize one contiguous span against a 16-entry codebook: scale =
+ * absmax, bin = count of midpoints strictly below x/scale, code = bin-8. */
+void quantize_lut_span(const float* x, int64_t n, const float* lut,
+                       float* scale_out, int8_t* codes_out) {
+  float absmax = 0.0f;
+  for (int64_t i = 0; i < n; ++i) {
+    float a = std::fabs(x[i]);
+    if (a > absmax) absmax = a;
+  }
+  float scale = (absmax == 0.0f) ? 1.0f : absmax;
+  *scale_out = scale;
+  float mid[15];
+  for (int i = 0; i < 15; ++i) mid[i] = (lut[i] + lut[i + 1]) / 2.0f;
+  for (int64_t i = 0; i < n; ++i) {
+    float xn = x[i] / scale;
+    int bin = 0;
+    for (int t = 0; t < 15; ++t) bin += (xn > mid[t]) ? 1 : 0;
+    codes_out[i] = static_cast<int8_t>(bin - 8);
+  }
+}
+
+}  // namespace
+
+int qr_quantize_lut(const float* x, int64_t n, const float* lut,
+                    float* scale_out, int8_t* codes_out) {
+  if (n < 0 || lut == nullptr) return 1;
+  for (int i = 0; i < 15; ++i)
+    if (!(lut[i] < lut[i + 1])) return 1; /* must be strictly ascending */
+  quantize_lut_span(x, n, lut, scale_out, codes_out);
+  return 0;
+}
+
+int qr_quantize_lut_grouped(const float* x, int64_t rows, int64_t cols,
+                            int64_t group_size, const float* lut,
+                            float* scales_out, int8_t* codes_out) {
+  if (lut == nullptr) return 1;
+  if (group_size <= 0 || cols % group_size != 0) return 1;
+  for (int i = 0; i < 15; ++i)
+    if (!(lut[i] < lut[i + 1])) return 1;
+  const int64_t groups_per_row = cols / group_size;
+  for (int64_t r = 0; r < rows; ++r) {
+    for (int64_t g = 0; g < groups_per_row; ++g) {
+      const int64_t off = r * cols + g * group_size;
+      quantize_lut_span(x + off, group_size, lut,
+                        scales_out + r * groups_per_row + g, codes_out + off);
+    }
+  }
+  return 0;
+}
+
+void qr_dequantize_lut(const int8_t* codes, int64_t n, const float* lut,
+                       float scale, float* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = lut[static_cast<int>(codes[i]) + 8] * scale;
+}
+
+void qr_dequantize_lut_grouped(const int8_t* codes, int64_t rows,
+                               int64_t cols, int64_t group_size,
+                               const float* lut, const float* scales,
+                               float* out) {
+  const int64_t groups_per_row = cols / group_size;
+  for (int64_t r = 0; r < rows; ++r) {
+    for (int64_t g = 0; g < groups_per_row; ++g) {
+      const float s = scales[r * groups_per_row + g];
+      const int64_t off = r * cols + g * group_size;
+      for (int64_t i = 0; i < group_size; ++i)
+        out[off + i] = lut[static_cast<int>(codes[off + i]) + 8] * s;
+    }
+  }
+}
+
 double qr_mse(const float* a, const float* b, int64_t n) {
   double acc = 0.0;
   for (int64_t i = 0; i < n; ++i) {

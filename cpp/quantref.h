@@ -25,6 +25,26 @@
  *   byte[j] = (u(code[2j+1]) << 4) | u(code[2j]),  u(c) = uint8(c + 8)
  *   odd n: the final high nibble is u(0) = 8.
  *
+ * Codebook ("bin-lookup") variant — 4-bit non-uniform quantization
+ * (BASELINE.json:5 "fused dequant(bin-lookup + scale)+matmul" /
+ * "float→bin scalar quantization"; the linear codec above is the uniform
+ * special case, this is the general non-uniform one):
+ *   A codebook of 16 float32 entries lut[0..15], sorted strictly
+ *   ascending, spanning [-1, 1] for absmax-normalized data.
+ *   scale = absmax(x)                  (float32; 1.0 when absmax == 0)
+ *   xn    = x / scale                  (float32 divide)
+ *   bin   = #{ i in [0,14] : xn > t_i },  t_i = (lut[i] + lut[i+1]) / 2
+ *           (midpoints in float32; a value exactly AT a midpoint takes
+ *           the LOWER bin — deterministic nearest-entry assignment)
+ *   code  = bin - 8                    (int8 in [-8, 7]: the same storage
+ *           domain as linear int4, so nibble packing, entropy coding and
+ *           checkpoint layout are shared verbatim)
+ *   value = lut[code + 8] * scale      (float32 multiply)
+ * The normative default codebook is QR_NF4_TABLE (NF4 constants — the
+ * information-theoretically optimal bins for N(0,1) data, QLoRA §3).
+ * Codebooks FIT from data (Lloyd-Max) use the same encode/decode with a
+ * caller-supplied table; fitting itself is calibration, not codec.
+ *
  * Entropy stage — canonical Huffman over bytes (deterministic):
  *   tree: repeatedly merge the two least nodes ordered by (count, order),
  *         leaf order = symbol value, internal order = 256 + creation_index;
@@ -61,6 +81,29 @@ void qr_dequantize(const int8_t* codes, int64_t n, float scale, float* out);
 /* Dequantize grouped. */
 void qr_dequantize_grouped(const int8_t* codes, int64_t rows, int64_t cols,
                            int64_t group_size, const float* scales, float* out);
+
+/* The normative 16-entry NF4 codebook (sorted ascending, lut[0]=-1,
+ * lut[7]=0, lut[15]=1). */
+extern const float QR_NF4_TABLE[16];
+
+/* Codebook quantization, per-tensor scale. lut: 16 ascending float32.
+ * codes_out: n int8 in [-8, 7]. Returns 0 on success. */
+int qr_quantize_lut(const float* x, int64_t n, const float* lut,
+                    float* scale_out, int8_t* codes_out);
+
+/* Grouped codebook quantization (one scale per (row, col-group)). */
+int qr_quantize_lut_grouped(const float* x, int64_t rows, int64_t cols,
+                            int64_t group_size, const float* lut,
+                            float* scales_out, int8_t* codes_out);
+
+/* Codebook dequantization: out[i] = lut[codes[i] + 8] * scale. */
+void qr_dequantize_lut(const int8_t* codes, int64_t n, const float* lut,
+                       float scale, float* out);
+
+void qr_dequantize_lut_grouped(const int8_t* codes, int64_t rows,
+                               int64_t cols, int64_t group_size,
+                               const float* lut, const float* scales,
+                               float* out);
 
 /* Pack n 4-bit codes (int8 in [-8,7]) into ceil(n/2) bytes. Returns bytes written. */
 int64_t qr_pack_int4(const int8_t* codes, int64_t n, uint8_t* out);

@@ -37,7 +37,33 @@ __all__ = [
     "unpack_int4",
     "pack_int4_matmul",
     "unpack_int4_matmul",
+    "NF4_TABLE",
+    "quantize_lut",
+    "dequantize_lut",
+    "lloyd_max_fit",
 ]
+
+# The normative 16-entry NF4 codebook (cpp/quantref.h QR_NF4_TABLE —
+# QLoRA §3 constants: N(0,1) quantiles renormalized to [-1, 1] with an
+# exact 0 entry). Sorted strictly ascending; codes index it as code + 8.
+NF4_TABLE = np.array([
+    -1.0,
+    -0.6961928009986877,
+    -0.5250730514526367,
+    -0.39491748809814453,
+    -0.28444138169288635,
+    -0.18477343022823334,
+    -0.09105003625154495,
+    0.0,
+    0.07958029955625534,
+    0.16093020141124725,
+    0.24611230194568634,
+    0.33791524171829224,
+    0.44070982933044434,
+    0.5626170039176941,
+    0.7229568362236023,
+    1.0,
+], dtype=np.float32)
 
 
 def qmax_for_bits(bits: int) -> int:
@@ -101,6 +127,105 @@ def dequantize(
     g = codes.reshape(*codes.shape[:-1], last // group_size, group_size)
     out = g.astype(np.float32) * scales[..., None]
     return out.reshape(codes.shape)
+
+
+# ── Codebook ("bin-lookup") variant ────────────────────────────────────
+#
+# The general non-uniform case of the codec (cpp/quantref.h "Codebook
+# variant"; BASELINE.json:5 "fused dequant(bin-lookup + scale)+matmul" —
+# the linear codec above is the uniform special case). 4-bit only: a
+# 16-entry sorted codebook spanning [-1, 1], per-group scale = absmax,
+# code = nearest entry (ties at a midpoint take the lower index),
+# stored as int8 code-8 so packing/entropy/checkpoints are shared.
+
+
+def _lut_midpoints(lut: np.ndarray) -> np.ndarray:
+    lut = np.asarray(lut, dtype=np.float32)
+    if lut.shape != (16,):
+        raise ValueError(f"codebook must have 16 entries, got {lut.shape}")
+    if not np.all(lut[:-1] < lut[1:]):
+        raise ValueError("codebook must be strictly ascending")
+    return ((lut[:-1] + lut[1:]) / np.float32(2.0)).astype(np.float32)
+
+
+def quantize_lut(
+    x: np.ndarray,
+    lut: np.ndarray = NF4_TABLE,
+    group_size: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Codebook-quantize float32 ``x`` (bit-exact vs qr_quantize_lut*).
+
+    Returns (codes int8 in [-8, 7] with x's shape, scales float32 = the
+    per-group absmax). Grouping semantics match :func:`quantize`.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    mid = _lut_midpoints(lut)
+    if group_size is None:
+        g = x.reshape(1, -1)
+    else:
+        last = x.shape[-1]
+        if group_size <= 0 or last % group_size != 0:
+            raise ValueError(
+                f"group_size {group_size} must divide last axis {last}")
+        g = x.reshape(*x.shape[:-1], last // group_size, group_size)
+    absmax = np.max(np.abs(g), axis=-1, keepdims=True).astype(np.float32)
+    scale = np.where(absmax == 0.0, np.float32(1.0), absmax)
+    xn = g / scale
+    # bin = #{ midpoints strictly below xn }: nearest entry, ties down
+    codes = (xn[..., None] > mid).sum(axis=-1).astype(np.int8) - 8
+    if group_size is None:
+        return codes.reshape(x.shape), scale.reshape(()).astype(np.float32)
+    return codes.reshape(x.shape), scale.squeeze(-1).astype(np.float32)
+
+
+def dequantize_lut(
+    codes: np.ndarray,
+    scales: np.ndarray,
+    lut: np.ndarray = NF4_TABLE,
+    group_size: int | None = None,
+) -> np.ndarray:
+    """Inverse of :func:`quantize_lut`: value = lut[code + 8] * scale."""
+    lut = np.asarray(lut, dtype=np.float32)
+    c = np.asarray(codes, dtype=np.int8).astype(np.int32) + 8
+    v = lut[c]
+    scales = np.asarray(scales, dtype=np.float32)
+    if group_size is None:
+        return (v * scales).astype(np.float32)
+    last = v.shape[-1]
+    g = v.reshape(*v.shape[:-1], last // group_size, group_size)
+    return (g * scales[..., None]).reshape(codes.shape).astype(np.float32)
+
+
+def lloyd_max_fit(
+    x: np.ndarray,
+    iters: int = 25,
+    init: np.ndarray = NF4_TABLE,
+) -> np.ndarray:
+    """Fit a 16-entry codebook to ``x`` by Lloyd-Max on absmax-normalized
+    values (calibration, not codec: the returned table feeds the shared
+    bit-exact encode/decode above). Deterministic: fixed iteration count,
+    float64 accumulation, NF4 init. Endpoints stay pinned at ±1 so the
+    table always spans the normalized range (and stays strictly
+    ascending for any input)."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1)
+    absmax = np.max(np.abs(x)) if x.size else 0.0
+    if absmax == 0.0:
+        return np.asarray(init, dtype=np.float32).copy()
+    xn = (x / np.float32(absmax)).astype(np.float64)
+    lut = np.asarray(init, dtype=np.float64).copy()
+    for _ in range(iters):
+        mid = (lut[:-1] + lut[1:]) / 2.0
+        bins = np.searchsorted(mid, xn, side="left")
+        sums = np.bincount(bins, weights=xn, minlength=16)
+        cnts = np.bincount(bins, minlength=16)
+        cent = np.where(cnts > 0, sums / np.maximum(cnts, 1), lut)
+        cent[0], cent[15] = -1.0, 1.0
+        lut = np.sort(cent)
+    # strict ascent for the codec contract (degenerate clusters can tie)
+    for i in range(1, 16):
+        if lut[i] <= lut[i - 1]:
+            lut[i] = np.nextafter(lut[i - 1], np.inf)
+    return lut.astype(np.float32)
 
 
 # ── INT4 at-rest layout (oracle contract) ──────────────────────────────

@@ -59,6 +59,17 @@ def _lib() -> ctypes.CDLL:
     lib.qr_pack_int4.argtypes = [c_i8p, ctypes.c_int64, c_u8p]
     lib.qr_unpack_int4.restype = ctypes.c_int64
     lib.qr_unpack_int4.argtypes = [c_u8p, ctypes.c_int64, c_i8p]
+    lib.qr_quantize_lut.restype = ctypes.c_int
+    lib.qr_quantize_lut.argtypes = [c_f32p, ctypes.c_int64, c_f32p, c_f32p,
+                                    c_i8p]
+    lib.qr_quantize_lut_grouped.restype = ctypes.c_int
+    lib.qr_quantize_lut_grouped.argtypes = [
+        c_f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_f32p,
+        c_f32p, c_i8p,
+    ]
+    lib.qr_dequantize_lut.restype = None
+    lib.qr_dequantize_lut.argtypes = [c_i8p, ctypes.c_int64, c_f32p,
+                                      ctypes.c_float, c_f32p]
     lib.qr_mse.restype = ctypes.c_double
     lib.qr_mse.argtypes = [c_f32p, c_f32p, ctypes.c_int64]
     lib.qr_entropy_bound.restype = ctypes.c_int64
@@ -119,6 +130,57 @@ def quantize_grouped(
         codes.reshape(x2.shape),
         scales.reshape(*x2.shape[:-1], cols // group_size),
     )
+
+
+def nf4_table() -> np.ndarray:
+    """The oracle's normative 16-entry NF4 codebook (QR_NF4_TABLE)."""
+    tbl = ctypes.cast(
+        ctypes.addressof(ctypes.c_float.in_dll(_lib(), "QR_NF4_TABLE")),
+        ctypes.POINTER(ctypes.c_float * 16),
+    ).contents
+    return np.array(tbl, dtype=np.float32)
+
+
+def quantize_lut(x: np.ndarray, lut: np.ndarray) -> tuple[np.ndarray, float]:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    lut = np.ascontiguousarray(lut, dtype=np.float32)
+    codes = np.empty(x.size, dtype=np.int8)
+    scale = ctypes.c_float()
+    rc = _lib().qr_quantize_lut(_f32p(x), x.size, _f32p(lut),
+                                ctypes.byref(scale), _i8p(codes))
+    if rc:
+        raise ValueError(f"qr_quantize_lut failed: rc={rc}")
+    return codes, scale.value
+
+
+def quantize_lut_grouped(
+    x: np.ndarray, lut: np.ndarray, group_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    x2 = np.ascontiguousarray(x, dtype=np.float32)
+    lut = np.ascontiguousarray(lut, dtype=np.float32)
+    rows = int(np.prod(x2.shape[:-1])) if x2.ndim > 1 else 1
+    cols = x2.shape[-1]
+    codes = np.empty(x2.size, dtype=np.int8)
+    scales = np.empty(rows * (cols // group_size), dtype=np.float32)
+    rc = _lib().qr_quantize_lut_grouped(
+        _f32p(x2.reshape(-1)), rows, cols, group_size, _f32p(lut),
+        _f32p(scales), _i8p(codes)
+    )
+    if rc:
+        raise ValueError(f"qr_quantize_lut_grouped failed: rc={rc}")
+    return (
+        codes.reshape(x2.shape),
+        scales.reshape(*x2.shape[:-1], cols // group_size),
+    )
+
+
+def dequantize_lut(codes: np.ndarray, lut: np.ndarray,
+                   scale: float) -> np.ndarray:
+    c = np.ascontiguousarray(codes, dtype=np.int8).reshape(-1)
+    lut = np.ascontiguousarray(lut, dtype=np.float32)
+    out = np.empty(c.size, dtype=np.float32)
+    _lib().qr_dequantize_lut(_i8p(c), c.size, _f32p(lut), scale, _f32p(out))
+    return out.reshape(codes.shape)
 
 
 def dequantize(codes: np.ndarray, scale: float) -> np.ndarray:

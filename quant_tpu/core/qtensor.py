@@ -47,6 +47,11 @@ class QTensor:
     # independent K-blocks, concatenated along the packed axis; each shard's
     # local view is then an ordinary kshards=1 QTensor.
     kshards: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Codebook ("bin-lookup") mode: an optional f32 [16] table (sorted
+    # ascending, cpp/quantref.h "Codebook variant"). When present (bits=4
+    # only) dequant is value = lut[code + 8] * scale — the nibble itself
+    # is the table index, the scale is the group absmax. None = linear.
+    lut: Any = None
 
     @property
     def k(self) -> int:
@@ -79,7 +84,11 @@ class QTensor:
                 c = jnp.concatenate(parts, axis=0)
         else:
             c = self.codes
-        g = c.reshape(self.num_groups, self.group_size, n).astype(jnp.float32)
+        if self.lut is not None:
+            cf = jnp.asarray(self.lut, jnp.float32)[c.astype(jnp.int32) + 8]
+        else:
+            cf = c.astype(jnp.float32)
+        g = cf.reshape(self.num_groups, self.group_size, n)
         w = g * self.scales[:, None, :]
         return w.reshape(k, n).astype(dtype)
 
@@ -100,12 +109,33 @@ class QTensor:
         gs = k // self.scales.shape[-2]
         return QTensor(
             codes=self.codes, scales=self.scales, bits=self.bits,
-            group_size=gs, shape=(k, n), kshards=1,
+            group_size=gs, shape=(k, n), kshards=1, lut=self.lut,
         )
 
 
+def resolve_codebook(codebook, w: np.ndarray | None = None) -> np.ndarray:
+    """Resolve a codebook spec to a 16-entry f32 table.
+
+    ``"nf4"`` → the normative constants; ``"lloyd"`` → Lloyd-Max fit to
+    ``w`` (calibrated per tensor); an array → used as-is (validated).
+    """
+    if isinstance(codebook, str):
+        if codebook == "nf4":
+            return codec.NF4_TABLE
+        if codebook == "lloyd":
+            if w is None:
+                raise ValueError("codebook='lloyd' needs the weight data")
+            return codec.lloyd_max_fit(np.asarray(w, np.float32))
+        raise ValueError(f"unknown codebook {codebook!r}")
+    lut = np.asarray(codebook, dtype=np.float32)
+    if lut.shape != (16,) or not np.all(lut[:-1] < lut[1:]):
+        raise ValueError("codebook must be 16 strictly-ascending floats")
+    return lut
+
+
 def quantize_tensor(
-    w: np.ndarray, bits: int, group_size: int | None = None, kshards: int = 1
+    w: np.ndarray, bits: int, group_size: int | None = None,
+    kshards: int = 1, codebook=None,
 ) -> QTensor:
     """Quantize a dense [K, N] weight into a QTensor (host-side, NumPy).
 
@@ -113,6 +143,10 @@ def quantize_tensor(
     group spanning all of K (pure per-output-channel). ``kshards`` packs int4
     nibbles within K-blocks of K//kshards rows (see QTensor.kshards) so the
     tensor can be row-sharded across ``kshards`` TP ranks.
+
+    ``codebook`` switches to the non-uniform "bin-lookup" codec
+    (cpp/quantref.h "Codebook variant", bits=4 only): "nf4", "lloyd"
+    (per-tensor Lloyd-Max fit), or an explicit 16-entry table.
     """
     w = np.asarray(w, dtype=np.float32)
     if w.ndim != 2:
@@ -121,6 +155,25 @@ def quantize_tensor(
     gs = k if group_size is None else group_size
     if k % gs != 0:
         raise ValueError(f"group_size {gs} must divide K={k}")
+    lut = None
+    if codebook is not None:
+        if bits != 4:
+            raise ValueError("codebook mode is int4-only")
+        lut = resolve_codebook(codebook, w)
+        codes_nk, scales_ng = codec.quantize_lut(w.T, lut, group_size=gs)
+        codes = np.ascontiguousarray(codes_nk.T)
+        scales = np.ascontiguousarray(scales_ng.T).astype(np.float32)
+        if k % (2 * kshards):
+            raise ValueError("int4 requires even K per shard block")
+        kb = k // kshards
+        codes = np.concatenate(
+            [codec.pack_int4_matmul(codes[s * kb:(s + 1) * kb])
+             for s in range(kshards)], axis=0,
+        )
+        return QTensor(
+            codes=codes, scales=scales, bits=4, group_size=gs, shape=(k, n),
+            kshards=kshards, lut=jnp.asarray(lut),
+        )
     # codec quantizes over the LAST axis → work in [N, K] then transpose back.
     codes_nk, scales_ng = codec.quantize(w.T, bits, group_size=gs)
     codes = np.ascontiguousarray(codes_nk.T)  # [K, N]
@@ -159,7 +212,8 @@ def concat_columns(parts: list[np.ndarray], shards: int = 1) -> np.ndarray:
 
 
 def quantize_tensor_device(
-    w: jax.Array, bits: int, group_size: int | None = None, kshards: int = 1
+    w: jax.Array, bits: int, group_size: int | None = None,
+    kshards: int = 1, codebook=None,
 ) -> QTensor:
     """Quantize a dense [K, N] weight into a QTensor ON DEVICE (pure jnp).
 
@@ -167,7 +221,8 @@ def quantize_tensor_device(
     round-half-even — jnp.round matches np.round); produces bit-identical
     codes. Used when weights are already device-resident (on-device
     quantization, benchmarks) — host↔device transfers can be slow, so
-    quantizing in place is the fast path.
+    quantizing in place is the fast path. ``codebook``: a fixed table
+    ("nf4" or 16 floats; "lloyd" is host-only — it needs the data).
     """
     if w.ndim != 2:
         raise ValueError(f"expected [K, N] weight, got shape {w.shape}")
@@ -175,12 +230,26 @@ def quantize_tensor_device(
     gs = k if group_size is None else group_size
     if k % gs != 0:
         raise ValueError(f"group_size {gs} must divide K={k}")
-    qmax = float(codec.qmax_for_bits(bits))
     g = w.astype(jnp.float32).reshape(k // gs, gs, n)
     absmax = jnp.max(jnp.abs(g), axis=1)  # [G, N]
-    scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
-    q = jnp.round(g / scales[:, None, :])
-    codes = jnp.clip(q, -qmax, qmax).astype(jnp.int8).reshape(k, n)
+    lut = None
+    if codebook is not None:
+        if bits != 4:
+            raise ValueError("codebook mode is int4-only")
+        if codebook == "lloyd":
+            raise ValueError("codebook='lloyd' is host-only (needs data)")
+        lut = resolve_codebook(codebook)
+        scales = jnp.where(absmax == 0.0, 1.0, absmax)
+        mid = jnp.asarray((lut[:-1] + lut[1:]) / np.float32(2.0))
+        xn = g / scales[:, None, :]
+        codes = (jnp.sum(xn[..., None] > mid, axis=-1, dtype=jnp.int32)
+                 - 8).astype(jnp.int8).reshape(k, n)
+        lut = jnp.asarray(lut)
+    else:
+        qmax = float(codec.qmax_for_bits(bits))
+        scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+        q = jnp.round(g / scales[:, None, :])
+        codes = jnp.clip(q, -qmax, qmax).astype(jnp.int8).reshape(k, n)
     if bits == 4:
         if k % (2 * kshards):
             raise ValueError("int4 requires even K per shard block")
@@ -194,7 +263,7 @@ def quantize_tensor_device(
         codes = jnp.concatenate(blocks, axis=0).astype(jnp.uint8)
     return QTensor(
         codes=codes, scales=scales, bits=bits, group_size=gs, shape=(k, n),
-        kshards=kshards,
+        kshards=kshards, lut=lut,
     )
 
 

@@ -251,7 +251,7 @@ def dequant_matmul(
                 scales=jax.lax.dynamic_index_in_dim(qt.scales, layer, 0,
                                                     False),
                 bits=qt.bits, group_size=qt.group_size, shape=qt.shape,
-                kshards=qt.kshards,
+                kshards=qt.kshards, lut=qt.lut,
             )
         y = dequant_matmul_reference(x2, qt, out_dtype)
     return y.reshape(*lead, n)
