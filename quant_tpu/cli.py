@@ -31,7 +31,7 @@ def _cmd_convert(args):
     cfg = convert_hf_llama(
         args.hf_dir, args.out_dir, bits=args.bits,
         group_size=args.group_size, tp=args.tp, algo=args.algo,
-        calib_tokens=calib,
+        calib_tokens=calib, codebook=args.codebook,
     )
     print(json.dumps({"converted": args.out_dir, "algo": args.algo,
                       "config": cfg.__dict__}))
@@ -184,7 +184,9 @@ def _cmd_serve(args):
                  spec_gamma=args.spec_gamma, spec_proposer=proposer,
                  mesh=mesh, pp_micro=args.pp_micro,
                  max_pending=args.max_pending,
-                 prefix_cache=args.prefix_cache, loras=loras)
+                 prefix_cache=args.prefix_cache, loras=loras,
+                 sp_prefill_mode=args.sp_prefill,
+                 sp_prefill_threshold=args.sp_threshold)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -325,6 +327,10 @@ def main(argv=None):
     c.add_argument("--bits", type=int, default=4)
     c.add_argument("--group-size", type=int, default=128)
     c.add_argument("--tp", type=int, default=1)
+    c.add_argument("--codebook", default=None, choices=["nf4", "lloyd"],
+                   help="non-uniform bin-lookup weight quantization "
+                        "(int4-only; rtn algo): nf4 constants or a "
+                        "per-tensor Lloyd-Max fit")
     c.add_argument("--algo",
                    choices=("rtn", "gptq", "awq", "awq+gptq"),
                    default="rtn",
@@ -434,6 +440,12 @@ def main(argv=None):
     sv.add_argument("--mesh", default=None,
                     help="multi-chip mesh, e.g. 'data=2,model=4', 'expert=4' or "
                          "'pipe=2,model=4' (axes: pipe,data,model,seq)")
+    sv.add_argument("--sp-prefill", default="ring",
+                    choices=["ring", "ulysses"],
+                    help="q-sharded prefill mode for seq>1 meshes")
+    sv.add_argument("--sp-threshold", type=int, default=None,
+                    help="prompt length above which the body admits via "
+                         "the q-sharded SP prefill (seq>1 meshes)")
     sv.add_argument("--pp-micro", type=int, default=1,
                     help="pipeline microbatches (with pipe>1 meshes)")
     sv.add_argument("--draft-ckpt", default=None,

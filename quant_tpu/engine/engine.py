@@ -203,6 +203,9 @@ class Engine:
         spec_proposer=None,
         max_pending: int | None = None,
         loras: dict | None = None,
+        sp_prefill_mode: str = "ring",
+        sp_prefill_threshold: int | None = None,
+        sp_quantum: int = 64,
     ):
         self.cfg = cfg
         self.max_pending = max_pending
@@ -355,10 +358,35 @@ class Engine:
             from quant_tpu.parallel import pp as pp_mod
             from quant_tpu.parallel import tp as tp_mod
 
-            if mesh.shape.get("seq", 1) != 1:
-                raise ValueError(
-                    "engine meshes must have seq=1 (use parallel.sp for "
-                    "long-context prefill sharding)")
+            sp = mesh.shape.get("seq", 1)
+            if sp > 1:
+                # Long-context serving (VERDICT r3 #3): the decode cache's
+                # S dim shards over ``seq`` (cache_specs), decode uses the
+                # LSE-merge KV-sharded attention and chunked prefill the
+                # T>1 seq_axis path (chunk KV writes scatter with drop
+                # semantics, so shard straddling is safe). Prompts past
+                # ``sp_prefill_threshold`` additionally run their body
+                # through the q-sharded ring/Ulysses prefill
+                # (parallel.sp.sp_prefill_forward) — compute shards over
+                # seq, not just KV bytes.
+                if paged:
+                    raise ValueError(
+                        "seq>1 engines use the contiguous cache (the "
+                        "paged pool's page ids are per-data-shard global "
+                        "in S; page-sharding over seq is not implemented)")
+                if spec_gamma:
+                    raise ValueError(
+                        "speculative decoding with a seq axis is not "
+                        "supported yet")
+                if max_seq % sp:
+                    raise ValueError(
+                        f"seq axis {sp} must divide max_seq {max_seq}")
+            self._sp = sp
+            self.sp_prefill_mode = sp_prefill_mode
+            self.sp_prefill_threshold = (
+                2 * self.PREFILL_CHUNK if sp_prefill_threshold is None
+                else sp_prefill_threshold)
+            self.sp_quantum = sp_quantum
             pipe = mesh.shape.get("pipe", 1)
             if max_slots % mesh.shape["data"]:
                 raise ValueError(
@@ -402,6 +430,7 @@ class Engine:
                     check_vma=False,
                 )
         else:
+            self._sp = 1
             self.cache = cache0
             self.pf_cache = pf0
             fwd_full = fwd_one = functools.partial(llama.forward, cfg=cfg)
@@ -837,6 +866,44 @@ class Engine:
         self._prefills[t_pad] = prefill
         return prefill
 
+    def _sp_prefill_fn(self, t_loc: int):
+        """q-sharded ring/Ulysses prefill over the batch-1 pf cache
+        (seq>1 meshes): tokens [1, sp * t_loc] shard over ``seq``, every
+        rank computes 1/sp of the prompt body and the int8 KV ring-inserts
+        into each rank's cache S-shard. Returns (last-token logits [V],
+        pf_cache). Composes with TP; data shards replicate the compute
+        (batch-1 admission, same as the chunked path)."""
+        key = ("sp", t_loc)
+        if key in self._prefills:
+            return self._prefills[key]
+        from quant_tpu.parallel import sp as sp_mod
+        from quant_tpu.parallel import tp as tp_mod
+
+        cfg = self.cfg
+        mesh = self.mesh
+        tp_ = mesh.shape.get("model", 1)
+        p_specs = tp_mod.param_specs(self.params)
+        c_specs = tp_mod.cache_specs(self.pf_cache, batch_axis=None)
+        fwd = functools.partial(
+            sp_mod.sp_prefill_forward, cfg=cfg, seq_axis="seq",
+            mode=self.sp_prefill_mode,
+            axis="model" if tp_ > 1 else None, last_only=True)
+        sm = jax.shard_map(
+            lambda pr, tok, ca: fwd(pr, tok, ca),
+            mesh=mesh,
+            in_specs=(p_specs, P(None, "seq"), c_specs),
+            out_specs=(P(None, None, None), c_specs),
+            check_vma=False,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill(params, tokens, pfc):
+            logits, pfc = sm(params, tokens, pfc)
+            return logits[0, -1], pfc
+
+        self._prefills[key] = prefill
+        return prefill
+
     def _embed_fn(self, t_pad: int):
         key = ("emb", t_pad)
         if key in self._prefills:
@@ -1201,10 +1268,46 @@ class Engine:
         # slot's adapter (0 = base; stale ids on freed slots only feed
         # masked/garbage lanes)
         self._adapter_slot[slot] = self.lora_names.get(req.lora, 0)
-        aid = jnp.asarray([self._adapter_slot[slot]], jnp.int32)
         # stream = prompt + output: a PREEMPTED request resumes by
         # prefilling everything it had produced so far (paged engine).
         stream = req.prompt + req.output
+        # Long prompts on a seq>1 mesh: the body (rounded down to a
+        # sp*sp_quantum multiple, capped so T_loc stays VMEM-sane for the
+        # ring's blockwise logits) runs through the q-sharded SP prefill
+        # in ONE dispatch — prefill compute shards over seq instead of
+        # replicating. The tail (< one quantum) and LoRA requests use the
+        # ordinary chunked path, which under seq>1 still shards KV reads
+        # (LSE merge) and scatter-drops straddling writes.
+        sp_body = 0
+        if (off == 0 and getattr(self, "_sp", 1) > 1
+                and not self.prefix_cache
+                and self.mesh.shape.get("pipe", 1) == 1
+                and self._adapter_slot[slot] == 0
+                and len(stream) >= self.sp_prefill_threshold):
+            quantum = self._sp * self.sp_quantum
+            sp_body = (len(stream) // quantum) * quantum
+            sp_body = min(sp_body, self._sp * 2048)
+        if sp_body:
+            toks = np.asarray(stream[:sp_body], np.int32)[None]
+            last, self.pf_cache = self._sp_prefill_fn(
+                sp_body // self._sp)(self.params, jnp.asarray(toks),
+                                     self.pf_cache)
+            off = sp_body
+            if off < len(stream):
+                self._prefilling = [req, slot, off, None]
+                return
+            # fall through to completion with the sp program's logits
+        else:
+            last, off = self._chunk_prefill(req, slot, off, stream)
+            if off < len(stream):
+                self._prefilling = [req, slot, off, None]
+                return
+        self._complete_admission(req, slot, stream, last)
+
+    def _chunk_prefill(self, req, slot, off, stream):
+        """One PREFILL_CHUNK through the (possibly prefix-cached) chunked
+        prefill program; returns (last_logits, new_off)."""
+        aid = jnp.asarray([self._adapter_slot[slot]], jnp.int32)
         chunk = stream[off:off + self.PREFILL_CHUNK]
         t_pad = _bucket(len(chunk))
         toks = np.zeros((1, t_pad), np.int32)
@@ -1224,11 +1327,10 @@ class Engine:
             last, self.pf_cache = self._prefill_fn(t_pad)(
                 self.params, jnp.asarray(toks), self.pf_cache,
                 jnp.int32(len(chunk)), aid)
-        off += len(chunk)
-        if off < len(stream):
-            self._prefilling = [req, slot, off, None]
-            return
-        # prompt complete: insert into the decode cache + first token
+        return last, off + len(chunk)
+
+    def _complete_admission(self, req, slot, stream, last):
+        """Prompt complete: insert into the decode cache + first token."""
         if self.prefix_cache:
             # KV already in pool pages; publish device length + new blocks
             self._admit_counter += 1

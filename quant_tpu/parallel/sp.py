@@ -161,7 +161,8 @@ def _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s, start, layer, s0,
 
 
 def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
-                       mode: str = "ring", axis: str | None = None):
+                       mode: str = "ring", axis: str | None = None,
+                       last_only: bool = False):
     """Long-context prefill with the PROMPT sharded over ``seq_axis`` —
     runs inside shard_map. tokens [B, T_loc] is this rank's slice of the
     prompt; attention over the full (quantized) K/V goes through
@@ -173,6 +174,11 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     K/V (identical numerics to the single-device forward, which attends
     over the quantized cache). Returns (logits [B, T_loc, V] — this rank's
     token slice, updated cache).
+
+    ``last_only``: compute lm_head logits ONLY for the global final
+    position and return them replicated over ``seq_axis`` as [B, 1, V]
+    (what a serving engine needs to sample the first token — the full
+    [B, T, V] logits of a 100k prompt would be tens of GB).
     """
     from quant_tpu.models import llama
 
@@ -249,9 +255,17 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     )
     h = llama.rmsnorm(h, params.final_norm, cfg.norm_eps,
                       cfg.norm_offset)
+    if last_only:
+        # lm_head on the final position only; the global last token lives
+        # on the last seq rank — a masked psum replicates its logits
+        h = h[:, -1:]
     logits = mm(h, params.lm_head, out_dtype=jnp.float32)
     if axis:
         logits = jax.lax.all_gather(logits, axis, axis=2, tiled=True)
+    if last_only:
+        logits = jax.lax.psum(
+            jnp.where(ri == n_seq - 1, logits, jnp.zeros_like(logits)),
+            seq_axis)
     logits = logits[..., :cfg.vocab_size]
     if cfg.final_softcap:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)

@@ -100,12 +100,58 @@ def test_mesh_engine_staggered_admission():
     assert r2.output == _reference_greedy(params_ref, p2, 5)
 
 
-def test_mesh_requires_seq_1_and_slot_divisibility():
+def test_mesh_engine_rejections():
     params = llama.init_params(CFG, seed=0, tp=2)
-    with pytest.raises(ValueError, match="seq=1"):
-        Engine(params, CFG, max_slots=4, mesh=make_mesh(model=2, seq=2))
     with pytest.raises(ValueError, match="must divide data"):
         Engine(params, CFG, max_slots=3, mesh=make_mesh(data=2, model=2))
+    with pytest.raises(ValueError, match="contiguous cache"):
+        Engine(params, CFG, max_slots=4, paged=True,
+               mesh=make_mesh(model=2, seq=2))
+    with pytest.raises(ValueError, match="seq axis"):
+        Engine(params, CFG, max_slots=4, spec_gamma=2,
+               mesh=make_mesh(model=2, seq=2))
+    with pytest.raises(ValueError, match="divide max_seq"):
+        Engine(params, CFG, max_slots=4, max_seq=65,
+               mesh=make_mesh(model=2, seq=2))
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    dict(model=2, seq=2),
+    dict(data=2, model=2, seq=2),
+])
+def test_mesh_engine_seq_axis_matches_reference(mesh_kw):
+    """Long-context serving (VERDICT r3 #3): the engine on a seq>1 mesh —
+    S-sharded decode cache, LSE-merge attention, chunked prefill with
+    scatter-drop shard straddling — must equal the single-device engine.
+    Prompts longer than one S-shard (max_seq=64, seq=2 -> S_loc=32)."""
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    params = llama.init_params(CFG, seed=0, tp=mesh_kw["model"])
+    mesh = make_mesh(**mesh_kw)
+    eng = Engine(params, CFG, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh, sp_prefill_threshold=1 << 30)
+    prompts = _prompts(3, rng_seed=3, lens=(40, 37, 45))
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 6), (p, o)
+
+
+@pytest.mark.parametrize("mode", ["ring", "ulysses"])
+def test_mesh_engine_sp_prefill_fast_path(mode):
+    """Prompts past the threshold admit their body through the q-sharded
+    ring/Ulysses prefill (one dispatch, compute sharded over seq) and the
+    tail through the chunked path; outputs must be unchanged."""
+    params_ref = llama.init_params(CFG, seed=0, tp=2)
+    params = llama.init_params(CFG, seed=0, tp=2)
+    mesh = make_mesh(model=2, seq=2)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=mesh, sp_prefill_mode=mode,
+                 sp_prefill_threshold=16, sp_quantum=8)
+    # 43 = 2*8*2 + 11 tail; 32 = exact body, no tail
+    prompts = _prompts(2, rng_seed=5, lens=(43, 32))
+    outs = eng.generate(prompts, max_new_tokens=5)
+    ref = llama.init_params(CFG, seed=0, tp=1)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(ref, p, 5), (p, o)
 
 
 def test_admission_budget_no_decode_stall():
