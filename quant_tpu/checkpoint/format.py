@@ -144,6 +144,11 @@ class CheckpointWriter:
                                    ca),
                 "scales": self._put(np.asarray(leaf.scales), "raw", sa),
             }
+            if leaf.lut is not None:
+                # 16 floats (64 per stacked layer) — inline in the
+                # manifest; float32→float64 JSON round-trips exactly
+                self.tensors[name]["lut"] = np.asarray(
+                    leaf.lut, np.float32).tolist()
         else:
             self.tensors[name] = {
                 "kind": "array",
@@ -287,6 +292,8 @@ def _get_leaf(rd: _BlobReader, name: str, cfg: ModelConfig | None = None):
             codes=rd.full(meta["codes"]), scales=rd.full(meta["scales"]),
             bits=meta["bits"], group_size=meta["group_size"],
             shape=tuple(meta["shape"]), kshards=meta["kshards"],
+            lut=(np.asarray(meta["lut"], np.float32)
+                 if "lut" in meta else None),
         )
     return rd.full(meta["data"])
 
@@ -403,7 +410,9 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
             return QTensor(
                 codes=_sds(meta["codes"]), scales=_sds(meta["scales"]),
                 bits=meta["bits"], group_size=meta["group_size"],
-                shape=tuple(meta["shape"]), kshards=meta["kshards"])
+                shape=tuple(meta["shape"]), kshards=meta["kshards"],
+                lut=(np.asarray(meta["lut"], np.float32)
+                     if "lut" in meta else None))
         return _sds(meta["data"])
 
     def stacked(field):
@@ -509,6 +518,24 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
 
     def walk(path, struct, spec):
         names = tp_mod._path_names(path)
+        if names[-1] == "lut":
+            # tiny codebook tables live inline in the manifest; build the
+            # host array ([16] / [L,16] / [E,L,16]) and let device_put
+            # shard it per the spec (replicated, or layer-sliced by pipe)
+            if names[0] == "layers" and names[1] in ("we_gate_up",
+                                                     "we_down"):
+                arr = np.stack([
+                    np.stack([np.asarray(
+                        tmeta[f"layers.{li}.{names[1]}.{e}"]["lut"],
+                        np.float32) for li in range(cfg.n_layers)])
+                    for e in range(cfg.n_experts)])
+            elif names[0] == "layers":
+                arr = np.stack([np.asarray(
+                    tmeta[f"layers.{li}.{names[1]}"]["lut"], np.float32)
+                    for li in range(cfg.n_layers)])
+            else:
+                arr = np.asarray(tmeta[names[0]]["lut"], np.float32)
+            return jax.device_put(arr, NamedSharding(mesh, spec))
         return build(names, struct, spec)
 
     return jax.tree_util.tree_map_with_path(

@@ -207,6 +207,7 @@ def convert_hf_llama(
     cfg: ModelConfig | None = None,
     algo: str = "rtn",
     calib_tokens: np.ndarray | None = None,
+    codebook: str | None = None,
 ) -> ModelConfig:
     """Convert a HF Llama directory to a packed quantized checkpoint,
     streaming tensor-by-tensor (bounded RSS).
@@ -226,6 +227,9 @@ def convert_hf_llama(
     model_dir = pathlib.Path(model_dir)
     if cfg is None:
         cfg = config_from_hf(model_dir, bits=bits, group_size=group_size)
+    if codebook is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, codebook=codebook)
     if algo not in ("rtn", "gptq", "awq", "awq+gptq"):
         raise ValueError(
             f"algo must be rtn|gptq|awq|awq+gptq, got {algo!r}")
@@ -238,9 +242,14 @@ def convert_hf_llama(
     def t(name):  # [out, in] -> [K, N]
         return np.ascontiguousarray(hf.get(name).astype(np.float32).T)
 
+    if cfg.codebook is not None and algo != "rtn":
+        raise ValueError(
+            "codebook quantization composes with algo='rtn' only (GPTQ's "
+            "error-compensated rounding assumes the uniform grid)")
+
     def qz(arr, kshards=1):
         return quantize_tensor(arr, cfg.bits, cfg.group_size,
-                               kshards=kshards)
+                               kshards=kshards, codebook=cfg.codebook)
 
     def read_lm_head():
         if hf_cfg.get("tie_word_embeddings") or "lm_head.weight" not in hf:

@@ -159,9 +159,40 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _lut_word4(idx, w4):
+    """idx [*, *] in [0,15] → int8-quantized codebook value as f32.
+
+    The 16 int8 entries (round(lut*127), biased +128) live packed in four
+    int32 words (SMEM scalars w4): a 4-way select picks the word, a
+    variable shift extracts the byte. ~12 VPU ops/element — measured 0.50x
+    the linear kernel's throughput (scripts/tpu_lut_probe.py; the f32
+    select-tree alternative is 0.34x, and Mosaic lowers no <=16-entry
+    vector gather on this toolchain: 1D take and 2D take_along_axis both
+    fail). The 1/127 requantization error (<=absmax/254) sits below the
+    bf16 weight-cast noise the linear path already carries.
+    """
+    w = jnp.where(idx < 8,
+                  jnp.where(idx < 4, w4[0], w4[1]),
+                  jnp.where(idx < 12, w4[2], w4[3]))
+    v = (w >> ((idx & 3) << 3)) & 0xFF
+    return (v - 128).astype(jnp.float32)
+
+
+def _lut_sel15(idx, f):
+    """Exact f32 codebook via a binary select tree over 16 SMEM scalars
+    (the slower, bit-faithful variant — used when lut_exact=True)."""
+    lvl = [jnp.where((idx & 1) != 0, f[2 * i + 1], f[2 * i])
+           for i in range(8)]
+    for bit in (2, 4, 8):
+        lvl = [jnp.where((idx & bit) != 0, lvl[2 * i + 1], lvl[2 * i])
+               for i in range(len(lvl) // 2)]
+    return lvl[0]
+
+
 def _kernel_int4(
     x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, n_k,
-    tile_g, gsz, cdt, stacked=False, aq=False,
+    tile_g, gsz, cdt, stacked=False, aq=False, lut_mode=None, lut_ref=None,
+    layer_ref=None,
 ):
     k = pl.program_id(2)
 
@@ -171,10 +202,28 @@ def _kernel_int4(
 
     wi = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)
     odt = jnp.int8 if aq else cdt
-    lo = ((wi & 0xF) - 8).astype(odt)
-    hi = ((wi >> 4) - 8).astype(odt)
+    if lut_mode is None:
+        lo = ((wi & 0xF) - 8).astype(odt)
+        hi = ((wi >> 4) - 8).astype(odt)
+    else:
+        # codebook ("bin-lookup") dequant: the nibble IS the table index
+        li = layer_ref[0] if stacked else 0
+        ilo, ihi = wi & 0xF, wi >> 4
+        if lut_mode == "word4":
+            w4 = [lut_ref[li, i] for i in range(4)]
+            lo = _lut_word4(ilo, w4).astype(odt)
+            hi = _lut_word4(ihi, w4).astype(odt)
+        else:
+            f = [lut_ref[li, i] for i in range(16)]
+            lo = _lut_sel15(ilo, f).astype(odt)
+            hi = _lut_sel15(ihi, f).astype(odt)
     s_lo = s_lo_ref[0, 0] if stacked else s_lo_ref[0]   # [tile_g, TN]
     s_hi = s_hi_ref[0, 0] if stacked else s_hi_ref[0]
+    if lut_mode == "word4":
+        # codebook values arrive x127 (int8 requant); fold 1/127 into the
+        # per-group scales (absmax) on the small [tile_g, TN] blocks
+        s_lo = s_lo * jnp.float32(1.0 / 127.0)
+        s_hi = s_hi * jnp.float32(1.0 / 127.0)
 
     acc = acc_ref[:]
     if aq:
@@ -198,7 +247,7 @@ def _kernel_int4(
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k", "interpret",
-                     "act_quant"),
+                     "act_quant", "lut_exact"),
 )
 def dequant_matmul(
     x: jax.Array,
@@ -211,6 +260,7 @@ def dequant_matmul(
     tile_k: int = 512,
     interpret: bool = False,
     act_quant: bool = False,
+    lut_exact: bool = False,
 ) -> jax.Array:
     """``x [.., K] @ QTensor [K, N] -> [.., N]`` via the fused Pallas kernel.
 
@@ -243,6 +293,7 @@ def dequant_matmul(
         y = _dequant_matmul_2d(
             x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m, tile_n=tile_n,
             tile_k=tile_k, interpret=interpret, act_quant=act_quant,
+            lut_exact=lut_exact,
         )
     except _Untileable:
         if layer is not None:
@@ -251,9 +302,13 @@ def dequant_matmul(
                 scales=jax.lax.dynamic_index_in_dim(qt.scales, layer, 0,
                                                     False),
                 bits=qt.bits, group_size=qt.group_size, shape=qt.shape,
-                kshards=qt.kshards, lut=qt.lut,
+                kshards=qt.kshards,
+                lut=(jax.lax.dynamic_index_in_dim(qt.lut, layer, 0, False)
+                     if qt.lut is not None and qt.lut.ndim == 2
+                     else qt.lut),
             )
-        y = dequant_matmul_reference(x2, qt, out_dtype)
+        y = dequant_matmul_reference(x2, qt, out_dtype,
+                                     act_quant=act_quant)
     return y.reshape(*lead, n)
 
 
@@ -263,7 +318,7 @@ class _Untileable(Exception):
 
 def _dequant_matmul_2d(
     x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret,
-    act_quant=False,
+    act_quant=False, lut_exact=False,
 ):
     stacked = qt.codes.ndim == 3
     if stacked and layer is None:
@@ -276,6 +331,26 @@ def _dequant_matmul_2d(
         # Shard-blocked packing only makes sense consumed per-shard (where
         # local_view restores kshards=1); a global matmul over it falls back.
         raise _Untileable()
+    lut_mode = None
+    if qt.lut is not None:
+        if bits != 4 or act_quant:
+            # reference path handles both (dequantize() consumes the lut)
+            raise _Untileable()
+        lut_mode = "sel15" if lut_exact else "word4"
+        lut2 = qt.lut if qt.lut.ndim == 2 else qt.lut[None]   # [L?, 16]
+        if stacked and lut2.shape[0] == 1:
+            # a shared (unstacked) table under a stacked weight: replicate
+            # rows so the kernel's layer-indexed SMEM read stays in bounds
+            lut2 = jnp.broadcast_to(lut2, (qt.codes.shape[0], 16))
+        if lut_mode == "word4":
+            lq = jnp.round(lut2.astype(jnp.float32) * 127.0).astype(
+                jnp.int32) + 128
+            sh = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None]
+            lut_arr = jnp.sum(
+                lq.reshape(lut2.shape[0], 4, 4) << sh, axis=-1,
+                dtype=jnp.int32)                               # [L?, 4]
+        else:
+            lut_arr = lut2.astype(jnp.float32)                 # [L?, 16]
 
     sub = _sublane(x.dtype)
     m_pad = _round_up(max(m, sub), sub)
@@ -379,7 +454,7 @@ def _dequant_matmul_2d(
         hi_x_off = k2 // tk  # x block index offset for the high-nibble half
         kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
                                  gsz=gsz, cdt=cdt, stacked=stacked,
-                                 aq=act_quant)
+                                 aq=act_quant, lut_mode=lut_mode)
         if stacked:
             w_spec = pl.BlockSpec(
                 (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
@@ -391,6 +466,26 @@ def _dequant_matmul_2d(
                   lambda i, j, kk: (i, kk + hi_x_off)]
         in_specs_tail = [w_spec, s_lo_spec, s_hi_spec]
         args = (x, x, qt.codes, s3, s3)
+        if lut_mode is not None:
+            # whole (tiny) codebook array in SMEM; kernel reads scalars,
+            # stacked kernels index the layer row via the prefetched lr
+            if stacked:
+                lut_spec = pl.BlockSpec(
+                    lut_arr.shape, lambda i, j, kk, lr: (0, 0),
+                    memory_space=pltpu.SMEM)
+            else:
+                lut_spec = pl.BlockSpec(
+                    lut_arr.shape, lambda i, j, kk: (0, 0),
+                    memory_space=pltpu.SMEM)
+            in_specs_tail = in_specs_tail + [lut_spec]
+            args = args + (lut_arr,)
+
+            base4 = kern
+
+            def kern(x_lo, x_hi, w, s_lo, s_hi, lut, o, acc,
+                     layer_ref=None):
+                return base4(x_lo, x_hi, w, s_lo, s_hi, o, acc,
+                             lut_ref=lut, layer_ref=layer_ref)
         w_bytes = (k // 2) * n
 
     x_bytes = m_pad * k * x.dtype.itemsize
@@ -437,6 +532,8 @@ def _dequant_matmul_2d(
         )
 
         def kern_p(lr_ref, *rest):
+            if bits == 4 and lut_mode is not None:
+                return kern(*rest, layer_ref=lr_ref)
             del lr_ref
             return kern(*rest)
 

@@ -92,6 +92,13 @@ class ModelConfig:
     # quantization
     bits: int = 4
     group_size: int = 128
+    # codebook ("bin-lookup") weight quantization: None = linear RTN;
+    # "nf4" = the oracle's normative 16-entry NF4 table; "lloyd" =
+    # per-tensor Lloyd-Max fit (host converters only). int4-only. The
+    # kernels gather the table in VMEM (word4 int8-requant fast path /
+    # sel15 exact) — a QUALITY mode: hardware-measured 181 GB/s of packed
+    # bytes vs ~520 linear (scripts/tpu_lut_probe.py, 2026-08-19).
+    codebook: str | None = None
     # 8 → int8 KV cache; 4 → int4 (split-D nibble-packed, halves KV HBM
     # traffic/footprint; XLA attention paths only); 16 → unquantized
     # (quality ablation; XLA attn only)
@@ -121,6 +128,12 @@ class ModelConfig:
         if self.act_fn not in ("silu", "gelu_tanh"):
             raise ValueError(f"act_fn must be silu|gelu_tanh, "
                              f"got {self.act_fn!r}")
+        if self.codebook is not None:
+            if self.codebook not in ("nf4", "lloyd"):
+                raise ValueError(f"codebook must be nf4|lloyd|None, "
+                                 f"got {self.codebook!r}")
+            if self.bits != 4:
+                raise ValueError("codebook quantization is int4-only")
         if self.kv_bits not in (4, 8, 16):
             raise ValueError(
                 f"kv_bits must be 4, 8 or 16, got {self.kv_bits}")

@@ -301,6 +301,10 @@ def _mm(cfg: ModelConfig):
                         qt.codes, layer, 0, False),
                     scales=jax.lax.dynamic_index_in_dim(
                         qt.scales, layer, 0, False),
+                    lut=(jax.lax.dynamic_index_in_dim(
+                        qt.lut, layer, 0, False)
+                        if qt.lut is not None and qt.lut.ndim == 2
+                        else qt.lut),
                 )
             return base(x, qt, **kw)
         return base(x, qt, layer, **kw)
@@ -349,7 +353,7 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
 
     def q(w, kshards=1):
         return quantize_tensor(w, bits=cfg.bits, group_size=cfg.group_size,
-                               kshards=kshards)
+                               kshards=kshards, codebook=cfg.codebook)
 
     moe = cfg.n_experts > 0
     layers = stack(lambda i: LayerParams(
@@ -447,7 +451,8 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
     def make_layer(key):
         ks = jax.random.split(key, 7)
         qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
-                               group_size=cfg.group_size)
+                               group_size=cfg.group_size,
+                               codebook=cfg.codebook)
         return LayerParams(
             wqkv=qz(cat([(ks[0], (d, qd)), (ks[1], (d, kvd)),
                          (ks[2], (d, kvd))])),
@@ -472,7 +477,8 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
     )
     if cfg.n_experts:
         qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
-                               group_size=cfg.group_size)
+                               group_size=cfg.group_size,
+                               codebook=cfg.codebook)
 
         @jax.jit
         def make_expert(key):
@@ -506,7 +512,7 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
         lm_head=quantize_tensor_device(
             _pad_cols(dense(lkeys[-2], d, cfg.vocab_size),
                       _pad_vocab(cfg.vocab_size)),
-            cfg.bits, cfg.group_size,
+            cfg.bits, cfg.group_size, codebook=cfg.codebook,
         ),
     )
 
@@ -526,7 +532,7 @@ def quantize_dense_params(
     """
     def qz(w, kshards=1):
         return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size,
-                               kshards=kshards)
+                               kshards=kshards, codebook=cfg.codebook)
 
     moe = cfg.n_experts > 0
     per_layer = []

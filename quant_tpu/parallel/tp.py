@@ -63,6 +63,8 @@ def _spec_for(path, leaf) -> P:
         return P()
     stacked = owner != "lm_head" and "layers" in names
     lead = (None,) if stacked else ()
+    if field == "lut":         # 16-entry codebooks: tiny, replicate
+        return P()
     if field == "qkv_bias":    # column-fused bias shards with wqkv's N
         return P(*lead, "model")
     if owner == "we_gate_up":  # MoE column-split: [E, L, K|G, N]

@@ -353,3 +353,40 @@ def test_config_from_hf_gemma3_text(tmp_path):
         _json.dumps({"model_type": "gemma3"}))
     with _pytest.raises(ValueError, match="multimodal"):
         config_from_hf(tmp_path)
+
+
+def test_codebook_checkpoint_roundtrip_and_mesh_load(tmp_path):
+    """Codebook (lut) QTensors survive save→load bit-exactly, host and
+    mesh-native (the tables live inline in the manifest)."""
+    cfg = dataclasses.replace(CFG, codebook="lloyd")
+    params = llama.init_params(cfg, seed=3)
+    save_checkpoint(tmp_path / "cb", params, cfg)
+    loaded, cfg2 = load_checkpoint(tmp_path / "cb")
+    assert cfg2.codebook == "lloyd"
+    assert loaded.layers.wqkv.lut is not None
+    np.testing.assert_array_equal(
+        np.asarray(params.layers.wqkv.lut),
+        np.asarray(loaded.layers.wqkv.lut))
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    ref, _ = llama.forward(params, toks, llama.init_cache(cfg, 1, 8), cfg)
+    out, _ = llama.forward(loaded, toks, llama.init_cache(cfg2, 1, 8),
+                           cfg2)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    # mesh-native load + sharded forward equality (tp-packed save)
+    from quant_tpu.parallel import make_mesh, shard_cache
+    from quant_tpu.parallel.tp import sharded_forward_fn
+
+    params2 = llama.init_params(cfg, seed=3, tp=2)
+    np.testing.assert_array_equal(
+        np.asarray(params.layers.wqkv.lut),
+        np.asarray(params2.layers.wqkv.lut))  # fit is column-order-free
+    save_checkpoint(tmp_path / "cb2", params2, cfg, tp=2)
+    mesh = make_mesh(data=1, model=2)
+    mp, mcfg = load_checkpoint(tmp_path / "cb2", mesh=mesh)
+    assert mp.layers.wqkv.lut is not None
+    cache = shard_cache(llama.init_cache(mcfg, 1, 8), mesh)
+    fwd = jax.jit(sharded_forward_fn(mcfg, mesh, mp, cache))
+    out2, _ = fwd(mp, toks, cache)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -132,3 +132,81 @@ def test_act_quant_mode(bits):
     # correlation sanity — errors are small perturbations, not structure
     c = np.corrcoef(np.asarray(out).ravel(), np.asarray(ref).ravel())[0, 1]
     assert c > 0.999
+
+
+# ── codebook ("bin-lookup") kernel path ─────────────────────────────────
+
+
+def _lut_qt(k=512, n=256, gs=128, seed=0, codebook="nf4"):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    return w, quantize_tensor(w, 4, gs, codebook=codebook)
+
+
+def test_lut_kernel_exact_matches_reference():
+    """lut_exact=True (f32 select tree) must match the XLA lut dequant to
+    matmul tolerance."""
+    w, qt = _lut_qt()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (8, 512)).astype(np.float32))
+    ref = dequant_matmul_reference(x, qt)
+    out = dequant_matmul(x, qt, tile_n=128, tile_k=128, interpret=True,
+                         lut_exact=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_lut_kernel_word4_requant_error_bounded():
+    """The fast path's int8-requantized codebook adds <= absmax/254 per
+    weight — the matmul outputs must stay within linear-int4-cast-level
+    tolerance of the exact reference."""
+    w, qt = _lut_qt(seed=2)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (8, 512)).astype(np.float32))
+    ref = dequant_matmul_reference(x, qt)
+    out = dequant_matmul(x, qt, tile_n=128, tile_k=128, interpret=True)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 3e-2, rel
+
+
+def test_lut_stacked_per_layer_tables():
+    """Stacked layers may carry DIFFERENT codebooks (lloyd per tensor) —
+    the kernel's layer-indexed SMEM table read must pick the right one."""
+    import jax
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    qts, ws = [], []
+    for i in range(2):
+        w = rng.standard_normal((256, 128)).astype(np.float32) * (i + 1)
+        lut = codec.lloyd_max_fit(w) if i else codec.NF4_TABLE
+        ws.append(w)
+        qts.append(quantize_tensor(w, 4, 64, codebook=lut))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+    for i in range(2):
+        ref = dequant_matmul_reference(x, qts[i])
+        out = dequant_matmul(x, stacked, jnp.int32(i), tile_n=128,
+                             tile_k=128, interpret=True)
+        rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 3e-2, (i, rel)
+
+
+def test_lut_reference_dequantize_exact():
+    """QTensor.dequantize with a lut reproduces the host codec exactly."""
+    w, qt = _lut_qt(k=256, n=128, gs=64, seed=7)
+    codes_nk, scales_ng = codec.quantize_lut(w.T, group_size=64)
+    want = codec.dequantize_lut(codes_nk, scales_ng,
+                                group_size=64).T
+    got = np.asarray(qt.dequantize(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_lut_aq_falls_back_to_reference():
+    w, qt = _lut_qt(seed=9)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(
+        (4, 512)).astype(np.float32))
+    out = dequant_matmul(x, qt, interpret=True, act_quant=True)
+    ref = dequant_matmul_reference(x, qt, act_quant=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

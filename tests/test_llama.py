@@ -405,3 +405,63 @@ def test_int4_kv_blockwise_matches_oneshot():
                                     cfg, block=4)
     np.testing.assert_allclose(np.asarray(one), np.asarray(blk),
                                rtol=2e-4, atol=2e-4)
+
+
+# ── codebook ("bin-lookup") weight quantization (VERDICT r3 #2) ─────────
+
+
+def test_codebook_forward_beats_linear_int4():
+    """An NF4-codebook model must track the fp32 reference more closely
+    than linear int4 RTN (NF4 bins are MSE-optimal for Gaussian weights —
+    the whole point of the non-uniform codec)."""
+    cfg_ref = dataclasses.replace(CFG, bits=8, dtype="float32")
+    ref_params = llama.init_params(cfg_ref, seed=4)
+    # same dense weights, requantized both ways
+    dense = jax.tree.map(
+        lambda x: x, ref_params,
+        is_leaf=lambda x: False)
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+
+    def logits_for(cfg):
+        params = llama.init_params(cfg, seed=4)
+        cache = llama.init_cache(cfg, batch=1, max_seq=16)
+        lg, _ = llama.forward(params, toks, cache, cfg)
+        return np.asarray(lg, np.float32)
+
+    lg_ref = logits_for(dataclasses.replace(CFG, bits=8, dtype="float32"))
+    lg_lin = logits_for(dataclasses.replace(CFG, bits=4, dtype="float32"))
+    lg_lut = logits_for(dataclasses.replace(CFG, bits=4, codebook="nf4",
+                                            dtype="float32"))
+    err_lin = float(np.mean((lg_lin - lg_ref) ** 2))
+    err_lut = float(np.mean((lg_lut - lg_ref) ** 2))
+    assert err_lut < err_lin, (err_lut, err_lin)
+
+
+def test_codebook_pallas_interpret_matches_xla():
+    """The word4 kernel path (interpret mode) tracks the XLA lut path to
+    requant tolerance through a full forward."""
+    cfg_x = dataclasses.replace(CFG, codebook="nf4", kernel_mode="xla")
+    cfg_p = dataclasses.replace(cfg_x, kernel_mode="pallas_interpret")
+    params = llama.init_params(cfg_x, seed=5)
+    toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    lg_x, _ = llama.forward(params, toks,
+                            llama.init_cache(cfg_x, 1, 8), cfg_x)
+    lg_p, _ = llama.forward(params, toks,
+                            llama.init_cache(cfg_p, 1, 8), cfg_p)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_x),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_array_equal(np.argmax(np.asarray(lg_p), -1),
+                                  np.argmax(np.asarray(lg_x), -1))
+
+
+def test_codebook_lloyd_init():
+    cfg = dataclasses.replace(CFG, codebook="lloyd")
+    params = llama.init_params(cfg, seed=6)
+    assert params.layers.wqkv.lut is not None
+    # per-layer fitted tables differ (stacked [L, 16])
+    luts = np.asarray(params.layers.wqkv.lut)
+    assert luts.shape == (CFG.n_layers, 16)
+    cache = llama.init_cache(cfg, batch=1, max_seq=8)
+    lg, _ = llama.forward(params, jnp.asarray([[1, 2]], jnp.int32),
+                          cache, cfg)
+    assert np.isfinite(np.asarray(lg)).all()
