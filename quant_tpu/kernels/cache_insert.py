@@ -9,11 +9,17 @@ scripts/tpu_ablate_probe.py).
 
 The cache's S axis is physically tiled in HBM (int8: sublane 8; the f32
 scales: lane 128), so arbitrary-position single-row DMA is not expressible
-— each program does an aligned read-modify-write instead: DMA the aligned
+— each slot gets an aligned read-modify-write instead: DMA the aligned
 tile covering the target row into VMEM, overwrite the row with a masked
 select (no dynamic sublane stores), DMA the tile back. Aligned offsets are
-asserted to Mosaic with ``pl.multiple_of``. Grid (B,); T=1 (decode) per
-call — the engine's chunked prefill uses the XLA scatter path instead.
+asserted to Mosaic with ``pl.multiple_of``. T=1 (decode) per call — the
+engine's chunked prefill uses the XLA scatter path instead.
+
+ONE program serves all B slots with BATCHED async copies (r4): the
+original grid-(B,) formulation serialized 8 DMA waits per program — at
+B=48 that is ~0.125 ms/layer of pure DMA latency for ~100 KB of actual
+writes, the third-largest component of the whole decode step. Waves of
+12 slots bound outstanding DMAs at 48.
 """
 
 from __future__ import annotations
@@ -34,45 +40,72 @@ _LANES = 128  # f32 lane tile along S
 def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
             kc_in, ks_in, vc_in, vs_in,
             kc_ref, ks_ref, vc_ref, vs_ref,
-            ctile, stile, sems, *, s_loc):
+            ktile, vtile, kstile, vstile, sems, *, s_loc, b, wave):
     # cache inputs are aliased to the outputs — write through the output
-    # refs; the input refs exist only to satisfy the aliasing contract
+    # refs; the input refs exist only to satisfy the aliasing contract.
+    #
+    # ONE program for all B slots (r4 rewrite): the old grid-(B,) kernel
+    # serialized 8 DMA waits per program x 48 programs (~0.125 ms/layer
+    # of pure latency for ~100 KB of writes). Here every slot's 4
+    # read-modify-writes run as BATCHED async copies in waves: all reads
+    # of a wave start together, then modify, then all writes start;
+    # waves bound the number of outstanding DMAs.
     del kc_in, ks_in, vc_in, vs_in
-    b = pl.program_id(0)
     lr = lr_ref[0]
     s0 = lr_ref[1]
-    rel = len_ref[b] - s0
+    crows = ktile.shape[2]
+    srows = kstile.shape[2]
 
-    @pl.when((rel >= 0) & (rel < s_loc))
-    def _():
-        pos = jnp.maximum(rel, 0)
+    def pos_of(i):
+        rel = len_ref[i] - s0
+        owned = (rel >= 0) & (rel < s_loc)
+        return jnp.where(owned, rel, 0), owned
 
-        def rmw(new_ref, cache_ref, tile, rows, sem, is_codes):
-            base = pl.multiple_of((pos // rows) * rows, rows)
-            off = pos - base
-            rd = pltpu.make_async_copy(
-                cache_ref.at[lr, b, :, pl.ds(base, rows)], tile, sem)
-            rd.start()
-            rd.wait()
-            if is_codes:
-                row_ids = jax.lax.broadcasted_iota(
-                    jnp.int32, tile.shape, 1)            # [H, rows, D]
-                new = new_ref[0, 0][:, None, :]          # [H, 1, D]
-                tile[:] = jnp.where(row_ids == off, new, tile[:])
-            else:
-                col_ids = jax.lax.broadcasted_iota(
-                    jnp.int32, tile.shape, 1)            # [H, rows]
-                new = new_ref[0, 0][:, None]             # [H, 1]
-                tile[:] = jnp.where(col_ids == off, new, tile[:])
-            wr = pltpu.make_async_copy(
-                tile, cache_ref.at[lr, b, :, pl.ds(base, rows)], sem)
-            wr.start()
-            wr.wait()
+    def copies(i, to_vmem):
+        pos, _ = pos_of(i)
+        cbase = pl.multiple_of((pos // crows) * crows, crows)
+        sbase = pl.multiple_of((pos // srows) * srows, srows)
+        pairs = [
+            (kc_ref.at[lr, i, :, pl.ds(cbase, crows)], ktile.at[i]),
+            (vc_ref.at[lr, i, :, pl.ds(cbase, crows)], vtile.at[i]),
+            (ks_ref.at[lr, i, :, pl.ds(sbase, srows)], kstile.at[i]),
+            (vs_ref.at[lr, i, :, pl.ds(sbase, srows)], vstile.at[i]),
+        ]
+        out = []
+        for j, (hbm, vm) in enumerate(pairs):
+            src, dst = (hbm, vm) if to_vmem else (vm, hbm)
+            out.append(pltpu.make_async_copy(src, dst, sems.at[i % wave, j]))
+        return out
 
-        rmw(kn_ref, kc_ref, ctile, ctile.shape[1], sems.at[0], True)
-        rmw(vn_ref, vc_ref, ctile, ctile.shape[1], sems.at[1], True)
-        rmw(ksn_ref, ks_ref, stile, stile.shape[1], sems.at[2], False)
-        rmw(vsn_ref, vs_ref, stile, stile.shape[1], sems.at[3], False)
+    def modify(i):
+        pos, owned = pos_of(i)
+        coff = pos - (pos // crows) * crows
+        soff = pos - (pos // srows) * srows
+        for new_ref, tile, off in ((kn_ref, ktile, coff),
+                                   (vn_ref, vtile, coff)):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
+            new = new_ref[i, 0][:, None, :]               # [H, 1, D]
+            tile[i] = jnp.where((ids == off) & owned, new, tile[i])
+        for new_ref, tile, off in ((ksn_ref, kstile, soff),
+                                   (vsn_ref, vstile, soff)):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
+            new = new_ref[i, 0][:, None]                  # [H, 1]
+            tile[i] = jnp.where((ids == off) & owned, new, tile[i])
+
+    for w0 in range(0, b, wave):
+        lane = range(w0, min(w0 + wave, b))
+        reads = [c for i in lane for c in copies(i, True)]
+        for c in reads:
+            c.start()
+        for c in reads:
+            c.wait()
+        for i in lane:
+            modify(i)
+        writes = [c for i in lane for c in copies(i, False)]
+        for c in writes:
+            c.start()
+        for c in writes:
+            c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -101,29 +134,32 @@ def cache_insert_int8(
     lr = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(s0, jnp.int32)])
 
-    kern = functools.partial(_kernel, s_loc=s_loc)
+    wave = min(b, 12)  # <= 48 outstanding DMAs per wave
+    kern = functools.partial(_kernel, s_loc=s_loc, b=b, wave=wave)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((b,), lambda bb, lr: (0,),
+            pl.BlockSpec((b,), lambda g, lr: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, h, d), lambda bb, lr: (bb, 0, 0, 0),
+            pl.BlockSpec((b, 1, h, d), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h), lambda bb, lr: (bb, 0, 0),
+            pl.BlockSpec((b, 1, h), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, d), lambda bb, lr: (bb, 0, 0, 0),
+            pl.BlockSpec((b, 1, h, d), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h), lambda bb, lr: (bb, 0, 0),
+            pl.BlockSpec((b, 1, h), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
         scratch_shapes=[
-            pltpu.VMEM((h, crows, d), kc.dtype),
-            pltpu.VMEM((h, srows), ks.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((b, h, crows, d), kc.dtype),
+            pltpu.VMEM((b, h, crows, d), vc.dtype),
+            pltpu.VMEM((b, h, srows), ks.dtype),
+            pltpu.VMEM((b, h, srows), vs.dtype),
+            pltpu.SemaphoreType.DMA((wave, 4)),
         ],
     )
     out_shape = tuple(
@@ -144,43 +180,67 @@ def cache_insert_int8(
 def _paged_kernel(lr_ref, pt_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
                   kc_in, ks_in, vc_in, vs_in,
                   kc_ref, ks_ref, vc_ref, vs_ref,
-                  ctile, stile, sems, *, page, cap):
+                  ktile, vtile, kstile, vstile, sems, *, page, cap, b,
+                  wave):
+    # single-program batched-DMA structure — see _kernel above
     del kc_in, ks_in, vc_in, vs_in
-    b = pl.program_id(0)
     lr = lr_ref[0]
-    pos = len_ref[b]
+    crows = ktile.shape[2]
+    srows = kstile.shape[2]
 
-    @pl.when((pos >= 0) & (pos < cap))
-    def _():
-        pg = pt_ref[b, pos // page]
-        off = pos % page
+    def pos_of(i):
+        pos = len_ref[i]
+        owned = (pos >= 0) & (pos < cap)
+        pos = jnp.where(owned, pos, 0)
+        # finished slots park at the reserved scratch page via row 0
+        pg = pt_ref[i, pos // page]
+        return pos % page, pg, owned
 
-        def rmw(new_ref, cache_ref, tile, rows, sem, is_codes):
-            base = pl.multiple_of((off // rows) * rows, rows)
-            rel = off - base
-            rd = pltpu.make_async_copy(
-                cache_ref.at[lr, pg, :, pl.ds(base, rows)], tile, sem)
-            rd.start()
-            rd.wait()
-            if is_codes:
-                row_ids = jax.lax.broadcasted_iota(
-                    jnp.int32, tile.shape, 1)            # [H, rows, D]
-                new = new_ref[0, 0][:, None, :]
-                tile[:] = jnp.where(row_ids == rel, new, tile[:])
-            else:
-                col_ids = jax.lax.broadcasted_iota(
-                    jnp.int32, tile.shape, 1)            # [H, rows]
-                new = new_ref[0, 0][:, None]
-                tile[:] = jnp.where(col_ids == rel, new, tile[:])
-            wr = pltpu.make_async_copy(
-                tile, cache_ref.at[lr, pg, :, pl.ds(base, rows)], sem)
-            wr.start()
-            wr.wait()
+    def copies(i, to_vmem):
+        off, pg, _ = pos_of(i)
+        cbase = pl.multiple_of((off // crows) * crows, crows)
+        sbase = pl.multiple_of((off // srows) * srows, srows)
+        pairs = [
+            (kc_ref.at[lr, pg, :, pl.ds(cbase, crows)], ktile.at[i]),
+            (vc_ref.at[lr, pg, :, pl.ds(cbase, crows)], vtile.at[i]),
+            (ks_ref.at[lr, pg, :, pl.ds(sbase, srows)], kstile.at[i]),
+            (vs_ref.at[lr, pg, :, pl.ds(sbase, srows)], vstile.at[i]),
+        ]
+        out = []
+        for j, (hbm, vm) in enumerate(pairs):
+            src, dst = (hbm, vm) if to_vmem else (vm, hbm)
+            out.append(pltpu.make_async_copy(src, dst, sems.at[i % wave, j]))
+        return out
 
-        rmw(kn_ref, kc_ref, ctile, ctile.shape[1], sems.at[0], True)
-        rmw(vn_ref, vc_ref, ctile, ctile.shape[1], sems.at[1], True)
-        rmw(ksn_ref, ks_ref, stile, stile.shape[1], sems.at[2], False)
-        rmw(vsn_ref, vs_ref, stile, stile.shape[1], sems.at[3], False)
+    def modify(i):
+        off, _, owned = pos_of(i)
+        coff = off - (off // crows) * crows
+        soff = off - (off // srows) * srows
+        for new_ref, tile, o in ((kn_ref, ktile, coff),
+                                 (vn_ref, vtile, coff)):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
+            new = new_ref[i, 0][:, None, :]
+            tile[i] = jnp.where((ids == o) & owned, new, tile[i])
+        for new_ref, tile, o in ((ksn_ref, kstile, soff),
+                                 (vsn_ref, vstile, soff)):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
+            new = new_ref[i, 0][:, None]
+            tile[i] = jnp.where((ids == o) & owned, new, tile[i])
+
+    for w0 in range(0, b, wave):
+        lane = range(w0, min(w0 + wave, b))
+        reads = [c for i in lane for c in copies(i, True)]
+        for c in reads:
+            c.start()
+        for c in reads:
+            c.wait()
+        for i in lane:
+            modify(i)
+        writes = [c for i in lane for c in copies(i, False)]
+        for c in writes:
+            c.start()
+        for c in writes:
+            c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,29 +270,33 @@ def paged_cache_insert_int8(
                          f"smaller than it) for aligned RMW tiles")
     h, d = k_new.shape[2], k_new.shape[3]
     lr = jnp.asarray(layer, jnp.int32).reshape(1)
-    kern = functools.partial(_paged_kernel, page=page, cap=cap)
+    wave = min(b, 12)  # <= 48 outstanding DMAs per wave
+    kern = functools.partial(_paged_kernel, page=page, cap=cap, b=b,
+                             wave=wave)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # layer, page table
-        grid=(b,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((b,), lambda bb, lr, pt: (0,),
+            pl.BlockSpec((b,), lambda g, lr, pt: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, h, d), lambda bb, lr, pt: (bb, 0, 0, 0),
+            pl.BlockSpec((b, 1, h, d), lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h), lambda bb, lr, pt: (bb, 0, 0),
+            pl.BlockSpec((b, 1, h), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, d), lambda bb, lr, pt: (bb, 0, 0, 0),
+            pl.BlockSpec((b, 1, h, d), lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h), lambda bb, lr, pt: (bb, 0, 0),
+            pl.BlockSpec((b, 1, h), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
         scratch_shapes=[
-            pltpu.VMEM((h, crows, d), kc.dtype),
-            pltpu.VMEM((h, srows), ks.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((b, h, crows, d), kc.dtype),
+            pltpu.VMEM((b, h, crows, d), vc.dtype),
+            pltpu.VMEM((b, h, srows), ks.dtype),
+            pltpu.VMEM((b, h, srows), vs.dtype),
+            pltpu.SemaphoreType.DMA((wave, 4)),
         ],
     )
     out_shape = tuple(
