@@ -243,16 +243,18 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     gathers every slot's pages into a contiguous copy per layer
     (``paged_gather``), which exists for tests/prefill, not decode.
 
-    Contiguous cache: hardware crossover re-measured 2026-08-18 in
-    scripts/tpu_attn_compare.py after the flash kernel's s_blk=512
-    retune (3.3x more cache BW than the original 256 blocks): XLA and
-    flash tie at S=1024 (B=8: 0.537 vs 0.571 ms; B=32: 1.049 vs 1.071);
-    flash wins from S=2048 (B=32: 1.392 vs 1.855) and widens at S=4096
-    (1.961 vs 3.551, 1.8x). The B=16/S=1024 XLA fusion pathology
-    carve-out (XLA 1.44 vs flash 0.85 ms, r1 sweep) stands. ``b`` and
-    ``s_max`` are the SHARD-local static shapes, so the rule applies
-    per-chip under data/tensor sharding exactly as measured.
+    Contiguous cache: after the r4 batched-dot kernel rewrite
+    (kernels/attention.py — 955 GB/s of cache bytes at B=48/S=1024 vs
+    the old head-loop kernel's 413), the 2026-08-19 re-sweep
+    (scripts/tpu_attn_compare.py) has flash beating the XLA path at
+    EVERY measured shape: B=48/S=1024 1.177 vs 1.350 ms/2-layer step,
+    B=8/S=1024 0.477 vs 0.590, B=32/S=2048 1.109 vs 1.838,
+    B=16/S=512 0.534 vs 0.572 — the XLA path also materializes a
+    per-layer cache slice from the stacked buffer (~3x bytes), so the
+    old crossover carve-outs are gone. ``b``/``s_max`` stay in the
+    signature for future re-sweeps on other chips.
     """
+    del b, s_max
     if cfg.sliding_window or cfg.attn_softcap:
         # the Pallas decode kernels implement neither the window mask nor
         # tanh softcapping; the XLA paths do
@@ -261,19 +263,8 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
         return cfg.attn_kernel
     if mode not in ("pallas", "pallas_interpret"):
         return "xla"  # no Pallas backend to select
-    if paged:
-        return "flash"
-    if cfg.kv_bits == 4:
-        # XLA cannot fuse the nibble unpack into its attention dots and
-        # materializes the f32 cache per layer (2.2x the int8 step,
-        # measured B=48); the flash kernel unpacks in VMEM at 0.58x the
-        # int8 step — kv4 always wants the kernel.
-        return "flash"
-    if s_max >= 2048:
-        return "flash"
-    if b == 16 and s_max < 4096:
-        return "flash"  # measured XLA pathology at exactly this shape
-    return "xla"
+    del paged
+    return "flash"
 
 
 def _mm(cfg: ModelConfig):
