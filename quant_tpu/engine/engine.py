@@ -165,6 +165,33 @@ def _top_logprobs(logits, k: int):
     return ti.astype(jnp.int32), tl - lse
 
 
+def _fsm_mask_rows(bits, ids, states, vocab):
+    """Per-slot legality rows for the sampler (0 legal / -1 forbidden)
+    from the packed [F, S, V/32] bitmask stack."""
+    w = bits[ids, states]                             # [B, Vw] uint32
+    exp = (w[:, :, None]
+           >> jnp.arange(32, dtype=jnp.uint32)[None, None]) & 1
+    return jnp.where(exp.reshape(w.shape[0], -1)[:, :vocab] > 0,
+                     0, -1).astype(jnp.int32)
+
+
+def _fsm_walk(bt, tokb, tokl, ids, states, toks, eos_id):
+    """Advance per-slot FSM states by walking the sampled tokens' bytes
+    through the byte-DFA stack ([F, S, 256]) — a handful of [B]-sized
+    gathers instead of a dense [S, V] next-state table (VERDICT r3 #5).
+    EOS walks zero bytes (state unchanged; the request is finishing)."""
+    tb = tokb[ids, toks].astype(jnp.int32)            # [B, L]
+    tl = jnp.where(toks == eos_id, 0, tokl[ids, toks])
+    smax = bt.shape[1] - 1
+
+    def body(p, cur):
+        nxt = bt[ids, jnp.clip(cur, 0, smax), tb[:, p]]
+        return jnp.where(p < tl, nxt, cur)
+
+    st = jax.lax.fori_loop(0, tb.shape[1], body, states)
+    return jnp.maximum(st, 0)
+
+
 class Engine:
     """Continuous-batching engine; ``mesh`` extends it across chips.
 
@@ -184,7 +211,8 @@ class Engine:
     """
 
     PREFILL_CHUNK = 512  # cap XLA prefill attention at O(chunk * S) memory
-    MAX_FSMS = 16        # grammar-table registry cap (HBM + re-upload cost)
+    MAX_FSMS = 64        # registry cap (compressed tables: ~34 MB each
+    #                    at the 128k-vocab/2k-state extreme, typ. <1 MB)
 
     def __init__(
         self,
@@ -206,6 +234,7 @@ class Engine:
         sp_prefill_mode: str = "ring",
         sp_prefill_threshold: int | None = None,
         sp_quantum: int = 64,
+        block_admit_chunks: int | None = 4,
     ):
         self.cfg = cfg
         self.max_pending = max_pending
@@ -216,8 +245,6 @@ class Engine:
         if loras:
             from quant_tpu.models.lora import make_lora_stack
 
-            if mesh is not None and mesh.shape.get("pipe", 1) > 1:
-                raise ValueError("loras do not compose with pipe > 1")
             if spec_gamma and spec_proposer is not None and hasattr(
                     spec_proposer, "draft_batch"):
                 raise ValueError(
@@ -231,6 +258,8 @@ class Engine:
                 self.lora_names[name] = j + 1
         self.max_slots = max_slots
         self.max_seq = max_seq
+        # per-fused-block admission budget (None = drain fully)
+        self.block_admit_chunks = block_admit_chunks
         self.eos_id = eos_id
         self.paged = paged
         if page_size is None:
@@ -294,16 +323,24 @@ class Engine:
         self._tok_ema = 0.0
         self._last_t = time.perf_counter()
         # Grammar-constrained decoding (engine/grammar.py): registered
-        # TokenFSM transition tables, stacked [F, S_max, V] on device
-        # (id 0 = the trivial all-legal single-state FSM every
-        # unconstrained slot points at). Per-slot id/state live on host
-        # (tiny [B] uploads per dispatch); the decode programs gather
-        # trans[id, state] to mask logits and advance states in-jit.
-        self._fsm_np: list[np.ndarray] = [
-            np.zeros((1, cfg.vocab_size), np.int32)]
-        self._fsm_dev = jnp.asarray(self._fsm_np[0][None])
+        # TokenFSMs live on device in COMPRESSED form (VERDICT r3 #5) —
+        # a [F, S, V/32] uint32 legality-bitmask stack + the [F, S, 256]
+        # byte-DFA stack + per-FSM token byte strings; ~30x smaller than
+        # the former dense [F, S, V] int32 stack (a 128k-vocab, 2k-state
+        # grammar is ~34 MB instead of ~1 GB). Registration grows the
+        # stacks IN PLACE (device-side pads + one .at[fid].set upload of
+        # the new tables — never a full-stack host re-upload). Id 0 = the
+        # trivial all-legal single-state FSM every unconstrained slot
+        # points at. Per-slot id/state live on host (tiny [B] uploads per
+        # dispatch); the decode programs expand bits[id, state] to mask
+        # logits and byte-walk sampled tokens to advance states in-jit.
+        vw = -(-cfg.vocab_size // 32)
+        self._fsm_bits = jnp.full((1, 1, vw), 0xFFFFFFFF, jnp.uint32)
+        self._fsm_bt = jnp.zeros((1, 1, 256), jnp.int32)   # self-loop
+        self._fsm_tokb = jnp.zeros((1, cfg.vocab_size, 1), jnp.uint8)
+        self._fsm_tokl = jnp.zeros((1, cfg.vocab_size), jnp.int32)
         self._fsm_key: dict[int, int] = {}
-        self._fsm_objs: list = []
+        self._fsm_objs: list = [None]  # index 0 = trivial FSM
         self._fsm_ids = np.zeros((max_slots,), np.int32)
         self._fsm_state = np.zeros((max_slots,), np.int32)
         # per-slot LoRA adapter ids (0 = base) for the decode programs
@@ -443,7 +480,7 @@ class Engine:
                                             "use_fsm", "topk_lp"))
         def decode_step(params, tokens, cache, slot_keys, temps,
                         topks, topps, minps, reps, freqs, press,
-                        bias_toks, bias_vals, counts, fsm_trans=None,
+                        bias_toks, bias_vals, counts, fsm_tabs=None,
                         fsm_ids=None, fsm_states=None, adapter_ids=None,
                         use_pen=False, use_bias=False, use_fsm=False,
                         topk_lp=0):
@@ -463,7 +500,8 @@ class Engine:
             keyn = jax.random.key_data(ks[:, 0])
             pen = (counts, reps, freqs, press) if use_pen else None
             bias = (bias_toks, bias_vals) if use_bias else None
-            rows = fsm_trans[fsm_ids, fsm_states] if use_fsm else None
+            rows = (_fsm_mask_rows(fsm_tabs[0], fsm_ids, fsm_states,
+                                   cfg.vocab_size) if use_fsm else None)
             toks = sample_batch(logits[:, -1], ks[:, 1], temps, topks,
                                 topps, minps, pen, bias, fsm_rows=rows)
             counts = counts.at[jnp.arange(toks.shape[0]), toks].add(1)
@@ -487,7 +525,7 @@ class Engine:
                            donate_argnums=(2, 13))
         def decode_block(params, tokens, cache, slot_keys, temps,
                          topks, topps, minps, reps, freqs, press,
-                         bias_toks, bias_vals, counts, fsm_trans=None,
+                         bias_toks, bias_vals, counts, fsm_tabs=None,
                          fsm_ids=None, fsm_states=None, adapter_ids=None,
                          n=1, sampled=False, use_pen=False,
                          use_bias=False, use_fsm=False, topk_lp=0):
@@ -511,7 +549,9 @@ class Engine:
                     jax.random.wrap_key_data(kd))
                 kd = jax.random.key_data(ks[:, 0])
                 lg = logits[:, -1]
-                rows = fsm_trans[fsm_ids, fstate] if use_fsm else None
+                rows = (_fsm_mask_rows(fsm_tabs[0], fsm_ids, fstate,
+                                       cfg.vocab_size)
+                        if use_fsm else None)
                 if sampled:
                     pen = ((counts, reps, freqs, press) if use_pen
                            else None)
@@ -526,9 +566,10 @@ class Engine:
                     jnp.arange(nxt.shape[0]), nxt[:, 0]].add(1)
                 if use_fsm:
                     # masked sampling guarantees a legal transition;
-                    # clip guards inactive slots' garbage rows
-                    fstate = jnp.maximum(
-                        rows[jnp.arange(nxt.shape[0]), nxt[:, 0]], 0)
+                    # byte-walk the sampled token to the next state
+                    fstate = _fsm_walk(fsm_tabs[1], fsm_tabs[2],
+                                       fsm_tabs[3], fsm_ids, fstate,
+                                       nxt[:, 0], eos_id)
                 lp = token_logprob(lg, nxt[:, 0])[:, None]
                 out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
                 lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
@@ -1133,37 +1174,49 @@ class Engine:
 
     # ── public API ──────────────────────────────────────────────────
 
+    @staticmethod
+    def _stack_set(stack, fid: int, table, fill=0):
+        """Grow a [F, R, C...] device stack to cover (fid, table) and
+        write the table's rows — pads happen ON DEVICE, the upload is
+        only ``table`` itself."""
+        table = jnp.asarray(table)
+        pads = [(0, max(0, fid + 1 - stack.shape[0]))]
+        pads += [(0, max(0, t - c))
+                 for t, c in zip(table.shape, stack.shape[1:])]
+        if any(p[1] for p in pads):
+            stack = jnp.pad(stack, pads, constant_values=fill)
+        idx = (fid,) + tuple(slice(0, d) for d in table.shape)
+        return stack.at[idx].set(table)
+
     def register_fsm(self, fsm) -> int:
-        """Register a grammar.TokenFSM's transition table on device;
-        returns its id. Idempotent per TokenFSM object. Dead rows (no
-        legal token at all — e.g. a byte path no vocab token realizes)
-        get an EOS self-loop so a stuck slot terminates cleanly instead
-        of sampling from an empty distribution."""
+        """Register a grammar.TokenFSM on device (compressed bitmask +
+        byte-DFA form); returns its id. Idempotent per TokenFSM object.
+        Dead states were given a forced EOS bit at construction so a
+        stuck slot terminates cleanly."""
         key = id(fsm)
         if key in self._fsm_key:
             return self._fsm_key[key]
-        if len(self._fsm_np) - 1 >= self.MAX_FSMS:
-            # the [F, S_max, V] device stack grows (and fully re-uploads)
-            # per registration and clients control both F and S — cap it
+        if len(self._fsm_objs) - 1 >= self.MAX_FSMS:
             raise ValueError(
                 f"fsm registry full ({self.MAX_FSMS}); reuse TokenFSM "
                 "objects (the HTTP layer caches per pattern/schema)")
-        trans = np.array(fsm.trans, np.int32, copy=True)
-        if trans.ndim != 2 or trans.shape[1] != self.cfg.vocab_size:
+        if fsm.vocab_size != self.cfg.vocab_size:
             raise ValueError(
-                f"fsm table shape {trans.shape} != [S, {self.cfg.vocab_size}]")
-        dead = (trans < 0).all(axis=1)
-        trans[dead, self.eos_id] = np.arange(trans.shape[0])[dead]
-        fid = len(self._fsm_np)
-        self._fsm_np.append(trans)
-        s_max = max(t.shape[0] for t in self._fsm_np)
-        stack = np.zeros((len(self._fsm_np), s_max, self.cfg.vocab_size),
-                         np.int32)
-        for i, t in enumerate(self._fsm_np):
-            stack[i, :t.shape[0]] = t
-        # shape change → the decode programs retrace once per new (F, S)
-        # high-water mark; register grammars before serving steady-state
-        self._fsm_dev = jnp.asarray(stack)
+                f"fsm vocab {fsm.vocab_size} != {self.cfg.vocab_size}")
+        if fsm.eos_id != self.eos_id:
+            raise ValueError(
+                f"fsm eos_id {fsm.eos_id} != engine eos_id {self.eos_id}")
+        fid = len(self._fsm_objs)
+        # grow-in-place: device-side pads + one upload of the new tables;
+        # shape change → the decode programs retrace once per new
+        # (F, S, L) high-water mark; register grammars before serving
+        # steady-state
+        self._fsm_bits = self._stack_set(self._fsm_bits, fid, fsm.bits)
+        self._fsm_bt = self._stack_set(self._fsm_bt, fid, fsm.byte_trans,
+                                       fill=-1)
+        self._fsm_tokb = self._stack_set(self._fsm_tokb, fid,
+                                         fsm.tok_bytes)
+        self._fsm_tokl = self._stack_set(self._fsm_tokl, fid, fsm.tok_len)
         self._fsm_key[key] = fid
         # retain the object: the id()-keyed cache must never see a
         # GC'd address reused by a DIFFERENT TokenFSM (silently wrong
@@ -1372,15 +1425,13 @@ class Engine:
             # constraint applies to the OUTPUT stream: replay any
             # already-committed output (preempted re-admission) from the
             # start state, then mask this first sample with the state's
-            # row. Dead-row → EOS handling happened at registration.
+            # legality row. Dead-state → EOS handling happened at FSM
+            # construction.
             fid = self.register_fsm(req.fsm)
-            trans_np = self._fsm_np[fid]
-            st = req.fsm.start
-            for tkn in req.output:
-                st = max(0, int(trans_np[st, int(tkn)]))
+            st = req.fsm.advance(req.fsm.start, req.output)
             self._fsm_ids[slot] = fid
             self._fsm_state[slot] = st
-            fsm_row = jnp.asarray(trans_np[st][None])
+            fsm_row = jnp.asarray(req.fsm.mask_row(st)[None])
         else:
             self._fsm_ids[slot] = 0
             self._fsm_state[slot] = 0
@@ -1408,9 +1459,8 @@ class Engine:
             tok = int(sample(last[None], sub, req.sampling,
                              fsm_rows=fsm_row)[0])
         if req.fsm is not None:
-            self._fsm_state[slot] = max(0, int(
-                self._fsm_np[self._fsm_ids[slot]][
-                    self._fsm_state[slot], tok]))
+            self._fsm_state[slot] = req.fsm.advance(
+                self._fsm_state[slot], [tok])
         req.output.append(tok)
         req.logprobs.append(float(token_logprob(
             last[None], jnp.asarray([tok], jnp.int32))[0]))
@@ -1438,11 +1488,19 @@ class Engine:
         log.info("admit req=%d slot=%d prompt_len=%d",
                  req.req_id, slot, len(req.prompt))
 
-    def _drain_admission(self) -> None:
-        """Complete all possible admissions (block mode)."""
+    def _drain_admission(self, max_chunks: int | None = None) -> None:
+        """Admit pending requests (block mode), at most ``max_chunks``
+        prefill dispatches (VERDICT r3 #8: unbounded draining let a burst
+        of long prompts stall every decode slot for the whole multi-chunk
+        prefill; the budget resumes admission on the next block, bounding
+        decode stall at max_chunks dispatches)."""
+        done = 0
         while (self._prefilling is not None
                or (self.pending and any(s is None for s in self.slots))):
+            if max_chunks is not None and done >= max_chunks:
+                return
             self._advance_admission()
+            done += 1
 
     def _maybe_finish(self, i: int, tok: int) -> None:
         req = self.slots[i]
@@ -1654,7 +1712,9 @@ class Engine:
                 self._decode(
                     self.params, tokens, self.cache, self.slot_keys,
                     *knobs,
-                self.counts, fsm_trans=self._fsm_dev,
+                self.counts,
+                fsm_tabs=(self._fsm_bits, self._fsm_bt,
+                          self._fsm_tokb, self._fsm_tokl),
                 fsm_ids=jnp.asarray(self._fsm_ids),
                 fsm_states=jnp.asarray(self._fsm_state),
                 adapter_ids=jnp.asarray(self._adapter_slot),
@@ -1681,8 +1741,8 @@ class Engine:
                     # per-slot state is a host array re-uploaded each
                     # dispatch)
                     fid = self._fsm_key[id(req.fsm)]
-                    self._fsm_state[i] = max(0, int(self._fsm_np[fid][
-                        self._fsm_state[i], tok]))
+                    self._fsm_state[i] = self._fsm_objs[fid].advance(
+                        self._fsm_state[i], [tok])
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:
@@ -1708,7 +1768,7 @@ class Engine:
         """
         expired: list[Request] = []
         self._expire_deadlines(expired)
-        self._drain_admission()
+        self._drain_admission(self.block_admit_chunks)
         self._grow_for_decode(n)
         self._sync_paged()
         active = [i for i, s in enumerate(self.slots) if s is not None]
@@ -1726,7 +1786,9 @@ class Engine:
         packed, self.cache, self.slot_keys, self.counts = \
             self._decode_block(
                 self.params, tokens, self.cache, self.slot_keys, *knobs,
-            self.counts, fsm_trans=self._fsm_dev,
+            self.counts,
+            fsm_tabs=(self._fsm_bits, self._fsm_bt,
+                      self._fsm_tokb, self._fsm_tokl),
             fsm_ids=jnp.asarray(self._fsm_ids),
             fsm_states=jnp.asarray(self._fsm_state),
             adapter_ids=jnp.asarray(self._adapter_slot),
@@ -1759,8 +1821,8 @@ class Engine:
                         [float(v) for v in t_lps[i, j, :kk]])
                 if fid is not None:
                     # replay the device's in-loop transitions host-side
-                    self._fsm_state[i] = max(0, int(self._fsm_np[fid][
-                        self._fsm_state[i], tok]))
+                    self._fsm_state[i] = self._fsm_objs[fid].advance(
+                        self._fsm_state[i], [tok])
                 self.last_tokens[i] = tok
                 self._maybe_finish(i, tok)
                 if req.finished:
@@ -1792,8 +1854,8 @@ class Engine:
             **self._pcts(self._tpots, "tpot"),
             **({"loras": len(self.lora_names) - 1}
                if len(self.lora_names) > 1 else {}),
-            **({"fsms": len(self._fsm_np) - 1}
-               if len(self._fsm_np) > 1 else {}),
+            **({"fsms": len(self._fsm_objs) - 1}
+               if len(self._fsm_objs) > 1 else {}),
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": sum(len(m) for m in self._prefix_map)}
                if self.prefix_cache else {}),

@@ -1,14 +1,18 @@
 """Grammar-constrained decoding — regex → byte DFA → token FSM.
 
-TPU-native guided decoding: the constraint compiles OFFLINE to a dense
-token-level transition table ``trans[S, V] int32`` (-1 = forbidden) that
-lives in HBM; the decode programs gather the current state's row, mask
-the logits, sample, and advance the state — all inside the jit, so
-constrained decoding costs one [B, V] gather per step and ZERO extra
-host↔device round-trips (on a 40-80 ms/RPC relay, a host-side mask per
-step would dominate the decode step several times over; this is the
-design reason the FSM is device-resident, vLLM-style host masking is a
-non-starter here).
+TPU-native guided decoding: the constraint compiles OFFLINE to a
+COMPRESSED device form (VERDICT r3 #5) — a per-state token-legality
+bitmask ``bits[S, V/32] uint32`` plus the underlying byte DFA
+``byte_trans[S, 256]`` and the vocabulary's byte strings. The decode
+programs expand the current state's bitmask row to mask the logits,
+sample, and advance the state by walking the sampled token's bytes —
+all inside the jit, so constrained decoding costs one [B, V/32] gather
+plus a few [B]-sized gathers per step and ZERO extra host↔device
+round-trips (on a 40-80 ms/RPC relay, a host-side mask per step would
+dominate the decode step several times over; this is the design reason
+the FSM is device-resident, vLLM-style host masking is a non-starter
+here). The former dense ``trans[S, V] int32`` table was ~1 GB at a 128k
+vocab x 2k states; the compressed form is ~34 MB.
 
 Pipeline:
 
@@ -17,13 +21,14 @@ Pipeline:
    Thompson NFA → subset-construction DFA over bytes (fullmatch
    semantics, anchored both ends).
 2. :func:`token_fsm` — lifts the byte DFA to the tokenizer vocabulary:
-   ``trans[s, v]`` = the DFA state after consuming token v's bytes from
-   state s (vectorized: one [S, V] gather per byte position, so a 128k
-   vocab compiles in milliseconds). EOS is legal exactly in accepting
-   states (its "transition" is a terminal all-accepting sink).
+   token-level states ARE byte-DFA states; legality of token v in state
+   s = "v's bytes walk to a live state" (vectorized: one [S, V] gather
+   per byte position, so a 128k vocab compiles in milliseconds). EOS is
+   legal exactly in accepting states.
 3. :class:`TokenFSM` — the engine-facing artifact (also constructible
-   directly for non-regex constraints, e.g. :func:`choice_fsm` for
-   forced multiple-choice token sequences).
+   via :func:`choice_fsm` for forced multiple-choice token sequences,
+   which synthesizes a byte DFA over 4-byte token-id encodings so the
+   same device programs serve it).
 
 No reference counterpart (serving-side generalization, SURVEY.md §0).
 """
@@ -98,6 +103,18 @@ def vocab_bytes(tokenizer, vocab_size: int) -> list[bytes]:
 # ── regex parsing (bytes, ASCII classes) ────────────────────────────────
 
 
+def _cat_all(parts: list) -> tuple:
+    """Balanced concatenation tree (a left-deep chain of {m,n}-expanded
+    atoms would overflow Python's recursion limit in _nfa at ~1k)."""
+    if not parts:
+        return ("eps",)
+    while len(parts) > 1:
+        parts = [("cat", parts[i], parts[i + 1])
+                 if i + 1 < len(parts) else parts[i]
+                 for i in range(0, len(parts), 2)]
+    return parts[0]
+
+
 class _Parser:
     """Recursive-descent parser → AST of
     ('lit', frozenset(bytes)) | ('cat', a, b) | ('alt', a, b) |
@@ -132,12 +149,7 @@ class _Parser:
         parts = []
         while self.peek() not in (None, "|", ")"):
             parts.append(self.repeat())
-        if not parts:
-            return ("eps",)
-        node = parts[0]
-        for p in parts[1:]:
-            node = ("cat", node, p)
-        return node
+        return _cat_all(parts)
 
     def repeat(self):
         node = self.atom()
@@ -162,15 +174,12 @@ class _Parser:
                     hi = int(hi_s) if hi_s else None
                 else:
                     lo = hi = int(spec)
-                out = ("eps",)
-                for _ in range(lo):
-                    out = ("cat", out, node)
+                parts = [node] * lo
                 if hi is None:
-                    out = ("cat", out, ("star", node))
+                    parts.append(("star", node))
                 else:
-                    for _ in range(hi - lo):
-                        out = ("cat", out, ("opt", node))
-                node = out
+                    parts.extend([("opt", node)] * (hi - lo))
+                node = _cat_all(parts)
         return node
 
     _ESCAPES = {
@@ -347,28 +356,73 @@ def compile_regex(pattern: str, max_states: int = 4096
 # ── token-level FSM ─────────────────────────────────────────────────────
 
 
+def _pack_bits(legal: np.ndarray) -> np.ndarray:
+    """[S, V] bool → [S, ceil(V/32)] uint32 little-endian bit packing."""
+    s, v = legal.shape
+    vw = -(-v // 32)
+    pad = np.zeros((s, vw * 32), bool)
+    pad[:, :v] = legal
+    b = pad.reshape(s, vw, 32).astype(np.uint32)
+    return (b << np.arange(32, dtype=np.uint32)[None, None]).sum(
+        axis=2, dtype=np.uint32)
+
+
 @dataclasses.dataclass(frozen=True)
 class TokenFSM:
-    """Token-level DFA for on-device constrained decoding.
+    """Token-level DFA for on-device constrained decoding — COMPRESSED
+    storage (VERDICT r3 #5: the former dense [S, V] int32 table was
+    ~1 GB at 128k vocab x 2k states; this is ~30x smaller).
 
-    ``trans`` int32 [S, V]: next state for token v in state s, -1 if the
-    token is forbidden there. Accepting states permit EOS; committing
-    EOS moves to a self-looping all-accepting sink so further (padded)
-    steps stay legal. ``start``: the initial state for a fresh request.
+    * ``bits`` uint32 [S, ceil(V/32)]: token-legality bitmask per state
+      (bit v of word v//32). Accepting states have the EOS bit; states
+      with no legal token at all get a forced EOS bit so a stuck slot
+      terminates cleanly.
+    * ``byte_trans`` int32 [S, 256]: the underlying byte DFA (-1 dead).
+      Token-level states ARE byte-DFA state ids; the next state for a
+      sampled token is recovered by walking its bytes — a handful of
+      [B]-sized gathers per decode step instead of a [S, V] table. Row
+      S-1 is the post-EOS sink.
+    * ``tok_bytes`` uint8 [V, L] / ``tok_len`` int32 [V]: each token's
+      byte string (len 0 = forbidden/special; EOS walks 0 bytes).
     """
-    trans: np.ndarray
+    bits: np.ndarray
+    byte_trans: np.ndarray
+    tok_bytes: np.ndarray
+    tok_len: np.ndarray
+    eos_id: int
     start: int = 0
 
     @property
     def n_states(self) -> int:
-        return self.trans.shape[0]
+        return self.bits.shape[0]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tok_len.shape[0]
+
+    def legal(self, state: int, tok: int) -> bool:
+        w = int(self.bits[state, tok >> 5])
+        return bool((w >> (tok & 31)) & 1)
+
+    def mask_row(self, state: int) -> np.ndarray:
+        """int32 [V] row: 0 = legal, -1 = forbidden (sampler contract)."""
+        v = self.vocab_size
+        w = self.bits[state]
+        exp = ((w[:, None] >> np.arange(32, dtype=np.uint32)[None]) & 1)
+        return np.where(exp.reshape(-1)[:v] > 0, 0, -1).astype(np.int32)
 
     def advance(self, state: int, tokens) -> int:
         """Host-side replay (admission of resumed/preempted requests)."""
         for t in tokens:
-            state = int(self.trans[state, int(t)])
-            if state < 0:
+            t = int(t)
+            if not self.legal(state, t):
                 raise ValueError(f"token {t} forbidden by FSM")
+            if t == self.eos_id:
+                state = self.n_states - 1  # sink
+                continue
+            for b in self.tok_bytes[t, :int(self.tok_len[t])]:
+                state = int(self.byte_trans[state, int(b)])
+            state = max(state, 0)
         return state
 
 
@@ -383,7 +437,7 @@ def token_fsm(trans_byte: np.ndarray, accepting: np.ndarray,
     s_dfa = trans_byte.shape[0]
     v = len(vocab)
     lens = np.asarray([len(t) for t in vocab], np.int32)
-    lmax = int(lens.max()) if v else 0
+    lmax = max(int(lens.max()) if v else 0, 1)
     padded = np.zeros((v, lmax), np.uint8)
     for i, t in enumerate(vocab):
         if t:
@@ -397,15 +451,21 @@ def token_fsm(trans_byte: np.ndarray, accepting: np.ndarray,
         alive = (p < lens)[None, :]
         stepped = tb[np.where(cur < 0, s_dfa, cur), padded[None, :, p]]
         cur = np.where(alive, stepped, cur)
-    trans = np.where((lens > 0)[None, :], cur, -1).astype(np.int32)
-    sink = s_dfa  # post-EOS sink state
-    full = -np.ones((s_dfa + 1, v), np.int32)
-    full[:s_dfa] = trans
     if not 0 <= eos_id < v:
         raise ValueError(f"eos_id {eos_id} outside vocab {v}")
-    full[:s_dfa, eos_id] = np.where(accepting, sink, -1)
-    full[sink, eos_id] = sink  # EOS self-loop keeps padded steps legal
-    return TokenFSM(trans=full)
+    legal = (cur >= 0) & (lens > 0)[None, :]          # [S_dfa, V]
+    legal[:, eos_id] = accepting
+    sink_row = np.zeros((1, v), bool)
+    sink_row[0, eos_id] = True  # EOS self-walk keeps padded steps legal
+    legal = np.concatenate([legal, sink_row], axis=0)
+    # dead states (nothing legal): force EOS so a stuck slot terminates
+    legal[~legal.any(axis=1), eos_id] = True
+    bt = np.concatenate(
+        [trans_byte, -np.ones((1, 256), np.int32)], axis=0)  # sink row
+    lens = lens.copy()
+    lens[eos_id] = 0  # EOS advances by the sink rule, never by bytes
+    return TokenFSM(bits=_pack_bits(legal), byte_trans=bt,
+                    tok_bytes=padded, tok_len=lens, eos_id=eos_id)
 
 
 def regex_fsm(pattern: str, vocab: list[bytes], eos_id: int) -> TokenFSM:
@@ -428,7 +488,8 @@ def _re_lit(s: str) -> str:
     return "".join(out)
 
 
-def _json_value_regex(schema: dict) -> str:
+def _json_value_regex(schema: dict, root: dict | None = None,
+                      depth: int = 0, max_depth: int = 4) -> str:
     """JSON-schema subset → regex over the value's canonical-ish JSON
     text (bounded optional whitespace between structural tokens).
 
@@ -436,7 +497,41 @@ def _json_value_regex(schema: dict) -> str:
     literals), array of items (minItems/maxItems, default 0..8), object
     with ``properties`` emitted in declaration order (all listed
     properties are required — optional properties would square the DFA;
-    reject via ValueError so callers know the contract)."""
+    reject via ValueError so callers know the contract), and RECURSIVE
+    schemas via ``$ref`` ("#" or "#/$defs/<name>"): each ref expansion
+    unrolls the definition one level (depth-k expansion through the same
+    regex→DFA pipeline, VERDICT r3 #6). At ``max_depth`` a recursive
+    ARRAY branch with minItems=0 closes as the empty array; any other
+    recursion at the cutoff raises (an all-required recursive object has
+    no finite cutoff)."""
+    if root is None:
+        root = schema
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        if depth >= max_depth:
+            raise ValueError(
+                f"schema recursion via {ref!r} exceeds max_depth="
+                f"{max_depth} with no optional cutoff (make the "
+                "recursive branch an array with minItems=0, or raise "
+                "max_depth)")
+        if ref == "#":
+            target = root
+        elif ref.startswith("#/$defs/"):
+            name = ref[len("#/$defs/"):]
+            try:
+                target = root["$defs"][name]
+            except KeyError:
+                raise ValueError(f"unresolved $ref {ref!r}") from None
+        elif ref.startswith("#/definitions/"):
+            name = ref[len("#/definitions/"):]
+            try:
+                target = root["definitions"][name]
+            except KeyError:
+                raise ValueError(f"unresolved $ref {ref!r}") from None
+        else:
+            raise ValueError(f"unsupported $ref {ref!r} (supported: "
+                             "'#', '#/$defs/*', '#/definitions/*')")
+        return _json_value_regex(target, root, depth + 1, max_depth)
     if "enum" in schema:
         import json as _json
 
@@ -455,11 +550,18 @@ def _json_value_regex(schema: dict) -> str:
     if t == "null":
         return r"null"
     if t == "array":
-        item = _json_value_regex(schema.get("items", {"type": "string"}))
         lo = int(schema.get("minItems", 0))
         hi = int(schema.get("maxItems", 8))
         if lo > hi:
             raise ValueError("minItems > maxItems")
+        items = schema.get("items", {"type": "string"})
+        try:
+            item = _json_value_regex(items, root, depth, max_depth)
+        except ValueError:
+            if lo == 0 and "$ref" in items and depth + 1 >= max_depth:
+                # depth-k cutoff: the recursive branch closes as []
+                return rf"\[{_WS}\]"
+            raise
         more = f"({_WS},{_WS}{item})"
         if lo == 0:
             body = (f"({item}{more}{{0,{hi - 1}}})?" if hi > 0 else "")
@@ -478,28 +580,39 @@ def _json_value_regex(schema: dict) -> str:
         parts = []
         for k, sub in props.items():
             parts.append(
-                rf'"{_re_lit(k)}"{_WS}:{_WS}{_json_value_regex(sub)}')
+                rf'"{_re_lit(k)}"{_WS}:{_WS}'
+                + _json_value_regex(sub, root, depth, max_depth))
         body = (_WS + "," + _WS).join(parts)
         return rf"\{{{_WS}{body}{_WS}\}}"
     raise ValueError(f"unsupported schema: {schema!r}")
 
 
-def json_schema_regex(schema: dict) -> str:
+def json_schema_regex(schema: dict, max_depth: int = 4) -> str:
     """Top-level JSON-schema → anchored regex (compose with
-    :func:`regex_fsm`). See :func:`_json_value_regex` for the subset."""
-    return _json_value_regex(schema)
+    :func:`regex_fsm`). See :func:`_json_value_regex` for the subset;
+    ``max_depth`` bounds $ref recursion unrolling."""
+    return _json_value_regex(schema, max_depth=max_depth)
 
 
-def json_fsm(schema: dict, vocab: list[bytes], eos_id: int) -> TokenFSM:
-    """JSON-schema-constrained decoding: schema → regex → token FSM."""
-    return regex_fsm(json_schema_regex(schema), vocab, eos_id)
+def json_fsm(schema: dict, vocab: list[bytes], eos_id: int,
+             max_depth: int = 4, max_states: int = 4096) -> TokenFSM:
+    """JSON-schema-constrained decoding: schema → regex → token FSM.
+    ``max_states`` guards the DFA against exponential schemas."""
+    tb, acc = compile_regex(json_schema_regex(schema, max_depth),
+                            max_states=max_states)
+    return token_fsm(tb, acc, vocab, eos_id)
 
 
 def choice_fsm(choices: list[list[int]], vocab_size: int,
                eos_id: int) -> TokenFSM:
     """Force the output to be exactly one of ``choices`` (token-id
-    sequences) — a trie DFA, EOS legal only at a completed choice."""
-    # state 0 = root; build a trie of the sequences
+    sequences) — a trie DFA, EOS legal only at a completed choice.
+
+    Stored in the same compressed TokenFSM form as regex grammars: the
+    token trie becomes a byte DFA over each token id's 4-byte
+    little-endian encoding (``tok_bytes[v] = LE4(v)``), so the engine's
+    single byte-walk next-state program serves both kinds."""
+    # token-level trie first (to know the legality sets)
     children: list[dict[int, int]] = [{}]
     terminal: list[bool] = [False]
     for seq in choices:
@@ -516,13 +629,48 @@ def choice_fsm(choices: list[list[int]], vocab_size: int,
                 children[s][t] = len(children) - 1
             s = children[s][t]
         terminal[s] = True
-    n = len(children)
-    sink = n
-    trans = -np.ones((n + 1, vocab_size), np.int32)
+
+    def le4(t: int) -> bytes:
+        return bytes((t >> (8 * j)) & 0xFF for j in range(4))
+
+    # byte trie: token-trie nodes keep their ids (so bits rows align);
+    # intermediate byte states append after them
+    rows: list[dict[int, int]] = [dict() for _ in children]
+
+    def new_state() -> int:
+        rows.append({})
+        return len(rows) - 1
+
     for s, kids in enumerate(children):
-        for t, nxt in kids.items():
-            trans[s, t] = nxt
+        for t, child in kids.items():
+            cur = s
+            bs = le4(t)
+            for j, byt in enumerate(bs):
+                if j == len(bs) - 1:
+                    rows[cur][byt] = child
+                elif byt in rows[cur]:
+                    cur = rows[cur][byt]
+                else:
+                    nxt = new_state()
+                    rows[cur][byt] = nxt
+                    cur = nxt
+    n = len(rows)
+    bt = -np.ones((n + 1, 256), np.int32)  # + sink row
+    for s, kids in enumerate(rows):
+        for byt, nxt in kids.items():
+            bt[s, byt] = nxt
+    legal = np.zeros((n + 1, vocab_size), bool)
+    for s, kids in enumerate(children):
+        for t in kids:
+            legal[s, t] = True
         if terminal[s]:
-            trans[s, eos_id] = sink
-    trans[sink, eos_id] = sink
-    return TokenFSM(trans=trans)
+            legal[s, eos_id] = True
+    legal[n, eos_id] = True  # sink
+    legal[~legal.any(axis=1), eos_id] = True
+    tok_bytes = ((np.arange(vocab_size, dtype=np.uint32)[:, None]
+                  >> (8 * np.arange(4, dtype=np.uint32))[None]) & 0xFF
+                 ).astype(np.uint8)
+    tok_len = np.full((vocab_size,), 4, np.int32)
+    tok_len[eos_id] = 0
+    return TokenFSM(bits=_pack_bits(legal), byte_trans=bt,
+                    tok_bytes=tok_bytes, tok_len=tok_len, eos_id=eos_id)

@@ -40,7 +40,7 @@ _LANES = 128  # f32 lane tile along S
 def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
             kc_in, ks_in, vc_in, vs_in,
             kc_ref, ks_ref, vc_ref, vs_ref,
-            ktile, vtile, kstile, vstile, sems, *, s_loc, b, wave):
+            *scratch, s_loc, b, wave, d, q):
     # cache inputs are aliased to the outputs — write through the output
     # refs; the input refs exist only to satisfy the aliasing contract.
     #
@@ -51,10 +51,18 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     # of a wave start together, then modify, then all writes start;
     # waves bound the number of outstanding DMAs.
     del kc_in, ks_in, vc_in, vs_in
+    # per-wave-slot rank-3 scratch tiles (whole-buffer DMA destinations:
+    # Mosaic rejects sliced rank-4 scratch dsts for sub-128-lane code
+    # dims) + the [wave, 4] DMA semaphore array
+    sems = scratch[-1]
+    ktiles = scratch[0:wave]
+    vtiles = scratch[wave:2 * wave]
+    kstiles = scratch[2 * wave:3 * wave]
+    vstiles = scratch[3 * wave:4 * wave]
     lr = lr_ref[0]
     s0 = lr_ref[1]
-    crows = ktile.shape[2]
-    srows = kstile.shape[2]
+    crows = ktiles[0].shape[1]
+    srows = kstiles[0].shape[1]
 
     def pos_of(i):
         rel = len_ref[i] - s0
@@ -63,34 +71,39 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
 
     def copies(i, to_vmem):
         pos, _ = pos_of(i)
-        cbase = pl.multiple_of((pos // crows) * crows, crows)
+        w = i % wave
+        row = pos // q   # code row in the [.., S/q, 128] lane view
+        cbase = pl.multiple_of((row // crows) * crows, crows)
         sbase = pl.multiple_of((pos // srows) * srows, srows)
         pairs = [
-            (kc_ref.at[lr, i, :, pl.ds(cbase, crows)], ktile.at[i]),
-            (vc_ref.at[lr, i, :, pl.ds(cbase, crows)], vtile.at[i]),
-            (ks_ref.at[lr, i, :, pl.ds(sbase, srows)], kstile.at[i]),
-            (vs_ref.at[lr, i, :, pl.ds(sbase, srows)], vstile.at[i]),
+            (kc_ref.at[lr, i, :, pl.ds(cbase, crows)], ktiles[w]),
+            (vc_ref.at[lr, i, :, pl.ds(cbase, crows)], vtiles[w]),
+            (ks_ref.at[lr, i, :, pl.ds(sbase, srows)], kstiles[w]),
+            (vs_ref.at[lr, i, :, pl.ds(sbase, srows)], vstiles[w]),
         ]
         out = []
         for j, (hbm, vm) in enumerate(pairs):
             src, dst = (hbm, vm) if to_vmem else (vm, hbm)
-            out.append(pltpu.make_async_copy(src, dst, sems.at[i % wave, j]))
+            out.append(pltpu.make_async_copy(src, dst, sems.at[w, j]))
         return out
 
     def modify(i):
         pos, owned = pos_of(i)
-        coff = pos - (pos // crows) * crows
+        w = i % wave
+        row = pos // q
+        roff = row - (row // crows) * crows
+        lsel = pos - row * q          # which d-wide lane slot of the row
         soff = pos - (pos // srows) * srows
-        for new_ref, tile, off in ((kn_ref, ktile, coff),
-                                   (vn_ref, vtile, coff)):
-            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
-            new = new_ref[i, 0][:, None, :]               # [H, 1, D]
-            tile[i] = jnp.where((ids == off) & owned, new, tile[i])
-        for new_ref, tile, off in ((ksn_ref, kstile, soff),
-                                   (vsn_ref, vstile, soff)):
-            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
-            new = new_ref[i, 0][:, None]                  # [H, 1]
-            tile[i] = jnp.where((ids == off) & owned, new, tile[i])
+        # codes RMW in the [H, crows, 128] lane view: the new row (lane-
+        # tiled to 128 by the dispatcher) selects on (row, lane-slot)
+        for new_ref, tile in ((kn_ref, ktiles[w]), (vn_ref, vtiles[w])):
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 2)
+            sel = (rows_i == roff) & (lanes // d == lsel) & owned
+            tile[:] = jnp.where(sel, new_ref[i], tile[:])
+        for new_ref, tile in ((ksn_ref, kstiles[w]), (vsn_ref, vstiles[w])):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+            tile[:] = jnp.where((ids == soff) & owned, new_ref[i], tile[:])
 
     for w0 in range(0, b, wave):
         lane = range(w0, min(w0 + wave, b))
@@ -122,20 +135,38 @@ def cache_insert_int8(
     b, t = k_new.shape[0], k_new.shape[1]
     if t != 1:
         raise ValueError("cache_insert_int8 is the decode (T=1) path")
-    s_loc = kc.shape[3]
-    crows = _ROWS if s_loc % _ROWS == 0 else s_loc
+    l, s_loc = kc.shape[0], kc.shape[3]
+    h, d = k_new.shape[2], k_new.shape[3]
+    # Mosaic DMA slices need the code minor dim 128-aligned (measured: 64
+    # and 32 fail "must be aligned to tiling"). View the codes in a
+    # flattened [.., S*d/128, 128] lane layout — a free bitcast — with q
+    # tokens per 128-lane row; the kernel selects (row, lane-slot) and the
+    # new rows arrive lane-tiled q times.
+    if d > _LANES or _LANES % d:
+        raise ValueError(f"code dim {d} must divide {_LANES}")
+    q = _LANES // d
+    if s_loc % q:
+        raise ValueError(f"S per shard ({s_loc}) must divide by {q}")
+    rv = s_loc // q                      # code rows in the lane view
+    crows = _ROWS if rv % _ROWS == 0 else rv
     srows = s_loc if s_loc < _LANES else _LANES
-    if s_loc % srows or s_loc % crows:
+    if s_loc % srows or rv % crows:
         raise ValueError(
             f"max_seq per shard ({s_loc}) must divide by {_LANES} (or be "
             f"smaller than it) for aligned RMW tiles")
-    h, d = k_new.shape[2], k_new.shape[3]
 
     lr = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(s0, jnp.int32)])
 
     wave = min(b, 12)  # <= 48 outstanding DMAs per wave
-    kern = functools.partial(_kernel, s_loc=s_loc, b=b, wave=wave)
+    kcv = kc.reshape(l, b, h, rv, _LANES)
+    vcv = vc.reshape(l, b, h, rv, _LANES)
+    k_new = jnp.tile(k_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
+    v_new = jnp.tile(v_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
+    k_s = k_s.transpose(0, 2, 1)          # [B, H, 1]
+    v_s = v_s.transpose(0, 2, 1)
+    kern = functools.partial(_kernel, s_loc=s_loc, b=b, wave=wave, d=d,
+                             q=q)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -143,50 +174,58 @@ def cache_insert_int8(
         in_specs=[
             pl.BlockSpec((b,), lambda g, lr: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, 1, h, d), lambda g, lr: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h), lambda g, lr: (0, 0, 0),
+            pl.BlockSpec((b, h, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h, d), lambda g, lr: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h), lambda g, lr: (0, 0, 0),
+            pl.BlockSpec((b, h, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
-        scratch_shapes=[
-            pltpu.VMEM((b, h, crows, d), kc.dtype),
-            pltpu.VMEM((b, h, crows, d), vc.dtype),
-            pltpu.VMEM((b, h, srows), ks.dtype),
-            pltpu.VMEM((b, h, srows), vs.dtype),
-            pltpu.SemaphoreType.DMA((wave, 4)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((h, crows, _LANES), kc.dtype)
+             for _ in range(wave)]
+            + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
+               for _ in range(wave)]
+            + [pltpu.VMEM((h, srows), ks.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((h, srows), vs.dtype) for _ in range(wave)]
+            + [pltpu.SemaphoreType.DMA((wave, 4))]
+        ),
     )
     out_shape = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (kc, ks, vc, vs)
+        jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in (kcv, ks, vcv, vs)
     )
     # args: (lr, lengths, kn, ksn, vn, vsn, kc, ks, vc, vs); aliases map the
     # cache inputs (indices 6..9 incl. the scalar-prefetch arg) to outputs.
-    return pl.pallas_call(
+    kco, kso, vco, vso = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lr, lengths, k_new, k_s, v_new, v_s, kc, ks, vc, vs)
+    )(lr, lengths, k_new, k_s, v_new, v_s, kcv, ks, vcv, vs)
+    return (kco.reshape(kc.shape), kso, vco.reshape(vc.shape), vso)
 
 
 def _paged_kernel(lr_ref, pt_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
                   kc_in, ks_in, vc_in, vs_in,
                   kc_ref, ks_ref, vc_ref, vs_ref,
-                  ktile, vtile, kstile, vstile, sems, *, page, cap, b,
-                  wave):
+                  *scratch, page, cap, b, wave, d, q):
     # single-program batched-DMA structure — see _kernel above
     del kc_in, ks_in, vc_in, vs_in
+    sems = scratch[-1]
+    ktiles = scratch[0:wave]
+    vtiles = scratch[wave:2 * wave]
+    kstiles = scratch[2 * wave:3 * wave]
+    vstiles = scratch[3 * wave:4 * wave]
     lr = lr_ref[0]
-    crows = ktile.shape[2]
-    srows = kstile.shape[2]
+    crows = ktiles[0].shape[1]
+    srows = kstiles[0].shape[1]
 
     def pos_of(i):
         pos = len_ref[i]
@@ -198,34 +237,38 @@ def _paged_kernel(lr_ref, pt_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
 
     def copies(i, to_vmem):
         off, pg, _ = pos_of(i)
-        cbase = pl.multiple_of((off // crows) * crows, crows)
+        w = i % wave
+        row = off // q   # code row in the [.., page/q, 128] lane view
+        cbase = pl.multiple_of((row // crows) * crows, crows)
         sbase = pl.multiple_of((off // srows) * srows, srows)
         pairs = [
-            (kc_ref.at[lr, pg, :, pl.ds(cbase, crows)], ktile.at[i]),
-            (vc_ref.at[lr, pg, :, pl.ds(cbase, crows)], vtile.at[i]),
-            (ks_ref.at[lr, pg, :, pl.ds(sbase, srows)], kstile.at[i]),
-            (vs_ref.at[lr, pg, :, pl.ds(sbase, srows)], vstile.at[i]),
+            (kc_ref.at[lr, pg, :, pl.ds(cbase, crows)], ktiles[w]),
+            (vc_ref.at[lr, pg, :, pl.ds(cbase, crows)], vtiles[w]),
+            (ks_ref.at[lr, pg, :, pl.ds(sbase, srows)], kstiles[w]),
+            (vs_ref.at[lr, pg, :, pl.ds(sbase, srows)], vstiles[w]),
         ]
         out = []
         for j, (hbm, vm) in enumerate(pairs):
             src, dst = (hbm, vm) if to_vmem else (vm, hbm)
-            out.append(pltpu.make_async_copy(src, dst, sems.at[i % wave, j]))
+            out.append(pltpu.make_async_copy(src, dst, sems.at[w, j]))
         return out
 
     def modify(i):
         off, _, owned = pos_of(i)
-        coff = off - (off // crows) * crows
+        w = i % wave
+        row = off // q
+        roff = row - (row // crows) * crows
+        lsel = off - row * q
         soff = off - (off // srows) * srows
-        for new_ref, tile, o in ((kn_ref, ktile, coff),
-                                 (vn_ref, vtile, coff)):
-            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
-            new = new_ref[i, 0][:, None, :]
-            tile[i] = jnp.where((ids == o) & owned, new, tile[i])
-        for new_ref, tile, o in ((ksn_ref, kstile, soff),
-                                 (vsn_ref, vstile, soff)):
-            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape[1:], 1)
-            new = new_ref[i, 0][:, None]
-            tile[i] = jnp.where((ids == o) & owned, new, tile[i])
+        # lane-view codes RMW — see _kernel.modify
+        for new_ref, tile in ((kn_ref, ktiles[w]), (vn_ref, vtiles[w])):
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 2)
+            sel = (rows_i == roff) & (lanes // d == lsel) & owned
+            tile[:] = jnp.where(sel, new_ref[i], tile[:])
+        for new_ref, tile in ((ksn_ref, kstiles[w]), (vsn_ref, vstiles[w])):
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+            tile[:] = jnp.where((ids == soff) & owned, new_ref[i], tile[:])
 
     for w0 in range(0, b, wave):
         lane = range(w0, min(w0 + wave, b))
@@ -261,18 +304,30 @@ def paged_cache_insert_int8(
     b, t = k_new.shape[0], k_new.shape[1]
     if t != 1:
         raise ValueError("paged_cache_insert_int8 is the decode (T=1) path")
-    page = kc.shape[3]
+    l, n_pool, page = kc.shape[0], kc.shape[1], kc.shape[3]
     cap = page_tbl.shape[1] * page
-    crows = _ROWS if page % _ROWS == 0 else page
+    h, d = k_new.shape[2], k_new.shape[3]
+    if d > _LANES or _LANES % d:
+        raise ValueError(f"code dim {d} must divide {_LANES}")
+    q = _LANES // d   # lane-view layout — see cache_insert_int8
+    if page % q:
+        raise ValueError(f"page size {page} must divide by {q}")
+    rv = page // q
+    crows = _ROWS if rv % _ROWS == 0 else rv
     srows = page if page < _LANES else _LANES
-    if page % srows or page % crows:
+    if page % srows or rv % crows:
         raise ValueError(f"page size {page} must divide by {_LANES} (or be "
                          f"smaller than it) for aligned RMW tiles")
-    h, d = k_new.shape[2], k_new.shape[3]
     lr = jnp.asarray(layer, jnp.int32).reshape(1)
     wave = min(b, 12)  # <= 48 outstanding DMAs per wave
+    kcv = kc.reshape(l, n_pool, h, rv, _LANES)
+    vcv = vc.reshape(l, n_pool, h, rv, _LANES)
+    k_new = jnp.tile(k_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
+    v_new = jnp.tile(v_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
+    k_s = k_s.transpose(0, 2, 1)          # [B, H, 1]
+    v_s = v_s.transpose(0, 2, 1)
     kern = functools.partial(_paged_kernel, page=page, cap=cap, b=b,
-                             wave=wave)
+                             wave=wave, d=d, q=q)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # layer, page table
@@ -280,35 +335,41 @@ def paged_cache_insert_int8(
         in_specs=[
             pl.BlockSpec((b,), lambda g, lr, pt: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, 1, h, d), lambda g, lr, pt: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, _LANES),
+                         lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h), lambda g, lr, pt: (0, 0, 0),
+            pl.BlockSpec((b, h, 1), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h, d), lambda g, lr, pt: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, _LANES),
+                         lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h), lambda g, lr, pt: (0, 0, 0),
+            pl.BlockSpec((b, h, 1), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
-        scratch_shapes=[
-            pltpu.VMEM((b, h, crows, d), kc.dtype),
-            pltpu.VMEM((b, h, crows, d), vc.dtype),
-            pltpu.VMEM((b, h, srows), ks.dtype),
-            pltpu.VMEM((b, h, srows), vs.dtype),
-            pltpu.SemaphoreType.DMA((wave, 4)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((h, crows, _LANES), kc.dtype)
+             for _ in range(wave)]
+            + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
+               for _ in range(wave)]
+            + [pltpu.VMEM((h, srows), ks.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((h, srows), vs.dtype) for _ in range(wave)]
+            + [pltpu.SemaphoreType.DMA((wave, 4))]
+        ),
     )
     out_shape = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (kc, ks, vc, vs)
+        jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in (kcv, ks, vcv, vs)
     )
     # args: (lr, pt, lengths, kn, ksn, vn, vsn, kc, ks, vc, vs); aliases
     # map the pool inputs (7..10, counting both prefetch args) to outputs.
-    return pl.pallas_call(
+    kco, kso, vco, vso = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lr, page_tbl, lengths, k_new, k_s, v_new, v_s, kc, ks, vc, vs)
+    )(lr, page_tbl, lengths, k_new, k_s, v_new, v_s, kcv, ks, vcv, vs)
+    return (kco.reshape(kc.shape), kso, vco.reshape(vc.shape), vso)

@@ -254,7 +254,7 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     old crossover carve-outs are gone. ``b``/``s_max`` stay in the
     signature for future re-sweeps on other chips.
     """
-    del b, s_max
+    del b
     if cfg.sliding_window or cfg.attn_softcap:
         # the Pallas decode kernels implement neither the window mask nor
         # tanh softcapping; the XLA paths do
@@ -263,6 +263,13 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
         return cfg.attn_kernel
     if mode not in ("pallas", "pallas_interpret"):
         return "xla"  # no Pallas backend to select
+    dc = cfg.head_dim // (2 if cfg.kv_bits == 4 else 1)
+    if mode == "pallas" and (128 % dc != 0 or (not paged
+                                               and s_max % 128 != 0)):
+        # the aliased insert kernel's lane-view RMW needs the code dim to
+        # divide 128 and the scale DMA a 128-aligned S (Mosaic rejects
+        # sub-128-lane HBM slices, measured 2026-08-19)
+        return "xla"
     del paged
     return "flash"
 

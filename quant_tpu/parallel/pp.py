@@ -39,13 +39,20 @@ def _with_pipe(spec: P, stacked: bool) -> P:
 
 
 def pp_param_specs(params: llama.LlamaParams):
-    """TP specs + layer-stack axis sharded over pipe."""
-    base = tp_mod.param_specs(params)
-
-    def fix(path, spec):
+    """TP specs + layer-stack axis sharded over pipe. LoraStack leaves
+    ([A, L, ...]) slice their LAYER dim over pipe — each stage holds its
+    own adapters slice, riding the stacked layout exactly like the base
+    weights (VERDICT r3 #9: LoRA x PP)."""
+    def fix(path, leaf):
         names = tp_mod._path_names(path)
+        spec = tp_mod._spec_for(path, leaf)
+        if "lora" in names:
+            axes = list(tuple(spec))
+            axes += [None] * (leaf.ndim - len(axes))
+            axes[1] = "pipe"
+            return P(*axes)
         return _with_pipe(spec, "layers" in names)
-    return jax.tree_util.tree_map_with_path(fix, base)
+    return jax.tree_util.tree_map_with_path(fix, params)
 
 
 def pp_cache_specs(cache, batch_axis: str | None = "data"):
@@ -94,7 +101,8 @@ def shard_cache_pp(cache, mesh: Mesh):
 
 def forward_pp(params, tokens, cache, cfg: ModelConfig,
                pipe_axis: str = "pipe", axis: str | None = None,
-               seq_axis: str | None = None, n_micro: int = 1):
+               seq_axis: str | None = None, n_micro: int = 1,
+               adapter_ids=None):
     """llama.forward equivalent with layer stages over ``pipe_axis``.
 
     ``n_micro > 1`` enables a GPipe-style microbatch schedule: the batch
@@ -137,6 +145,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
         layer_step = llama.make_layer_step(
             params.layers, cache.lengths, cfg, mm, b, t, positions,
             new_lengths, s0, axis, dt, seq_axis, page_tbl=page_tbl,
+            lora=params.lora, adapter_ids=adapter_ids,
         )
         h = llama._embed_lookup(params.embed, tokens, dt, cfg)
         for s in range(pp):
@@ -173,6 +182,7 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
                 params.layers, cache.lengths, cfg, mm, b_mb, t, positions,
                 new_lengths, s0, axis, dt, seq_axis, batch0=b0,
                 page_tbl=page_tbl,
+                lora=params.lora, adapter_ids=adapter_ids,
             )
             h_out, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 active,
@@ -235,20 +245,17 @@ def pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
         seq_axis="seq" if sp > 1 else None, n_micro=n_micro,
     )
     sharded = jax.shard_map(
-        lambda pr, tok, ca: fwd(pr, tok, ca),
+        lambda pr, tok, ca, ids: fwd(pr, tok, ca, adapter_ids=ids),
         mesh=mesh,
-        in_specs=(p_specs, P(batch_axis, None), c_specs),
+        in_specs=(p_specs, P(batch_axis, None), c_specs, P(batch_axis)),
         out_specs=(P(batch_axis, None, None), c_specs),
         check_vma=False,
     )
 
     def wrapped(pr, tok, ca, adapter_ids=None):
-        # PP does not implement LoRA deltas; the engine rejects adapter
-        # registration on pipe meshes, so non-None ids here are a bug
-        if adapter_ids is not None and pr.lora is not None:
-            raise ValueError("LoRA adapters do not compose with "
-                             "pipeline parallelism")
-        return sharded(pr, tok, ca)
+        if adapter_ids is None:
+            adapter_ids = jnp.zeros((tok.shape[0],), jnp.int32)
+        return sharded(pr, tok, ca, adapter_ids)
 
     return wrapped
 

@@ -91,3 +91,16 @@ def test_init_distributed_noop_when_multiprocess(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     init_distributed()  # no raise = early-returned
+
+
+def test_scaling_proxy_efficiency_dp():
+    """VERDICT r3 #7: cost-normalized scaling-efficiency proxy on the
+    virtual CPU mesh stays >= 80% for data = 2..8 (the sharded decode
+    program adds no per-shard copies/resharding as data grows)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from scaling_bench import proxy_efficiency
+
+    effs = proxy_efficiency([1, 2, 4, 8])
+    for n, e in effs.items():
+        assert e >= 0.8, (n, effs)
