@@ -633,7 +633,7 @@ class Engine:
             def verify_step(params, tokens, cache, slot_keys, temps,
                             topks, topps, minps, reps, freqs, press,
                             bias_toks, bias_vals, counts,
-                            adapter_ids=None, sampled=True,
+                            adapter_ids=None, q_probs=None, sampled=True,
                             use_pen=False, use_bias=False, topk_lp=0):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache,
@@ -657,7 +657,7 @@ class Engine:
                             else None)
                     out, acc = spec_commit(logits, tokens, ks[:, 1],
                                            temps, topks, topps, minps,
-                                           pen, bias)
+                                           pen, bias, q_probs=q_probs)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
@@ -1484,6 +1484,13 @@ class Engine:
             # draft-model KV for the committed stream minus its last
             # token (the drafting invariant, spec.DraftModelProposer)
             self.proposer.admit(slot, req.prompt + req.output)
+            if hasattr(self.proposer, "set_slot_key"):
+                # draft-chain PRNG from the request seed (distinct
+                # domain from the engine's sampling keys)
+                dk = jax.random.fold_in(
+                    jax.random.key(int(seed) & 0x7FFFFFFF), 0xD4A77)
+                self.proposer.set_slot_key(
+                    slot, jax.random.key_data(dk))
         self._prefilling = None
         log.info("admit req=%d slot=%d prompt_len=%d",
                  req.req_id, slot, len(req.prompt))
@@ -1559,12 +1566,23 @@ class Engine:
         toks = np.zeros((self.max_slots, g + 1), np.int32)
         toks[:, 0] = self.last_tokens
         n_prop = np.zeros((self.max_slots,), np.int64)
+        knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
+        sampled = any(not self.slots[i].sampling.greedy for i in active)
+        qprobs = None
         if self._stateful_proposer:
             lens = np.zeros((self.max_slots,), np.int64)
             for i in active:
                 req = self.slots[i]
                 lens[i] = len(req.prompt) + len(req.output)
-            drafts = self.proposer.draft_batch(self.last_tokens, lens)
+            if sampled and hasattr(self.proposer, "draft_batch_sampled"):
+                # sampled-draft speculative SAMPLING: the chain samples
+                # d ~ q under each slot's own knobs and the verify
+                # accepts with min(1, p/q) (spec_commit q_probs) — q
+                # rows never leave the device
+                drafts, qprobs = self.proposer.draft_batch_sampled(
+                    self.last_tokens, lens, *knobs[:4])
+            else:
+                drafts = self.proposer.draft_batch(self.last_tokens, lens)
             toks[:, 1:] = drafts[:, :g]
             n_prop[active] = g
             self._spec_proposed += g * len(active)
@@ -1575,13 +1593,12 @@ class Engine:
                 toks[i, 1:1 + len(d)] = d
                 n_prop[i] = len(d)
                 self._spec_proposed += len(d)
-        knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
         k_lp = self._k_lp(active)
-        sampled = any(not self.slots[i].sampling.greedy for i in active)
         packed, self.cache, self.counts, self.slot_keys = self._verify(
             self.params, jnp.asarray(toks), self.cache, self.slot_keys,
             *knobs,
             self.counts, adapter_ids=jnp.asarray(self._adapter_slot),
+            q_probs=qprobs,
             sampled=sampled or any_pen or any_bias,
             use_pen=any_pen, use_bias=any_bias, topk_lp=k_lp)
         packed = np.asarray(packed)

@@ -219,24 +219,36 @@ def token_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
 def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                 temps: jax.Array, topks: jax.Array, topps: jax.Array,
                 minps: jax.Array | None = None,
-                penalties=None, bias=None) -> tuple[jax.Array, jax.Array]:
-    """Speculative rejection sampling against a DELTA proposal, fully on
-    device (one [B, gamma+2] host fetch stays enough).
+                penalties=None, bias=None,
+                q_probs: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
+    """Speculative rejection sampling, fully on device (one
+    [B, gamma+2] host fetch stays enough).
 
     ``logits`` [B, gamma+1, V]: the verify forward's logits; position j
     predicts stream token j+1. ``tokens`` [B, gamma+1]: the fed tokens —
     tokens[:, 1:] are the gamma draft proposals.
 
     Per slot, with p_j the (temperature/top-k/top-p filtered) target
-    distribution at position j and the proposal q = delta(draft_j):
-    accept draft_j with probability p_j(draft_j) (u < p); on the first
-    rejection commit a sample from the residual norm((p - q)+) = p with
-    the draft entry zeroed; if all gamma accept, commit a bonus sample
-    from p_gamma. This reproduces exact ancestral sampling from the
-    target chain (Leviathan et al. speculative sampling, delta-proposal
-    case). temp==0 slots reduce to the greedy argmax-prefix rule (p is
-    one-hot: accept iff draft == argmax; residual/bonus = argmax), so one
-    program serves mixed batches.
+    distribution at position j:
+
+    * ``q_probs=None`` — DELTA proposal: accept draft_j with probability
+      p_j(draft_j); residual = p with the draft entry zeroed.
+    * ``q_probs`` [B, gamma, V] — the draft model's own (filtered)
+      distributions, with draft_j ~ q_j (standard speculative sampling,
+      Leviathan et al.): accept with min(1, p_j(d)/q_j(d)); residual =
+      norm((p_j - q_j)+). Strictly higher acceptance than the delta rule
+      whenever q carries mass near p. Positions where (p-q)+ sums to ~0
+      (p ≈ q, acceptance ~1 — the rejection event has vanishing
+      probability there) fall back to sampling p, bounding the total-
+      variation error by the guard epsilon.
+
+    On the first rejection commit the residual sample; if all gamma
+    accept, commit a bonus sample from p_gamma. Either rule reproduces
+    exact ancestral sampling from the target chain. temp==0 slots reduce
+    to the greedy argmax-prefix rule (p is one-hot: accept iff draft ==
+    argmax; residual/bonus = argmax), so one program serves mixed
+    batches.
 
     Returns (out [B, gamma+1] committed token per position, acc [B]
     accepted-draft count; positions > acc in ``out`` are garbage).
@@ -271,17 +283,28 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
     if g:
         p_draft = jnp.take_along_axis(
             probs[:, :g], draft[..., None], axis=-1)[..., 0]    # [B, g]
+        if q_probs is not None:
+            q_draft = jnp.take_along_axis(
+                q_probs, draft[..., None], axis=-1)[..., 0]
+            ratio = p_draft / jnp.maximum(q_draft, 1e-38)
+        else:
+            ratio = p_draft     # delta proposal: q(d) = 1
         if key.ndim:
             u = jax.vmap(lambda k: jax.random.uniform(k, (g,)))(key_u)
         else:
             u = jax.random.uniform(key_u, (b, g))
-        accept = (u < p_draft).astype(jnp.int32)
+        accept = (u < ratio).astype(jnp.int32)
         acc = jnp.cumprod(accept, axis=1).sum(axis=1)           # [B]
-        # residual (p - q)+ with q = delta: zero the draft entry
-        resid = probs[:, :g] * (
-            1.0 - (jax.lax.broadcasted_iota(
-                jnp.int32, probs[:, :g].shape, 2)
-                   == draft[..., None]).astype(jnp.float32))
+        if q_probs is not None:
+            resid = jnp.maximum(probs[:, :g] - q_probs, 0.0)
+            rs = jnp.sum(resid, axis=-1, keepdims=True)
+            resid = jnp.where(rs > 1e-9, resid, probs[:, :g])
+        else:
+            # residual (p - q)+ with q = delta: zero the draft entry
+            resid = probs[:, :g] * (
+                1.0 - (jax.lax.broadcasted_iota(
+                    jnp.int32, probs[:, :g].shape, 2)
+                       == draft[..., None]).astype(jnp.float32))
         dist = jnp.concatenate([resid, probs[:, g:]], axis=1)
     else:
         acc = jnp.zeros((b,), jnp.int32)

@@ -22,11 +22,17 @@ differently, so bf16 argmax near-ties can flip between them — the spec
 stream stays deterministic and draft-independent (both properties
 measured in scripts/tpu_draft_spec_probe.py), it is just greedy under
 the verify program's rounding rather than the decode program's.
-Sampled slots run on-device delta-proposal rejection sampling
-(engine/sampler.spec_commit): accept draft d with probability p(d),
-else draw from the residual (p with d zeroed, renormalized) — exact
-ancestral sampling from the target chain, verified statistically in
-tests/test_spec.py.
+Sampled slots run on-device rejection sampling
+(engine/sampler.spec_commit) in one of two forms, both exact ancestral
+sampling from the target chain (verified statistically in
+tests/test_spec.py): DELTA proposals (n-gram drafts, or a greedy draft
+chain) accept d with probability p(d); SAMPLED draft chains
+(DraftModelProposer.draft_batch_sampled, r4) draw d ~ q under the
+request's own knobs and accept with min(1, p(d)/q(d)) with residual
+norm((p-q)+) — the standard speculative-sampling rule, strictly higher
+acceptance (identical draft weights accept ~everything). The q rows
+([B, gamma, V]) never leave the device: the draft dispatch writes them
+to HBM and the verify program consumes them.
 
 The bundled proposer is prompt-lookup / n-gram drafting (model-free): the
 longest suffix n-gram of the slot's token stream is matched against the
@@ -57,13 +63,14 @@ class DraftModelProposer:
     After the target accepts ``a`` drafts + 1 commit token, the new
     stream is ``stream + [c_0..c_a]`` with ``c_j == d_{j+1}`` for j < a
     (the accepted prefix IS the draft prefix — true for greedy argmax
-    acceptance AND for rejection sampling, whose residual/bonus sample
-    only ever lands at position ``a``) — so the draft's KV is valid
-    exactly through the new ``stream'[:-1]`` and setting ``lengths =
-    len(stream') - 1`` at the next round restores the invariant. Sampled
-    slots therefore compose with the draft model too (the engine has no
-    plain-decode fallback anymore); acceptance is just lower because the
-    greedy draft chain proposes against a sampled target.
+    acceptance AND for rejection sampling with EITHER proposal form,
+    whose residual/bonus sample only ever lands at position ``a``) — so
+    the draft's KV is valid exactly through the new ``stream'[:-1]`` and
+    setting ``lengths = len(stream') - 1`` at the next round restores
+    the invariant WITHOUT any replay pass: the one token that can
+    diverge from the drafts (the residual/bonus commit) is stream'[-1],
+    which the invariant excludes. This argument is proposal-agnostic, so
+    the sampled draft chain needs no KV re-sync on rejection either.
 
     Admission: the engine calls :meth:`admit` with the slot's stream; the
     proposer chunk-prefills ``stream[:-1]`` through the draft model into
@@ -120,6 +127,64 @@ class DraftModelProposer:
 
         self._draft = draft_steps
 
+        # per-slot draft-chain PRNG keys (threefry key data): set from the
+        # request seed at admission (engine.set via set_slot_key) so a
+        # request's PROPOSALS are a pure function of its seed + stream —
+        # acceptance randomness stays on the engine's slot_keys, so the
+        # committed distribution is exact regardless, but deterministic
+        # proposals keep the realized stream reproducible too (modulo
+        # preemption: the draft key is not draw-count-replayed).
+        self._keys = jnp.zeros((max_slots, 2), jnp.uint32)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def draft_steps_sampled(params, cache, toks, lengths, keys,
+                                temps, topks, topps, minps):
+            # sampled draft chain (standard speculative sampling): each
+            # step samples d_i ~ q_i under the REQUEST's own knobs and
+            # records the full filtered q_i row — the verify program's
+            # min(1, p/q) acceptance + (p-q)+ residual need it. q rows
+            # stay on device end to end ([B, gamma, V] HBM, never
+            # fetched). Greedy slots (temp 0) degenerate to the argmax
+            # chain with one-hot q.
+            import dataclasses
+
+            from quant_tpu.engine.sampler import (
+                filter_logits, sample_batch,
+            )
+
+            cache = dataclasses.replace(cache, lengths=lengths)
+            b = toks.shape[0]
+            v = cfg.vocab_size
+
+            def body(i, carry):
+                tok, cache, out, qbuf, keys = carry
+                logits, cache = llama.forward(params, tok, cache, cfg)
+                lg = logits[:, -1]
+                ks = jax.vmap(jax.random.split)(
+                    jax.random.wrap_key_data(keys))
+                keys = jax.random.key_data(ks[:, 0])
+                nxt = sample_batch(lg, ks[:, 1], temps, topks, topps,
+                                   minps)[:, None]
+                l2 = filter_logits(lg, temps, topks, topps, minps)
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, lg.shape, 1)
+                    == jnp.argmax(lg, axis=-1)[:, None]).astype(
+                        jnp.float32)
+                q = jnp.where((temps == 0.0)[:, None], onehot,
+                              jax.nn.softmax(l2, axis=-1))
+                out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
+                qbuf = jax.lax.dynamic_update_slice(
+                    qbuf, q[:, None], (0, i, 0))
+                return nxt, cache, out, qbuf, keys
+
+            out = jnp.zeros((b, gamma + 1), jnp.int32)
+            qbuf = jnp.zeros((b, gamma + 1, v), jnp.float32)
+            _, cache, out, qbuf, keys = jax.lax.fori_loop(
+                0, gamma + 1, body, (toks, cache, out, qbuf, keys))
+            return out[:, :gamma], qbuf[:, :gamma], cache, keys
+
+        self._draft_sampled = draft_steps_sampled
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def pf_chunk(params, pf, toks, true_len):
             import dataclasses
@@ -168,6 +233,30 @@ class DraftModelProposer:
             jnp.asarray(np.asarray(last_tokens, np.int32)[:, None]),
             jnp.asarray(lengths))
         return np.asarray(out)
+
+    def set_slot_key(self, slot: int, key_data) -> None:
+        """Seed the slot's draft-chain PRNG (engine calls at admission)."""
+        import jax.numpy as jnp
+
+        self._keys = self._keys.at[slot].set(jnp.asarray(key_data))
+
+    def draft_batch_sampled(self, last_tokens, stream_lens, temps, topks,
+                            topps, minps):
+        """Sampled draft chain: returns (np tokens [max_slots, gamma],
+        DEVICE q_probs [max_slots, gamma, V]) — q never leaves HBM; the
+        engine feeds it straight into the verify program's min(1, p/q)
+        acceptance (sampler.spec_commit q_probs)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        lens = np.asarray(stream_lens, np.int64)
+        lengths = np.where(lens > 0, lens - 1,
+                           self.max_seq).astype(np.int32)
+        out, qprobs, self.cache, self._keys = self._draft_sampled(
+            self.params, self.cache,
+            jnp.asarray(np.asarray(last_tokens, np.int32)[:, None]),
+            jnp.asarray(lengths), self._keys, temps, topks, topps, minps)
+        return np.asarray(out), qprobs
 
 
 class NgramProposer:
