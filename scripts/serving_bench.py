@@ -35,8 +35,14 @@ def main():
     params = llama.init_params_device(cfg, seed=0)
     import jax
     jax.block_until_ready(params.layers.wqkv.codes)
+    # ADMIT_CHUNKS=0 → unbudgeted (pre-r4 behavior: drain every pending
+    # admission before each fused block); default = Engine default (4)
+    ac_env = os.environ.get("ADMIT_CHUNKS")
+    admit = ({} if ac_env is None else
+             {"block_admit_chunks": (None if int(ac_env) == 0
+                                     else int(ac_env))})
     eng = Engine(params, cfg, max_slots=slots, max_seq=max_seq,
-                 eos_id=-1)
+                 eos_id=-1, **admit)
     p_hi = min(256, max_seq // 2)
     m_hi = min(128, max_seq // 4)
     spec = LoadSpec(n_requests=n_req, rate=rate,
