@@ -1785,7 +1785,11 @@ class Engine:
         """
         expired: list[Request] = []
         self._expire_deadlines(expired)
-        self._drain_admission(self.block_admit_chunks)
+        # budget admission only while decode slots would actually stall;
+        # an idle engine drains freely (occupancy ramps at full speed)
+        self._drain_admission(
+            self.block_admit_chunks
+            if any(s is not None for s in self.slots) else None)
         self._grow_for_decode(n)
         self._sync_paged()
         active = [i for i, s in enumerate(self.slots) if s is not None]

@@ -54,13 +54,14 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
     kv = (lambda r: r[0, 0]) if stacked else (lambda r: r[0])
 
     def dq_pair(tile):
-        # int4 KV: split-D nibble unpack. uint8 bitwise has no Mosaic
-        # lowering on this toolchain — go through int32 like the matmul
-        # kernel (dequant_matmul.py) does. The halves are NOT
-        # concatenated along lanes (a [S_blk, Dh] cross-lane shuffle that
-        # made kv4 SLOWER than int8 on hardware, 2026-08-18): each half
-        # is contracted against the matching half of q / written to its
-        # half of pv, so only tiny [rep, Dh/2] outputs ever merge.
+        # int4 KV: HEAD-PAIR nibble unpack (llama._kv_code_dims) —
+        # packed head j holds real heads 2j (low) / 2j+1 (high), so both
+        # halves are FULL-D [hkv/2, S_blk, Dh] tiles and the dots below
+        # run per head parity with only free major-dim reshapes (the old
+        # split-D layout's sub-128 lane dim broke the insert kernel's
+        # DMA and cost a whole-cache relayout per call). uint8 bitwise
+        # has no Mosaic lowering on this toolchain — go through int32
+        # like the matmul kernel (dequant_matmul.py) does.
         if not kv4:
             return tile.astype(jnp.float32), None
         wi = tile.astype(jnp.int32)
@@ -93,12 +94,14 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
     @pl.when(start < length)
     def _():
         q = q_ref[0].astype(jnp.float32) * scale       # [hkv, rep, Dh]
-        klo, khi = dq_pair(kv(kc_ref))                 # [hkv, S_blk, Dh(/2)]
+        klo, khi = dq_pair(kv(kc_ref))               # [hkv(/2), S_blk, Dh]
         if khi is None:
             logits = dot_k(q, klo)                     # [hkv, rep, S_blk]
         else:
-            h2 = q.shape[2] // 2
-            logits = dot_k(q[:, :, :h2], klo) + dot_k(q[:, :, h2:], khi)
+            q2 = q.reshape(hkv // 2, 2, rep, q.shape[2])
+            logits = jnp.stack(
+                [dot_k(q2[:, 0], klo), dot_k(q2[:, 1], khi)],
+                axis=1).reshape(hkv, rep, s_blk)
         # per-token scale on the small logits block (exact: the scale
         # factors out of the Dh contraction)
         logits = logits * kv(ks_ref)[:, None, :]
@@ -114,9 +117,13 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
         vlo, vhi = dq_pair(kv(vc_ref))
         ps = p * kv(vs_ref)[:, None, :]
-        pv = dot_v(ps, vlo)                            # [hkv, rep, Dh(/2)]
-        if vhi is not None:
-            pv = jnp.concatenate([pv, dot_v(ps, vhi)], axis=2)
+        if vhi is None:
+            pv = dot_v(ps, vlo)                        # [hkv, rep, Dh]
+        else:
+            ps2 = ps.reshape(hkv // 2, 2, rep, s_blk)
+            pv = jnp.stack(
+                [dot_v(ps2[:, 0], vlo), dot_v(ps2[:, 1], vhi)],
+                axis=1).reshape(hkv, rep, vlo.shape[2])
         acc_ref[:, :rep] = acc_ref[:, :rep] * alpha + pv
         m_ref[:, :rep] = jnp.broadcast_to(m_new, m_ref[:, :rep].shape)
         l_ref[:, :rep] = jnp.broadcast_to(l_new, l_ref[:, :rep].shape)
@@ -133,7 +140,7 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 def flash_decode_int8(
     q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
     k_codes: jax.Array,  # int8 [B, Hkv, S, Dh] (or [L, ...] with ``layer``;
-                         # uint8 [..., S, Dh/2] = int4 split-D packed)
+                         # uint8 [.., Hkv/2, S, Dh] = int4 head-pair packed)
     k_scale: jax.Array,  # f32  [B, Hkv, S]
     v_codes: jax.Array,
     v_scale: jax.Array,
@@ -161,8 +168,11 @@ def flash_decode_int8(
     """
     stacked = k_codes.ndim == 5
     b, hq, dh = q.shape
-    hkv, s = k_codes.shape[-3], k_codes.shape[-2]
-    dc = k_codes.shape[-1]   # Dh, or Dh/2 when int4-packed
+    s = k_codes.shape[-2]
+    hkv = k_scale.shape[-2]      # scales are per REAL head
+    hc = k_codes.shape[-3]       # = hkv, or hkv/2 for head-pair int4
+    dc = k_codes.shape[-1]
+    kv4 = hc != hkv
     rep = hq // hkv
     if s % s_blk:
         s_blk = s if s < s_blk else max(
@@ -182,7 +192,7 @@ def flash_decode_int8(
 
     kern = functools.partial(
         _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
-        hkv=hkv, rep=rep, stacked=stacked, kv4=dc != dh,
+        hkv=hkv, rep=rep, stacked=stacked, kv4=kv4,
         prec=jax.lax.Precision(precision),
     )
     stride = max(rep, 8)
@@ -194,7 +204,7 @@ def flash_decode_int8(
     out_shape = jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype)
     if not stacked:
         kv_specs = [
-            pl.BlockSpec((1, hkv, s_blk, dc), lambda bb, ss: (bb, 0, ss, 0),
+            pl.BlockSpec((1, hc, s_blk, dc), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
                          memory_space=pltpu.VMEM),
@@ -221,7 +231,7 @@ def flash_decode_int8(
         args = (lengths, qg, k_codes, k_scale, v_codes, v_scale)
     else:
         kv_specs = [
-            pl.BlockSpec((1, 1, hkv, s_blk, dc),
+            pl.BlockSpec((1, 1, hc, s_blk, dc),
                          lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, s_blk),

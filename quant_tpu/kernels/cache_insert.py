@@ -136,7 +136,8 @@ def cache_insert_int8(
     if t != 1:
         raise ValueError("cache_insert_int8 is the decode (T=1) path")
     l, s_loc = kc.shape[0], kc.shape[3]
-    h, d = k_new.shape[2], k_new.shape[3]
+    h, d = k_new.shape[2], k_new.shape[3]   # code heads (Hkv/2 for int4)
+    hs = k_s.shape[2]                       # scale heads = REAL Hkv
     # Mosaic DMA slices need the code minor dim 128-aligned (measured: 64
     # and 32 fail "must be aligned to tiling"). View the codes in a
     # flattened [.., S*d/128, 128] lane layout — a free bitcast — with q
@@ -176,11 +177,11 @@ def cache_insert_int8(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1), lambda g, lr: (0, 0, 0),
+            pl.BlockSpec((b, hs, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1), lambda g, lr: (0, 0, 0),
+            pl.BlockSpec((b, hs, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
@@ -190,8 +191,8 @@ def cache_insert_int8(
              for _ in range(wave)]
             + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
                for _ in range(wave)]
-            + [pltpu.VMEM((h, srows), ks.dtype) for _ in range(wave)]
-            + [pltpu.VMEM((h, srows), vs.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((hs, srows), ks.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((hs, srows), vs.dtype) for _ in range(wave)]
             + [pltpu.SemaphoreType.DMA((wave, 4))]
         ),
     )
@@ -306,7 +307,8 @@ def paged_cache_insert_int8(
         raise ValueError("paged_cache_insert_int8 is the decode (T=1) path")
     l, n_pool, page = kc.shape[0], kc.shape[1], kc.shape[3]
     cap = page_tbl.shape[1] * page
-    h, d = k_new.shape[2], k_new.shape[3]
+    h, d = k_new.shape[2], k_new.shape[3]   # code heads (Hkv/2 for int4)
+    hs = k_s.shape[2]                       # scale heads = REAL Hkv
     if d > _LANES or _LANES % d:
         raise ValueError(f"code dim {d} must divide {_LANES}")
     q = _LANES // d   # lane-view layout — see cache_insert_int8
@@ -338,12 +340,12 @@ def paged_cache_insert_int8(
             pl.BlockSpec((b, h, 1, _LANES),
                          lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1), lambda g, lr, pt: (0, 0, 0),
+            pl.BlockSpec((b, hs, 1), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h, 1, _LANES),
                          lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1), lambda g, lr, pt: (0, 0, 0),
+            pl.BlockSpec((b, hs, 1), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             any_spec(), any_spec(), any_spec(), any_spec(),
         ],
@@ -353,8 +355,8 @@ def paged_cache_insert_int8(
              for _ in range(wave)]
             + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
                for _ in range(wave)]
-            + [pltpu.VMEM((h, srows), ks.dtype) for _ in range(wave)]
-            + [pltpu.VMEM((h, srows), vs.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((hs, srows), ks.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((hs, srows), vs.dtype) for _ in range(wave)]
             + [pltpu.SemaphoreType.DMA((wave, 4))]
         ),
     )

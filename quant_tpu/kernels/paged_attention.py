@@ -53,9 +53,8 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
     stride = max(rep, 8)
 
     def dq_pair(tile):
-        # int4 KV: split-D nibble unpack via int32, kept as halves —
-        # the lane-concat variant was slower than int8 on hardware
-        # (see attention.py dq_pair).
+        # int4 KV: head-pair nibble unpack via int32 (see
+        # attention.py dq_pair / llama._kv_code_dims)
         if not kv4:
             return tile.astype(jnp.float32), None
         wi = tile.astype(jnp.int32)
@@ -84,12 +83,14 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
             preferred_element_type=jnp.float32, precision=prec,
         )
         q = q_ref[0].astype(jnp.float32) * scale       # [hkv, rep, Dh]
-        klo, khi = dq_pair(kc_ref[0, 0])               # [hkv, page, Dh(/2)]
+        klo, khi = dq_pair(kc_ref[0, 0])             # [hkv(/2), page, Dh]
         if khi is None:
             logits = dot_k(q, klo)                     # [hkv, rep, page]
         else:
-            h2 = q.shape[2] // 2
-            logits = dot_k(q[:, :, :h2], klo) + dot_k(q[:, :, h2:], khi)
+            q2 = q.reshape(hkv // 2, 2, rep, q.shape[2])
+            logits = jnp.stack(
+                [dot_k(q2[:, 0], klo), dot_k(q2[:, 1], khi)],
+                axis=1).reshape(hkv, rep, page)
         logits = logits * ks_ref[0, 0][:, None, :]
         pos = start + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
         logits = jnp.where(pos < length, logits, -1e30)
@@ -102,9 +103,13 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
                  + jnp.sum(p, axis=2, keepdims=True))
         vlo, vhi = dq_pair(vc_ref[0, 0])
         ps = p * vs_ref[0, 0][:, None, :]
-        pv = dot_v(ps, vlo)                            # [hkv, rep, Dh(/2)]
-        if vhi is not None:
-            pv = jnp.concatenate([pv, dot_v(ps, vhi)], axis=2)
+        if vhi is None:
+            pv = dot_v(ps, vlo)                        # [hkv, rep, Dh]
+        else:
+            ps2 = ps.reshape(hkv // 2, 2, rep, page)
+            pv = jnp.stack(
+                [dot_v(ps2[:, 0], vlo), dot_v(ps2[:, 1], vhi)],
+                axis=1).reshape(hkv, rep, vlo.shape[2])
         acc_ref[:, :rep] = acc_ref[:, :rep] * alpha + pv
         m_ref[:, :rep] = jnp.broadcast_to(m_new, m_ref[:, :rep].shape)
         l_ref[:, :rep] = jnp.broadcast_to(l_new, l_ref[:, :rep].shape)
@@ -132,7 +137,9 @@ def paged_flash_decode_int8(
     """Returns attention output [B, Hq, Dh] (q.dtype). ``precision``
     as in :func:`quant_tpu.kernels.attention.flash_decode_int8`."""
     b, hq, dh = q.shape
-    _, _, hkv, page, dc = pool_kc.shape  # dc = Dh, or Dh/2 int4-packed
+    _, _, hc, page, dc = pool_kc.shape   # hc = Hkv, or Hkv/2 int4-packed
+    hkv = pool_ks.shape[2]               # scales are per REAL head
+    kv4 = hc != hkv
     n_pages = page_tbl.shape[1]
     rep = hq // hkv
     qg = q.reshape(b, hkv, rep, dh)
@@ -150,7 +157,7 @@ def paged_flash_decode_int8(
 
     kern = functools.partial(
         _kernel, page=page, n_pages=n_pages, scale=1.0 / (dh ** 0.5),
-        hkv=hkv, rep=rep, kv4=dc != dh,
+        hkv=hkv, rep=rep, kv4=kv4,
         prec=jax.lax.Precision(precision),
     )
     stride = max(rep, 8)
@@ -161,11 +168,11 @@ def paged_flash_decode_int8(
             pl.BlockSpec((1, hkv, rep, dh),
                          lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, page, dc), kv_map,
+            pl.BlockSpec((1, 1, hc, page, dc), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, page), kv_map_s,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, page, dc), kv_map,
+            pl.BlockSpec((1, 1, hc, page, dc), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, page), kv_map_s,
                          memory_space=pltpu.VMEM),
@@ -205,14 +212,14 @@ def paged_gather(pool, page_tbl, layer):
 def paged_attention_reference(q, pool_kc, pool_ks, pool_vc, pool_vs,
                               page_tbl, lengths, layer):
     """XLA paged decode attention via page gather (test oracle).
-    int4-packed pools (code dim = Dh/2) are unpacked via dequant_kv."""
+    int4-packed pools (head dim = Hkv/2) are unpacked via dequant_kv."""
     from quant_tpu.models import llama
 
     kc = paged_gather(pool_kc, page_tbl, layer)
     ks = paged_gather(pool_ks, page_tbl, layer)
     vc = paged_gather(pool_vc, page_tbl, layer)
     vs = paged_gather(pool_vs, page_tbl, layer)
-    if kc.shape[-1] != q.shape[-1]:
+    if kc.shape[1] != ks.shape[1]:   # head-pair int4 pool
         kc = llama.dequant_kv(kc, 4)
         vc = llama.dequant_kv(vc, 4)
     positions = (lengths - 1)[:, None]

@@ -99,8 +99,8 @@ class ModelConfig:
     # sel15 exact) — a QUALITY mode: hardware-measured 181 GB/s of packed
     # bytes vs ~520 linear (scripts/tpu_lut_probe.py, 2026-08-19).
     codebook: str | None = None
-    # 8 → int8 KV cache; 4 → int4 (split-D nibble-packed, halves KV HBM
-    # traffic/footprint; XLA attention paths only); 16 → unquantized
+    # 8 → int8 KV cache; 4 → int4 (head-pair nibble-packed, halves KV
+    # HBM traffic/footprint — llama._kv_code_dims); 16 → unquantized
     # (quality ablation; XLA attn only)
     kv_bits: int = 8
     embed_bits: int = 16  # 8 → int8 per-row quantized embedding table
@@ -137,8 +137,10 @@ class ModelConfig:
         if self.kv_bits not in (4, 8, 16):
             raise ValueError(
                 f"kv_bits must be 4, 8 or 16, got {self.kv_bits}")
-        if self.kv_bits == 4 and self.head_dim % 2:
-            raise ValueError("kv_bits=4 needs an even head_dim")
+        if self.kv_bits == 4 and self.n_kv_heads % 2:
+            raise ValueError(
+                "kv_bits=4 packs nibbles across head pairs and needs an "
+                "even n_kv_heads")
         if self.attn_kernel not in ("auto", "xla", "flash", "paged"):
             raise ValueError(f"attn_kernel must be auto|xla|flash|paged, "
                              f"got {self.attn_kernel!r}")

@@ -160,22 +160,37 @@ def _kv_dtype(cfg: ModelConfig):
     if cfg.kv_bits == 8:
         return jnp.int8
     if cfg.kv_bits == 4:
-        return jnp.uint8  # two split-D nibbles per byte
+        return jnp.uint8  # two head-pair nibbles per byte
     return jnp.dtype(cfg.dtype)
 
 
-def _kv_code_dim(cfg: ModelConfig) -> int:
-    return cfg.head_dim // 2 if cfg.kv_bits == 4 else cfg.head_dim
+def _kv_code_dims(cfg: ModelConfig) -> tuple[int, int]:
+    """(head, code) dims of the cache CODE arrays.
+
+    kv_bits=4 packs nibbles across HEAD PAIRS (packed head j = real
+    heads 2j low | 2j+1 high): codes [.., H/2, S, D]. The r4 redesign —
+    the original split-D layout ([.., H, S, D/2]) left the code arrays
+    with a sub-128 lane dim, which Mosaic's DMA slicing rejects in the
+    aliased insert kernel and whose lane-view workaround relayouts the
+    whole cache per call (measured 640 ms/step). Head-pair packing
+    keeps the lane dim at head_dim, packs each token standalone (the
+    XLA scatter prefill path is unchanged), and the attention kernels
+    dot full-D tiles per head parity with only free major-dim
+    reshapes. Scales stay per REAL head ([.., H, S]).
+    """
+    h = cfg.n_kv_heads // 2 if cfg.kv_bits == 4 else cfg.n_kv_heads
+    return h, cfg.head_dim
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
-    l, h, d = cfg.n_layers, cfg.n_kv_heads, _kv_code_dim(cfg)
+    l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
+    hs = cfg.n_kv_heads   # scales stay per REAL head
     cdt = _kv_dtype(cfg)
     return KVCache(
-        k_codes=jnp.zeros((l, batch, h, max_seq, d), cdt),
-        k_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
-        v_codes=jnp.zeros((l, batch, h, max_seq, d), cdt),
-        v_scale=jnp.zeros((l, batch, h, max_seq), jnp.float32),
+        k_codes=jnp.zeros((l, batch, hc, max_seq, d), cdt),
+        k_scale=jnp.zeros((l, batch, hs, max_seq), jnp.float32),
+        v_codes=jnp.zeros((l, batch, hc, max_seq, d), cdt),
+        v_scale=jnp.zeros((l, batch, hs, max_seq), jnp.float32),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -208,15 +223,16 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
                      n_pages: int, page: int = 128) -> PagedKVCache:
     """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
     ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
-    l, h, d = cfg.n_layers, cfg.n_kv_heads, _kv_code_dim(cfg)
+    l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
+    hs = cfg.n_kv_heads   # scales stay per REAL head
     if max_seq % page:
         raise ValueError(f"max_seq {max_seq} must divide by page {page}")
     cdt = _kv_dtype(cfg)
     return PagedKVCache(
-        k_codes=jnp.zeros((l, n_pages, h, page, d), cdt),
-        k_scale=jnp.zeros((l, n_pages, h, page), jnp.float32),
-        v_codes=jnp.zeros((l, n_pages, h, page, d), cdt),
-        v_scale=jnp.zeros((l, n_pages, h, page), jnp.float32),
+        k_codes=jnp.zeros((l, n_pages, hc, page, d), cdt),
+        k_scale=jnp.zeros((l, n_pages, hs, page), jnp.float32),
+        v_codes=jnp.zeros((l, n_pages, hc, page, d), cdt),
+        v_scale=jnp.zeros((l, n_pages, hs, page), jnp.float32),
         page_tbl=jnp.zeros((batch, max_seq // page), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
@@ -263,12 +279,17 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
         return cfg.attn_kernel
     if mode not in ("pallas", "pallas_interpret"):
         return "xla"  # no Pallas backend to select
-    dc = cfg.head_dim // (2 if cfg.kv_bits == 4 else 1)
-    if mode == "pallas" and (128 % dc != 0 or (not paged
-                                               and s_max % 128 != 0)):
-        # the aliased insert kernel's lane-view RMW needs the code dim to
-        # divide 128 and the scale DMA a 128-aligned S (Mosaic rejects
-        # sub-128-lane HBM slices, measured 2026-08-19)
+    if mode == "pallas" and (cfg.head_dim % 128 != 0
+                             or (not paged and s_max % 128 != 0)):
+        # The aliased insert kernel's RMW DMA needs a 128-lane code dim:
+        # Mosaic rejects sub-128-lane HBM slices outright (measured
+        # 2026-08-19: d=64 and d=32 "must be aligned to tiling"), and a
+        # [.., S*d/128, 128] lane-view reshape is NOT a bitcast for
+        # d<128 (the array's physical lanes are padded) — XLA relayouts
+        # the whole cache per call, measured 640 ms/step at the flagship
+        # shape. kv_bits=4 keeps the full head_dim lane (nibbles pack
+        # across HEAD PAIRS, _kv_code_dims), so only sub-128 head_dim
+        # models take the XLA path here.
         return "xla"
     del paged
     return "flash"
@@ -856,13 +877,13 @@ def quantize_kv(x, bits: int = 8):
     """Per-(token, head) symmetric quantization: x [B, T, H, Dh] →
     (codes, scales).
 
-    ``bits=8``: int8 codes. ``bits=4``: two codes per byte packed along
-    Dh in split-D layout — byte d holds (dim d | dim d+Dh/2 << 4), so
-    unpack is a concat, no interleave (mirrors the weight kernel's
-    split-K trick). ``bits=16`` disables KV quantization (quality
-    ablation / fp fallback): codes are the raw activations, scales
-    identity — every cache consumer computes codes*scale so the paths
-    stay shared.
+    ``bits=8``: int8 codes. ``bits=4``: two codes per byte packed across
+    HEAD PAIRS — packed head j holds real head 2j in the low nibble and
+    2j+1 in the high nibble, same token/dim position: codes
+    [B, T, H/2, Dh] (see :func:`_kv_code_dims` for why). Scales stay per
+    REAL head. ``bits=16`` disables KV quantization (quality ablation /
+    fp fallback): codes are the raw activations, scales identity —
+    every cache consumer computes codes*scale so the paths stay shared.
     """
     if bits == 16:
         return x, jnp.ones(x.shape[:-1], jnp.float32)
@@ -871,21 +892,27 @@ def quantize_kv(x, bits: int = 8):
     scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
     codes = jnp.round(x.astype(jnp.float32) / scale[..., None])
     if bits == 4:
-        half = x.shape[-1] // 2
         u = (codes + 8).astype(jnp.uint8)
-        packed = u[..., :half] | (u[..., half:] << 4)
+        packed = u[..., 0::2, :] | (u[..., 1::2, :] << 4)
         return packed.astype(jnp.uint8), scale.astype(jnp.float32)
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def dequant_kv(codes, bits: int):
-    """Cache codes → float32 values in original Dh order (codes*scale is
-    the caller's job). int4: split-D nibble unpack (see quantize_kv)."""
+def dequant_kv(codes, bits: int, head_axis: int = -3):
+    """Cache codes → float32 values with REAL head order restored
+    (codes*scale is the caller's job). int4: head-pair nibble unpack
+    (see quantize_kv) — ``head_axis`` names the packed-head axis: -3
+    for the cache layouts ([B, H/2, S, D] / [P, H/2, page, D]), -2 for
+    the per-token [B, T, H/2, D] layout."""
     if bits != 4:
         return codes.astype(jnp.float32)
     lo = (codes & 0xF).astype(jnp.float32) - 8.0
     hi = (codes >> 4).astype(jnp.float32) - 8.0
-    return jnp.concatenate([lo, hi], axis=-1)
+    ax = head_axis % codes.ndim
+    # interleave pairs back: [.., H/2, ..] -> [.., H/2, 2, ..] -> [.., H, ..]
+    st = jnp.stack([lo, hi], axis=ax + 1)
+    shp = st.shape
+    return st.reshape(*shp[:ax], shp[ax] * 2, *shp[ax + 2:])
 
 
 def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
@@ -983,7 +1010,7 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     psums) — queries are replicated over the axis, KV traffic stays local.
     """
     b, t, hq, dh = q.shape
-    hkv, s = k_codes.shape[1], k_codes.shape[2]
+    hkv, s = k_scale.shape[1], k_codes.shape[2]  # scales: per REAL head
     kv_bits = cfg.kv_bits if cfg is not None else 8
     rep = hq // hkv
     qf = q.astype(jnp.float32) * _q_scale(cfg, dh)
@@ -1036,7 +1063,8 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
     the LSE-merge path instead).
     """
     b, t, hq, dh = q.shape
-    hkv, s = k_codes.shape[1], k_codes.shape[2]
+    hkv, s = k_scale.shape[1], k_codes.shape[2]  # scales: per REAL head
+    hc = k_codes.shape[1]       # = hkv, or hkv/2 for head-pair int4
     kv_bits = cfg.kv_bits if cfg is not None else 8
     if s <= block:
         return attention(q, k_codes, k_scale, v_codes, v_scale, positions,
@@ -1044,13 +1072,13 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
     if s % block:
         block = s  # fall back to one-shot for awkward sizes
     rep = hq // hkv
-    dc = k_codes.shape[-1]  # code dim: Dh/2 packed bytes for int4 KV
+    dc = k_codes.shape[-1]
     qg = (q.astype(jnp.float32) * _q_scale(cfg, dh)).reshape(
         b, t, hkv, rep, dh)
     n_blk = s // block
-    kb = jnp.moveaxis(k_codes.reshape(b, hkv, n_blk, block, dc), 2, 0)
+    kb = jnp.moveaxis(k_codes.reshape(b, hc, n_blk, block, dc), 2, 0)
     ksb = jnp.moveaxis(k_scale.reshape(b, hkv, n_blk, block), 2, 0)
-    vb = jnp.moveaxis(v_codes.reshape(b, hkv, n_blk, block, dc), 2, 0)
+    vb = jnp.moveaxis(v_codes.reshape(b, hc, n_blk, block, dc), 2, 0)
     vsb = jnp.moveaxis(v_scale.reshape(b, hkv, n_blk, block), 2, 0)
     qpos = positions[:, None, None, :, None]
     lim = lengths[:, None, None, None, None]

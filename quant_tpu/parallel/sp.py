@@ -232,8 +232,10 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
         kc, ks, vc, vs = _ring_insert(kc, ks, vc, vs, k_q, k_s, v_q, v_s,
                                       start, idx, s0, seq_axis)
         # attend over the QUANTIZED kv (single-device forward parity)
-        k_hat = llama.dequant_kv(k_q, cfg.kv_bits) * k_s[..., None]
-        v_hat = llama.dequant_kv(v_q, cfg.kv_bits) * v_s[..., None]
+        k_hat = llama.dequant_kv(k_q, cfg.kv_bits,
+                                 head_axis=-2) * k_s[..., None]
+        v_hat = llama.dequant_kv(v_q, cfg.kv_bits,
+                                 head_axis=-2) * v_s[..., None]
         attn = attend(q, k_hat, v_hat, q_pos, q_pos, seq_axis)
         o = psum(mm(attn.reshape(b, t_loc, -1), layers.wo, idx,
                     out_dtype=jnp.float32))

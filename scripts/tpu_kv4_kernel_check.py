@@ -36,8 +36,12 @@ def exact_attention(q, kq, ks, vq, vs, ln):
     ~2e-3 away on hardware (measured 2026-08-18), so it is NOT a valid
     exactness oracle here."""
     def dq4(codes, scales):
+        # head-pair unpack (r4 layout): codes [B, Hkv/2, S, D], packed
+        # head j = real heads 2j (low nibble) / 2j+1 (high)
         c = np.asarray(codes).astype(np.int32)
-        full = np.concatenate([(c & 0xF) - 8, (c >> 4) - 8], axis=-1)
+        lo, hi = (c & 0xF) - 8, (c >> 4) - 8
+        b, h2, ss, dd = c.shape
+        full = np.stack([lo, hi], axis=2).reshape(b, h2 * 2, ss, dd)
         return full.astype(np.float64) * np.asarray(
             scales, np.float64)[..., None]
     kf, vf = dq4(kq, ks), dq4(vq, vs)          # [B, Hkv, S, Dh]
@@ -98,12 +102,12 @@ def check_contiguous():
 def check_paged():
     rng = np.random.default_rng(1)
     l, b, h, d, page, n_pages, s_max = 2, 3, 2, 64, 8, 32, 32
-    dc = d // 2
-    pool = [jnp.asarray(rng.integers(0, 255, (l, n_pages, h, page, dc)
+    hc = h // 2   # head-pair packed code heads
+    pool = [jnp.asarray(rng.integers(0, 255, (l, n_pages, hc, page, d)
                                      ).astype(np.uint8)),
             jnp.asarray(rng.random((l, n_pages, h, page)).astype(
                 np.float32) + 0.5),
-            jnp.asarray(rng.integers(0, 255, (l, n_pages, h, page, dc)
+            jnp.asarray(rng.integers(0, 255, (l, n_pages, hc, page, d)
                                      ).astype(np.uint8)),
             jnp.asarray(rng.random((l, n_pages, h, page)).astype(
                 np.float32) + 0.5)]
@@ -113,9 +117,9 @@ def check_paged():
     q = jnp.asarray(rng.standard_normal((b, 4, d)), jnp.float32)
 
     def host_gather(p, layer):
-        g = np.asarray(p)[layer][np.asarray(tbl)]   # [b, np, h, page, ...]
+        g = np.asarray(p)[layer][np.asarray(tbl)]   # [b, np, h?, page, ..]
         g = np.moveaxis(g, 2, 1)
-        return g.reshape(b, h, -1, *g.shape[4:])
+        return g.reshape(b, g.shape[1], -1, *g.shape[4:])
 
     for layer in range(l):
         kq = host_gather(pool[0], layer)
@@ -152,16 +156,16 @@ def timing():
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0))
             return f
         per = differential_time(make, (q, kc, sc, vc, ln), 4, 40, iters=4)
-        byt = 2 * b * hkv * s * kc.shape[-1]
+        byt = 2 * b * kc.shape[1] * s * kc.shape[-1]
         print(f"  {name} [s_blk={s_blk}]: {per*1e3:.3f} ms "
               f"({byt/per/1e9:.0f} GB/s of cache bytes)", flush=True)
         return per
 
     kc8 = jax.random.randint(ks_[2], (b, hkv, s, d), -127, 127, jnp.int8)
     vc8 = jax.random.randint(ks_[3], (b, hkv, s, d), -127, 127, jnp.int8)
-    kc4 = jax.random.randint(ks_[4], (b, hkv, s, d // 2), 0, 255
+    kc4 = jax.random.randint(ks_[4], (b, hkv // 2, s, d), 0, 255
                              ).astype(jnp.uint8)
-    vc4 = jax.random.randint(ks_[5], (b, hkv, s, d // 2), 0, 255
+    vc4 = jax.random.randint(ks_[5], (b, hkv // 2, s, d), 0, 255
                              ).astype(jnp.uint8)
     p8 = p4 = None
     for s_blk in (256, 512, 1024):

@@ -216,34 +216,35 @@ def test_int8_embedding():
 
 
 def test_resolve_attn_kernel_auto():
-    """attn_kernel="auto" follows the measured hardware crossover
-    (scripts/tpu_attn_compare.py / README table, re-swept 2026-08-18
-    after the flash s_blk=512 retune): flash from S>=2048 at any batch,
-    always for kv_bits=4 (XLA's nibble unpack defuses attention); XLA at
-    short context; never Pallas without a Pallas backend; explicit
-    settings pass through untouched."""
-    auto = dataclasses.replace(CFG, attn_kernel="auto")
+    """attn_kernel="auto" routes every window/softcap-free config to the
+    Pallas kernels (r4 re-sweep, scripts/tpu_attn_compare.py: the
+    batched-dot flash kernel beats XLA at every measured shape) EXCEPT
+    where Mosaic cannot serve them: no Pallas backend, sub-128 head_dim
+    (the insert kernel's DMA lane rule), or non-128-aligned local S.
+    Explicit settings pass through untouched."""
+    big = dataclasses.replace(CFG, head_dim=128)
+    auto = dataclasses.replace(big, attn_kernel="auto")
     r = llama._resolve_attn_kernel
-    assert r(auto, 8, 1024, "pallas") == "xla"
-    assert r(auto, 16, 4096, "pallas") == "flash"
-    assert r(auto, 32, 1024, "pallas") == "xla"
-    assert r(auto, 48, 1024, "pallas") == "xla"
-    assert r(auto, 16, 1024, "pallas") == "flash"  # measured XLA pathology
-    assert r(auto, 32, 2048, "pallas") == "flash"
-    assert r(auto, 8, 8192, "pallas") == "flash"
-    assert r(auto, 32, 16384, "pallas") == "flash"
-    assert r(auto, 64, 16384, "xla") == "xla"  # no pallas backend
-    # kv4: the XLA path materializes the unpacked f32 cache per layer
-    # (2.2x step time) — auto always routes kv4 to the kernel
-    kv4 = dataclasses.replace(CFG, attn_kernel="auto", kv_bits=4)
+    for b, s in ((8, 1024), (48, 1024), (16, 4096), (32, 2048),
+                 (32, 16384)):
+        assert r(auto, b, s, "pallas") == "flash", (b, s)
+    assert r(auto, 64, 16384, "xla") == "xla"      # no pallas backend
+    # kv4 packs nibbles across HEAD PAIRS — the lane dim stays head_dim,
+    # so kv4 rides the kernels whenever int8 would
+    kv4 = dataclasses.replace(auto, kv_bits=4)
     assert r(kv4, 48, 1024, "pallas") == "flash"
-    assert r(kv4, 48, 1024, "xla") == "xla"  # unless no Pallas backend
-    # paged pool: always the Pallas page-table pair (the alternative is a
-    # full per-layer page gather), but never without a Pallas backend
+    assert r(kv4, 48, 1024, "xla") == "xla"        # no pallas backend
+    # sub-128 head_dim / unaligned S: Mosaic rejects the insert DMA
+    small = dataclasses.replace(CFG, attn_kernel="auto")
+    assert r(small, 48, 1024, "pallas") == "xla"
+    assert r(auto, 8, 192, "pallas") == "xla"
+    # interpret mode has no DMA rule — CPU tests exercise the kernels
+    assert r(small, 8, 64, "pallas_interpret") == "flash"
+    # paged pool: the Pallas page-table pair whenever the backend allows
     assert r(auto, 4, 512, "pallas", paged=True) == "flash"
     assert r(auto, 4, 512, "xla", paged=True) == "xla"
     for explicit in ("xla", "flash", "paged"):
-        cfg = dataclasses.replace(CFG, attn_kernel=explicit)
+        cfg = dataclasses.replace(big, attn_kernel=explicit)
         assert r(cfg, 64, 16384, "pallas") == explicit
 
 
@@ -321,8 +322,10 @@ def test_int4_kv_roundtrip_and_forward():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((2, 3, 2, 64)), jnp.float32)
     codes, scale = llama.quantize_kv(x, 4)
-    assert codes.dtype == jnp.uint8 and codes.shape[-1] == 32
-    rec = np.asarray(llama.dequant_kv(codes, 4)) * np.asarray(scale)[..., None]
+    assert codes.dtype == jnp.uint8 and codes.shape == (2, 3, 1, 64)
+    assert scale.shape == (2, 3, 2)
+    rec = (np.asarray(llama.dequant_kv(codes, 4, head_axis=-2))
+           * np.asarray(scale)[..., None])
     # int4 grid: |err| <= scale/2 elementwise
     assert np.all(np.abs(rec - np.asarray(x))
                   <= np.asarray(scale)[..., None] * 0.5 + 1e-6)
@@ -330,7 +333,9 @@ def test_int4_kv_roundtrip_and_forward():
     cfg = dataclasses.replace(CFG, kv_bits=4)
     params = llama.init_params(cfg, seed=0)
     cache = llama.init_cache(cfg, 1, 32)
-    assert cache.k_codes.shape[-1] == cfg.head_dim // 2
+    assert cache.k_codes.shape[2] == cfg.n_kv_heads // 2
+    assert cache.k_codes.shape[-1] == cfg.head_dim
+    assert cache.k_scale.shape[2] == cfg.n_kv_heads
     toks = jnp.asarray([[1, 7, 3, 9]], jnp.int32)
     logits, cache = llama.forward(params, toks, cache, cfg)
     # kv16 reference on the same weights: int4 KV is noisy on a random
@@ -361,10 +366,10 @@ def test_int4_kv_attention_exact_vs_manual_dequant():
     q = jnp.asarray(rng.standard_normal((b, 1, CFG.n_heads, CFG.head_dim)),
                     jnp.float32)
     kc = jnp.asarray(rng.integers(0, 255,
-                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                                  (b, CFG.n_kv_heads // 2, s, CFG.head_dim)),
                      jnp.uint8)
     vc = jnp.asarray(rng.integers(0, 255,
-                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                                  (b, CFG.n_kv_heads // 2, s, CFG.head_dim)),
                      jnp.uint8)
     ks = jnp.abs(jnp.asarray(
         rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
@@ -389,12 +394,12 @@ def test_int4_kv_blockwise_matches_oneshot():
     q = jnp.asarray(rng.standard_normal((b, 4, CFG.n_heads, CFG.head_dim)),
                     jnp.float32)
     kc = jnp.asarray(rng.integers(0, 255,
-                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                                  (b, CFG.n_kv_heads // 2, s, CFG.head_dim)),
                      jnp.uint8)
     ks = jnp.abs(jnp.asarray(
         rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05
     vc = jnp.asarray(rng.integers(0, 255,
-                                  (b, CFG.n_kv_heads, s, CFG.head_dim // 2)),
+                                  (b, CFG.n_kv_heads // 2, s, CFG.head_dim)),
                      jnp.uint8)
     vs = jnp.abs(jnp.asarray(
         rng.standard_normal((b, CFG.n_kv_heads, s)), jnp.float32)) * 0.05

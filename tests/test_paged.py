@@ -211,17 +211,17 @@ def test_paged_flash_decode_int4_kv():
     lengths = [9, 32, 17]
     rng = np.random.default_rng(21)
     l, h, d = CFG.n_layers, CFG.n_kv_heads, CFG.head_dim
-    dc = d // 2
-    kc = rng.integers(0, 255, (l, b, h, s_max, dc)).astype(np.uint8)
+    hc = h // 2   # head-pair packed code heads (r4 kv4 layout)
+    kc = rng.integers(0, 255, (l, b, hc, s_max, d)).astype(np.uint8)
     ks = rng.random((l, b, h, s_max), np.float32) + 0.5
-    vc = rng.integers(0, 255, (l, b, h, s_max, dc)).astype(np.uint8)
+    vc = rng.integers(0, 255, (l, b, hc, s_max, d)).astype(np.uint8)
     vs = rng.random((l, b, h, s_max), np.float32) + 0.5
     n_per = s_max // PAGE
     perm = rng.permutation(np.arange(1, n_pages))[: b * n_per]
     tbl = perm.reshape(b, n_per).astype(np.int32)
-    pool = [np.zeros((l, n_pages, h, PAGE, dc), np.uint8),
+    pool = [np.zeros((l, n_pages, hc, PAGE, d), np.uint8),
             np.zeros((l, n_pages, h, PAGE), np.float32),
-            np.zeros((l, n_pages, h, PAGE, dc), np.uint8),
+            np.zeros((l, n_pages, hc, PAGE, d), np.uint8),
             np.zeros((l, n_pages, h, PAGE), np.float32)]
     for bb in range(b):
         for p in range(n_per):
