@@ -161,6 +161,11 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
             f"model axis {tp} must divide n_heads={cfg.n_heads} and "
             f"n_kv_heads={cfg.n_kv_heads}"
         )
+    if cfg.kv_bits == 4 and (cfg.n_kv_heads // 2) % tp:
+        raise ValueError(
+            f"kv_bits=4 packs KV codes across head pairs ([.., Hkv/2, "
+            f"S, D]) — model axis {tp} must divide "
+            f"n_kv_heads/2={cfg.n_kv_heads // 2}")
     if cache.max_seq % max(sp, 1):
         raise ValueError(f"seq axis {sp} must divide max_seq "
                          f"{cache.max_seq}")
