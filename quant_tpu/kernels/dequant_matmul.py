@@ -433,6 +433,12 @@ def _dequant_matmul_2d(
             (1, tile_g, tn), lambda i, j, kk: (hi_off + lo_row(kk), 0, j),
             memory_space=pltpu.VMEM)
 
+    # f32 compute through decode M (int8→f32 converts measure faster
+    # than →bf16 on this chip); bf16 only for large-M prefill. An r4
+    # experiment moved the threshold to 16 after the flagship trace
+    # showed in-model matmuls at ~500 GB/s (vs the bench's 640) — bf16
+    # tiles at M=48 made the whole step WORSE (16.8 vs 14.7 ms), so the
+    # cast, not the f32 MXU rate, is the binding cost and 64 stands.
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,

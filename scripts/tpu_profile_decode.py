@@ -30,10 +30,12 @@ cfg = ModelConfig(
 def main():
     params = llama.init_params_device(cfg, seed=0)
     jax.block_until_ready(params.layers.wqkv.codes)
-    cache = llama.init_cache(cfg, 16, 1024)
+    import sys
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    cache = llama.init_cache(cfg, b, 1024)
     cache = dataclasses.replace(cache,
-                                lengths=jnp.full((16,), 900, jnp.int32))
-    tok = jnp.ones((16, 1), jnp.int32)
+                                lengths=jnp.full((b,), 900, jnp.int32))
+    tok = jnp.ones((b, 1), jnp.int32)
 
     # donate the cache exactly like the production engine jits — without
     # donation XLA must preserve the input buffers against the in-place

@@ -4,7 +4,10 @@ import jax, jax.numpy as jnp, numpy as np
 from quant_tpu.core.qtensor import quantize_tensor_device
 from quant_tpu.kernels import dequant_matmul
 
-K = N = 4096; M = 16; NW = 8; R_LO, R_HI = 8, 256
+import os, sys
+K = N = 4096
+M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+NW = 8; R_LO, R_HI = 8, 256
 
 def timed(fn, *a, iters=4):
     np.asarray(fn(*a)); ts=[]
