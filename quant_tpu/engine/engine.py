@@ -405,16 +405,15 @@ class Engine:
                 # ``sp_prefill_threshold`` additionally run their body
                 # through the q-sharded ring/Ulysses prefill
                 # (parallel.sp.sp_prefill_forward) — compute shards over
-                # seq, not just KV bytes.
+                # seq, not just KV bytes. Speculation composes: the
+                # verify program's T=gamma+1 forward rides the same
+                # seq_axis machinery as chunked prefill (equality-tested
+                # for n-gram and draft-model proposers).
                 if paged:
                     raise ValueError(
                         "seq>1 engines use the contiguous cache (the "
                         "paged pool's page ids are per-data-shard global "
                         "in S; page-sharding over seq is not implemented)")
-                if spec_gamma:
-                    raise ValueError(
-                        "speculative decoding with a seq axis is not "
-                        "supported yet")
                 if max_seq % sp:
                     raise ValueError(
                         f"seq axis {sp} must divide max_seq {max_seq}")

@@ -107,9 +107,6 @@ def test_mesh_engine_rejections():
     with pytest.raises(ValueError, match="contiguous cache"):
         Engine(params, CFG, max_slots=4, paged=True,
                mesh=make_mesh(model=2, seq=2))
-    with pytest.raises(ValueError, match="seq axis"):
-        Engine(params, CFG, max_slots=4, spec_gamma=2,
-               mesh=make_mesh(model=2, seq=2))
     with pytest.raises(ValueError, match="divide max_seq"):
         Engine(params, CFG, max_slots=4, max_seq=65,
                mesh=make_mesh(model=2, seq=2))
@@ -396,3 +393,31 @@ def test_block_admit_budget_keeps_decode_running():
         assert len(r.output) == 4
     ref = _reference_greedy(params, burst[0].prompt, 4)
     assert burst[0].output == ref
+
+
+def test_spec_on_seq_mesh_matches_reference():
+    """n-gram AND draft-model speculation on a (model, seq) mesh: the
+    verify program's T=gamma+1 forward rides the same seq_axis machinery
+    as chunked prefill (scatter-drop KV writes, LSE-merge attention), so
+    greedy outputs stay bit-equal to the single-device engine."""
+    from quant_tpu.engine.spec import DraftModelProposer
+
+    params_ref = llama.init_params(CFG, seed=0, tp=1)
+    params = llama.init_params(CFG, seed=0, tp=2)
+    mesh = make_mesh(model=2, seq=2)
+    prompts = [_prompts(1, rng_seed=7, lens=(40,))[0], [5, 6, 5, 6, 5, 6]]
+
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=mesh, spec_gamma=2, sp_prefill_threshold=1 << 30)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 6), (p, o)
+
+    prop = DraftModelProposer(llama.init_params(CFG, seed=9, tp=1), CFG,
+                              gamma=2, max_slots=2, max_seq=64)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=mesh, spec_gamma=2, spec_proposer=prop,
+                 sp_prefill_threshold=1 << 30)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _reference_greedy(params_ref, p, 6), (p, o)
