@@ -73,8 +73,8 @@ def _entropy_decode(comp: bytes) -> bytes:
 # Tensor-parallel shard axis per leaf, mirroring parallel.tp._spec_for:
 # (codes_axis, scales_axis); None → replicated. Row-split scales shard along
 # groups only when grouped (G > 1) — checked at write time.
-_COL = {"wqkv", "w_gate_up", "we_gate_up", "lm_head"}
-_ROW = {"wo", "w_down", "we_down"}
+_COL = {"wqkv", "w_gate_up", "we_gate_up", "ws_gate_up", "lm_head"}
+_ROW = {"wo", "w_down", "we_down", "ws_down"}
 
 
 def _shard_axes(name: str, qt: QTensor) -> tuple[int | None, int | None]:
@@ -179,20 +179,24 @@ def _flatten_params(params: LlamaParams) -> dict:
         "final_norm": params.final_norm,
         "lm_head": params.lm_head,
     }
-    n_layers = params.layers.attn_norm.shape[0]
-    for i in range(n_layers):
-        for f in dataclasses.fields(LayerParams):
-            leaf = getattr(params.layers, f.name)
-            if leaf is None:
-                continue
-            if f.name in ("we_gate_up", "we_down"):
-                n_exp = leaf.codes.shape[0]
-                for e in range(n_exp):
-                    out[f"layers.{i}.{f.name}.{e}"] = jax.tree.map(
-                        lambda a: a[e, i], leaf)
-            else:
-                out[f"layers.{i}.{f.name}"] = jax.tree.map(
-                    lambda a: a[i], leaf)
+    for prefix, stack in (("layers", params.layers),
+                          ("layers0", params.layers0)):
+        if stack is None:
+            continue
+        n_layers = stack.attn_norm.shape[0]
+        for i in range(n_layers):
+            for f in dataclasses.fields(LayerParams):
+                leaf = getattr(stack, f.name)
+                if leaf is None:
+                    continue
+                if f.name in ("we_gate_up", "we_down"):
+                    n_exp = leaf.codes.shape[0]
+                    for e in range(n_exp):
+                        out[f"{prefix}.{i}.{f.name}.{e}"] = jax.tree.map(
+                            lambda a: a[e, i], leaf)
+                else:
+                    out[f"{prefix}.{i}.{f.name}"] = jax.tree.map(
+                        lambda a: a[i], leaf)
     return out
 
 
@@ -266,6 +270,10 @@ _OPTIONAL_LAYER_FIELDS = ("q_norm", "k_norm")
 _POST_NORM_FIELDS = ("post_attn_norm", "post_mlp_norm")
 # MoE fields: None (absent) for every dense checkpoint.
 _MOE_LAYER_FIELDS = ("router", "we_gate_up", "we_down")
+# MLA / DeepSeek-MoE fields: None (absent) unless the model uses them
+# (write-side emits them whenever present).
+_MLA_LAYER_FIELDS = ("w_q_b", "w_uk", "w_uv", "q_a_norm", "kv_a_norm",
+                     "ws_gate_up", "ws_down", "router_bias")
 
 
 def _default_layer_leaf(field: str, cfg: ModelConfig):
@@ -273,7 +281,7 @@ def _default_layer_leaf(field: str, cfg: ModelConfig):
         return np.ones((cfg.head_dim,), np.float32)
     if field in _POST_NORM_FIELDS:
         return np.ones((cfg.dim,), np.float32) if cfg.post_norms else None
-    if field in _MOE_LAYER_FIELDS:
+    if field in _MOE_LAYER_FIELDS or field in _MLA_LAYER_FIELDS:
         return None
     if cfg.n_experts and field in ("w_gate_up", "w_down"):
         return None  # MoE checkpoints have no dense MLP
@@ -351,41 +359,48 @@ def _load_v2_host(rd: _BlobReader, cfg: ModelConfig) -> LlamaParams:
     # only the in-flight payloads
     workers = min(8, os.cpu_count() or 1)
 
-    def one(field, i, e=None):
-        name = (f"layers.{i}.{field}" if e is None
-                else f"layers.{i}.{field}.{e}")
+    def one(prefix, field, i, e=None):
+        name = (f"{prefix}.{i}.{field}" if e is None
+                else f"{prefix}.{i}.{field}.{e}")
         return _canonicalize_tp(field, _get_leaf(rd, name, cfg), cfg, tp)
 
     tm = rd.manifest["tensors"]
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        fields = [f.name for f in dataclasses.fields(LayerParams)
-                  if f.name not in ("we_gate_up", "we_down")]
-        futs = {f: [ex.submit(one, f, i) for i in range(cfg.n_layers)]
-                for f in fields}
-        # MoE expert stacks: per-(layer, expert) blobs → [E, L, ...]
-        efuts = {}
-        for f in ("we_gate_up", "we_down"):
-            if f"layers.0.{f}.0" in tm:
-                efuts[f] = [[ex.submit(one, f, i, e)
-                             for i in range(cfg.n_layers)]
-                            for e in range(cfg.n_experts)]
-        stacked = {
-            f: (jax.tree.map(lambda *xs: np.stack(xs),
-                             *[fu.result() for fu in futs[f]])
-                if futs[f][0].result() is not None else None)
-            for f in fields
-        }
-        for f, rows in efuts.items():
-            per_e = [jax.tree.map(lambda *xs: np.stack(xs),
-                                  *[fu.result() for fu in row])
-                     for row in rows]
-            stacked[f] = jax.tree.map(lambda *xs: np.stack(xs), *per_e)
-        layers = LayerParams(**{
-            f.name: stacked.get(f.name)
-            for f in dataclasses.fields(LayerParams)
-        })
+
+    def load_stack(prefix, rows):
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            fields = [f.name for f in dataclasses.fields(LayerParams)
+                      if f.name not in ("we_gate_up", "we_down")]
+            futs = {f: [ex.submit(one, prefix, f, i) for i in range(rows)]
+                    for f in fields}
+            # MoE expert stacks: per-(layer, expert) blobs → [E, L, ...]
+            efuts = {}
+            for f in ("we_gate_up", "we_down"):
+                if f"{prefix}.0.{f}.0" in tm:
+                    efuts[f] = [[ex.submit(one, prefix, f, i, e)
+                                 for i in range(rows)]
+                                for e in range(cfg.n_experts)]
+            stacked = {
+                f: (jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[fu.result() for fu in futs[f]])
+                    if futs[f][0].result() is not None else None)
+                for f in fields
+            }
+            for f, erows in efuts.items():
+                per_e = [jax.tree.map(lambda *xs: np.stack(xs),
+                                      *[fu.result() for fu in row])
+                         for row in erows]
+                stacked[f] = jax.tree.map(lambda *xs: np.stack(xs),
+                                          *per_e)
+            return LayerParams(**{
+                f.name: stacked.get(f.name)
+                for f in dataclasses.fields(LayerParams)
+            })
+
+    k0 = cfg.first_k_dense
+    layers = load_stack("layers", cfg.n_layers - k0)
+    layers0 = load_stack("layers0", k0) if k0 else None
     return LlamaParams(
-        embed=_get_leaf(rd, "embed"), layers=layers,
+        embed=_get_leaf(rd, "embed"), layers=layers, layers0=layers0,
         final_norm=_get_leaf(rd, "final_norm"),
         lm_head=_get_leaf(rd, "lm_head"),
     )
@@ -401,6 +416,8 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
     """Abstract (shapes-only) LlamaParams matching the checkpoint — used to
     derive shardings without allocating anything."""
     tm = manifest["tensors"]
+    k0 = cfg.first_k_dense
+    rows_of = {"layers": cfg.n_layers - k0, "layers0": k0}
 
     def leaf(meta):
         if meta["kind"] == "qembed":
@@ -415,16 +432,17 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
                      if "lut" in meta else None))
         return _sds(meta["data"])
 
-    def stacked(field):
+    def stacked(field, prefix="layers"):
+        rows = rows_of[prefix]
         if field in ("we_gate_up", "we_down"):
-            meta = tm.get(f"layers.0.{field}.0")
+            meta = tm.get(f"{prefix}.0.{field}.0")
             if meta is None:
                 return None
             return jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct(
-                    (cfg.n_experts, cfg.n_layers) + s.shape, s.dtype),
+                    (cfg.n_experts, rows) + s.shape, s.dtype),
                 leaf(meta))
-        meta = tm.get(f"layers.0.{field}")
+        meta = tm.get(f"{prefix}.0.{field}")
         if meta is None:
             d = _default_layer_leaf(field, cfg)
             if d is None:
@@ -433,13 +451,18 @@ def _template_from_manifest(manifest: dict, cfg: ModelConfig
         else:
             l0 = leaf(meta)
         return jax.tree.map(
-            lambda s: jax.ShapeDtypeStruct((cfg.n_layers,) + s.shape,
+            lambda s: jax.ShapeDtypeStruct((rows,) + s.shape,
                                            s.dtype), l0)
 
     layers = LayerParams(**{
         f.name: stacked(f.name) for f in dataclasses.fields(LayerParams)
     })
+    layers0 = (LayerParams(**{
+        f.name: stacked(f.name, "layers0")
+        for f in dataclasses.fields(LayerParams)
+    }) if k0 else None)
     return LlamaParams(embed=leaf(tm["embed"]), layers=layers,
+                       layers0=layers0,
                        final_norm=leaf(tm["final_norm"]),
                        lm_head=leaf(tm["lm_head"]))
 
@@ -472,7 +495,8 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
     def build(path_names, struct, spec):
         name = path_names[0]
         sharding = NamedSharding(mesh, spec)
-        if name == "layers" and path_names[1] in ("we_gate_up", "we_down"):
+        if name in ("layers", "layers0") and path_names[1] in (
+                "we_gate_up", "we_down"):
             field, leaf_field = path_names[1], path_names[-1]
 
             def cb(index):  # index = (expert rng, layer rng, tensor dims)
@@ -483,13 +507,13 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
                     rows = []
                     for li in range(lsl.start or 0,
                                     lsl.stop or struct.shape[1]):
-                        meta = tmeta[f"layers.{li}.{field}.{e}"]
+                        meta = tmeta[f"{name}.{li}.{field}.{e}"]
                         rows.append(rd.ranged(meta[leaf_field], index[2:]))
                     blocks.append(np.stack(rows))
                 return np.stack(blocks)
-        elif name == "layers":
+        elif name in ("layers", "layers0"):
             field, leaf_field = path_names[1], path_names[-1]
-            present = f"layers.0.{field}" in tmeta
+            present = f"{name}.0.{field}" in tmeta
             is_qt = present and tmeta[f"layers.0.{field}"]["kind"] in (
                 "qtensor", "qembed")
 
@@ -502,7 +526,7 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
                         rows.append(
                             _default_layer_leaf(field, cfg)[index[1:]])
                         continue
-                    meta = tmeta[f"layers.{li}.{field}"]
+                    meta = tmeta[f"{name}.{li}.{field}"]
                     meta = meta[leaf_field] if is_qt else meta["data"]
                     rows.append(rd.ranged(meta, index[1:]))
                 return np.stack(rows)
@@ -522,17 +546,19 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
             # tiny codebook tables live inline in the manifest; build the
             # host array ([16] / [L,16] / [E,L,16]) and let device_put
             # shard it per the spec (replicated, or layer-sliced by pipe)
-            if names[0] == "layers" and names[1] in ("we_gate_up",
-                                                     "we_down"):
+            rows = (cfg.n_layers - cfg.first_k_dense
+                    if names[0] == "layers" else cfg.first_k_dense)
+            if names[0] in ("layers", "layers0") and names[1] in (
+                    "we_gate_up", "we_down"):
                 arr = np.stack([
                     np.stack([np.asarray(
-                        tmeta[f"layers.{li}.{names[1]}.{e}"]["lut"],
-                        np.float32) for li in range(cfg.n_layers)])
+                        tmeta[f"{names[0]}.{li}.{names[1]}.{e}"]["lut"],
+                        np.float32) for li in range(rows)])
                     for e in range(cfg.n_experts)])
-            elif names[0] == "layers":
+            elif names[0] in ("layers", "layers0"):
                 arr = np.stack([np.asarray(
-                    tmeta[f"layers.{li}.{names[1]}"]["lut"], np.float32)
-                    for li in range(cfg.n_layers)])
+                    tmeta[f"{names[0]}.{li}.{names[1]}"]["lut"],
+                    np.float32) for li in range(rows)])
             else:
                 arr = np.asarray(tmeta[names[0]]["lut"], np.float32)
             return jax.device_put(arr, NamedSharding(mesh, spec))

@@ -153,6 +153,48 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
                              "(mlp_only_layers / decoder_sparse_step != 1) "
                              "is not supported")
         kw["intermediate"] = hf["moe_intermediate_size"]
+    if mtype in ("deepseek_v2", "deepseek_v3"):
+        v3 = mtype == "deepseek_v3"
+        n_exp = int(hf.get("n_routed_experts") or 0)
+        if not v3 and hf.get("topk_method") not in (
+                None, "greedy", "group_limited_greedy") and n_exp:
+            raise ValueError(
+                f"deepseek_v2 topk_method {hf.get('topk_method')!r} is "
+                "not supported (greedy | group_limited_greedy)")
+        grouped = (v3 or hf.get("topk_method") == "group_limited_greedy")
+        kw.update(
+            n_kv_heads=1,           # MLA: one shared latent per token
+            head_dim=0,             # derive qk_nope + qk_rope (the HF
+                                    # config's head_dim is the ROPE dim)
+            kv_lora_rank=int(hf["kv_lora_rank"]),
+            q_lora_rank=int(hf.get("q_lora_rank") or 0),
+            qk_nope_head_dim=int(hf["qk_nope_head_dim"]),
+            qk_rope_head_dim=int(hf["qk_rope_head_dim"]),
+            v_head_dim=int(hf["v_head_dim"]),
+            # V2 always rotates interleaved pairs (complex rope); V3
+            # stores the choice (rope_interleave, default true)
+            rope_interleaved=bool(hf.get("rope_interleave", True))
+            if v3 else True,
+            n_experts=n_exp,
+            experts_per_token=int(hf.get("num_experts_per_tok") or 2),
+            # the HF V2 gate IGNORES norm_topk_prob; V3 honors it
+            norm_topk=bool(hf.get("norm_topk_prob", v3)) if v3 else False,
+            n_shared_experts=int(hf.get("n_shared_experts") or 0),
+            first_k_dense=(int(hf.get("first_k_dense_replace") or 0)
+                           if n_exp else 0),
+            dense_intermediate=hf["intermediate_size"] if n_exp else 0,
+            intermediate=(hf["moe_intermediate_size"] if n_exp
+                          else hf["intermediate_size"]),
+            routed_scaling=float(hf.get("routed_scaling_factor") or 1.0),
+            score_fn="sigmoid" if v3 else "softmax",
+            router_bias=v3,
+            n_expert_groups=int(hf.get("n_group") or 0) if grouped else 0,
+            topk_groups=int(hf.get("topk_group") or 0) if grouped else 0,
+            group_score="top2sum" if v3 else "max",
+            qkv_bias=False,
+        )
+        if bool(hf.get("attention_bias", False)):
+            raise ValueError("deepseek attention_bias is not supported")
     if float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
         raise ValueError("partial_rotary_factor != 1 is not supported")
     kw.update(overrides)
@@ -273,8 +315,16 @@ def convert_hf_llama(
               qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     del embed
 
+    if cfg.is_mla and (tp != 1 or cal is not None):
+        raise NotImplementedError(
+            "MLA checkpoints convert with tp=1 / algo='rtn' for now "
+            "(TP packing and GPTQ calibration for the low-rank "
+            "projections are not wired)")
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
+        if cfg.is_mla:
+            _convert_layer_deepseek(w, hf, cfg, i, t, qz)
+            continue
         if cal is not None:
             _convert_layer_gptq(w, hf, cfg, cal, i, t, tp)
             continue
@@ -350,6 +400,73 @@ def convert_hf_llama(
             _pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     w.finish()
     return cfg
+
+
+def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
+    """One DeepseekV2/V3 layer → our MLA blob set. Layer i lands in the
+    ``layers0`` stack (dense prefix, local index i) when
+    i < first_k_dense, else in ``layers`` at local index
+    i - first_k_dense. HF's per-head kv_b_proj [H*(dn+dv), r] splits
+    into the ABSORBED w_uk [H, dn, r] / w_uv [H, r, dv] (stored raw
+    f32 — they fold into query/output einsums, not the 2-D stacked
+    matmul kernel)."""
+    pre = f"model.layers.{i}."
+    k0 = cfg.first_k_dense
+    dst = (f"layers0.{i}" if i < k0 else f"layers.{i - k0}")
+    r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+
+    if cfg.q_lora_rank:
+        qpart = t(pre + "self_attn.q_a_proj.weight")
+        w.add(f"{dst}.q_a_norm",
+              hf.get(pre + "self_attn.q_a_layernorm.weight").astype(
+                  np.float32))
+        w.add(f"{dst}.w_q_b", qz(t(pre + "self_attn.q_b_proj.weight")))
+    else:
+        qpart = t(pre + "self_attn.q_proj.weight")
+    kv_a = t(pre + "self_attn.kv_a_proj_with_mqa.weight")
+    w.add(f"{dst}.wqkv", qz(np.concatenate([qpart, kv_a], axis=1)))
+    w.add(f"{dst}.qkv_bias",
+          np.zeros((qpart.shape[1] + r + dr,), np.float32))
+    w.add(f"{dst}.kv_a_norm",
+          hf.get(pre + "self_attn.kv_a_layernorm.weight").astype(
+              np.float32))
+    kvb = hf.get(pre + "self_attn.kv_b_proj.weight").astype(
+        np.float32).reshape(cfg.n_heads, dn + dv, r)
+    w.add(f"{dst}.w_uk", np.ascontiguousarray(kvb[:, :dn, :]))
+    w.add(f"{dst}.w_uv",
+          np.ascontiguousarray(kvb[:, dn:, :].transpose(0, 2, 1)))
+    w.add(f"{dst}.wo", qz(t(pre + "self_attn.o_proj.weight")))
+    w.add(f"{dst}.attn_norm",
+          hf.get(pre + "input_layernorm.weight").astype(np.float32))
+    w.add(f"{dst}.mlp_norm",
+          hf.get(pre + "post_attention_layernorm.weight").astype(
+              np.float32))
+    w.add(f"{dst}.q_norm", np.ones((cfg.head_dim,), np.float32))
+    w.add(f"{dst}.k_norm", np.ones((cfg.head_dim,), np.float32))
+    if i < k0 or not cfg.n_experts:
+        w.add(f"{dst}.w_gate_up", qz(np.concatenate(
+            [t(pre + "mlp.gate_proj.weight"),
+             t(pre + "mlp.up_proj.weight")], axis=1)))
+        w.add(f"{dst}.w_down", qz(t(pre + "mlp.down_proj.weight")))
+        return
+    w.add(f"{dst}.router", t(pre + "mlp.gate.weight"))
+    if cfg.router_bias:
+        w.add(f"{dst}.router_bias",
+              hf.get(pre + "mlp.gate.e_score_correction_bias").astype(
+                  np.float32))
+    if cfg.n_shared_experts:
+        w.add(f"{dst}.ws_gate_up", qz(np.concatenate(
+            [t(pre + "mlp.shared_experts.gate_proj.weight"),
+             t(pre + "mlp.shared_experts.up_proj.weight")], axis=1)))
+        w.add(f"{dst}.ws_down",
+              qz(t(pre + "mlp.shared_experts.down_proj.weight")))
+    for e in range(cfg.n_experts):
+        epre = pre + f"mlp.experts.{e}."
+        w.add(f"{dst}.we_gate_up.{e}", qz(np.concatenate(
+            [t(epre + "gate_proj.weight"),
+             t(epre + "up_proj.weight")], axis=1)))
+        w.add(f"{dst}.we_down.{e}", qz(t(epre + "down_proj.weight")))
 
 
 def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):

@@ -89,6 +89,48 @@ class ModelConfig:
     # this is an opt-in throughput mode, never used for decode.
     moe_prefill: str = "dense"
     moe_capacity_factor: float = 1.5
+    # DeepSeek-V2/V3 multi-head latent attention (MLA): kv_lora_rank > 0
+    # enables it. Projections: (optionally low-rank) q → per-head
+    # [qk_nope | qk_rope]; kv_a → a shared compressed latent
+    # [kv_lora_rank | qk_rope] where only the rope slice is positional
+    # (RoPE'd, shared across heads like MQA). The TPU-first decode uses
+    # the ABSORBED form: per-head up-projections W_UK/W_UV fold into the
+    # query/output sides, attention runs as MQA over the quantized
+    # latent, and the cache stores kv_lora_rank + qk_rope floats per
+    # token TOTAL (DeepSeek-V3: 576 vs Llama-8B GQA's 2048 int8 bytes).
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0          # 0 = direct q projection (V2-Lite)
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # DeepSeek RoPE applies rotation over INTERLEAVED (even, odd) pairs
+    # (HF DeepseekV2 complex rope / DeepseekV3 rope_interleave=True)
+    # instead of the rotate-half split; scores are equal under any fixed
+    # pair layout so ours de-interleaves then rotates half.
+    rope_interleaved: bool = False
+    # DeepSeek MoE (composes with n_experts/experts_per_token/norm_topk):
+    # * n_shared_experts: always-on shared expert(s), one dense GLU with
+    #   intermediate = n_shared_experts * cfg.intermediate, added to the
+    #   routed combination (cfg.intermediate = per-expert width).
+    # * first_k_dense: the first k layers use a plain dense MLP of width
+    #   ``dense_intermediate`` instead of the MoE block.
+    # * routed_scaling: multiplies the kept routing weights.
+    # * score_fn: "softmax" (V2) | "sigmoid" (V3).
+    # * router_bias: V3 e_score_correction_bias — added to scores for
+    #   expert SELECTION only (gathered weights stay unbiased).
+    # * n_expert_groups/topk_groups: group-limited routing — experts
+    #   split into G groups, only the best topk_groups groups are
+    #   routable per token. Group score: "max" of member scores (V2
+    #   group_limited_greedy) | "top2sum" (V3 noaux_tc).
+    n_shared_experts: int = 0
+    first_k_dense: int = 0
+    dense_intermediate: int = 0   # 0 → cfg.intermediate
+    routed_scaling: float = 1.0
+    score_fn: str = "softmax"
+    router_bias: bool = False
+    n_expert_groups: int = 0
+    topk_groups: int = 0
+    group_score: str = "max"
     # quantization
     bits: int = 4
     group_size: int = 128
@@ -122,7 +164,60 @@ class ModelConfig:
     attn_kernel: str = "auto"
     dtype: str = "bfloat16"
 
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def mla_kv_dim(self) -> int:
+        """Per-token latent cache width: [c_kv | k_rope]."""
+        return self.kv_lora_rank + self.qk_rope_head_dim
+
     def __post_init__(self):
+        if self.is_mla:
+            if not (self.qk_nope_head_dim and self.qk_rope_head_dim
+                    and self.v_head_dim):
+                raise ValueError(
+                    "MLA (kv_lora_rank > 0) needs qk_nope_head_dim, "
+                    "qk_rope_head_dim and v_head_dim")
+            if self.n_kv_heads != 1:
+                raise ValueError(
+                    "MLA caches ONE shared latent per token — set "
+                    "n_kv_heads=1")
+            if self.head_dim == 0:
+                # q head dim (scores run at qk_nope + qk_rope width)
+                object.__setattr__(
+                    self, "head_dim",
+                    self.qk_nope_head_dim + self.qk_rope_head_dim)
+            if self.query_pre_attn_scalar == 0:
+                object.__setattr__(
+                    self, "query_pre_attn_scalar",
+                    float(self.qk_nope_head_dim + self.qk_rope_head_dim))
+            if self.kv_bits == 4:
+                raise ValueError("MLA supports kv_bits 8|16 (the latent "
+                                 "has no head pairs to nibble-pack)")
+            if (self.sliding_window or self.attn_softcap or self.qk_norm
+                    or self.post_norms):
+                raise ValueError("MLA does not compose with sliding "
+                                 "windows, softcaps, qk_norm or "
+                                 "post_norms (no DeepSeek model uses "
+                                 "them)")
+        if self.first_k_dense:
+            if not self.n_experts:
+                raise ValueError("first_k_dense needs n_experts > 0")
+            if self.first_k_dense >= self.n_layers:
+                raise ValueError("first_k_dense must leave MoE layers")
+        if self.n_expert_groups:
+            if self.n_experts % self.n_expert_groups:
+                raise ValueError("n_expert_groups must divide n_experts")
+            if not (0 < self.topk_groups <= self.n_expert_groups):
+                raise ValueError("topk_groups must be in "
+                                 "[1, n_expert_groups]")
+            if self.group_score not in ("max", "top2sum"):
+                raise ValueError("group_score must be max|top2sum")
+        if self.score_fn not in ("softmax", "sigmoid"):
+            raise ValueError(f"score_fn must be softmax|sigmoid, "
+                             f"got {self.score_fn!r}")
         if self.head_dim == 0:
             object.__setattr__(self, "head_dim", self.dim // self.n_heads)
         if self.act_fn not in ("silu", "gelu_tanh"):
@@ -280,5 +375,57 @@ PRESETS: dict[str, ModelConfig] = {
         intermediate=768, head_dim=128, rope_theta=1000000.0,
         norm_eps=1e-6, qk_norm=True, embed_bits=8,
         n_experts=128, experts_per_token=8, norm_topk=True,
+    ),
+    # 2-layer MLA toy (DeepSeek-V2-Lite flavor: direct q, interleaved
+    # rope, dense MLP) for unit tests.
+    "test-tiny-mla": ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=1,
+        intermediate=512, group_size=64, kernel_mode="xla",
+        kv_lora_rank=64, qk_nope_head_dim=32, qk_rope_head_dim=16,
+        v_head_dim=32, rope_interleaved=True, norm_eps=1e-6,
+    ),
+    # 3-layer MLA + DeepSeek-V3-flavor MoE toy: low-rank q, sigmoid
+    # scores + selection bias, group-limited top-2-sum routing, 2 shared
+    # experts, 1 dense-prefix layer.
+    "test-tiny-dsv3": ModelConfig(
+        vocab_size=512, dim=256, n_layers=3, n_heads=4, n_kv_heads=1,
+        intermediate=128, group_size=64, kernel_mode="xla",
+        kv_lora_rank=64, q_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, rope_interleaved=True,
+        norm_eps=1e-6, n_experts=8, experts_per_token=2, norm_topk=True,
+        n_shared_experts=2, first_k_dense=1, dense_intermediate=512,
+        routed_scaling=2.5, score_fn="sigmoid", router_bias=True,
+        n_expert_groups=4, topk_groups=2, group_score="top2sum",
+    ),
+    # DeepSeek-V2-Lite (27 layers; MLA r=512/dn=128/dr=64/dv=128 with a
+    # DIRECT q projection; 64-expert top-6 greedy softmax routing with 2
+    # shared experts, first layer dense; interleaved rope). The released
+    # checkpoint's 160k context uses yarn rope scaling — serve at the
+    # 4k-32k native band until yarn lands (rope_scaling="yarn" TODO).
+    "deepseek-v2-lite": ModelConfig(
+        vocab_size=102400, dim=2048, n_layers=27, n_heads=16,
+        n_kv_heads=1, intermediate=1408, rope_theta=10000.0,
+        norm_eps=1e-6, embed_bits=8,
+        kv_lora_rank=512, qk_nope_head_dim=128, qk_rope_head_dim=64,
+        v_head_dim=128, rope_interleaved=True,
+        n_experts=64, experts_per_token=6, norm_topk=False,
+        n_shared_experts=2, first_k_dense=1, dense_intermediate=10944,
+    ),
+    # DeepSeek-V3/R1 (671B total / 37B active): MLA with low-rank q
+    # (1536), 256-expert top-8 sigmoid routing with selection bias,
+    # 8-group top-4 group-limited (top-2-sum group scores), renormed,
+    # routed_scaling 2.5, 1 shared expert, 3 dense-prefix layers.
+    # Latent cache: 576 B/token/layer int8 vs 2048 for Llama-8B GQA.
+    # Same yarn caveat as V2-Lite for >4k native context.
+    "deepseek-v3": ModelConfig(
+        vocab_size=129280, dim=7168, n_layers=61, n_heads=128,
+        n_kv_heads=1, intermediate=2048, rope_theta=10000.0,
+        norm_eps=1e-6, embed_bits=8,
+        kv_lora_rank=512, q_lora_rank=1536, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128, rope_interleaved=True,
+        n_experts=256, experts_per_token=8, norm_topk=True,
+        n_shared_experts=1, first_k_dense=3, dense_intermediate=18432,
+        routed_scaling=2.5, score_fn="sigmoid", router_bias=True,
+        n_expert_groups=8, topk_groups=4, group_score="top2sum",
     ),
 }

@@ -91,6 +91,27 @@ class LayerParams:
     # OUTPUT before the residual add). None unless cfg.post_norms.
     post_attn_norm: Any = None
     post_mlp_norm: Any = None
+    # DeepSeek-V2/V3 multi-head latent attention (cfg.is_mla). wqkv is
+    # repurposed as the fused DOWN projections [D, qpart + r + dr] where
+    # qpart = H*(dn+dr) (direct q, V2-Lite) or q_lora_rank (V3), and the
+    # last r+dr columns are kv_a ([c_kv | k_rope]). Decode runs the
+    # ABSORBED form: w_uk/w_uv are the per-head kv_b up-projections
+    # folded into the query / output sides (dense bf16 [L, H, dn, r] /
+    # [L, H, r, dv] — per-head batched GEMMs don't fit the 2-D stacked
+    # Pallas kernel, and at r=512 they are ~1-3% of model bytes), so
+    # attention is MQA over the quantized latent and the cache holds
+    # r + dr values per token TOTAL.
+    w_q_b: Any = None       # QTensor [L, q_lora_rank, H*(dn+dr)]
+    w_uk: Any = None        # [L, H, dn, r]
+    w_uv: Any = None        # [L, H, r, dv]
+    q_a_norm: Any = None    # [L, q_lora_rank] (q_lora_rank > 0 only)
+    kv_a_norm: Any = None   # [L, r]
+    # DeepSeek MoE: always-on shared expert(s) (one dense GLU of width
+    # n_shared_experts * intermediate) + V3 e_score_correction_bias
+    # (added to routing scores for SELECTION only).
+    ws_gate_up: Any = None  # QTensor [L, D, 2 * sI]
+    ws_down: Any = None     # QTensor [L, sI, D]
+    router_bias: Any = None  # [L, E]
 
 
 @jax.tree_util.register_dataclass
@@ -136,6 +157,12 @@ class LlamaParams:
     # (None = no adapters; forward's ``adapter_ids`` selects per slot).
     # Not part of the base checkpoint.
     lora: Any = None
+    # DeepSeek first_k_dense: the first k layers use a plain dense MLP
+    # — a SEPARATE stacked LayerParams (scan leaves must be uniform, so
+    # dense-prefix and MoE layers cannot share one lax.scan). forward
+    # runs this stack first, then ``layers`` with layer_off=k so cache
+    # writes land at global layer indices. None unless cfg.first_k_dense.
+    layers0: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -186,6 +213,21 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
     l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
     hs = cfg.n_kv_heads   # scales stay per REAL head
     cdt = _kv_dtype(cfg)
+    if cfg.is_mla:
+        # MLA stores ONE shared latent [c_kv | k_rope] per token on the
+        # K side (r + dr values); there is no separate V — attention
+        # outputs probs @ c_kv and the per-head value up-projection
+        # happens OUTSIDE attention (absorbed form). The V buffers stay
+        # in the pytree at zero width so every generic cache consumer
+        # (engine slot moves, prefix caching, scans) works unchanged.
+        d = cfg.mla_kv_dim
+        return KVCache(
+            k_codes=jnp.zeros((l, batch, 1, max_seq, d), cdt),
+            k_scale=jnp.zeros((l, batch, 1, max_seq), jnp.float32),
+            v_codes=jnp.zeros((l, batch, 1, max_seq, 0), cdt),
+            v_scale=jnp.zeros((l, batch, 0, max_seq), jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
     return KVCache(
         k_codes=jnp.zeros((l, batch, hc, max_seq, d), cdt),
         k_scale=jnp.zeros((l, batch, hs, max_seq), jnp.float32),
@@ -223,6 +265,12 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
                      n_pages: int, page: int = 128) -> PagedKVCache:
     """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
     ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
+    if cfg.is_mla:
+        raise NotImplementedError(
+            "paged cache for MLA models is not wired yet — use the "
+            "contiguous cache (the latent is 576 B/token at V3 geometry, "
+            "3.6x smaller than Llama-8B int8 GQA, so contiguous slots "
+            "carry far less HBM pressure to begin with)")
     l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
     hs = cfg.n_kv_heads   # scales stay per REAL head
     if max_seq % page:
@@ -274,6 +322,12 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     if cfg.sliding_window or cfg.attn_softcap:
         # the Pallas decode kernels implement neither the window mask nor
         # tanh softcapping; the XLA paths do
+        return "xla"
+    if cfg.is_mla:
+        # MLA decode is MQA over the latent with the value read being a
+        # PREFIX SLICE of the key read (out = probs @ c_kv) — it gets its
+        # own Pallas kernel (kernels/mla_attention.py) selected directly
+        # in the layer body; the k/v flash pair doesn't fit.
         return "xla"
     if cfg.attn_kernel != "auto":
         return cfg.attn_kernel
@@ -365,9 +419,13 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
     rng = np.random.default_rng(seed)
     d, hd = cfg.dim, cfg.head_dim
     qd, kvd, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
+    if cfg.is_mla and tp != 1:
+        raise NotImplementedError(
+            "MLA tensor parallelism (head-split q/o with a replicated "
+            "latent) is not packed yet — init with tp=1")
 
-    def stack(make):
-        outs = [make(i) for i in range(cfg.n_layers)]
+    def stack(n, make):
+        outs = [make(i) for i in range(n)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     def q(w, kshards=1):
@@ -375,44 +433,95 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
                                kshards=kshards, codebook=cfg.codebook)
 
     moe = cfg.n_experts > 0
-    layers = stack(lambda i: LayerParams(
-        wqkv=q(concat_columns(
-            [_dense(rng, d, qd), _dense(rng, d, kvd), _dense(rng, d, kvd)],
-            tp)),
-        wo=q(_dense(rng, qd, d), kshards=tp),
-        w_gate_up=None if moe else q(concat_columns(
-            [_dense(rng, d, it), _dense(rng, d, it)], tp)),
-        w_down=None if moe else q(_dense(rng, it, d), kshards=tp),
-        attn_norm=jnp.ones((d,), jnp.float32),
-        mlp_norm=jnp.ones((d,), jnp.float32),
-        qkv_bias=(
-            concat_columns(
-                [rng.standard_normal((1, qd), dtype=np.float32) * 0.02,
-                 rng.standard_normal((1, kvd), dtype=np.float32) * 0.02,
-                 rng.standard_normal((1, kvd), dtype=np.float32) * 0.02],
-                tp)[0]
-            if cfg.qkv_bias else jnp.zeros((qd + 2 * kvd,), jnp.float32)
-        ),
-        q_norm=(jnp.asarray(
-            1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
-            if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
-        k_norm=(jnp.asarray(
-            1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
-            if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
-        post_attn_norm=(jnp.asarray(
-            0.1 * rng.standard_normal((d,)), jnp.float32)
-            if cfg.post_norms else None),
-        post_mlp_norm=(jnp.asarray(
-            0.1 * rng.standard_normal((d,)), jnp.float32)
-            if cfg.post_norms else None),
-    ))
+
+    def make_layer(i, moe_l, inter):
+        """One layer's leaves; the rng draw ORDER for non-MLA configs is
+        frozen (wqkv, wo, gate_up, down, bias, q/k norms, post norms) —
+        the quality gate's recorded ppl deltas are seed-exact."""
+        del i
+        attn = {}
+        if not cfg.is_mla:
+            attn["wqkv"] = q(concat_columns(
+                [_dense(rng, d, qd), _dense(rng, d, kvd),
+                 _dense(rng, d, kvd)], tp))
+            attn["wo"] = q(_dense(rng, qd, d), kshards=tp)
+        else:
+            r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+            dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+            qw = cfg.q_lora_rank or cfg.n_heads * (dn + dr)
+            attn["wqkv"] = q(np.concatenate(
+                [_dense(rng, d, qw), _dense(rng, d, r + dr)], axis=1))
+            attn["wo"] = q(_dense(rng, cfg.n_heads * dv, d), kshards=tp)
+            attn["qkv_bias"] = jnp.zeros((qw + r + dr,), jnp.float32)
+            attn["w_q_b"] = (q(_dense(rng, cfg.q_lora_rank,
+                                      cfg.n_heads * (dn + dr)))
+                             if cfg.q_lora_rank else None)
+            attn["w_uk"] = jnp.asarray(rng.standard_normal(
+                (cfg.n_heads, dn, r)) / np.sqrt(dn), jnp.float32)
+            attn["w_uv"] = jnp.asarray(rng.standard_normal(
+                (cfg.n_heads, r, dv)) / np.sqrt(r), jnp.float32)
+            attn["q_a_norm"] = (jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal(cfg.q_lora_rank),
+                jnp.float32) if cfg.q_lora_rank else None)
+            attn["kv_a_norm"] = jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal(r), jnp.float32)
+        w_gate_up = None if moe_l else q(concat_columns(
+            [_dense(rng, d, inter), _dense(rng, d, inter)], tp))
+        w_down = None if moe_l else q(_dense(rng, inter, d), kshards=tp)
+        if not cfg.is_mla:
+            attn["qkv_bias"] = (
+                concat_columns(
+                    [rng.standard_normal((1, qd),
+                                         dtype=np.float32) * 0.02,
+                     rng.standard_normal((1, kvd),
+                                         dtype=np.float32) * 0.02,
+                     rng.standard_normal((1, kvd),
+                                         dtype=np.float32) * 0.02],
+                    tp)[0]
+                if cfg.qkv_bias
+                else jnp.zeros((qd + 2 * kvd,), jnp.float32))
+        si = cfg.n_shared_experts * inter
+        return LayerParams(
+            w_gate_up=w_gate_up,
+            w_down=w_down,
+            attn_norm=jnp.ones((d,), jnp.float32),
+            mlp_norm=jnp.ones((d,), jnp.float32),
+            q_norm=(jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
+                if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
+            k_norm=(jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal((hd,)), jnp.float32)
+                if cfg.qk_norm else jnp.ones((hd,), jnp.float32)),
+            post_attn_norm=(jnp.asarray(
+                0.1 * rng.standard_normal((d,)), jnp.float32)
+                if cfg.post_norms else None),
+            post_mlp_norm=(jnp.asarray(
+                0.1 * rng.standard_normal((d,)), jnp.float32)
+                if cfg.post_norms else None),
+            ws_gate_up=(q(concat_columns(
+                [_dense(rng, d, si), _dense(rng, d, si)], tp))
+                if moe_l and cfg.n_shared_experts else None),
+            ws_down=(q(_dense(rng, si, d), kshards=tp)
+                     if moe_l and cfg.n_shared_experts else None),
+            router_bias=(jnp.asarray(
+                rng.standard_normal(cfg.n_experts) * 0.5, jnp.float32)
+                if moe_l and cfg.router_bias else None),
+            **attn,
+        )
+
+    n_moe = cfg.n_layers - cfg.first_k_dense
+    layers = stack(n_moe if moe else cfg.n_layers,
+                   lambda i: make_layer(i, moe, it))
+    layers0 = (stack(cfg.first_k_dense, lambda i: make_layer(
+        i, False, cfg.dense_intermediate or it))
+        if cfg.first_k_dense else None)
     if moe:
         # expert-major [E, L, ...] stacking: see LayerParams.we_gate_up
         def estack(make):
             rows = [
                 jax.tree.map(
                     lambda *xs: jnp.stack(xs),
-                    *[make() for _ in range(cfg.n_layers)])
+                    *[make() for _ in range(n_moe)])
                 for _ in range(cfg.n_experts)
             ]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
@@ -420,13 +529,14 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
             layers,
             router=jnp.asarray(
                 rng.standard_normal(
-                    (cfg.n_layers, d, cfg.n_experts)) * 0.5,
+                    (n_moe, d, cfg.n_experts)) * 0.5,
                 jnp.float32),
             we_gate_up=estack(lambda: q(concat_columns(
                 [_dense(rng, d, it), _dense(rng, d, it)], tp))),
             we_down=estack(lambda: q(_dense(rng, it, d), kshards=tp)),
         )
     return LlamaParams(
+        layers0=layers0,
         embed=_make_embed(
             rng.standard_normal((cfg.vocab_size, d), dtype=np.float32) * 0.02,
             cfg,
@@ -466,39 +576,82 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
                 chunks.append(p[:, s * wdt:(s + 1) * wdt])
         return jnp.concatenate(chunks, axis=1)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def make_layer(key):
-        ks = jax.random.split(key, 7)
-        qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
-                               group_size=cfg.group_size,
-                               codebook=cfg.codebook)
+    qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
+                           group_size=cfg.group_size,
+                           codebook=cfg.codebook)
+    if cfg.is_mla and tp != 1:
+        raise NotImplementedError("MLA tp>1 packing not wired yet")
+
+    @functools.partial(jax.jit, static_argnames=("inter", "shared"))
+    def make_layer(key, inter=it, shared=0):
+        ks = jax.random.split(key, 12)
+        if cfg.is_mla:
+            r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+            dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+            qw = cfg.q_lora_rank or cfg.n_heads * (dn + dr)
+            attn = dict(
+                wqkv=qz(cat([(ks[0], (d, qw)), (ks[1], (d, r + dr))])),
+                wo=qz(dense(ks[3], cfg.n_heads * dv, d), kshards=tp),
+                qkv_bias=jnp.zeros((qw + r + dr,), jnp.float32),
+                w_q_b=(qz(dense(ks[2], cfg.q_lora_rank,
+                                cfg.n_heads * (dn + dr)))
+                       if cfg.q_lora_rank else None),
+                w_uk=jax.random.normal(
+                    ks[7], (cfg.n_heads, dn, r),
+                    jnp.float32) / np.sqrt(dn),
+                w_uv=jax.random.normal(
+                    ks[8], (cfg.n_heads, r, dv),
+                    jnp.float32) / np.sqrt(r),
+                q_a_norm=(jnp.ones((cfg.q_lora_rank,), jnp.float32)
+                          if cfg.q_lora_rank else None),
+                kv_a_norm=jnp.ones((r,), jnp.float32),
+            )
+        else:
+            attn = dict(
+                wqkv=qz(cat([(ks[0], (d, qd)), (ks[1], (d, kvd)),
+                             (ks[2], (d, kvd))])),
+                wo=qz(dense(ks[3], qd, d), kshards=tp),
+                qkv_bias=jnp.zeros((qd + 2 * kvd,), jnp.float32),
+            )
+        si = shared * inter
         return LayerParams(
-            wqkv=qz(cat([(ks[0], (d, qd)), (ks[1], (d, kvd)),
-                         (ks[2], (d, kvd))])),
-            wo=qz(dense(ks[3], qd, d), kshards=tp),
-            w_gate_up=qz(cat([(ks[4], (d, it)), (ks[5], (d, it))])),
-            w_down=qz(dense(ks[6], it, d), kshards=tp),
+            w_gate_up=(None if cfg.n_experts and not inter else
+                       qz(cat([(ks[4], (d, inter)),
+                               (ks[5], (d, inter))]))),
+            w_down=(None if cfg.n_experts and not inter else
+                    qz(dense(ks[6], inter, d), kshards=tp)),
             attn_norm=jnp.ones((d,), jnp.float32),
             mlp_norm=jnp.ones((d,), jnp.float32),
-            qkv_bias=jnp.zeros((qd + 2 * kvd,), jnp.float32),
             q_norm=jnp.ones((hd,), jnp.float32),
             k_norm=jnp.ones((hd,), jnp.float32),
             post_attn_norm=(jnp.ones((d,), jnp.float32)
                             if cfg.post_norms else None),
             post_mlp_norm=(jnp.ones((d,), jnp.float32)
                            if cfg.post_norms else None),
+            ws_gate_up=(qz(cat([(ks[9], (d, si)), (ks[10], (d, si))]))
+                        if si else None),
+            ws_down=(qz(dense(ks[11], si, d), kshards=tp)
+                     if si else None),
+            **attn,
         )
 
+    k0 = cfg.first_k_dense
+    n_moe = cfg.n_layers - k0
     lkeys = jax.random.split(key, cfg.n_layers + 3)
     layers = jax.tree.map(
         lambda *xs: jnp.stack(xs),
-        *[make_layer(lkeys[i]) for i in range(cfg.n_layers)],
+        *[make_layer(lkeys[k0 + i],
+                     shared=cfg.n_shared_experts if cfg.n_experts else 0)
+          for i in range(n_moe)],
     )
+    layers0 = None
+    if k0:
+        layers0 = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[make_layer(lkeys[i], inter=cfg.dense_intermediate or it)
+              for i in range(k0)],
+        )
     if cfg.n_experts:
-        qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
-                               group_size=cfg.group_size,
-                               codebook=cfg.codebook)
-
         @jax.jit
         def make_expert(key):
             ks = jax.random.split(key, 3)
@@ -506,22 +659,27 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
                     qz(dense(ks[2], it, d), kshards=tp))
 
         ekeys = jax.random.split(
-            jax.random.fold_in(key, 7), cfg.n_experts * cfg.n_layers)
+            jax.random.fold_in(key, 7), cfg.n_experts * n_moe)
         per_e = []
         for e in range(cfg.n_experts):
-            row = [make_expert(ekeys[e * cfg.n_layers + i])
-                   for i in range(cfg.n_layers)]
+            row = [make_expert(ekeys[e * n_moe + i])
+                   for i in range(n_moe)]
             per_e.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
         wgu, wdn = jax.tree.map(lambda *xs: jnp.stack(xs), *per_e)
         layers = dataclasses.replace(
             layers,
             router=0.5 * jax.random.normal(
                 jax.random.fold_in(key, 8),
-                (cfg.n_layers, d, cfg.n_experts), jnp.float32),
+                (n_moe, d, cfg.n_experts), jnp.float32),
+            router_bias=(0.5 * jax.random.normal(
+                jax.random.fold_in(key, 9),
+                (n_moe, cfg.n_experts), jnp.float32)
+                if cfg.router_bias else None),
             we_gate_up=wgu, we_down=wdn,
             w_gate_up=None, w_down=None,
         )
     return LlamaParams(
+        layers0=layers0,
         embed=_make_embed(
             jax.random.normal(lkeys[-1], (cfg.vocab_size, d), jnp.float32)
             * 0.02, cfg,
@@ -553,6 +711,11 @@ def quantize_dense_params(
         return quantize_tensor(np.asarray(w), cfg.bits, cfg.group_size,
                                kshards=kshards, codebook=cfg.codebook)
 
+    if cfg.is_mla:
+        raise NotImplementedError(
+            "MLA checkpoints load through checkpoint.hf.convert_hf_llama "
+            "(DeepseekV2/V3 tensor names) or init_params; the generic "
+            "dense-dict layout has no [q|kv_a]/kv_b naming")
     moe = cfg.n_experts > 0
     per_layer = []
     for i in range(cfg.n_layers):
@@ -676,23 +839,52 @@ def _merge_experts(qt: QTensor) -> QTensor:
     )
 
 
-def moe_route(x, router, cfg: ModelConfig):
-    """Routing weights [B, T, E]: softmax over ALL experts, keep the top
+def moe_route(x, router, cfg: ModelConfig, bias=None):
+    """Routing weights [B, T, E]: score all experts, keep the top
     ``experts_per_token``, zero the rest, renormalize if ``norm_topk``
-    (Mixtral semantics — HF MixtralSparseMoeBlock order)."""
+    (Mixtral semantics — HF MixtralSparseMoeBlock order).
+
+    DeepSeek extensions (exact HF DeepseekV2MoEGate / DeepseekV3TopkRouter
+    order):
+    * ``score_fn="sigmoid"`` (V3) scores with sigmoid instead of softmax.
+    * ``bias`` (V3 e_score_correction_bias [E]) is added to the scores
+      for SELECTION only — the combine weights gather UNBIASED scores.
+    * group-limited routing (``n_expert_groups``): experts split into G
+      contiguous groups; group score = max (V2 group_limited_greedy) or
+      top-2 sum (V3 noaux_tc) of member SELECTION scores; experts outside
+      the best ``topk_groups`` groups have their selection score zeroed
+      (HF masked_fill 0.0 — NOT -inf — replicated exactly).
+    * ``routed_scaling`` multiplies the final kept weights.
+    """
     logits = x.astype(jnp.float32) @ router.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
-    _, top_i = jax.lax.top_k(probs, cfg.experts_per_token)
+    if cfg.score_fn == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    sel = probs if bias is None else probs + bias
+    if cfg.n_expert_groups:
+        g = cfg.n_expert_groups
+        gsel = sel.reshape(*sel.shape[:-1], g, cfg.n_experts // g)
+        if cfg.group_score == "top2sum":
+            top2, _ = jax.lax.top_k(gsel, 2)
+            gscore = jnp.sum(top2, axis=-1)
+        else:
+            gscore = jnp.max(gsel, axis=-1)
+        _, gi = jax.lax.top_k(gscore, cfg.topk_groups)
+        gmask = jnp.sum(jax.nn.one_hot(gi, g, dtype=sel.dtype), axis=-2)
+        sel = jnp.where(gmask[..., None] > 0, gsel, 0.0).reshape(sel.shape)
+    _, top_i = jax.lax.top_k(sel, cfg.experts_per_token)
     mask = jnp.sum(
         jax.nn.one_hot(top_i, cfg.n_experts, dtype=probs.dtype), axis=-2)
     w = probs * mask
     if cfg.norm_topk:
         w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
-    return w
+    return w * cfg.routed_scaling
 
 
 def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
-              expert_axis=None, lora=None, adapter_ids=None):
+              expert_axis=None, lora=None, adapter_ids=None,
+              router_bias=None):
     """MLP residual delta in f32, psum'd over the given mesh axes.
 
     Dense (n_experts=0): fused gate|up column matmul + row-split down,
@@ -726,7 +918,21 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
                                    adapter_ids)
         return jax.lax.psum(out, axis) if axis else out
 
-    w = moe_route(x, router, cfg)                      # [B, T, E]
+    # DeepSeek shared expert(s): one always-on dense GLU added to the
+    # routed combination. TP-sharded like the dense MLP (column gate|up,
+    # row down) but REPLICATED over the expert axis, so its partial sums
+    # join the TP psum only — psumming it over expert_axis would
+    # multiply the shared output by the EP degree.
+    shared = None
+    if cfg.n_shared_experts:
+        sgu = mm(x, layers.ws_gate_up, idx)
+        sg, su = jnp.split(sgu, 2, axis=-1)
+        s_in = _act(cfg)(sg.astype(jnp.float32)).astype(dt) * su
+        shared = mm(s_in, layers.ws_down, idx, out_dtype=jnp.float32)
+        if axis:
+            shared = jax.lax.psum(shared, axis)
+
+    w = moe_route(x, router, cfg, bias=router_bias)    # [B, T, E]
     wgu = _merge_experts(layers.we_gate_up.local_view())
     wdn = _merge_experts(layers.we_down.local_view())
     l_stack = layers.attn_norm.shape[0]                # shard-local L
@@ -738,8 +944,9 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     if (cfg.moe_prefill == "capacity" and x.shape[-2] > 1
             and int(np.prod(x.shape[:-1])) * cfg.experts_per_token
             >= 2 * cfg.n_experts):
-        return _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg,
-                             mm, dt, axes)
+        routed = _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg,
+                               mm, dt, axes)
+        return routed if shared is None else routed + shared
     # Zero-routed-expert skip, gated STATICALLY on token count: with few
     # tokens the lax.cond's false branch never touches an unrouted
     # expert's packed codes, so HBM reads drop from E experts to the
@@ -771,7 +978,8 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
                 x, we)
         else:
             out = out + _expert(x, we)
-    return jax.lax.psum(out, axes) if axes else out
+    out = jax.lax.psum(out, axes) if axes else out
+    return out if shared is None else out + shared
 
 
 def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
@@ -851,12 +1059,28 @@ def _layer_theta(cfg: ModelConfig, window):
     return th, div
 
 
+def _deinterleave(x):
+    """[..., d] with INTERLEAVED rotary pairs → [evens | odds].
+
+    DeepSeek rotates (x[2i], x[2i+1]) pairs (HF DeepseekV2 complex rope /
+    DeepseekV3 rope_interleave). De-interleaving then applying rotate-half
+    RoPE rotates exactly the same pairs with the same frequencies; the
+    output is a fixed permutation of HF's, applied identically to q and
+    k, so attention scores (and therefore the model) are unchanged —
+    matches HF's own apply_rotary_pos_emb_interleave transform."""
+    *s, d = x.shape
+    y = x.reshape(*s, d // 2, 2)
+    return jnp.moveaxis(y, -1, -2).reshape(*s, d)
+
+
 def _rope(x, positions, theta, cfg: ModelConfig | None = None,
           theta_override=None):
     """Rotate-half RoPE. x [B, T, H, Dh], positions [B, T] int32.
-    ``cfg`` applies its rope_scaling (None → plain RoPE);
-    ``theta_override`` = (traced theta, freq divisor) from
-    :func:`_layer_theta` for per-layer rope bases."""
+    ``cfg`` applies its rope_scaling (None → plain RoPE) and
+    rope_interleaved pair layout; ``theta_override`` = (traced theta,
+    freq divisor) from :func:`_layer_theta` for per-layer rope bases."""
+    if cfg is not None and cfg.rope_interleaved:
+        x = _deinterleave(x)
     b, t, h, dh = x.shape
     half = dh // 2
     if theta_override is not None:
@@ -1030,12 +1254,15 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     elif cfg is not None and cfg.sliding_window:
         valid &= key_pos > qpos - cfg.sliding_window
     logits = jnp.where(valid, logits, -1e30)
+    # MLA passes v = a prefix slice of the latent keys, so the output
+    # width follows V, not the query head dim.
+    dv = v_codes.shape[-1] if kv_bits != 4 else dh
     if seq_axis is None:
         probs = jax.nn.softmax(logits, axis=-1)
         pv = probs * v_scale[:, :, None, None, :]
         out = jnp.einsum("bhrts,bhsd->bthrd", pv,
                          dequant_kv(v_codes, kv_bits))
-        return out.reshape(b, t, hq, dh).astype(q.dtype)
+        return out.reshape(b, t, hq, dv).astype(q.dtype)
     # Partial (flash-style) stats over the local shard, then LSE-merge.
     m_loc = jnp.max(logits, axis=-1, keepdims=True)          # [b,h,r,t,1]
     p = jnp.where(valid, jnp.exp(logits - m_loc), 0.0)
@@ -1048,7 +1275,7 @@ def attention(q, k_codes, k_scale, v_codes, v_scale, positions, lengths, cfg,
     o_glob = jax.lax.psum(o_loc * w, seq_axis)
     out = o_glob / jnp.maximum(l_glob, 1e-20)
     # [b,h,r,t,d] → [b,t,h,r,d]
-    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dh)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dv)
     return out.astype(q.dtype)
 
 
@@ -1078,7 +1305,8 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
     n_blk = s // block
     kb = jnp.moveaxis(k_codes.reshape(b, hc, n_blk, block, dc), 2, 0)
     ksb = jnp.moveaxis(k_scale.reshape(b, hkv, n_blk, block), 2, 0)
-    vb = jnp.moveaxis(v_codes.reshape(b, hc, n_blk, block, dc), 2, 0)
+    vb = jnp.moveaxis(
+        v_codes.reshape(b, hc, n_blk, block, v_codes.shape[-1]), 2, 0)
     vsb = jnp.moveaxis(v_scale.reshape(b, hkv, n_blk, block), 2, 0)
     qpos = positions[:, None, None, :, None]
     lim = lengths[:, None, None, None, None]
@@ -1107,13 +1335,14 @@ def attention_blockwise(q, k_codes, k_scale, v_codes, v_scale, positions,
                                    dequant_kv(vcb, kv_bits))
         return (m_new, l, o, blk_idx + 1), None
 
+    dv = v_codes.shape[-1] if kv_bits != 4 else dh
     m0 = jnp.full((b, hkv, rep, t, 1), -1e30, jnp.float32)
     l0 = jnp.zeros((b, hkv, rep, t, 1), jnp.float32)
-    o0 = jnp.zeros((b, hkv, rep, t, dh), jnp.float32)
+    o0 = jnp.zeros((b, hkv, rep, t, dv), jnp.float32)
     (m, l, o, _), _ = jax.lax.scan(body, (m0, l0, o0, jnp.int32(0)),
                                    (kb, ksb, vb, vsb))
     out = o / jnp.maximum(l, 1e-20)
-    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dh)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, hq, dv)
     return out.astype(q.dtype)
 
 
@@ -1166,18 +1395,43 @@ def forward(
 
     if params.lora is not None and adapter_ids is None:
         adapter_ids = jnp.zeros((b,), jnp.int32)  # all-base
-    layer_step = make_layer_step(
-        params.layers, cache.lengths, cfg, mm, b, t, positions, new_lengths,
-        s0, axis, dt, seq_axis,
+    if params.lora is not None and cfg.is_mla:
+        raise NotImplementedError(
+            "LoRA adapters target the GQA/GLU projection shapes; MLA "
+            "(low-rank q/kv + absorbed up-projections) needs its own "
+            "adapter wiring")
+    common = dict(
         page_tbl=cache.page_tbl if paged else None,
         expert_axis=expert_axis,
         lora=params.lora, adapter_ids=adapter_ids,
     )
-    (h, kc, ks, vc, vs), _ = jax.lax.scan(
-        layer_step,
-        (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale),
-        scan_xs(params.layers, cfg),
-    )
+    carry = (h, cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale)
+    if cfg.first_k_dense and params.layers0 is not None:
+        # DeepSeek dense-prefix layers: same attention, plain dense MLP —
+        # a separate scan over the prefix stack (uniform scan leaves),
+        # then the MoE stack with cache writes offset to global layers.
+        cfg0 = dataclasses.replace(
+            cfg, n_experts=0, first_k_dense=0, n_shared_experts=0,
+            router_bias=False, n_expert_groups=0, topk_groups=0)
+        step0 = make_layer_step(
+            params.layers0, cache.lengths, cfg0, mm, b, t, positions,
+            new_lengths, s0, axis, dt, seq_axis, **common)
+        carry, _ = jax.lax.scan(
+            step0, carry, scan_xs(params.layers0, cfg0, layer0=0))
+        layer_step = make_layer_step(
+            params.layers, cache.lengths, cfg, mm, b, t, positions,
+            new_lengths, s0, axis, dt, seq_axis,
+            layer_off=cfg.first_k_dense, **common)
+        carry, _ = jax.lax.scan(
+            layer_step, carry,
+            scan_xs(params.layers, cfg, layer0=cfg.first_k_dense))
+    else:
+        layer_step = make_layer_step(
+            params.layers, cache.lengths, cfg, mm, b, t, positions,
+            new_lengths, s0, axis, dt, seq_axis, **common)
+        carry, _ = jax.lax.scan(layer_step, carry, scan_xs(params.layers,
+                                                           cfg))
+    h, kc, ks, vc, vs = carry
     h = rmsnorm(h, params.final_norm, cfg.norm_eps, cfg.norm_offset)
     if return_hidden:
         # final-norm hidden states instead of logits (embeddings API);
@@ -1225,16 +1479,23 @@ def scan_xs(layers, cfg: ModelConfig, layer0=None) -> tuple:
     win = layer_windows(cfg)
     if layer0 is not None:
         win = jax.lax.dynamic_slice_in_dim(win, layer0, l_stack)
+    # trailing MLA / DeepSeek-MoE leaves fall back to attn_norm (same
+    # statically-ignored-placeholder trick as the post-norm slots)
     return (layers.attn_norm, layers.mlp_norm, layers.qkv_bias,
             layers.q_norm, layers.k_norm, layers.router,
             layers.post_attn_norm if cfg.post_norms else layers.attn_norm,
             layers.post_mlp_norm if cfg.post_norms else layers.attn_norm,
-            win, jnp.arange(l_stack))
+            win, jnp.arange(l_stack),
+            (layers.q_a_norm if cfg.is_mla and cfg.q_lora_rank
+             else layers.attn_norm),
+            layers.kv_a_norm if cfg.is_mla else layers.attn_norm,
+            layers.router_bias if cfg.router_bias else layers.attn_norm)
 
 
 def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                     s0, axis, dt, seq_axis, batch0=None, page_tbl=None,
-                    expert_axis=None, lora=None, adapter_ids=None):
+                    expert_axis=None, lora=None, adapter_ids=None,
+                    layer_off: int = 0):
     """Scan body over the stacked layer axis, carrying the FULL caches.
 
     The carry is (h, k_codes, k_scale, v_codes, v_scale) with caches at
@@ -1266,11 +1527,19 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
         (attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router,
-         post_attn, post_mlp, win, idx) = xs
+         post_attn, post_mlp, win, idx, q_a_norm, kv_a_norm, r_bias) = xs
+        # weights index with the LOCAL stack position (idx); caches index
+        # with the GLOBAL layer (gidx) — they differ only for the MoE
+        # stack of a first_k_dense model (layer_off = k).
+        gidx = idx + layer_off if layer_off else idx
         # traced per-layer window only when the family uses one (static
         # gate keeps the mask out of Llama-style traces entirely)
         window = win if cfg.sliding_window else None
         x = rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
+        if cfg.is_mla:
+            return _mla_attn(h, x, kc, ks, vc, vs, mlp_norm, idx, gidx,
+                             router, post_attn, post_mlp, q_a_norm,
+                             kv_a_norm, r_bias)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         if lora is not None:
             from quant_tpu.models.lora import lora_delta
@@ -1313,23 +1582,23 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                     paged_flash_decode_int8,
                 )
                 kc, ks, vc, vs = paged_cache_insert_int8(
-                    kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, idx,
+                    kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, gidx,
                     page_tbl, interpret=interp)
                 attn = paged_flash_decode_int8(
-                    q[:, 0], kc, ks, vc, vs, page_tbl, new_lengths, idx,
+                    q[:, 0], kc, ks, vc, vs, page_tbl, new_lengths, gidx,
                     interpret=interp)[:, None]
             else:
                 from quant_tpu.kernels.paged_attention import paged_gather
 
                 kc, ks = _paged_insert_at_layer(kc, ks, k_q, k_s, lengths,
-                                                idx, page_tbl)
+                                                gidx, page_tbl)
                 vc, vs = _paged_insert_at_layer(vc, vs, v_q, v_s, lengths,
-                                                idx, page_tbl)
+                                                gidx, page_tbl)
                 att = attention_blockwise if t > 1 else attention
-                attn = att(q, paged_gather(kc, page_tbl, idx),
-                           paged_gather(ks, page_tbl, idx),
-                           paged_gather(vc, page_tbl, idx),
-                           paged_gather(vs, page_tbl, idx),
+                attn = att(q, paged_gather(kc, page_tbl, gidx),
+                           paged_gather(ks, page_tbl, gidx),
+                           paged_gather(vc, page_tbl, gidx),
+                           paged_gather(vs, page_tbl, gidx),
                            positions, new_lengths, cfg, window=window)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
                          post_attn, post_mlp)
@@ -1343,25 +1612,25 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # DMA kernel updates the buffers in place instead.
             from quant_tpu.kernels.cache_insert import cache_insert_int8
             kc, ks, vc, vs = cache_insert_int8(
-                kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, idx, s0,
+                kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, gidx, s0,
                 interpret=(mode == "pallas_interpret"),
             )
         else:
-            kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, idx,
+            kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, gidx,
                                             s0, batch0=batch0)
-            vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, idx,
+            vc, vs = _cache_insert_at_layer(vc, vs, v_q, v_s, lengths, gidx,
                                             s0, batch0=batch0)
         if flash:
             # Decode hot path: Pallas flash kernel streams the int8 cache
             # straight from the stacked buffer (layer via scalar prefetch).
             from quant_tpu.kernels.attention import flash_decode_int8
             attn = flash_decode_int8(
-                q[:, 0], kc, ks, vc, vs, new_lengths, idx,
+                q[:, 0], kc, ks, vc, vs, new_lengths, gidx,
                 interpret=(mode == "pallas_interpret"),
             )[:, None]
         else:
             def sl(a):
-                a = jax.lax.dynamic_index_in_dim(a, idx, 0, False)
+                a = jax.lax.dynamic_index_in_dim(a, gidx, 0, False)
                 if batch0 is not None:
                     a = jax.lax.dynamic_slice_in_dim(a, batch0, b, axis=0)
                 return a
@@ -1377,10 +1646,75 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                                  seq_axis=seq_axis, key_offset=s0,
                                  window=window)
         return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
-                     post_attn, post_mlp)
+                     post_attn, post_mlp, r_bias)
+
+    def _mla_attn(h, x, kc, ks, vc, vs, mlp_norm, idx, gidx, router,
+                  post_attn, post_mlp, q_a_norm, kv_a_norm, r_bias):
+        """DeepSeek MLA attention in the ABSORBED form (HF DeepseekV2/V3
+        attention semantics, TPU-first execution):
+
+        * ONE fused down-projection matmul gives [q-part | c_kv | k_rope]
+          (wqkv packs w_q(_a) with kv_a_proj_with_mqa).
+        * The per-head key up-projection W_UK folds into the QUERY
+          (q_abs[h] = W_UK[h]^T q_nope[h]), so attention is MQA over the
+          quantized latent [c_kv | k_rope] — ONE shared r+dr row per
+          token in the cache instead of H*(dn+dv) — and the score
+          q_abs·c + q_pe·k_pe equals HF's q_nope·(W_UK c) + q_pe·k_pe.
+        * The value read is a PREFIX SLICE of the key read
+          (out_lat = probs @ c_kv); W_UV applies OUTSIDE attention.
+        The latent is quantized per token with one joint scale over the
+        r+dr row (kv_bits 8|16); vc/vs stay untouched (zero width).
+        """
+        r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+        akv = mm(x, layers.wqkv, idx)            # [B,T, qpart + r + dr]
+        qp = akv[..., :akv.shape[-1] - (r + dr)]
+        ckv = akv[..., akv.shape[-1] - (r + dr):]
+        if cfg.q_lora_rank:
+            qp = rmsnorm(qp, q_a_norm, cfg.norm_eps)
+            qp = mm(qp, layers.w_q_b, idx)
+        qh = qp.reshape(b, t, -1, dn + dr)       # [B,T,Hloc,dn+dr]
+        q_nope, q_pe = qh[..., :dn], qh[..., dn:]
+        c = rmsnorm(ckv[..., :r], kv_a_norm, cfg.norm_eps)
+        k_pe = ckv[..., r:][:, :, None, :]       # [B,T,1,dr] (MQA rope)
+        q_pe = _rope(q_pe, positions, cfg.rope_theta, cfg)
+        k_pe = _rope(k_pe, positions, cfg.rope_theta, cfg)
+        w_uk = jax.lax.dynamic_index_in_dim(layers.w_uk, idx, 0, False)
+        w_uv = jax.lax.dynamic_index_in_dim(layers.w_uv, idx, 0, False)
+        # absorbed up-projections run in the activation dtype (bf16 →
+        # native MXU dots; f32 in the parity tests). CPU XLA cannot even
+        # lower a bf16xbf16->f32 dot, and the latent quantization right
+        # after bounds the precision this could buy.
+        q_abs = jnp.einsum("bthn,hnr->bthr", q_nope,
+                           w_uk.astype(q_nope.dtype))
+        q_eff = jnp.concatenate([q_abs.astype(dt), q_pe.astype(dt)],
+                                axis=-1)
+        lat = jnp.concatenate([c, k_pe[:, :, 0].astype(c.dtype)],
+                              axis=-1)[:, :, None, :]    # [B,T,1,r+dr]
+        k_q, k_s = quantize_kv(lat.astype(dt), cfg.kv_bits)
+        kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, gidx,
+                                        s0, batch0=batch0)
+
+        def sl(a):
+            a = jax.lax.dynamic_index_in_dim(a, gidx, 0, False)
+            if batch0 is not None:
+                a = jax.lax.dynamic_slice_in_dim(a, batch0, b, axis=0)
+            return a
+        kcl, ksl = sl(kc), sl(ks)
+        if t > 1 and seq_axis is None:
+            o_lat = attention_blockwise(q_eff, kcl, ksl, kcl[..., :r],
+                                        ksl, positions, new_lengths, cfg)
+        else:
+            o_lat = attention(q_eff, kcl, ksl, kcl[..., :r], ksl,
+                              positions, new_lengths, cfg,
+                              seq_axis=seq_axis, key_offset=s0)
+        out = jnp.einsum("bthr,hrv->bthv", o_lat.astype(dt),
+                         w_uv.astype(dt))
+        return _tail(h, out, kc, ks, vc, vs, mlp_norm, idx, router,
+                     post_attn, post_mlp, r_bias)
 
     def _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
-              post_attn, post_mlp):
+              post_attn, post_mlp, r_bias=None):
         # Row-split partials psum in f32 (casting to bf16 before the
         # cross-shard sum would make TP results drift from single-device).
         attn2 = attn.reshape(b, t, -1)
@@ -1399,7 +1733,8 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         x = rmsnorm(h, mlp_norm, cfg.norm_eps, cfg.norm_offset)
         m = mlp_block(x, layers, idx, cfg, mm, dt, axis=axis,
                       router=router, expert_axis=expert_axis,
-                      lora=lora, adapter_ids=adapter_ids)
+                      lora=lora, adapter_ids=adapter_ids,
+                      router_bias=r_bias if cfg.router_bias else None)
         if cfg.post_norms:
             m = rmsnorm(m, post_mlp, cfg.norm_eps, cfg.norm_offset)
         h = h + m.astype(dt)

@@ -191,6 +191,12 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     if params.lora is not None:
         raise ValueError("sp_prefill_forward does not implement LoRA "
                          "deltas")
+    if cfg.is_mla or cfg.first_k_dense:
+        raise ValueError(
+            "sp_prefill_forward does not implement MLA — long MLA "
+            "prompts go through the chunked T>1 seq_axis path in "
+            "llama.forward (the latent cache is 3.6x smaller per token "
+            "than GQA int8, so the SP threshold would sit far higher)")
     mm = llama._mm(cfg)
     b, t_loc = tokens.shape
     dt = llama._act_dtype(cfg)
@@ -213,7 +219,8 @@ def sp_prefill_forward(params, tokens, cache, cfg, seq_axis: str,
     def layer_step(carry, xs):
         h, kc, ks, vc, vs = carry
         (attn_norm, mlp_norm, qkv_bias, q_norm, k_norm, router,
-         post_attn, post_mlp, _win, idx) = xs
+         post_attn, post_mlp, _win, idx, _q_a_norm, _kv_a_norm,
+         _r_bias) = xs
         x = llama.rmsnorm(h, attn_norm, cfg.norm_eps, cfg.norm_offset)
         qkv = mm(x, layers.wqkv, idx) + qkv_bias.astype(dt)
         units = cfg.n_heads + 2 * cfg.n_kv_heads

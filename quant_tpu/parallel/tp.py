@@ -33,8 +33,8 @@ __all__ = [
     "sharded_forward_fn", "make_sharded_forward",
 ]
 
-_COL = ("wqkv", "w_gate_up", "lm_head")
-_ROW = ("wo", "w_down")
+_COL = ("wqkv", "w_gate_up", "ws_gate_up", "lm_head")
+_ROW = ("wo", "w_down", "ws_down")
 
 
 def _path_names(path) -> list[str]:
@@ -61,7 +61,8 @@ def _spec_for(path, leaf) -> P:
         if field in ("a_o", "a_down"):
             return P(None, None, "model", None)
         return P()
-    stacked = owner != "lm_head" and "layers" in names
+    stacked = owner != "lm_head" and (
+        "layers" in names or "layers0" in names)
     lead = (None,) if stacked else ()
     if field == "lut":         # 16-entry codebooks: tiny, replicate
         return P()

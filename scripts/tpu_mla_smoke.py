@@ -1,0 +1,115 @@
+"""MLA (DeepSeek) smoke + timing on the real TPU.
+
+Runs a 2-layer DeepSeek-V2-Lite-geometry slice (dim 2048, 16 heads,
+r=512/dn=128/dr=64/dv=128, int8 latent cache) through the public
+forward:
+
+1. on-chip self-check — token-by-token decode logits must match the
+   one-shot prefill (max |Δ| fetched as ONE scalar; transfers are MB/s);
+2. differential decode timing at B=8/S=1024 (per-step ms + the latent
+   cache bytes/step it implies).
+
+Optionally add MoE (DeepSeek-V3-flavor routing) with SMOKE_MOE=1.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site \
+  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
+  timeout 3000 python scripts/tpu_mla_smoke.py
+"""
+
+import dataclasses
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.models import llama
+from quant_tpu.models.config import ModelConfig
+from quant_tpu.utils.timing import differential_time
+
+
+def mla_cfg(n_layers=2, moe=False):
+    kw = dict(
+        vocab_size=8192, dim=2048, n_layers=n_layers, n_heads=16,
+        n_kv_heads=1, intermediate=1408 if moe else 10944,
+        kv_lora_rank=512, qk_nope_head_dim=128, qk_rope_head_dim=64,
+        v_head_dim=128, rope_interleaved=True, norm_eps=1e-6,
+        embed_bits=8, kernel_mode="auto",
+    )
+    if moe:
+        kw.update(n_experts=8, experts_per_token=2, n_shared_experts=2,
+                  first_k_dense=1, dense_intermediate=10944,
+                  score_fn="sigmoid", router_bias=True,
+                  n_expert_groups=4, topk_groups=2,
+                  group_score="top2sum", routed_scaling=2.5,
+                  norm_topk=True)
+    return ModelConfig(**kw)
+
+
+def run(cfg, tag, b=8, s_max=1024):
+    print(f"── {tag}: layers={cfg.n_layers} moe={cfg.n_experts}", flush=True)
+    t0 = time.time()
+    params = llama.init_params_device(cfg, seed=0)
+    jax.block_until_ready(params.layers.wqkv.codes)
+    print(f"  params on device in {time.time() - t0:.0f}s", flush=True)
+
+    # self-check in FLOAT32: prefill(T=6) vs 6 decode steps, on device.
+    # (bf16 would be routing-tie-limited for the MoE variant: prefill and
+    # decode accumulate bf16 noise differently, near-tie top-k expert
+    # selections flip, and one flip moves logits O(1) — measured 0.60
+    # rel in bf16 vs 2e-7 in f32 on the same weights. Not a cache bug;
+    # the f32 check pins the actual decode path.)
+    cfg32 = dataclasses.replace(cfg, dtype="float32")
+    step = jax.jit(functools.partial(llama.forward, cfg=cfg32))
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        2, cfg.vocab_size, (2, 6)), jnp.int32)
+    full, _ = step(params, toks, llama.init_cache(cfg32, 2, 64))
+    cache = llama.init_cache(cfg32, 2, 64)
+    outs = []
+    for i in range(6):
+        lg, cache = step(params, toks[:, i:i + 1], cache)
+        outs.append(lg[:, 0])
+    diff = jnp.max(jnp.abs(jnp.stack(outs, 1) - full))
+    rel = float(np.asarray(diff)) / max(float(np.asarray(
+        jnp.max(jnp.abs(full)))), 1e-6)
+    print(f"  decode-vs-prefill max rel diff (f32): {rel:.2e}", flush=True)
+    assert rel < 2e-3, rel
+
+    # decode timing at B=b, cache primed near s_max (fori_loop body pins
+    # lengths so every rep reads the same context — decode_probe pattern)
+    def make(n):
+        @jax.jit
+        def run(params, tok, cache):
+            def body(_, carry):
+                tok, cache = carry
+                logits, cache = llama.forward(params, tok, cache, cfg)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                cache = dataclasses.replace(cache,
+                                            lengths=cache.lengths - 1)
+                return nxt, cache
+            tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
+            return jnp.sum(tok)
+        return run
+
+    tok = jnp.ones((b, 1), jnp.int32)
+    cache = llama.init_cache(cfg, b, s_max)
+    cache = dataclasses.replace(
+        cache, lengths=jnp.full((b,), s_max - 2, jnp.int32))
+    per = differential_time(make, (params, tok, cache), 6, 30, iters=4)
+    ms = per * 1e3
+    lat_bytes = cfg.n_layers * b * (cfg.mla_kv_dim + 4) * (s_max - 2)
+    print(f"  decode: {ms:.3f} ms/step at B={b}/S={s_max} "
+          f"({b / per:.0f} tok/s); latent cache read "
+          f"{lat_bytes / 1e6:.1f} MB/step", flush=True)
+    return ms
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend(), flush=True)
+    run(mla_cfg(), "mla-dense")
+    if os.environ.get("SMOKE_MOE", "1") != "0":
+        run(mla_cfg(moe=True), "mla-moe-v3", b=4)
+    print("MLA TPU smoke OK", flush=True)

@@ -814,3 +814,235 @@ def test_qwen3_moe_logits_match_transformers():
     ours = np.asarray(ours, np.float32)
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
+# ── DeepSeek-V2/V3 MLA family ───────────────────────────────────────────
+
+
+def _deepseek_sd(params, cfg):
+    """HF DeepseekV2/V3 state dict from OUR params (dequantized — both
+    sides then run identical effective weights). The absorbed w_uk/w_uv
+    are re-assembled into HF's per-head kv_b_proj [H*(dn+dv), r]."""
+    import dataclasses as dc
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).T.copy())
+
+    def f(x):
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    k0 = cfg.first_k_dense
+    sd = {
+        "model.embed_tokens.weight": f(params.embed),
+        "model.norm.weight": f(params.final_norm),
+        "lm_head.weight": t(params.lm_head.dequantize()[:, :cfg.vocab_size]),
+    }
+    for i in range(cfg.n_layers):
+        stack = params.layers0 if i < k0 else params.layers
+        j = i if i < k0 else i - k0
+        lp = jax.tree.map(lambda a: a[j], stack)
+        pre = f"model.layers.{i}."
+        wqkv = np.asarray(lp.wqkv.local_view().dequantize())
+        qw = wqkv.shape[1] - (r + dr)
+        if cfg.q_lora_rank:
+            sd[pre + "self_attn.q_a_proj.weight"] = t(wqkv[:, :qw])
+            sd[pre + "self_attn.q_a_layernorm.weight"] = f(lp.q_a_norm)
+            sd[pre + "self_attn.q_b_proj.weight"] = t(
+                lp.w_q_b.local_view().dequantize())
+        else:
+            sd[pre + "self_attn.q_proj.weight"] = t(wqkv[:, :qw])
+        sd[pre + "self_attn.kv_a_proj_with_mqa.weight"] = t(wqkv[:, qw:])
+        sd[pre + "self_attn.kv_a_layernorm.weight"] = f(lp.kv_a_norm)
+        kvb = np.concatenate(
+            [np.concatenate([np.asarray(lp.w_uk, np.float32)[h],
+                             np.asarray(lp.w_uv, np.float32)[h].T], axis=0)
+             for h in range(cfg.n_heads)], axis=0)   # [H*(dn+dv), r]
+        sd[pre + "self_attn.kv_b_proj.weight"] = torch.from_numpy(kvb)
+        sd[pre + "self_attn.o_proj.weight"] = t(
+            lp.wo.local_view().dequantize())
+        sd[pre + "input_layernorm.weight"] = f(lp.attn_norm)
+        sd[pre + "post_attention_layernorm.weight"] = f(lp.mlp_norm)
+        if i < k0 or not cfg.n_experts:
+            wgu = np.asarray(lp.w_gate_up.local_view().dequantize())
+            half = wgu.shape[1] // 2
+            sd[pre + "mlp.gate_proj.weight"] = t(wgu[:, :half])
+            sd[pre + "mlp.up_proj.weight"] = t(wgu[:, half:])
+            sd[pre + "mlp.down_proj.weight"] = t(
+                lp.w_down.local_view().dequantize())
+            continue
+        sd[pre + "mlp.gate.weight"] = t(params.layers.router[j])
+        if cfg.router_bias:
+            sd[pre + "mlp.gate.e_score_correction_bias"] = f(
+                params.layers.router_bias[j])
+        swgu = np.asarray(lp.ws_gate_up.local_view().dequantize())
+        shalf = swgu.shape[1] // 2
+        sd[pre + "mlp.shared_experts.gate_proj.weight"] = t(swgu[:, :shalf])
+        sd[pre + "mlp.shared_experts.up_proj.weight"] = t(swgu[:, shalf:])
+        sd[pre + "mlp.shared_experts.down_proj.weight"] = t(
+            lp.ws_down.local_view().dequantize())
+        for e in range(cfg.n_experts):
+            epre = pre + f"mlp.experts.{e}."
+            wgu = np.asarray(dc.replace(
+                params.layers.we_gate_up,
+                codes=params.layers.we_gate_up.codes[e, j],
+                scales=params.layers.we_gate_up.scales[e, j]).dequantize())
+            half = wgu.shape[1] // 2
+            sd[epre + "gate_proj.weight"] = t(wgu[:, :half])
+            sd[epre + "up_proj.weight"] = t(wgu[:, half:])
+            sd[epre + "down_proj.weight"] = t(dc.replace(
+                params.layers.we_down,
+                codes=params.layers.we_down.codes[e, j],
+                scales=params.layers.we_down.scales[e, j]).dequantize())
+    return sd
+
+
+def test_deepseek_v2_mla_matches_transformers():
+    """DeepSeek MLA attention parity vs HF DeepseekV2 (dense MLP —
+    first_k_dense_replace = n_layers keeps every HF layer dense): the
+    ABSORBED decode form (q_abs = W_UK^T q_nope, out = W_UV (p @ c))
+    must reproduce HF's materialized k/v attention, including the
+    interleaved rope and the kv_a/q layernorms. kv_bits=16 → tight."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-mla"], bits=8,
+                              dtype="float32", kv_bits=16)
+    params = llama.init_params(cfg, seed=71)
+    hf_cfg = DeepseekV2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=None,
+        kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=None, first_k_dense_replace=cfg.n_layers,
+    )
+    model = DeepseekV2ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(_deepseek_sd(params, cfg),
+                                                strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(72).integers(2, cfg.vocab_size, (2, 9))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # the interleaved-pair rope layout genuinely matters: rotate-half on
+    # the raw (non-permuted) slices must NOT match
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    cfg_off = dataclasses.replace(cfg, rope_interleaved=False)
+    ours_off, _ = _run_both(model, params, cfg_off, toks)
+    err_off = float(np.max(np.abs(ours_off - hf_logits)))
+    assert err_off > 50 * max(err_on, 1e-7), (err_on, err_off)
+
+
+def test_deepseek_v2_moe_matches_transformers():
+    """DeepSeek-V2 MoE parity: softmax scores, group-limited greedy
+    routing (group score = MAX), NO top-k renorm (the HF V2 gate ignores
+    norm_topk_prob), routed_scaling, 2 shared experts, dense first
+    layer."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    # topk_groups=1 so the group limit BITES: with group_score=max and
+    # topk_groups >= experts_per_token the top-k experts' groups always
+    # rank highest by max, making the limit a no-op for any weights.
+    cfg = dataclasses.replace(
+        PRESETS["test-tiny-dsv3"], bits=8, dtype="float32", kv_bits=16,
+        q_lora_rank=0, score_fn="softmax", router_bias=False,
+        group_score="max", norm_topk=False, routed_scaling=1.5,
+        topk_groups=1)
+    params = llama.init_params(cfg, seed=73)
+    hf_cfg = DeepseekV2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=None,
+        kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        topk_method="group_limited_greedy",
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling,
+        norm_topk_prob=False, aux_loss_alpha=0.0,
+    )
+    model = DeepseekV2ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(_deepseek_sd(params, cfg),
+                                                strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(74).integers(2, cfg.vocab_size, (2, 8))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # break-parity ablations: each routing mechanism must matter
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    for off in (dict(n_expert_groups=0, topk_groups=0),
+                dict(routed_scaling=1.0),
+                dict(n_shared_experts=0),
+                dict(norm_topk=True)):
+        if "n_shared_experts" in off:
+            # structurally different params — skip rebuild, covered by V3
+            continue
+        ours_off, _ = _run_both(
+            model, params, dataclasses.replace(cfg, **off), toks)
+        err_off = float(np.max(np.abs(ours_off - hf_logits)))
+        assert err_off > 50 * max(err_on, 1e-7), (off, err_on, err_off)
+
+
+def test_deepseek_v3_matches_transformers():
+    """DeepSeek-V3 parity: low-rank q (q_a norm + q_b), sigmoid scores
+    with e_score_correction_bias for SELECTION only, 4-group top-2
+    group-limited routing with top-2-SUM group scores, top-k renorm,
+    routed_scaling 2.5, shared expert, dense first layer, interleaved
+    rope (rope_interleave=True is the V3 default)."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-dsv3"], bits=8,
+                              dtype="float32", kv_bits=16)
+    params = llama.init_params(cfg, seed=75)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=cfg.q_lora_rank,
+        kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling,
+        norm_topk_prob=True, rope_interleave=True,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(_deepseek_sd(params, cfg),
+                                                strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(76).integers(2, cfg.vocab_size, (2, 8))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    # selection-bias / group-score / sigmoid semantics each matter
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    for off in (dict(router_bias=False),
+                dict(group_score="max"),
+                dict(score_fn="softmax")):
+        ours_off, _ = _run_both(
+            model, params, dataclasses.replace(cfg, **off), toks)
+        err_off = float(np.max(np.abs(ours_off - hf_logits)))
+        assert err_off > 50 * max(err_on, 1e-7), (off, err_on, err_off)

@@ -1,0 +1,250 @@
+"""DeepSeek MLA model-layer tests (architecture parity lives in
+test_hf_parity.py; these pin the TPU-side mechanics: the quantized
+latent cache, decode==prefill across both stacks, checkpoint
+round-trips, and the routing math edge cases)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quant_tpu.models import PRESETS, llama
+from quant_tpu.models.config import ModelConfig
+
+MLA = dataclasses.replace(PRESETS["test-tiny-mla"], bits=8,
+                          dtype="float32")
+DSV3 = dataclasses.replace(PRESETS["test-tiny-dsv3"], bits=8,
+                           dtype="float32")
+
+
+def _prefill_decode(cfg, seed=0, t=9):
+    params = llama.init_params(cfg, seed=seed)
+    toks = np.random.default_rng(seed).integers(2, cfg.vocab_size, (2, t))
+    cache = llama.init_cache(cfg, 2, 16)
+    full, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache,
+                            cfg)
+    cache = llama.init_cache(cfg, 2, 16)
+    steps = []
+    for i in range(t):
+        lg, cache = llama.forward(
+            params, jnp.asarray(toks[:, i:i + 1], jnp.int32), cache, cfg)
+        steps.append(np.asarray(lg[:, 0], np.float32))
+    return np.stack(steps, 1), np.asarray(full, np.float32), params, toks
+
+
+def test_mla_decode_matches_prefill_int8_latent():
+    """Token-by-token decode over the INT8 latent cache must equal the
+    one-shot prefill (same quantization applied at insert in both)."""
+    dec, full, _, _ = _prefill_decode(MLA, seed=1)
+    np.testing.assert_allclose(dec, full, rtol=2e-3, atol=2e-3)
+
+
+def test_dsv3_decode_matches_prefill():
+    """first_k_dense two-scan + MoE stack: cache writes must land at
+    GLOBAL layer indices (a layer_off bug would silently alias the
+    prefix and MoE caches)."""
+    dec, full, _, _ = _prefill_decode(DSV3, seed=2)
+    np.testing.assert_allclose(dec, full, rtol=2e-3, atol=2e-3)
+
+
+def test_mla_cache_layout():
+    """The latent cache holds ONE r+dr row per token; V buffers are
+    zero-width (the value read is a prefix slice of the key read)."""
+    cache = llama.init_cache(MLA, 3, 8)
+    assert cache.k_codes.shape == (2, 3, 1, 8, MLA.mla_kv_dim)
+    assert cache.v_codes.shape == (2, 3, 1, 8, 0)
+    # per token per layer: r+dr int8 codes + one f32 scale
+    bytes_tok_layer = MLA.mla_kv_dim + 4
+    assert bytes_tok_layer < 96  # vs 2*head_dim*n_kv+8 for GQA int8
+
+
+def test_mla_kv16_tight_roundtrip():
+    """kv_bits=16 (no latent quantization) decode==prefill at tight
+    tolerance — isolates int8-latent noise from path bugs."""
+    cfg = dataclasses.replace(MLA, kv_bits=16)
+    dec, full, _, _ = _prefill_decode(cfg, seed=3)
+    np.testing.assert_allclose(dec, full, rtol=2e-4, atol=2e-4)
+
+
+def test_dsv3_checkpoint_roundtrip(tmp_path):
+    """save→load (host) must reproduce forward exactly, including the
+    layers0 dense-prefix stack, shared experts, router bias and the
+    absorbed w_uk/w_uv leaves."""
+    from quant_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    params = llama.init_params(DSV3, seed=4)
+    toks = np.random.default_rng(4).integers(2, DSV3.vocab_size, (2, 6))
+    cache = llama.init_cache(DSV3, 2, 8)
+    want, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache,
+                            DSV3)
+    save_checkpoint(tmp_path / "ck", params, DSV3)
+    loaded, lcfg = load_checkpoint(tmp_path / "ck", device=False)
+    assert lcfg.first_k_dense == DSV3.first_k_dense
+    assert loaded.layers0 is not None
+    got, _ = llama.forward(loaded, jnp.asarray(toks, jnp.int32),
+                           llama.init_cache(DSV3, 2, 8), DSV3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_group_limited_routing_masks_groups():
+    """topk_groups=1 must confine every token's routed experts to ONE
+    group of experts (contiguous block)."""
+    cfg = dataclasses.replace(
+        DSV3, n_expert_groups=4, topk_groups=1, group_score="max")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 5, cfg.dim)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((cfg.dim, cfg.n_experts)),
+                         jnp.float32)
+    w = np.asarray(llama.moe_route(x, router, cfg))
+    per_group = cfg.n_experts // 4
+    groups_hit = (w.reshape(2, 5, 4, per_group) > 0).any(-1).sum(-1)
+    assert (groups_hit == 1).all(), groups_hit
+
+
+def test_router_bias_changes_selection_not_weights():
+    """The V3 e_score_correction_bias flips WHICH experts are selected,
+    but the kept weights are the unbiased sigmoid scores."""
+    cfg = dataclasses.replace(DSV3, n_expert_groups=0, topk_groups=0,
+                              norm_topk=False, routed_scaling=1.0)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 4, cfg.dim)), jnp.float32)
+    router = jnp.asarray(
+        rng.standard_normal((cfg.dim, cfg.n_experts)) * 0.1, jnp.float32)
+    bias = jnp.asarray(
+        rng.standard_normal((cfg.n_experts,)) * 3.0, jnp.float32)
+    w0 = np.asarray(llama.moe_route(x, router, cfg))
+    wb = np.asarray(llama.moe_route(x, router, cfg, bias=bias))
+    assert not np.array_equal(w0 > 0, wb > 0)  # selection changed
+    # every kept weight equals the raw sigmoid score (no bias baked in)
+    scores = np.asarray(jax.nn.sigmoid(
+        x.astype(jnp.float32) @ router))
+    kept = wb > 0
+    np.testing.assert_allclose(wb[kept], scores[kept], rtol=1e-6)
+
+
+def test_mla_rejects_bad_compositions():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        llama.init_paged_cache(MLA, 2, 256, 8)
+    with pytest.raises(ValueError):
+        dataclasses.replace(MLA, kv_bits=4)
+    with pytest.raises(ValueError):
+        dataclasses.replace(MLA, n_kv_heads=2)
+    with pytest.raises(ValueError):
+        ModelConfig(vocab_size=64, dim=64, n_layers=2, n_heads=2,
+                    n_kv_heads=1, intermediate=64, kv_lora_rank=32)
+
+
+def test_deepseek_converter_e2e(tmp_path):
+    """HF DeepseekV3 safetensors dir → convert_hf_llama → load_checkpoint
+    → forward: TIGHT parity through the converter (kv_b split into
+    absorbed w_uk/w_uv, dense-prefix routing to layers0, router bias,
+    shared experts).
+
+    The safetensors dir holds OUR random-init params' DEQUANTIZED
+    weights (test_hf_parity._deepseek_sd): per-group absmax RTN is
+    idempotent on already-quantized values (the group max re-quantizes
+    to exactly ±127 → same scale → same codes), so the converted
+    checkpoint must reproduce the original params' forward to float
+    noise AND match the torch model tightly — any plumbing slip
+    (swapped splits, wrong stack, off-by-one layer) breaks it hard."""
+    import json as _json
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+    from tests.test_hf_parity import _deepseek_sd
+
+    cfg = dataclasses.replace(DSV3, kv_bits=16)
+    params0 = llama.init_params(cfg, seed=98)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=cfg.q_lora_rank,
+        kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling,
+        norm_topk_prob=True, rope_interleave=True, pad_token_id=0,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _deepseek_sd(params0, cfg), strict=False)
+    assert not unexpected, unexpected
+    model.eval()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if "rotary" not in k}
+    save_file(sd, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(_json.dumps({
+        "model_type": "deepseek_v3", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim, "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_heads,
+        "intermediate_size": cfg.dense_intermediate,
+        "moe_intermediate_size": cfg.intermediate,
+        "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": False,
+        "q_lora_rank": cfg.q_lora_rank,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "n_routed_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "n_shared_experts": cfg.n_shared_experts,
+        "first_k_dense_replace": cfg.first_k_dense,
+        "n_group": cfg.n_expert_groups, "topk_group": cfg.topk_groups,
+        "routed_scaling_factor": cfg.routed_scaling,
+        "norm_topk_prob": True, "rope_interleave": True,
+    }))
+    # cfg override keeps dtype=float32 (config_from_hf defaults the
+    # activation dtype to bfloat16, which would round the fp embed
+    # table and break the bit-tight comparison); the config parse
+    # itself is still exercised by the assertion below
+    from quant_tpu.checkpoint.hf import config_from_hf
+    parsed = config_from_hf(hf_dir, bits=8, group_size=64)
+    assert parsed.is_mla and parsed.first_k_dense == cfg.first_k_dense
+    assert parsed.score_fn == "sigmoid" and parsed.router_bias
+    assert parsed.n_expert_groups == cfg.n_expert_groups
+    assert parsed.rope_interleaved and parsed.q_lora_rank == 64
+    convert_hf_llama(hf_dir, tmp_path / "out", bits=8, group_size=64,
+                     cfg=dataclasses.replace(
+                         parsed, dtype="float32", kv_bits=16))
+    params, lcfg = load_checkpoint(tmp_path / "out")
+    assert lcfg.is_mla and lcfg.score_fn == "sigmoid"
+    assert lcfg.first_k_dense == cfg.first_k_dense
+    lcfg = dataclasses.replace(lcfg, kv_bits=16, dtype="float32")
+
+    toks = np.random.default_rng(99).integers(2, cfg.vocab_size, (2, 7))
+    import torch as _torch
+    with _torch.no_grad():
+        hf_logits = model(_torch.from_numpy(toks)).logits.numpy()
+    cache = llama.init_cache(lcfg, 2, 16)
+    ours, _ = llama.forward(params, jnp.asarray(toks, jnp.int32), cache,
+                            lcfg)
+    ours = np.asarray(ours, np.float32)
+    # idempotent re-quantization → converted forward == original params'
+    want, _ = llama.forward(params0, jnp.asarray(toks, jnp.int32),
+                            llama.init_cache(cfg, 2, 16), cfg)
+    np.testing.assert_allclose(ours, np.asarray(want, np.float32),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
