@@ -395,7 +395,25 @@ class Engine:
             from quant_tpu.parallel import pp as pp_mod
             from quant_tpu.parallel import tp as tp_mod
 
+            if cfg.is_mla and mesh.shape.get("model", 1) > 1:
+                raise ValueError(
+                    "MLA x tensor parallelism is not packed yet: the "
+                    "fused [q|kv_a] projection's kv_a slice must stay "
+                    "REPLICATED under a column split (the latent is "
+                    "shared MQA state), which concat_columns cannot "
+                    "express — serve MLA on (data, expert, seq) axes")
+            if cfg.is_mla and mesh.shape.get("pipe", 1) > 1:
+                raise ValueError(
+                    "MLA x pipeline parallelism: first_k_dense models "
+                    "carry TWO layer stacks (layers0 + layers), which "
+                    "the per-stage stacked slicing does not handle yet")
             sp = mesh.shape.get("seq", 1)
+            if cfg.is_mla:
+                # MLA long prompts always take the chunked seq-axis
+                # prefill: ring/Ulysses sp_prefill is GQA-only (and the
+                # latent cache is 3.6x smaller per token, moving the SP
+                # break-even far higher)
+                sp_prefill_mode = None
             if sp > 1:
                 # Long-context serving (VERDICT r3 #3): the decode cache's
                 # S dim shards over ``seq`` (cache_specs), decode uses the
@@ -1332,6 +1350,7 @@ class Engine:
         # (LSE merge) and scatter-drops straddling writes.
         sp_body = 0
         if (off == 0 and getattr(self, "_sp", 1) > 1
+                and self.sp_prefill_mode is not None
                 and not self.prefix_cache
                 and self.mesh.shape.get("pipe", 1) == 1
                 and self._adapter_slot[slot] == 0

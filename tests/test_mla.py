@@ -248,3 +248,63 @@ def test_deepseek_converter_e2e(tmp_path):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
     assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+
+# ── engine integration ──────────────────────────────────────────────────
+
+
+def _ref_greedy(params, cfg, prompt, max_new, max_seq=64):
+    cache = llama.init_cache(cfg, 1, max_seq)
+    logits, cache = llama.forward(params, jnp.asarray([prompt], jnp.int32),
+                                  cache, cfg)
+    out = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(max_new - 1):
+        lg, cache = llama.forward(
+            params, jnp.asarray([[out[-1]]], jnp.int32), cache, cfg)
+        out.append(int(jnp.argmax(lg[0, -1])))
+    return out
+
+
+def test_mla_engine_matches_reference():
+    """Continuous-batching Engine serves the DeepSeek-V3 toy unchanged
+    (contiguous cache, XLA attention path, two-stack forward)."""
+    from quant_tpu.engine import Engine
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _ref_greedy(params, cfg, p, 6), (p, o)
+
+
+def test_mla_engine_data_seq_mesh():
+    """MLA on a (data=2, seq=2) mesh: S-sharded latent cache, LSE-merge
+    decode, chunked seq-axis prefill — greedy equality vs single-device.
+    (model>1 / pipe>1 are rejected with actionable errors.)"""
+    import pytest
+
+    from quant_tpu.engine import Engine
+    from quant_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (7, 4)]
+    mesh = make_mesh(data=2, seq=2)
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    outs = eng.generate(prompts, max_new_tokens=5)
+    for p, o in zip(prompts, outs):
+        assert o == _ref_greedy(params, cfg, p, 5), (p, o)
+
+    with pytest.raises(ValueError, match="MLA x tensor"):
+        Engine(params, cfg, max_slots=4, max_seq=64,
+               mesh=make_mesh(model=2))
+    with pytest.raises(ValueError, match="MLA x pipeline"):
+        Engine(params, cfg, max_slots=4, max_seq=64,
+               mesh=make_mesh(pipe=2))
