@@ -72,10 +72,22 @@ def _rope_scaling_kw(rs) -> dict:
     if rtype == "linear":
         return dict(rope_scaling="linear",
                     rope_factor=float(rs.get("factor", 1.0)))
+    if rtype == "yarn":
+        return dict(
+            rope_scaling="yarn",
+            rope_factor=float(rs.get("factor", 1.0)),
+            rope_orig_max_pos=int(
+                rs.get("original_max_position_embeddings", 4096)),
+            rope_mscale=float(rs.get("mscale") or 0.0),
+            rope_mscale_all_dim=float(rs.get("mscale_all_dim") or 0.0),
+            rope_beta_fast=float(rs.get("beta_fast") or 32.0),
+            rope_beta_slow=float(rs.get("beta_slow") or 1.0),
+            rope_attn_factor=float(rs.get("attention_factor") or 0.0),
+        )
     if rtype in (None, "default"):
         return {}
     raise ValueError(f"unsupported rope_scaling type {rtype!r} "
-                     "(supported: llama3, linear)")
+                     "(supported: llama3, linear, yarn)")
 
 
 def config_from_hf(model_dir, **overrides) -> ModelConfig:
@@ -195,6 +207,10 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         )
         if bool(hf.get("attention_bias", False)):
             raise ValueError("deepseek attention_bias is not supported")
+        rs = hf.get("rope_scaling") or {}
+        if v3 and (rs.get("rope_type") or rs.get("type")) == "yarn" and \
+                rs.get("mscale_all_dim"):
+            kw["score_mscale"] = True
     if float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
         raise ValueError("partial_rotary_factor != 1 is not supported")
     kw.update(overrides)

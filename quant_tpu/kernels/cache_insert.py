@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cache_insert_int8", "paged_cache_insert_int8"]
+__all__ = ["cache_insert_int8", "paged_cache_insert_int8",
+           "mla_cache_insert_int8"]
 
 _ROWS = 8     # int8 sublane tile along S
 _LANES = 128  # f32 lane tile along S
@@ -375,3 +376,133 @@ def paged_cache_insert_int8(
         interpret=interpret,
     )(lr, page_tbl, lengths, k_new, k_s, v_new, v_s, kcv, ks, vcv, vs)
     return (kco.reshape(kc.shape), kso, vco.reshape(vc.shape), vso)
+
+
+def _mla_kernel(lr_ref, len_ref, kn_ref, ksn_ref, kc_in, ks_in,
+                kc_ref, ks_ref, *scratch, s_loc, b, wave):
+    """MLA latent insert: one [r+dr]-wide int8 row + one f32 scale per
+    slot. The latent width (576 at DeepSeek geometry) is not a 128
+    multiple, so the codes RMW uses FULL-minor-dim tiles sliced on the
+    (sublane) S axis — no lane view needed. Same single-program
+    batched-DMA wave structure as :func:`_kernel`."""
+    del kc_in, ks_in
+    sems = scratch[-1]
+    ktiles = scratch[0:wave]
+    kstiles = scratch[wave:2 * wave]
+    lr = lr_ref[0]
+    s0 = lr_ref[1]
+    crows = ktiles[0].shape[0]
+    srows = kstiles[0].shape[1]
+
+    def pos_of(i):
+        rel = len_ref[i] - s0
+        owned = (rel >= 0) & (rel < s_loc)
+        return jnp.where(owned, rel, 0), owned
+
+    def copies(i, to_vmem):
+        pos, _ = pos_of(i)
+        w = i % wave
+        cbase = pl.multiple_of((pos // crows) * crows, crows)
+        sbase = pl.multiple_of((pos // srows) * srows, srows)
+        pairs = [
+            (kc_ref.at[lr, i, 0, pl.ds(cbase, crows)], ktiles[w]),
+            (ks_ref.at[lr, i, :, pl.ds(sbase, srows)], kstiles[w]),
+        ]
+        out = []
+        for j, (hbm, vm) in enumerate(pairs):
+            src, dst = (hbm, vm) if to_vmem else (vm, hbm)
+            out.append(pltpu.make_async_copy(src, dst, sems.at[w, j]))
+        return out
+
+    def modify(i):
+        pos, owned = pos_of(i)
+        w = i % wave
+        roff = pos - (pos // crows) * crows
+        soff = pos - (pos // srows) * srows
+        tile = ktiles[w]
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+        tile[:] = jnp.where((rows_i == roff) & owned, kn_ref[i],
+                            tile[:])
+        stile = kstiles[w]
+        ids = jax.lax.broadcasted_iota(jnp.int32, stile.shape, 1)
+        stile[:] = jnp.where((ids == soff) & owned, ksn_ref[i],
+                             stile[:])
+
+    for w0 in range(0, b, wave):
+        lane = range(w0, min(w0 + wave, b))
+        reads = [c for i in lane for c in copies(i, True)]
+        for c in reads:
+            c.start()
+        for c in reads:
+            c.wait()
+        for i in lane:
+            modify(i)
+        writes = [c for i in lane for c in copies(i, False)]
+        for c in writes:
+            c.start()
+        for c in writes:
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mla_cache_insert_int8(
+    kc, ks,           # stacked latent cache [L, B, 1, S, Dq] / [L, B, 1, S]
+    k_new, k_s,       # [B, 1, 1, Dq] int8 / [B, 1, 1] f32 (decode T=1)
+    lengths,          # [B] int32 — write position per slot
+    layer,            # traced layer index
+    s0=0,             # this shard's S offset (sequence sharding)
+    *,
+    interpret: bool = False,
+):
+    """Returns (kc, ks) with the new latent row written in place (the V
+    side of an MLA cache is zero-width — nothing to insert)."""
+    b, t = k_new.shape[0], k_new.shape[1]
+    if t != 1:
+        raise ValueError("mla_cache_insert_int8 is the decode (T=1) path")
+    s_loc = kc.shape[3]
+    crows = _ROWS if s_loc % _ROWS == 0 else s_loc
+    srows = s_loc if s_loc < _LANES else _LANES
+    if s_loc % srows or s_loc % crows:
+        raise ValueError(
+            f"max_seq per shard ({s_loc}) must divide by {_LANES} (or be "
+            f"smaller than it) for aligned RMW tiles")
+    dq = kc.shape[4]
+    lr = jnp.stack([jnp.asarray(layer, jnp.int32),
+                    jnp.asarray(s0, jnp.int32)])
+    wave = min(b, 12)
+    k_new = k_new.reshape(b, 1, dq)       # [B, 1(row), Dq]
+    k_s = k_s.reshape(b, 1, 1)
+    kern = functools.partial(_mla_kernel, s_loc=s_loc, b=b, wave=wave)
+    any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b,), lambda g, lr: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1, dq), lambda g, lr: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, 1), lambda g, lr: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            any_spec(), any_spec(),
+        ],
+        out_specs=(any_spec(), any_spec()),
+        scratch_shapes=(
+            [pltpu.VMEM((crows, dq), kc.dtype) for _ in range(wave)]
+            + [pltpu.VMEM((1, srows), ks.dtype) for _ in range(wave)]
+            + [pltpu.SemaphoreType.DMA((wave, 2))]
+        ),
+    )
+    out_shape = (jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                 jax.ShapeDtypeStruct(ks.shape, ks.dtype))
+    # args: (lr, lengths, kn, ksn, kc, ks); aliases map the cache inputs
+    # (indices 4..5 incl. the scalar-prefetch arg) to the outputs.
+    kco, kso = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lr, lengths, k_new, k_s, kc, ks)
+    return kco, kso

@@ -28,11 +28,25 @@ class ModelConfig:
     #   scale by 1/factor, high-frequency bands stay, with a smooth
     #   ramp between rope_low_freq_factor and rope_high_freq_factor
     #   wavelength thresholds of rope_orig_max_pos.
+    # * "yarn" (DeepSeek-V2/V3 long context, Qwen >32k): NTK-by-parts
+    #   interpolation with beta_fast/beta_slow rotation bounds and an
+    #   attention_factor multiplying the rotated output (HF yarn
+    #   semantics; attention_factor inferred from factor/mscale/
+    #   mscale_all_dim when rope_attn_factor is 0). ``score_mscale``
+    #   additionally multiplies the ATTENTION SCORE scale by
+    #   yarn_mscale(factor, mscale_all_dim)^2 — the DeepseekV3 behavior
+    #   (HF DeepseekV2 does NOT apply it; conversions mirror each).
     rope_scaling: str = "none"
     rope_factor: float = 1.0
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_orig_max_pos: int = 8192
+    rope_mscale: float = 0.0          # yarn; 0 = unset
+    rope_mscale_all_dim: float = 0.0  # yarn; 0 = unset
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_attn_factor: float = 0.0     # yarn; 0 = infer from factor/mscale
+    score_mscale: bool = False
     norm_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2 family
     # Mistral-v0.1-style sliding-window attention: key s is visible to
@@ -249,9 +263,12 @@ class ModelConfig:
                              f"got {self.moe_prefill!r}")
         if self.sliding_pattern and not self.sliding_window:
             raise ValueError("sliding_pattern needs sliding_window > 0")
-        if self.rope_scaling not in ("none", "linear", "llama3"):
-            raise ValueError(f"rope_scaling must be none|linear|llama3, "
-                             f"got {self.rope_scaling!r}")
+        if self.rope_scaling not in ("none", "linear", "llama3", "yarn"):
+            raise ValueError(
+                f"rope_scaling must be none|linear|llama3|yarn, "
+                f"got {self.rope_scaling!r}")
+        if self.score_mscale and self.rope_scaling != "yarn":
+            raise ValueError("score_mscale is a yarn-mode knob")
         if self.rope_local_theta:
             if not self.sliding_window:
                 raise ValueError("rope_local_theta needs sliding_window")
@@ -399,9 +416,9 @@ PRESETS: dict[str, ModelConfig] = {
     ),
     # DeepSeek-V2-Lite (27 layers; MLA r=512/dn=128/dr=64/dv=128 with a
     # DIRECT q projection; 64-expert top-6 greedy softmax routing with 2
-    # shared experts, first layer dense; interleaved rope). The released
-    # checkpoint's 160k context uses yarn rope scaling — serve at the
-    # 4k-32k native band until yarn lands (rope_scaling="yarn" TODO).
+    # shared experts, first layer dense; interleaved rope; yarn to 160k
+    # with the released checkpoint's mscale 0.707 — HF DeepseekV2 leaves
+    # the score scale alone, so score_mscale stays off).
     "deepseek-v2-lite": ModelConfig(
         vocab_size=102400, dim=2048, n_layers=27, n_heads=16,
         n_kv_heads=1, intermediate=1408, rope_theta=10000.0,
@@ -410,13 +427,15 @@ PRESETS: dict[str, ModelConfig] = {
         v_head_dim=128, rope_interleaved=True,
         n_experts=64, experts_per_token=6, norm_topk=False,
         n_shared_experts=2, first_k_dense=1, dense_intermediate=10944,
+        rope_scaling="yarn", rope_factor=40.0, rope_orig_max_pos=4096,
+        rope_mscale=0.707, rope_mscale_all_dim=0.707,
     ),
     # DeepSeek-V3/R1 (671B total / 37B active): MLA with low-rank q
     # (1536), 256-expert top-8 sigmoid routing with selection bias,
     # 8-group top-4 group-limited (top-2-sum group scores), renormed,
     # routed_scaling 2.5, 1 shared expert, 3 dense-prefix layers.
     # Latent cache: 576 B/token/layer int8 vs 2048 for Llama-8B GQA.
-    # Same yarn caveat as V2-Lite for >4k native context.
+    # Yarn to 160k; V3 folds yarn mscale^2 into the score scale.
     "deepseek-v3": ModelConfig(
         vocab_size=129280, dim=7168, n_layers=61, n_heads=128,
         n_kv_heads=1, intermediate=2048, rope_theta=10000.0,
@@ -427,5 +446,7 @@ PRESETS: dict[str, ModelConfig] = {
         n_shared_experts=1, first_k_dense=3, dense_intermediate=18432,
         routed_scaling=2.5, score_fn="sigmoid", router_bias=True,
         n_expert_groups=8, topk_groups=4, group_score="top2sum",
+        rope_scaling="yarn", rope_factor=40.0, rope_orig_max_pos=4096,
+        rope_mscale=1.0, rope_mscale_all_dim=1.0, score_mscale=True,
     ),
 }

@@ -325,10 +325,18 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
         return "xla"
     if cfg.is_mla:
         # MLA decode is MQA over the latent with the value read being a
-        # PREFIX SLICE of the key read (out = probs @ c_kv) — it gets its
-        # own Pallas kernel (kernels/mla_attention.py) selected directly
-        # in the layer body; the k/v flash pair doesn't fit.
-        return "xla"
+        # PREFIX SLICE of the key read (out = probs @ c_kv) — its own
+        # Pallas pair (kernels/mla_attention.py + the mla insert). The
+        # latent row is FULL-minor-dim everywhere, so the non-MLA
+        # head_dim%128 insert constraint does not apply; the S%128 RMW
+        # tile constraint does.
+        if cfg.attn_kernel == "xla" or cfg.kv_bits != 8:
+            return "xla"
+        if mode not in ("pallas", "pallas_interpret"):
+            return "xla"
+        if mode == "pallas" and s_max % 128 != 0:
+            return "xla"
+        return "flash"
     if cfg.attn_kernel != "auto":
         return cfg.attn_kernel
     if mode not in ("pallas", "pallas_interpret"):
@@ -797,10 +805,18 @@ def layer_windows(cfg: ModelConfig) -> jax.Array:
 
 
 def _q_scale(cfg, dh: int) -> float:
-    """Attention score scale: 1/sqrt(query_pre_attn_scalar or head_dim)."""
+    """Attention score scale: 1/sqrt(query_pre_attn_scalar or head_dim).
+
+    ``score_mscale`` (DeepseekV3 yarn): the scale additionally carries
+    yarn_mscale(factor, mscale_all_dim)^2 — matches HF DeepseekV3Attention
+    (HF DeepseekV2 does not apply it)."""
     s = cfg.query_pre_attn_scalar if (
         cfg is not None and cfg.query_pre_attn_scalar) else dh
-    return float(1.0 / np.sqrt(s))
+    scale = 1.0 / np.sqrt(s)
+    if cfg is not None and cfg.score_mscale:
+        m = _yarn_mscale(cfg.rope_factor, cfg.rope_mscale_all_dim or 1.0)
+        scale *= m * m
+    return float(scale)
 
 
 def _softcap_scores(logits, cfg):
@@ -1020,6 +1036,49 @@ def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
     return jax.lax.psum(out, axes) if axes else out
 
 
+def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * float(np.log(scale)) + 1.0
+
+
+def yarn_attention_factor(cfg: ModelConfig) -> float:
+    """The cos/sin multiplier of HF's yarn rope (attention_scaling):
+    explicit rope_attn_factor, or the mscale ratio, or mscale(factor)."""
+    if cfg.rope_attn_factor:
+        return cfg.rope_attn_factor
+    if cfg.rope_mscale and cfg.rope_mscale_all_dim:
+        return (_yarn_mscale(cfg.rope_factor, cfg.rope_mscale)
+                / _yarn_mscale(cfg.rope_factor, cfg.rope_mscale_all_dim))
+    return _yarn_mscale(cfg.rope_factor)
+
+
+def _yarn_freqs(theta: float, half: int, cfg: ModelConfig) -> np.ndarray:
+    """Yarn NTK-by-parts inverse frequencies (HF _compute_yarn_parameters
+    semantics, truncate=True): interpolated (freq/factor) below beta_slow
+    rotations at the original context, extrapolated (unscaled) above
+    beta_fast, with a linear per-dim ramp between."""
+    dim = 2 * half
+    base = theta
+    pos_freqs = base ** (np.arange(0, dim, 2, dtype=np.float32) / dim)
+    inv_extra = 1.0 / pos_freqs
+    inv_inter = 1.0 / (cfg.rope_factor * pos_freqs)
+
+    def corr_dim(n_rot):
+        return (dim * np.log(cfg.rope_orig_max_pos
+                             / (n_rot * 2 * np.pi))) / (2 * np.log(base))
+
+    low = max(np.floor(corr_dim(cfg.rope_beta_fast)), 0)
+    high = min(np.ceil(corr_dim(cfg.rope_beta_slow)), dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = np.clip((np.arange(half, dtype=np.float32) - low)
+                   / (high - low), 0, 1)
+    extra_w = 1.0 - ramp
+    return (inv_inter * (1.0 - extra_w)
+            + inv_extra * extra_w).astype(np.float32)
+
+
 def _rope_freqs(theta: float, half: int, cfg: ModelConfig | None):
     """Inverse frequencies [half], with the config's long-context
     scaling applied (mirrors HF's ROPE_INIT_FUNCTIONS semantics)."""
@@ -1028,6 +1087,8 @@ def _rope_freqs(theta: float, half: int, cfg: ModelConfig | None):
         return jnp.asarray(freqs)
     if cfg.rope_scaling == "linear":
         return jnp.asarray(freqs / cfg.rope_factor)
+    if cfg.rope_scaling == "yarn":
+        return jnp.asarray(_yarn_freqs(theta, half, cfg))
     # "llama3" NTK-by-parts (Llama-3.1/3.2): scale low-frequency bands
     # by 1/factor, keep high-frequency bands, smooth ramp between
     factor = cfg.rope_factor
@@ -1094,6 +1155,11 @@ def _rope(x, positions, theta, cfg: ModelConfig | None = None,
     sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if (cfg is not None and cfg.rope_scaling == "yarn"
+            and theta_override is None):
+        # HF folds attention_scaling into cos/sin; applying it to the
+        # rotated output is identical (both rope terms carry it)
+        out = out * yarn_attention_factor(cfg)
     return out.astype(x.dtype)
 
 
@@ -1692,22 +1758,46 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         lat = jnp.concatenate([c, k_pe[:, :, 0].astype(c.dtype)],
                               axis=-1)[:, :, None, :]    # [B,T,1,r+dr]
         k_q, k_s = quantize_kv(lat.astype(dt), cfg.kv_bits)
-        kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths, gidx,
-                                        s0, batch0=batch0)
-
-        def sl(a):
-            a = jax.lax.dynamic_index_in_dim(a, gidx, 0, False)
-            if batch0 is not None:
-                a = jax.lax.dynamic_slice_in_dim(a, batch0, b, axis=0)
-            return a
-        kcl, ksl = sl(kc), sl(ks)
-        if t > 1 and seq_axis is None:
-            o_lat = attention_blockwise(q_eff, kcl, ksl, kcl[..., :r],
-                                        ksl, positions, new_lengths, cfg)
+        ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
+        flash = (t == 1 and seq_axis is None and batch0 is None
+                 and ak == "flash")
+        if flash:
+            # Pallas pair: aliased in-place latent insert + the MLA
+            # flash kernel (one HBM read feeds both dots; an XLA
+            # scatter into an opaque Pallas consumer would copy the
+            # cache per layer — same rationale as the GQA pair).
+            from quant_tpu.kernels.cache_insert import (
+                mla_cache_insert_int8,
+            )
+            from quant_tpu.kernels.mla_attention import (
+                mla_flash_decode_int8,
+            )
+            interp = mode == "pallas_interpret"
+            kc, ks = mla_cache_insert_int8(
+                kc, ks, k_q, k_s, lengths, gidx, s0, interpret=interp)
+            o_lat = mla_flash_decode_int8(
+                q_eff[:, 0], kc, ks, new_lengths, gidx, r=r,
+                scale=_q_scale(cfg, cfg.head_dim),
+                interpret=interp)[:, None]
         else:
-            o_lat = attention(q_eff, kcl, ksl, kcl[..., :r], ksl,
-                              positions, new_lengths, cfg,
-                              seq_axis=seq_axis, key_offset=s0)
+            kc, ks = _cache_insert_at_layer(kc, ks, k_q, k_s, lengths,
+                                            gidx, s0, batch0=batch0)
+
+            def sl(a):
+                a = jax.lax.dynamic_index_in_dim(a, gidx, 0, False)
+                if batch0 is not None:
+                    a = jax.lax.dynamic_slice_in_dim(a, batch0, b,
+                                                     axis=0)
+                return a
+            kcl, ksl = sl(kc), sl(ks)
+            if t > 1 and seq_axis is None:
+                o_lat = attention_blockwise(q_eff, kcl, ksl,
+                                            kcl[..., :r], ksl,
+                                            positions, new_lengths, cfg)
+            else:
+                o_lat = attention(q_eff, kcl, ksl, kcl[..., :r], ksl,
+                                  positions, new_lengths, cfg,
+                                  seq_axis=seq_axis, key_offset=s0)
         out = jnp.einsum("bthr,hrv->bthv", o_lat.astype(dt),
                          w_uv.astype(dt))
         return _tail(h, out, kc, ks, vc, vs, mlp_norm, idx, router,

@@ -1046,3 +1046,99 @@ def test_deepseek_v3_matches_transformers():
             model, params, dataclasses.replace(cfg, **off), toks)
         err_off = float(np.max(np.abs(ours_off - hf_logits)))
         assert err_off > 50 * max(err_on, 1e-7), (off, err_on, err_off)
+
+
+def test_yarn_rope_scaling_matches_transformers():
+    """Yarn NTK-by-parts rope (DeepSeek/Qwen long context): per-dim
+    interpolation ramp + attention_factor on cos/sin must match HF's
+    _compute_yarn_parameters; unscaled must differ by orders."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = dataclasses.replace(
+        CFG, kv_bits=16, rope_theta=10000.0, rope_scaling="yarn",
+        rope_factor=8.0, rope_orig_max_pos=16,
+        rope_beta_fast=32.0, rope_beta_slow=1.0)
+    dense = _dense_weights(cfg, seed=81)
+    dense["lm_head"] = np.ascontiguousarray(
+        (np.random.default_rng(82).standard_normal(
+            (cfg.dim, cfg.vocab_size)) * 0.05).astype(np.float32))
+    params = llama.quantize_dense_params(dense, cfg)
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager",
+        rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                      "original_max_position_embeddings": 16,
+                      "beta_fast": 32.0, "beta_slow": 1.0},
+    )
+    model = LlamaForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        _hf_state_dict_from_params(params, cfg), strict=False)
+    assert not unexpected, unexpected
+    # prompt longer than the original context so scaled bands matter
+    toks = np.random.default_rng(83).integers(2, cfg.vocab_size, (2, 48))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    cfg_off = dataclasses.replace(cfg, rope_scaling="none")
+    ours_off, _ = _run_both(model, params, cfg_off, toks)
+    err_off = float(np.max(np.abs(ours_off - hf_logits)))
+    assert err_off > 50 * max(err_on, 1e-7), (err_on, err_off)
+
+
+def test_deepseek_v3_yarn_mscale_matches_transformers():
+    """DeepSeek-V3 with the real checkpoints' yarn config (factor 40,
+    mscale = mscale_all_dim = 1): attention_factor cancels to 1 but the
+    SCORE scale carries yarn_mscale^2 (HF DeepseekV3Attention) — our
+    score_mscale knob. Dropping it must break parity."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    cfg = dataclasses.replace(
+        PRESETS["test-tiny-dsv3"], bits=8, dtype="float32", kv_bits=16,
+        rope_scaling="yarn", rope_factor=40.0, rope_orig_max_pos=16,
+        rope_mscale=1.0, rope_mscale_all_dim=1.0, score_mscale=True)
+    params = llama.init_params(cfg, seed=85)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=cfg.q_lora_rank,
+        kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling,
+        norm_topk_prob=True, rope_interleave=True,
+        rope_scaling={"rope_type": "yarn", "factor": 40.0,
+                      "original_max_position_embeddings": 16,
+                      "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0},
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    missing, unexpected = model.load_state_dict(_deepseek_sd(params, cfg),
+                                                strict=False)
+    assert not unexpected, unexpected
+    toks = np.random.default_rng(86).integers(2, cfg.vocab_size, (2, 24))
+    ours, hf_logits = _run_both(model, params, cfg, toks)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+    assert np.array_equal(np.argmax(ours, -1), np.argmax(hf_logits, -1))
+
+    err_on = float(np.max(np.abs(ours - hf_logits)))
+    for off in (dict(score_mscale=False),
+                dict(rope_scaling="none", score_mscale=False)):
+        ours_off, _ = _run_both(
+            model, params, dataclasses.replace(cfg, **off), toks)
+        err_off = float(np.max(np.abs(ours_off - hf_logits)))
+        assert err_off > 50 * max(err_on, 1e-7), (off, err_on, err_off)

@@ -308,3 +308,66 @@ def test_mla_engine_data_seq_mesh():
     with pytest.raises(ValueError, match="MLA x pipeline"):
         Engine(params, cfg, max_slots=4, max_seq=64,
                mesh=make_mesh(pipe=2))
+
+
+# ── Pallas kernel pair (interpret mode; hardware runs via scripts) ──────
+
+
+def test_mla_flash_pair_matches_xla_decode():
+    """The MLA Pallas pair (aliased latent insert + flash decode) must
+    reproduce the XLA path's decode chain bit-closely: same quantized
+    latent rows, same LSE math, value = prefix slice of the key tile."""
+    cfg_xla = dataclasses.replace(MLA, kv_bits=8)
+    cfg_pl = dataclasses.replace(cfg_xla, kernel_mode="pallas_interpret",
+                                 attn_kernel="flash")
+    params = llama.init_params(cfg_xla, seed=7)
+    toks = np.random.default_rng(7).integers(2, cfg_xla.vocab_size,
+                                             (3, 5))
+    caches = {}
+    for name, cfg in (("xla", cfg_xla), ("flash", cfg_pl)):
+        cache = llama.init_cache(cfg, 3, 16)
+        # prefill goes through the shared XLA path in both configs
+        _, cache = llama.forward(params, jnp.asarray(toks, jnp.int32),
+                                 cache, cfg)
+        steps = []
+        tok = jnp.asarray([[5], [9], [2]], jnp.int32)
+        for _ in range(6):
+            lg, cache = llama.forward(params, tok, cache, cfg)
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+            steps.append(np.asarray(lg[:, 0], np.float32))
+        caches[name] = (np.stack(steps, 1), np.asarray(cache.k_codes),
+                        np.asarray(cache.k_scale))
+    np.testing.assert_allclose(caches["flash"][0], caches["xla"][0],
+                               rtol=2e-3, atol=2e-3)
+    # the aliased insert wrote EXACTLY the scatter path's rows
+    np.testing.assert_array_equal(caches["flash"][1], caches["xla"][1])
+    np.testing.assert_allclose(caches["flash"][2], caches["xla"][2],
+                               rtol=1e-6)
+
+
+def test_mla_flash_kernel_unit():
+    """Kernel-level check vs a float reference at a DeepSeek-like shape
+    (r=128 so the compile-path lane slice is exercised in interpret)."""
+    from quant_tpu.kernels.mla_attention import mla_flash_decode_int8
+
+    b, h, r, dr, s = 3, 8, 128, 32, 256
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((b, h, r + dr)), jnp.float32)
+    kf = rng.standard_normal((b, 1, s, r + dr)).astype(np.float32)
+    absmax = np.abs(kf).max(-1)
+    ks = (absmax / 127.0).astype(np.float32)
+    kc = np.round(kf / ks[..., None]).astype(np.int8)
+    lengths = jnp.asarray([s, 100, 1], jnp.int32)
+    scale = 1.0 / np.sqrt(64.0)
+    out = np.asarray(mla_flash_decode_int8(
+        q, jnp.asarray(kc), jnp.asarray(ks), lengths, r=r, scale=scale,
+        s_blk=64, interpret=True))
+    # reference
+    for bi, ln in enumerate([s, 100, 1]):
+        kd = kc[bi, 0].astype(np.float32) * ks[bi, 0][:, None]
+        logits = (np.asarray(q)[bi] * scale) @ kd.T
+        logits[:, ln:] = -1e30
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = p @ kd[:, :r]
+        np.testing.assert_allclose(out[bi], want, rtol=1e-4, atol=1e-4)
