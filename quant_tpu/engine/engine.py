@@ -395,13 +395,6 @@ class Engine:
             from quant_tpu.parallel import pp as pp_mod
             from quant_tpu.parallel import tp as tp_mod
 
-            if cfg.is_mla and mesh.shape.get("model", 1) > 1:
-                raise ValueError(
-                    "MLA x tensor parallelism is not packed yet: the "
-                    "fused [q|kv_a] projection's kv_a slice must stay "
-                    "REPLICATED under a column split (the latent is "
-                    "shared MQA state), which concat_columns cannot "
-                    "express — serve MLA on (data, expert, seq) axes")
             if cfg.is_mla and mesh.shape.get("pipe", 1) > 1:
                 raise ValueError(
                     "MLA x pipeline parallelism: first_k_dense models "

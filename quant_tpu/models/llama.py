@@ -427,10 +427,6 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
     rng = np.random.default_rng(seed)
     d, hd = cfg.dim, cfg.head_dim
     qd, kvd, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
-    if cfg.is_mla and tp != 1:
-        raise NotImplementedError(
-            "MLA tensor parallelism (head-split q/o with a replicated "
-            "latent) is not packed yet — init with tp=1")
 
     def stack(n, make):
         outs = [make(i) for i in range(n)]
@@ -457,8 +453,11 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
             r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
             dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
             qw = cfg.q_lora_rank or cfg.n_heads * (dn + dr)
-            attn["wqkv"] = q(np.concatenate(
-                [_dense(rng, d, qw), _dense(rng, d, r + dr)], axis=1))
+            # MLA TP packing: the q(-a) and kv_a parts interleave per
+            # shard like any fused column tensor; forward's MLA branch
+            # all-gathers the kv_a slice back to the full latent
+            attn["wqkv"] = q(concat_columns(
+                [_dense(rng, d, qw), _dense(rng, d, r + dr)], tp))
             attn["wo"] = q(_dense(rng, cfg.n_heads * dv, d), kshards=tp)
             attn["qkv_bias"] = jnp.zeros((qw + r + dr,), jnp.float32)
             attn["w_q_b"] = (q(_dense(rng, cfg.q_lora_rank,
@@ -587,8 +586,6 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
     qz = functools.partial(quantize_tensor_device, bits=cfg.bits,
                            group_size=cfg.group_size,
                            codebook=cfg.codebook)
-    if cfg.is_mla and tp != 1:
-        raise NotImplementedError("MLA tp>1 packing not wired yet")
 
     @functools.partial(jax.jit, static_argnames=("inter", "shared"))
     def make_layer(key, inter=it, shared=0):
@@ -1734,9 +1731,26 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
         dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
         akv = mm(x, layers.wqkv, idx)            # [B,T, qpart + r + dr]
-        qp = akv[..., :akv.shape[-1] - (r + dr)]
-        ckv = akv[..., akv.shape[-1] - (r + dr):]
+        if axis is not None:
+            # MLA TP: wqkv is column-split (concat_columns interleave) —
+            # each shard holds 1/tp of the q(-a) columns AND 1/tp of the
+            # kv_a columns. The kv_a slice all-gathers back to the full
+            # latent (it is shared MQA state — a few hundred floats per
+            # token over ICI); the q side stays a head split. With
+            # q_lora the a-projection also gathers (its RMSNorm runs
+            # over the FULL low-rank dim) before the head-split q_b.
+            qw_g = cfg.q_lora_rank or cfg.n_heads * (dn + dr)
+            w_loc = akv.shape[-1]
+            share = (r + dr) * w_loc // (qw_g + r + dr)
+            qp = akv[..., :w_loc - share]
+            ckv = jax.lax.all_gather(akv[..., w_loc - share:], axis,
+                                     axis=2, tiled=True)
+        else:
+            qp = akv[..., :akv.shape[-1] - (r + dr)]
+            ckv = akv[..., akv.shape[-1] - (r + dr):]
         if cfg.q_lora_rank:
+            if axis is not None:
+                qp = jax.lax.all_gather(qp, axis, axis=2, tiled=True)
             qp = rmsnorm(qp, q_a_norm, cfg.norm_eps)
             qp = mm(qp, layers.w_q_b, idx)
         qh = qp.reshape(b, t, -1, dn + dr)       # [B,T,Hloc,dn+dr]

@@ -33,7 +33,7 @@ __all__ = [
     "sharded_forward_fn", "make_sharded_forward",
 ]
 
-_COL = ("wqkv", "w_gate_up", "ws_gate_up", "lm_head")
+_COL = ("wqkv", "w_gate_up", "ws_gate_up", "w_q_b", "lm_head")
 _ROW = ("wo", "w_down", "ws_down")
 
 
@@ -83,6 +83,10 @@ def _spec_for(path, leaf) -> P:
         # grouped scales shard along G; per-channel (G=1) replicate
         g_axis = leaf.shape[1] if stacked else leaf.shape[0]
         return P(*lead, "model", None) if g_axis > 1 else P()
+    if field in ("w_uk", "w_uv"):
+        # MLA absorbed up-projections [L, H, ., .]: shard the HEAD dim
+        # with the q/wo head split (the latent itself is replicated)
+        return P(*lead, "model", None, None)
     return P()  # embed, norms, router: replicated
 
 
@@ -122,9 +126,13 @@ def cache_specs(cache, batch_axis: str | None = "data"):
         field = _path_names(path)[-1]
         if field == "lengths":
             return P(batch_axis)
+        # MLA latent caches hold ONE shared head (plus zero-width V
+        # buffers): the kv-head dim replicates over model — every TP
+        # shard reads the full latent and computes its own q heads
+        model_ax = "model" if leaf.shape[2] > 1 else None
         if field.endswith("codes"):
-            return P(None, batch_axis, "model", "seq", None)
-        return P(None, batch_axis, "model", "seq")
+            return P(None, batch_axis, model_ax, "seq", None)
+        return P(None, batch_axis, model_ax, "seq")
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
@@ -157,7 +165,17 @@ def sharded_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
     tp = mesh.shape["model"]
     sp = mesh.shape.get("seq", 1)
     ep = mesh.shape.get("expert", 1)
-    if cfg.n_kv_heads % tp or cfg.n_heads % tp:
+    if cfg.is_mla:
+        # MLA TP is a HEAD split (q_b/w_uk/w_uv/wo); the latent stays
+        # replicated (each shard all-gathers its kv_a column slice)
+        qw = cfg.q_lora_rank or cfg.n_heads * (
+            cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+        if cfg.n_heads % tp or qw % tp or cfg.mla_kv_dim % tp:
+            raise ValueError(
+                f"model axis {tp} must divide n_heads={cfg.n_heads}, "
+                f"the q column width {qw} and the latent width "
+                f"{cfg.mla_kv_dim}")
+    elif cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(
             f"model axis {tp} must divide n_heads={cfg.n_heads} and "
             f"n_kv_heads={cfg.n_kv_heads}"

@@ -6,6 +6,7 @@ round-trips, and the routing math edge cases)."""
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -371,3 +372,80 @@ def test_mla_flash_kernel_unit():
         p /= p.sum(-1, keepdims=True)
         want = p @ kd[:, :r]
         np.testing.assert_allclose(out[bi], want, rtol=1e-4, atol=1e-4)
+
+
+# ── tensor parallelism (head-split q/uk/uv/wo, replicated latent) ───────
+
+
+@pytest.mark.parametrize("name,mesh_kw", [
+    ("test-tiny-mla", dict(data=2, model=2)),
+    ("test-tiny-dsv3", dict(model=2, seq=2)),
+    ("test-tiny-dsv3", dict(data=2, model=2)),
+    ("test-tiny-mla", dict(data=2, model=2, seq=2)),
+])
+def test_mla_tp_matches_single_device(name, mesh_kw):
+    """MLA TP: wqkv column-split with the kv_a slice all-gathered back
+    to the full (replicated) latent; q_b/w_uk/w_uv/wo split by heads;
+    composed with DP and S-sharded latent caches."""
+    from quant_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache, shard_params,
+    )
+
+    cfg = dataclasses.replace(PRESETS[name], dtype="float32")
+    params_ref = llama.init_params(cfg, seed=0, tp=1)
+    params = llama.init_params(cfg, seed=0, tp=mesh_kw.get("model", 1))
+    cache0 = llama.init_cache(cfg, 4, 16)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 5)), jnp.int32)
+    ref_logits, ref_cache = llama.forward(params_ref, toks, cache0, cfg)
+    mesh = make_mesh(**mesh_kw)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(llama.init_cache(cfg, 4, 16), mesh)
+    step = make_sharded_forward(cfg, mesh, sp, sc)
+    out_logits, out_cache = step(sp, toks, sc)
+    np.testing.assert_allclose(
+        np.asarray(out_logits, np.float32),
+        np.asarray(ref_logits, np.float32), rtol=2e-4, atol=2e-4)
+    nxt = jnp.argmax(ref_logits[:, -1:], -1).astype(jnp.int32)
+    ref2, _ = llama.forward(params_ref, nxt, ref_cache, cfg)
+    out2, _ = step(sp, nxt, out_cache)
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(ref2, np.float32),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_mla_engine_tp_mesh():
+    """Engine on a (data=2, model=2) mesh serves the DeepSeek toy with
+    greedy equality vs single-device."""
+    from quant_tpu.engine import Engine
+    from quant_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=2, tp=2)
+    params_ref = llama.init_params(cfg, seed=2, tp=1)
+    rng = np.random.default_rng(2)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (6, 4)]
+    mesh = make_mesh(data=2, model=2)
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 mesh=mesh)
+    outs = eng.generate(prompts, max_new_tokens=5)
+    for p, o in zip(prompts, outs):
+        assert o == _ref_greedy(params_ref, cfg, p, 5), (p, o)
+
+
+def test_mla_engine_expert_mesh():
+    """DeepSeek MoE expert parallelism: the routed experts shard over
+    the expert axis (shared experts + dense prefix replicated)."""
+    from quant_tpu.engine import Engine
+    from quant_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=3)
+    rng = np.random.default_rng(3)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, 5)))]
+    mesh = make_mesh(expert=4)
+    eng = Engine(params, cfg, max_slots=1, max_seq=32, eos_id=-1,
+                 mesh=mesh)
+    outs = eng.generate(prompts, max_new_tokens=5)
+    assert outs[0] == _ref_greedy(params, cfg, prompts[0], 5, 32), outs
