@@ -449,3 +449,18 @@ def test_mla_engine_expert_mesh():
                  mesh=mesh)
     outs = eng.generate(prompts, max_new_tokens=5)
     assert outs[0] == _ref_greedy(params, cfg, prompts[0], 5, 32), outs
+
+
+def test_mla_ngram_speculation_matches_reference():
+    """n-gram prompt-lookup speculation composes with MLA: the verify
+    program's T=gamma+1 forward rides the same absorbed-latent path."""
+    from quant_tpu.engine import Engine
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=0)
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 spec_gamma=3)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7]
+    outs = eng.generate([prompt], max_new_tokens=8)
+    assert outs[0] == _ref_greedy(params, cfg, prompt, 8), outs
+    assert eng.stats["spec_proposed"] > 0  # drafts actually ran
