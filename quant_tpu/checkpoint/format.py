@@ -514,7 +514,7 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
         elif name in ("layers", "layers0"):
             field, leaf_field = path_names[1], path_names[-1]
             present = f"{name}.0.{field}" in tmeta
-            is_qt = present and tmeta[f"layers.0.{field}"]["kind"] in (
+            is_qt = present and tmeta[f"{name}.0.{field}"]["kind"] in (
                 "qtensor", "qembed")
 
             def cb(index):  # index[0] = layer range (pipe sharding)

@@ -266,11 +266,20 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
     """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
     ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
     if cfg.is_mla:
-        raise NotImplementedError(
-            "paged cache for MLA models is not wired yet — use the "
-            "contiguous cache (the latent is 576 B/token at V3 geometry, "
-            "3.6x smaller than Llama-8B int8 GQA, so contiguous slots "
-            "carry far less HBM pressure to begin with)")
+        # paged latent pool: same zero-width V convention as init_cache
+        l, d = cfg.n_layers, cfg.mla_kv_dim
+        if max_seq % page:
+            raise ValueError(
+                f"max_seq {max_seq} must divide by page {page}")
+        cdt = _kv_dtype(cfg)
+        return PagedKVCache(
+            k_codes=jnp.zeros((l, n_pages, 1, page, d), cdt),
+            k_scale=jnp.zeros((l, n_pages, 1, page), jnp.float32),
+            v_codes=jnp.zeros((l, n_pages, 1, page, 0), cdt),
+            v_scale=jnp.zeros((l, n_pages, 0, page), jnp.float32),
+            page_tbl=jnp.zeros((batch, max_seq // page), jnp.int32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
     l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
     hs = cfg.n_kv_heads   # scales stay per REAL head
     if max_seq % page:
@@ -1772,6 +1781,23 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         lat = jnp.concatenate([c, k_pe[:, :, 0].astype(c.dtype)],
                               axis=-1)[:, :, None, :]    # [B,T,1,r+dr]
         k_q, k_s = quantize_kv(lat.astype(dt), cfg.kv_bits)
+        if page_tbl is not None:
+            # paged latent pool (XLA path: page-table insert + per-slot
+            # page gather; a Pallas paged MLA kernel can slot in here
+            # once hardware-validated like the GQA pair)
+            from quant_tpu.kernels.paged_attention import paged_gather
+
+            kc, ks = _paged_insert_at_layer(kc, ks, k_q, k_s, lengths,
+                                            gidx, page_tbl)
+            kcl = paged_gather(kc, page_tbl, gidx)
+            ksl = paged_gather(ks, page_tbl, gidx)
+            att = attention_blockwise if t > 1 else attention
+            o_lat = att(q_eff, kcl, ksl, kcl[..., :r], ksl, positions,
+                        new_lengths, cfg)
+            out = jnp.einsum("bthr,hrv->bthv", o_lat.astype(dt),
+                             w_uv.astype(dt))
+            return _tail(h, out, kc, ks, vc, vs, mlp_norm, idx, router,
+                         post_attn, post_mlp, r_bias)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
                  and ak == "flash")

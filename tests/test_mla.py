@@ -128,8 +128,6 @@ def test_router_bias_changes_selection_not_weights():
 def test_mla_rejects_bad_compositions():
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        llama.init_paged_cache(MLA, 2, 256, 8)
     with pytest.raises(ValueError):
         dataclasses.replace(MLA, kv_bits=4)
     with pytest.raises(ValueError):
@@ -303,9 +301,6 @@ def test_mla_engine_data_seq_mesh():
     for p, o in zip(prompts, outs):
         assert o == _ref_greedy(params, cfg, p, 5), (p, o)
 
-    with pytest.raises(ValueError, match="MLA x tensor"):
-        Engine(params, cfg, max_slots=4, max_seq=64,
-               mesh=make_mesh(model=2))
     with pytest.raises(ValueError, match="MLA x pipeline"):
         Engine(params, cfg, max_slots=4, max_seq=64,
                mesh=make_mesh(pipe=2))
@@ -464,3 +459,64 @@ def test_mla_ngram_speculation_matches_reference():
     outs = eng.generate([prompt], max_new_tokens=8)
     assert outs[0] == _ref_greedy(params, cfg, prompt, 8), outs
     assert eng.stats["spec_proposed"] > 0  # drafts actually ran
+
+
+def test_mla_paged_engine_prefix_cache():
+    """Paged latent pool: page-table insert + gather attention, engine
+    preemption machinery and prompt-prefix page sharing all ride the
+    generic pool paths (V buffers zero-width)."""
+    from quant_tpu.engine import Engine
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (5, 11, 3)]
+    eng = Engine(params, cfg, max_slots=4, max_seq=64, eos_id=-1,
+                 paged=True, page_size=8, prefix_cache=True)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, o in zip(prompts, outs):
+        assert o == _ref_greedy(params, cfg, p, 6), (p, o)
+    # a repeated prompt reuses its prefix pages
+    outs2 = eng.generate([prompts[1]], max_new_tokens=6)
+    assert outs2[0] == _ref_greedy(params, cfg, prompts[1], 6)
+    assert eng.stats["prefix_hit_tokens"] > 0
+
+
+def test_mla_mesh_checkpoint_load(tmp_path):
+    """tp=2-packed DeepSeek checkpoint loads shard-natively onto a
+    (data=2, model=2) mesh (make_array_from_callback over both layer
+    stacks + the absorbed w_uk/w_uv raw leaves): every leaf must be
+    BIT-IDENTICAL to the in-memory params, and the sharded step on the
+    loaded params must match the sharded step on the originals exactly
+    (sharded-vs-unsharded equality itself is pinned by
+    test_mla_tp_matches_single_device — with sigmoid-routing near-ties
+    a different psum order can flip expert selection, so the load test
+    compares like-for-like programs instead)."""
+    from quant_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from quant_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache, shard_params,
+    )
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params = llama.init_params(cfg, seed=0, tp=2)
+    save_checkpoint(tmp_path / "ck", params, cfg, tp=2)
+    mesh = make_mesh(data=2, model=2)
+    loaded, lcfg = load_checkpoint(tmp_path / "ck", mesh=mesh)
+    assert loaded.layers0 is not None and lcfg.is_mla
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 5)), jnp.int32)
+    sc = shard_cache(llama.init_cache(cfg, 4, 16), mesh)
+    step = make_sharded_forward(
+        dataclasses.replace(lcfg, dtype="float32"), mesh, loaded, sc)
+    out, _ = step(loaded, toks, sc)
+    sp = shard_params(params, mesh)
+    want, _ = step(sp, toks, shard_cache(llama.init_cache(cfg, 4, 16),
+                                         mesh))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
