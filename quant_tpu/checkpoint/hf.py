@@ -331,15 +331,18 @@ def convert_hf_llama(
               qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     del embed
 
-    if cfg.is_mla and (tp != 1 or cal is not None):
+    if cfg.is_mla and tp != 1:
         raise NotImplementedError(
-            "MLA checkpoints convert with tp=1 / algo='rtn' for now "
-            "(TP packing and GPTQ calibration for the low-rank "
-            "projections are not wired)")
+            "MLA tp packing: the fused [q|kv_a] interleave is produced "
+            "by init_params/quantize paths; the streaming converter "
+            "writes tp=1 blobs (load with mesh= for sharded serving)")
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         if cfg.is_mla:
-            _convert_layer_deepseek(w, hf, cfg, i, t, qz)
+            if cal is not None:
+                _convert_layer_deepseek_gptq(w, hf, cfg, cal, i, t)
+            else:
+                _convert_layer_deepseek(w, hf, cfg, i, t, qz)
             continue
         if cal is not None:
             _convert_layer_gptq(w, hf, cfg, cal, i, t, tp)
@@ -483,6 +486,88 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
             [t(epre + "gate_proj.weight"),
              t(epre + "up_proj.weight")], axis=1)))
         w.add(f"{dst}.we_down.{e}", qz(t(epre + "down_proj.weight")))
+
+
+def _convert_layer_deepseek_gptq(w, hf, cfg, cal, i, t):
+    """GPTQ variant of :func:`_convert_layer_deepseek`: assemble the
+    MLA layer dict in the calibrator's naming, run the sequential step,
+    write the same blob set (absorbed w_uk/w_uv pass through raw)."""
+    pre = f"model.layers.{i}."
+    k0 = cfg.first_k_dense
+    dst = (f"layers0.{i}" if i < k0 else f"layers.{i - k0}")
+    r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    kvb = hf.get(pre + "self_attn.kv_b_proj.weight").astype(
+        np.float32).reshape(cfg.n_heads, dn + dv, r)
+    dense = {
+        "w_kv_a": t(pre + "self_attn.kv_a_proj_with_mqa.weight"),
+        "kv_a_norm": hf.get(
+            pre + "self_attn.kv_a_layernorm.weight").astype(np.float32),
+        "w_uk": np.ascontiguousarray(kvb[:, :dn, :]),
+        "w_uv": np.ascontiguousarray(kvb[:, dn:, :].transpose(0, 2, 1)),
+        "wo": t(pre + "self_attn.o_proj.weight"),
+        "attn_norm": hf.get(
+            pre + "input_layernorm.weight").astype(np.float32),
+        "mlp_norm": hf.get(
+            pre + "post_attention_layernorm.weight").astype(np.float32),
+    }
+    if cfg.q_lora_rank:
+        dense["w_q_a"] = t(pre + "self_attn.q_a_proj.weight")
+        dense["q_a_norm"] = hf.get(
+            pre + "self_attn.q_a_layernorm.weight").astype(np.float32)
+        dense["w_q_b"] = t(pre + "self_attn.q_b_proj.weight")
+    else:
+        dense["wq"] = t(pre + "self_attn.q_proj.weight")
+    moe_l = cfg.n_experts and i >= k0
+    if not moe_l:
+        dense["w_gate"] = t(pre + "mlp.gate_proj.weight")
+        dense["w_up"] = t(pre + "mlp.up_proj.weight")
+        dense["w_down"] = t(pre + "mlp.down_proj.weight")
+    else:
+        dense["router"] = t(pre + "mlp.gate.weight")
+        if cfg.router_bias:
+            dense["router_bias"] = hf.get(
+                pre + "mlp.gate.e_score_correction_bias").astype(
+                    np.float32)
+        dense["shared.w_gate"] = t(
+            pre + "mlp.shared_experts.gate_proj.weight")
+        dense["shared.w_up"] = t(
+            pre + "mlp.shared_experts.up_proj.weight")
+        dense["shared.w_down"] = t(
+            pre + "mlp.shared_experts.down_proj.weight")
+        for e in range(cfg.n_experts):
+            epre = pre + f"mlp.experts.{e}."
+            dense[f"expert{e}.w_gate"] = t(epre + "gate_proj.weight")
+            dense[f"expert{e}.w_up"] = t(epre + "up_proj.weight")
+            dense[f"expert{e}.w_down"] = t(epre + "down_proj.weight")
+
+    qd = cal.layer(dense)
+    qw = dense.get("wq", dense.get("w_q_a")).shape[1]
+    w.add(f"{dst}.wqkv", qd["wqkv"])
+    w.add(f"{dst}.qkv_bias", np.zeros((qw + r + dr,), np.float32))
+    if cfg.q_lora_rank:
+        w.add(f"{dst}.w_q_b", qd["w_q_b"])
+        w.add(f"{dst}.q_a_norm", qd["q_a_norm"])
+    w.add(f"{dst}.kv_a_norm", qd["kv_a_norm"])
+    w.add(f"{dst}.w_uk", qd["w_uk"])
+    w.add(f"{dst}.w_uv", qd["w_uv"])
+    w.add(f"{dst}.wo", qd["wo"])
+    w.add(f"{dst}.attn_norm", qd["attn_norm"])
+    w.add(f"{dst}.mlp_norm", qd["mlp_norm"])
+    w.add(f"{dst}.q_norm", np.ones((cfg.head_dim,), np.float32))
+    w.add(f"{dst}.k_norm", np.ones((cfg.head_dim,), np.float32))
+    if not moe_l:
+        w.add(f"{dst}.w_gate_up", qd["w_gate_up"])
+        w.add(f"{dst}.w_down", qd["w_down"])
+        return
+    w.add(f"{dst}.router", qd["router"])
+    if cfg.router_bias:
+        w.add(f"{dst}.router_bias", qd["router_bias"])
+    w.add(f"{dst}.ws_gate_up", qd["ws_gate_up"])
+    w.add(f"{dst}.ws_down", qd["ws_down"])
+    for e in range(cfg.n_experts):
+        w.add(f"{dst}.we_gate_up.{e}", qd[f"we_gate_up.{e}"])
+        w.add(f"{dst}.we_down.{e}", qd[f"we_down.{e}"])
 
 
 def _convert_layer_gptq(w, hf, cfg, cal, i, t, tp):

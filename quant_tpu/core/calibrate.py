@@ -206,6 +206,11 @@ class GPTQCalibrator:
             raise ValueError("awq scale folding is not supported for "
                              "MoE models (expert up-proj folds would "
                              "need per-expert scales)")
+        if cfg.is_mla and (awq or tp != 1):
+            raise ValueError("MLA calibration runs with tp=1 and no AWQ "
+                             "fold (the low-rank a-projections feed "
+                             "norms whose gains the fold would have to "
+                             "split across two parts)")
         self.cfg = cfg
         self.percdamp = percdamp
         self.blocksize = blocksize
@@ -275,11 +280,133 @@ class GPTQCalibrator:
 
     # -- pipeline -------------------------------------------------------
 
+    def _layer_mla(self, dense: dict) -> dict:
+        """One DeepSeek MLA layer: GPTQ the fused [q(_a)|kv_a] against
+        the normed hidden state, w_q_b against the normed low-rank q,
+        and wo against the absorbed attention output; the absorbed
+        w_uk/w_uv pass through raw (they fold into einsums, not the
+        stacked matmul kernel). The forward mirrors deployment: joint
+        int8 latent quantization, value = prefix slice of the key."""
+        llama, cfg = self._llama, self.cfg
+        r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+        out: dict = {}
+
+        attn_norm = np.asarray(dense["attn_norm"], np.float32)
+        x1 = self._norm(self.h, attn_norm)
+        qpart = np.asarray(
+            dense["w_q_a" if cfg.q_lora_rank else "wq"], np.float32)
+        wqkv = self._gptq(np.concatenate(
+            [qpart, np.asarray(dense["w_kv_a"], np.float32)], axis=1), x1)
+        out["wqkv"], out["attn_norm"] = wqkv, attn_norm
+        akv = self._mm(x1, wqkv)
+        qp, ckv = akv[..., :-(r + dr)], akv[..., -(r + dr):]
+        if cfg.q_lora_rank:
+            q_a_norm = np.asarray(dense["q_a_norm"], np.float32)
+            qa = self._norm(qp, q_a_norm)
+            w_q_b = self._gptq(np.asarray(dense["w_q_b"], np.float32),
+                               qa)
+            out["w_q_b"], out["q_a_norm"] = w_q_b, q_a_norm
+            qp = self._mm(qa, w_q_b)
+        qh = qp.reshape(self.b, self.t, -1, dn + dr)
+        q_nope, q_pe = qh[..., :dn], qh[..., dn:]
+        kv_a_norm = np.asarray(dense["kv_a_norm"], np.float32)
+        out["kv_a_norm"] = kv_a_norm
+        c = self._norm(ckv[..., :r], kv_a_norm)
+        k_pe = ckv[..., r:][:, :, None, :]
+        q_pe = np.asarray(llama._rope(
+            jnp.asarray(q_pe), self.positions, cfg.rope_theta, cfg),
+            np.float32)
+        k_pe = np.asarray(llama._rope(
+            jnp.asarray(k_pe), self.positions, cfg.rope_theta, cfg),
+            np.float32)
+        w_uk = np.asarray(dense["w_uk"], np.float32)
+        w_uv = np.asarray(dense["w_uv"], np.float32)
+        out["w_uk"], out["w_uv"] = w_uk, w_uv
+        q_eff = np.concatenate(
+            [np.einsum("bthn,hnr->bthr", q_nope, w_uk), q_pe], axis=-1)
+        lat = np.concatenate([c, k_pe[:, :, 0]], axis=-1)[:, :, None, :]
+        k_q, k_s = llama.quantize_kv(jnp.asarray(lat), cfg.kv_bits)
+        k_q, k_s = jnp.moveaxis(k_q, 1, 2), jnp.moveaxis(k_s, 1, 2)
+        o_lat = np.asarray(llama.attention(
+            jnp.asarray(q_eff), k_q, k_s, k_q[..., :r], k_s,
+            self.positions, jnp.full((self.b,), self.t, jnp.int32),
+            cfg), np.float32)
+        attn = np.einsum("bthr,hrv->bthv", o_lat, w_uv).reshape(
+            self.b, self.t, -1)
+        wo = self._gptq(np.asarray(dense["wo"], np.float32), attn)
+        out["wo"] = wo
+        self.h = self.h + self._mm(attn, wo)
+
+        mlp_norm = np.asarray(dense["mlp_norm"], np.float32)
+        out["mlp_norm"] = mlp_norm
+        x2 = self._norm(self.h, mlp_norm)
+        act = jax.nn.silu
+        d = cfg.dim
+
+        def glu(wgu_qt, wdn_dense, wgt=None):
+            gate, up = np.split(self._mm(x2, wgu_qt), 2, axis=-1)
+            a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
+            wdn = self._gptq(np.asarray(wdn_dense, np.float32), a,
+                             wgt=wgt)
+            return wdn, self._mm(a, wdn)
+
+        moe_l = cfg.n_experts and self._layer_idx >= cfg.first_k_dense
+        if not moe_l:
+            wgu = self._gptq(np.concatenate(
+                [np.asarray(dense["w_gate"], np.float32),
+                 np.asarray(dense["w_up"], np.float32)], axis=1), x2)
+            wdn, m = glu(wgu, dense["w_down"])
+            out["w_gate_up"], out["w_down"] = wgu, wdn
+        else:
+            router = np.asarray(dense["router"], np.float32)
+            bias = (np.asarray(dense["router_bias"], np.float32)
+                    if cfg.router_bias else None)
+            rw = np.asarray(llama.moe_route(
+                jnp.asarray(x2), jnp.asarray(router), cfg,
+                bias=None if bias is None else jnp.asarray(bias)),
+                np.float32)
+            out["router"] = router
+            if bias is not None:
+                out["router_bias"] = bias
+            # always-on shared expert: plain GPTQ against x2
+            wsgu = self._gptq(np.concatenate(
+                [np.asarray(dense["shared.w_gate"], np.float32),
+                 np.asarray(dense["shared.w_up"], np.float32)],
+                axis=1), x2)
+            wsdn, m = glu(wsgu, dense["shared.w_down"])
+            out["ws_gate_up"], out["ws_down"] = wsgu, wsdn
+            x2_flat = x2.reshape(-1, d)
+            for e in range(cfg.n_experts):
+                wgt = rw[..., e].reshape(-1)
+                h_e = accumulate_hessian(x2_flat, wgt)
+                wgu = gptq_quantize_tensor(
+                    np.concatenate(
+                        [np.asarray(dense[f"expert{e}.w_gate"],
+                                    np.float32),
+                         np.asarray(dense[f"expert{e}.w_up"],
+                                    np.float32)], axis=1),
+                    h_e, cfg.bits, cfg.group_size,
+                    percdamp=self.percdamp, blocksize=self.blocksize)
+                gate, up = np.split(self._mm(x2, wgu), 2, axis=-1)
+                a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
+                wdn = self._gptq(
+                    np.asarray(dense[f"expert{e}.w_down"], np.float32),
+                    a, wgt=wgt)
+                out[f"we_gate_up.{e}"], out[f"we_down.{e}"] = wgu, wdn
+                m = m + self._mm(a, wdn) * rw[..., e:e + 1]
+        self.h = self.h + m
+        self._layer_idx += 1
+        return out
+
     def layer(self, dense: dict) -> dict:
         """Quantize one decoder layer; returns {name: QTensor | array}
         in quantize_dense_params' per-layer naming (wqkv/wo fused with
-        the calibrator's ``tp`` interleave, MoE experts included)."""
+        the calibrator's ``tp`` interleave, MoE experts included).
+        MLA configs dispatch to :meth:`_layer_mla` (its own naming)."""
         llama, cfg = self._llama, self.cfg
+        if cfg.is_mla:
+            return self._layer_mla(dense)
         d, hd = cfg.dim, cfg.head_dim
         nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
         out: dict = {}

@@ -422,7 +422,9 @@ PRESETS: dict[str, ModelConfig] = {
     "deepseek-v2-lite": ModelConfig(
         vocab_size=102400, dim=2048, n_layers=27, n_heads=16,
         n_kv_heads=1, intermediate=1408, rope_theta=10000.0,
-        norm_eps=1e-6, embed_bits=8,
+        norm_eps=1e-6, embed_bits=8, group_size=64,
+        # gs=64: the dense-prefix MLP width 10944 = 2^6 * 171 only
+        # admits 64-sized K groups (1408 and 2048 divide either way)
         kv_lora_rank=512, qk_nope_head_dim=128, qk_rope_head_dim=64,
         v_head_dim=128, rope_interleaved=True,
         n_experts=64, experts_per_token=6, norm_topk=False,

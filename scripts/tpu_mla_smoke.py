@@ -37,7 +37,7 @@ def mla_cfg(n_layers=2, moe=False):
         n_kv_heads=1, intermediate=1408 if moe else 10944,
         kv_lora_rank=512, qk_nope_head_dim=128, qk_rope_head_dim=64,
         v_head_dim=128, rope_interleaved=True, norm_eps=1e-6,
-        embed_bits=8, kernel_mode="auto",
+        embed_bits=8, kernel_mode="auto", group_size=64,
     )
     if moe:
         kw.update(n_experts=8, experts_per_token=2, n_shared_experts=2,

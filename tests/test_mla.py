@@ -520,3 +520,86 @@ def test_mla_mesh_checkpoint_load(tmp_path):
     want, _ = step(sp, toks, shard_cache(llama.init_cache(cfg, 4, 16),
                                          mesh))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_mla_gptq_convert_beats_rtn(tmp_path):
+    """convert_hf_llama(algo='gptq') on a DeepseekV3 dir: the sequential
+    MLA calibration (fused [q_a|kv_a] Hessians, w_q_b on the normed
+    low-rank q, wo on the absorbed attention output, routing-weighted
+    expert Hessians + shared expert) must track the near-fp reference
+    better than RTN at the same bit-width."""
+    import json as _json
+
+    import pytest
+    pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+
+    cfg = DSV3
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        q_lora_rank=cfg.q_lora_rank, kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling,
+        norm_topk_prob=True, rope_interleave=True, pad_token_id=0,
+        initializer_range=0.05,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if "rotary" not in k}
+    save_file(sd, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(_json.dumps({
+        "model_type": "deepseek_v3", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim, "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_heads,
+        "intermediate_size": cfg.dense_intermediate,
+        "moe_intermediate_size": cfg.intermediate,
+        "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": False,
+        "q_lora_rank": cfg.q_lora_rank,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "n_routed_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "n_shared_experts": cfg.n_shared_experts,
+        "first_k_dense_replace": cfg.first_k_dense,
+        "n_group": cfg.n_expert_groups, "topk_group": cfg.topk_groups,
+        "routed_scaling_factor": cfg.routed_scaling,
+        "norm_topk_prob": True, "rope_interleave": True,
+    }))
+    toks = np.random.default_rng(13).integers(2, cfg.vocab_size, (2, 48))
+
+    convert_hf_llama(hf_dir, tmp_path / "rtn", bits=4, group_size=64)
+    convert_hf_llama(hf_dir, tmp_path / "gptq", bits=4, group_size=64,
+                     algo="gptq", calib_tokens=toks)
+    convert_hf_llama(hf_dir, tmp_path / "ref", bits=8, group_size=16)
+
+    def logits(path):
+        p, c = load_checkpoint(path)
+        c = dataclasses.replace(c, dtype="float32", kv_bits=16)
+        lg, _ = llama.forward(p, jnp.asarray(toks, jnp.int32),
+                              llama.init_cache(c, 2, 64), c)
+        return np.asarray(lg, np.float32)
+
+    ref = logits(tmp_path / "ref")
+    mse_r = float(np.mean((logits(tmp_path / "rtn") - ref) ** 2))
+    mse_g = float(np.mean((logits(tmp_path / "gptq") - ref) ** 2))
+    assert mse_g < mse_r, (mse_g, mse_r)
