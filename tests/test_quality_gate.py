@@ -304,3 +304,62 @@ def test_moe_variant_ppl_within_recorded_delta():
     delta = abs(ours["ppl"] - fp) / fp
     print(f"moe gate: ours={ours['ppl']:.3f} fp={fp:.3f} delta={delta:.4f}")
     assert delta < 2 * RECORDED_MOE, (ours["ppl"], fp, delta)
+
+
+# ── DeepSeek MLA variant ─────────────────────────────────────────────────
+
+from quant_tpu.models.config import PRESETS as _PRESETS
+
+MLA_CFG = dataclasses.replace(_PRESETS["test-tiny-dsv3"],
+                              dtype="float32")
+# Recorded at introduction (r4 session 10). The fp baseline is a torch
+# DeepseekV3 running our near-fp (int8/gs16) params' dequantized
+# weights, so the delta isolates int4 weight + int8 LATENT quantization
+# through the absorbed decode path; 2x drift allowed.
+RECORDED_MLA = {(4, 0): 0.0177, (4, 1): 0.0809,
+                (8, 0): 0.0064, (8, 1): 0.0040}
+
+
+@pytest.mark.parametrize("bits,seed", sorted(RECORDED_MLA))
+def test_mla_variant_ppl_within_recorded_delta(bits, seed):
+    from test_hf_parity import _deepseek_sd
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from quant_tpu.models import llama as _llama
+
+    base = MLA_CFG
+    toks = _tokens()
+    near = dataclasses.replace(base, bits=8, group_size=16)
+    p_near = _llama.init_params(near, seed=seed)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=base.vocab_size, hidden_size=base.dim,
+        intermediate_size=base.dense_intermediate,
+        moe_intermediate_size=base.intermediate,
+        num_hidden_layers=base.n_layers,
+        num_attention_heads=base.n_heads,
+        num_key_value_heads=base.n_heads, rms_norm_eps=base.norm_eps,
+        rope_theta=base.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager", q_lora_rank=base.q_lora_rank,
+        kv_lora_rank=base.kv_lora_rank,
+        qk_nope_head_dim=base.qk_nope_head_dim,
+        qk_rope_head_dim=base.qk_rope_head_dim,
+        v_head_dim=base.v_head_dim,
+        n_routed_experts=base.n_experts,
+        num_experts_per_tok=base.experts_per_token,
+        n_shared_experts=base.n_shared_experts,
+        first_k_dense_replace=base.first_k_dense,
+        n_group=base.n_expert_groups, topk_group=base.topk_groups,
+        routed_scaling_factor=base.routed_scaling,
+        norm_topk_prob=True, rope_interleave=True)
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    model.eval()
+    model.load_state_dict(_deepseek_sd(p_near, near), strict=False)
+    fp = _torch_ppl(model, toks, WINDOW)
+    cfg = dataclasses.replace(base, bits=bits, group_size=64)
+    ours = perplexity(_llama.init_params(cfg, seed=seed), cfg, toks,
+                      window=WINDOW)
+    delta = abs(ours["ppl"] - fp) / fp
+    print(f"mla gate bits={bits} seed={seed}: ours={ours['ppl']:.3f} "
+          f"fp={fp:.3f} delta={delta:.4f}")
+    assert delta < 2 * max(RECORDED_MLA[(bits, seed)], 0.01), (
+        ours["ppl"], fp, delta)
