@@ -603,3 +603,33 @@ def test_mla_gptq_convert_beats_rtn(tmp_path):
     mse_r = float(np.mean((logits(tmp_path / "rtn") - ref) ** 2))
     mse_g = float(np.mean((logits(tmp_path / "gptq") - ref) ** 2))
     assert mse_g < mse_r, (mse_g, mse_r)
+
+
+def test_mla_draft_model_speculation():
+    """Draft-model speculation with an MLA TARGET: a cheap GQA draft
+    proposes, the MLA verify chain accepts (output == plain greedy);
+    an MLA self-draft accepts every proposal (the draft's greedy chain
+    IS the target's)."""
+    from quant_tpu.engine import Engine
+    from quant_tpu.engine.spec import DraftModelProposer
+
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    dcfg = dataclasses.replace(PRESETS["test-tiny"], dtype="float32")
+    params = llama.init_params(cfg, seed=0)
+    prompts = [[5, 6, 7, 5, 6], [9, 8, 7]]
+
+    prop = DraftModelProposer(llama.init_params(dcfg, seed=9), dcfg,
+                              gamma=3, max_slots=2, max_seq=64)
+    eng = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 spec_gamma=3, spec_proposer=prop)
+    for p, o in zip(prompts, eng.generate(prompts, max_new_tokens=8)):
+        assert o == _ref_greedy(params, cfg, p, 8), (p, o)
+
+    prop2 = DraftModelProposer(params, cfg, gamma=3, max_slots=2,
+                               max_seq=64)
+    eng2 = Engine(params, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                  spec_gamma=3, spec_proposer=prop2)
+    for p, o in zip(prompts, eng2.generate(prompts, max_new_tokens=8)):
+        assert o == _ref_greedy(params, cfg, p, 8), (p, o)
+    s = eng2.stats
+    assert s["spec_accepted"] == s["spec_proposed"], s
