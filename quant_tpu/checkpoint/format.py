@@ -73,7 +73,8 @@ def _entropy_decode(comp: bytes) -> bytes:
 # Tensor-parallel shard axis per leaf, mirroring parallel.tp._spec_for:
 # (codes_axis, scales_axis); None → replicated. Row-split scales shard along
 # groups only when grouped (G > 1) — checked at write time.
-_COL = {"wqkv", "w_gate_up", "we_gate_up", "ws_gate_up", "lm_head"}
+_COL = {"wqkv", "w_gate_up", "we_gate_up", "ws_gate_up", "w_q_b",
+        "lm_head"}
 _ROW = {"wo", "w_down", "we_down", "ws_down"}
 
 
@@ -317,14 +318,23 @@ def _canonicalize_tp(field: str, leaf, cfg: ModelConfig, tp: int):
     per (K-group, column), so column permutation / K-block repacking
     commute with it: the result is bit-identical to a tp=1 conversion.
     """
-    if tp == 1:
+    if tp == 1 or leaf is None:
         return leaf
-    if field in ("wqkv", "w_gate_up", "we_gate_up", "qkv_bias"):
+    if field in ("wqkv", "w_gate_up", "we_gate_up", "ws_gate_up",
+                 "qkv_bias"):
         hd = cfg.head_dim
-        widths = ((cfg.intermediate,) * 2
-                  if field in ("w_gate_up", "we_gate_up")
-                  else (cfg.n_heads * hd, cfg.n_kv_heads * hd,
-                        cfg.n_kv_heads * hd))
+        if field in ("w_gate_up", "we_gate_up"):
+            widths = (cfg.intermediate,) * 2
+        elif field == "ws_gate_up":
+            widths = (cfg.n_shared_experts * cfg.intermediate,) * 2
+        elif cfg.is_mla:
+            # MLA fuses [q(_a) | kv_a]
+            qw = cfg.q_lora_rank or cfg.n_heads * (
+                cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+            widths = (qw, cfg.mla_kv_dim)
+        else:
+            widths = (cfg.n_heads * hd, cfg.n_kv_heads * hd,
+                      cfg.n_kv_heads * hd)
         per = [w // tp for w in widths]
         starts, off = {}, 0
         for s in range(tp):
@@ -479,11 +489,18 @@ def _load_v2_mesh(rd: _BlobReader, cfg: ModelConfig, mesh) -> LlamaParams:
     pipe = mesh.shape.get("pipe", 1)
     tp = mesh.shape.get("model", 1)
     save_tp = rd.manifest.get("tp", 1)
-    if save_tp not in (1, tp):
-        # fused column tensors bake the interleaving of their packing tp —
-        # a different runtime tp cannot consume them (see concat_columns)
+    if save_tp != tp:
+        # fused column tensors bake the interleaving of their packing
+        # tp — a different runtime tp cannot consume them (see
+        # concat_columns). That includes save_tp=1 onto model>1: a
+        # contiguous column split of an UNinterleaved [q|k|v] hands
+        # shard 0 all-q columns while forward slices per-shard heads —
+        # measured max|logit d| 5.3 on the toy model (2026-08-20), so
+        # this load must refuse rather than silently corrupt. Repack
+        # with convert/save tp == the mesh model axis.
         raise ValueError(
-            f"checkpoint packed for tp={save_tp}, mesh model axis is {tp}")
+            f"checkpoint packed for tp={save_tp}, mesh model axis is "
+            f"{tp}; repack the checkpoint with tp={tp}")
 
     # Template (shapes only) + specs from the runtime sharding rules.
     template = _template_from_manifest(rd.manifest, cfg)

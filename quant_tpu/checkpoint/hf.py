@@ -208,8 +208,14 @@ def config_from_hf(model_dir, **overrides) -> ModelConfig:
         if bool(hf.get("attention_bias", False)):
             raise ValueError("deepseek attention_bias is not supported")
         rs = hf.get("rope_scaling") or {}
-        if v3 and (rs.get("rope_type") or rs.get("type")) == "yarn" and \
+        if (rs.get("rope_type") or rs.get("type")) == "yarn" and \
                 rs.get("mscale_all_dim"):
+            # BOTH DeepSeek generations were trained/released with the
+            # yarn mscale^2 softmax scale (deepseek-ai modeling code;
+            # vLLM/sglang mirror it). transformers' integrated
+            # DeepseekV2 OMITS it — we follow the original semantics
+            # for converted checkpoints; the V2 architecture parity
+            # tests run without yarn so they still pin vs transformers.
             kw["score_mscale"] = True
     if float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
         raise ValueError("partial_rotary_factor != 1 is not supported")
@@ -331,18 +337,18 @@ def convert_hf_llama(
               qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     del embed
 
-    if cfg.is_mla and tp != 1:
+    if cfg.is_mla and cal is not None and tp != 1:
         raise NotImplementedError(
-            "MLA tp packing: the fused [q|kv_a] interleave is produced "
-            "by init_params/quantize paths; the streaming converter "
-            "writes tp=1 blobs (load with mesh= for sharded serving)")
+            "MLA GPTQ calibration runs with tp=1 (the calibrator's "
+            "MLA forward has no departition step); convert rtn for "
+            "tp-packed blobs or calibrate then repack")
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         if cfg.is_mla:
             if cal is not None:
                 _convert_layer_deepseek_gptq(w, hf, cfg, cal, i, t)
             else:
-                _convert_layer_deepseek(w, hf, cfg, i, t, qz)
+                _convert_layer_deepseek(w, hf, cfg, i, t, qz, tp)
             continue
         if cal is not None:
             _convert_layer_gptq(w, hf, cfg, cal, i, t, tp)
@@ -421,7 +427,7 @@ def convert_hf_llama(
     return cfg
 
 
-def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
+def _convert_layer_deepseek(w, hf, cfg, i, t, qz, tp=1):
     """One DeepseekV2/V3 layer → our MLA blob set. Layer i lands in the
     ``layers0`` stack (dense prefix, local index i) when
     i < first_k_dense, else in ``layers`` at local index
@@ -444,7 +450,7 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
     else:
         qpart = t(pre + "self_attn.q_proj.weight")
     kv_a = t(pre + "self_attn.kv_a_proj_with_mqa.weight")
-    w.add(f"{dst}.wqkv", qz(np.concatenate([qpart, kv_a], axis=1)))
+    w.add(f"{dst}.wqkv", qz(concat_columns([qpart, kv_a], tp)))
     w.add(f"{dst}.qkv_bias",
           np.zeros((qpart.shape[1] + r + dr,), np.float32))
     w.add(f"{dst}.kv_a_norm",
@@ -455,7 +461,8 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
     w.add(f"{dst}.w_uk", np.ascontiguousarray(kvb[:, :dn, :]))
     w.add(f"{dst}.w_uv",
           np.ascontiguousarray(kvb[:, dn:, :].transpose(0, 2, 1)))
-    w.add(f"{dst}.wo", qz(t(pre + "self_attn.o_proj.weight")))
+    w.add(f"{dst}.wo", qz(t(pre + "self_attn.o_proj.weight"),
+                          kshards=tp))
     w.add(f"{dst}.attn_norm",
           hf.get(pre + "input_layernorm.weight").astype(np.float32))
     w.add(f"{dst}.mlp_norm",
@@ -464,10 +471,11 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
     w.add(f"{dst}.q_norm", np.ones((cfg.head_dim,), np.float32))
     w.add(f"{dst}.k_norm", np.ones((cfg.head_dim,), np.float32))
     if i < k0 or not cfg.n_experts:
-        w.add(f"{dst}.w_gate_up", qz(np.concatenate(
+        w.add(f"{dst}.w_gate_up", qz(concat_columns(
             [t(pre + "mlp.gate_proj.weight"),
-             t(pre + "mlp.up_proj.weight")], axis=1)))
-        w.add(f"{dst}.w_down", qz(t(pre + "mlp.down_proj.weight")))
+             t(pre + "mlp.up_proj.weight")], tp)))
+        w.add(f"{dst}.w_down", qz(t(pre + "mlp.down_proj.weight"),
+                                  kshards=tp))
         return
     w.add(f"{dst}.router", t(pre + "mlp.gate.weight"))
     if cfg.router_bias:
@@ -475,17 +483,19 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz):
               hf.get(pre + "mlp.gate.e_score_correction_bias").astype(
                   np.float32))
     if cfg.n_shared_experts:
-        w.add(f"{dst}.ws_gate_up", qz(np.concatenate(
+        w.add(f"{dst}.ws_gate_up", qz(concat_columns(
             [t(pre + "mlp.shared_experts.gate_proj.weight"),
-             t(pre + "mlp.shared_experts.up_proj.weight")], axis=1)))
+             t(pre + "mlp.shared_experts.up_proj.weight")], tp)))
         w.add(f"{dst}.ws_down",
-              qz(t(pre + "mlp.shared_experts.down_proj.weight")))
+              qz(t(pre + "mlp.shared_experts.down_proj.weight"),
+                 kshards=tp))
     for e in range(cfg.n_experts):
         epre = pre + f"mlp.experts.{e}."
-        w.add(f"{dst}.we_gate_up.{e}", qz(np.concatenate(
+        w.add(f"{dst}.we_gate_up.{e}", qz(concat_columns(
             [t(epre + "gate_proj.weight"),
-             t(epre + "up_proj.weight")], axis=1)))
-        w.add(f"{dst}.we_down.{e}", qz(t(epre + "down_proj.weight")))
+             t(epre + "up_proj.weight")], tp)))
+        w.add(f"{dst}.we_down.{e}", qz(t(epre + "down_proj.weight"),
+                                       kshards=tp))
 
 
 def _convert_layer_deepseek_gptq(w, hf, cfg, cal, i, t):

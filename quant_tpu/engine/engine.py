@@ -395,17 +395,20 @@ class Engine:
             from quant_tpu.parallel import pp as pp_mod
             from quant_tpu.parallel import tp as tp_mod
 
-            if cfg.is_mla and mesh.shape.get("pipe", 1) > 1:
+            if (cfg.is_mla or cfg.first_k_dense) and \
+                    mesh.shape.get("pipe", 1) > 1:
                 raise ValueError(
-                    "MLA x pipeline parallelism: first_k_dense models "
-                    "carry TWO layer stacks (layers0 + layers), which "
-                    "the per-stage stacked slicing does not handle yet")
+                    "MLA / first_k_dense x pipeline parallelism: these "
+                    "models carry TWO layer stacks (layers0 + layers), "
+                    "which the per-stage stacked slicing does not "
+                    "handle yet")
             sp = mesh.shape.get("seq", 1)
-            if cfg.is_mla:
-                # MLA long prompts always take the chunked seq-axis
-                # prefill: ring/Ulysses sp_prefill is GQA-only (and the
-                # latent cache is 3.6x smaller per token, moving the SP
-                # break-even far higher)
+            if cfg.is_mla or cfg.first_k_dense:
+                # MLA / first_k_dense long prompts always take the
+                # chunked seq-axis prefill: ring/Ulysses sp_prefill
+                # handles neither the absorbed latent nor the two-stack
+                # scan (and the MLA latent cache is 3.6x smaller per
+                # token, moving the SP break-even far higher)
                 sp_prefill_mode = None
             if sp > 1:
                 # Long-context serving (VERDICT r3 #3): the decode cache's

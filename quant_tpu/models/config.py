@@ -184,8 +184,19 @@ class ModelConfig:
 
     @property
     def mla_kv_dim(self) -> int:
-        """Per-token latent cache width: [c_kv | k_rope]."""
+        """Logical per-token latent width: [c_kv | k_rope]."""
         return self.kv_lora_rank + self.qk_rope_head_dim
+
+    @property
+    def mla_cache_dim(self) -> int:
+        """PHYSICAL latent cache row width: mla_kv_dim padded up to a
+        128 multiple (DeepSeek's 576 → 640). Mosaic DMA slices must be
+        128-lane aligned even at the full logical dim (hardware-measured
+        2026-08-20: the insert kernel's [.., 8, 576] slice of a
+        640-physical-lane row fails "must be aligned to tiling"), so the
+        cache rows carry zero lanes; queries pad to match, scores and
+        the prefix-slice value read are exact (zeros contribute 0)."""
+        return -(-self.mla_kv_dim // 128) * 128
 
     def __post_init__(self):
         if self.is_mla:
@@ -417,8 +428,10 @@ PRESETS: dict[str, ModelConfig] = {
     # DeepSeek-V2-Lite (27 layers; MLA r=512/dn=128/dr=64/dv=128 with a
     # DIRECT q projection; 64-expert top-6 greedy softmax routing with 2
     # shared experts, first layer dense; interleaved rope; yarn to 160k
-    # with the released checkpoint's mscale 0.707 — HF DeepseekV2 leaves
-    # the score scale alone, so score_mscale stays off).
+    # with the released checkpoint's mscale 0.707. score_mscale ON: the
+    # checkpoint was trained with the original modeling code's
+    # yarn_mscale(40, 0.707)^2 = 1.59x softmax scale (vLLM/sglang
+    # apply it too; transformers' integrated DeepseekV2 omits it).
     "deepseek-v2-lite": ModelConfig(
         vocab_size=102400, dim=2048, n_layers=27, n_heads=16,
         n_kv_heads=1, intermediate=1408, rope_theta=10000.0,
@@ -430,7 +443,7 @@ PRESETS: dict[str, ModelConfig] = {
         n_experts=64, experts_per_token=6, norm_topk=False,
         n_shared_experts=2, first_k_dense=1, dense_intermediate=10944,
         rope_scaling="yarn", rope_factor=40.0, rope_orig_max_pos=4096,
-        rope_mscale=0.707, rope_mscale_all_dim=0.707,
+        rope_mscale=0.707, rope_mscale_all_dim=0.707, score_mscale=True,
     ),
     # DeepSeek-V3/R1 (671B total / 37B active): MLA with low-rank q
     # (1536), 256-expert top-8 sigmoid routing with selection bias,

@@ -220,7 +220,7 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
         # happens OUTSIDE attention (absorbed form). The V buffers stay
         # in the pytree at zero width so every generic cache consumer
         # (engine slot moves, prefix caching, scans) works unchanged.
-        d = cfg.mla_kv_dim
+        d = cfg.mla_cache_dim
         return KVCache(
             k_codes=jnp.zeros((l, batch, 1, max_seq, d), cdt),
             k_scale=jnp.zeros((l, batch, 1, max_seq), jnp.float32),
@@ -267,7 +267,7 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
     ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
     if cfg.is_mla:
         # paged latent pool: same zero-width V convention as init_cache
-        l, d = cfg.n_layers, cfg.mla_kv_dim
+        l, d = cfg.n_layers, cfg.mla_cache_dim
         if max_seq % page:
             raise ValueError(
                 f"max_seq {max_seq} must divide by page {page}")
@@ -1673,7 +1673,7 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                            paged_gather(vs, page_tbl, gidx),
                            positions, new_lengths, cfg, window=window)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
-                         post_attn, post_mlp)
+                         post_attn, post_mlp, r_bias)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)
         flash = (t == 1 and seq_axis is None and batch0 is None
                  and ak == "flash" and cfg.kv_bits in (8, 4)
@@ -1776,10 +1776,17 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         # after bounds the precision this could buy.
         q_abs = jnp.einsum("bthn,hnr->bthr", q_nope,
                            w_uk.astype(q_nope.dtype))
+        pad = cfg.mla_cache_dim - cfg.mla_kv_dim
         q_eff = jnp.concatenate([q_abs.astype(dt), q_pe.astype(dt)],
                                 axis=-1)
         lat = jnp.concatenate([c, k_pe[:, :, 0].astype(c.dtype)],
                               axis=-1)[:, :, None, :]    # [B,T,1,r+dr]
+        if pad:
+            # physical cache rows carry zero lanes up to a 128 multiple
+            # (cfg.mla_cache_dim) — queries pad identically, so scores
+            # and the value prefix slice are exact
+            q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            lat = jnp.pad(lat, ((0, 0), (0, 0), (0, 0), (0, pad)))
         k_q, k_s = quantize_kv(lat.astype(dt), cfg.kv_bits)
         if page_tbl is not None:
             # paged latent pool (XLA path: page-table insert + per-slot

@@ -49,7 +49,7 @@ def mla_cfg(n_layers=2, moe=False):
     return ModelConfig(**kw)
 
 
-def run(cfg, tag, b=8, s_max=1024):
+def run(cfg, tag, b=8, s_max=1024, ret_params=False):
     print(f"── {tag}: layers={cfg.n_layers} moe={cfg.n_experts}", flush=True)
     t0 = time.time()
     params = llama.init_params_device(cfg, seed=0)
@@ -78,6 +78,54 @@ def run(cfg, tag, b=8, s_max=1024):
     print(f"  decode-vs-prefill max rel diff (f32): {rel:.2e}", flush=True)
     assert rel < 2e-3, rel
 
+    # Pallas-pair exactness ON HARDWARE, kernel-level (a full-model
+    # flash-vs-xla decode diff cascades layer-1 precision differences
+    # into layer-2's inserted latent — measured 3e-2 logits / 254 code
+    # bytes — so the kernels are checked in isolation on identical
+    # inputs instead):
+    # 1. mla_cache_insert_int8 must write EXACTLY the scatter's rows;
+    # 2. mla_flash_decode_int8 must match the XLA attention closely
+    #    (bf16 MXU dots vs f32).
+    if cfg.kv_bits == 8:
+        from quant_tpu.kernels.cache_insert import mla_cache_insert_int8
+        from quant_tpu.kernels.mla_attention import mla_flash_decode_int8
+
+        dq = cfg.mla_cache_dim
+        l_, b_, s_ = 2, 4, 256
+        key = jax.random.key(0)
+        kf = jax.random.normal(key, (l_, b_, 1, s_, dq), jnp.float32)
+        ks0 = jnp.max(jnp.abs(kf), axis=-1) / 127.0
+        kc0 = jnp.round(kf / ks0[..., None]).astype(jnp.int8)
+        lengths = jnp.asarray([100, 7, s_ - 1, 0], jnp.int32)
+        new_k = (jax.random.normal(jax.random.fold_in(key, 1),
+                                   (b_, 1, 1, dq), jnp.float32) * 20
+                 ).astype(jnp.int8)
+        new_s = jax.random.uniform(jax.random.fold_in(key, 2),
+                                   (b_, 1, 1), jnp.float32)
+        kc1, ks1 = mla_cache_insert_int8(kc0, ks0, new_k, new_s,
+                                         lengths, jnp.int32(1))
+        kc2, ks2 = llama._cache_insert_at_layer(
+            kc0, ks0, new_k, new_s, lengths, jnp.int32(1))
+        dc = int(np.asarray(jnp.sum(kc1 != kc2)))
+        ds = float(np.asarray(jnp.max(jnp.abs(ks1 - ks2))))
+        q = jax.random.normal(jax.random.fold_in(key, 3),
+                              (b_, cfg.n_heads, dq), jnp.float32)
+        scale = 1.0 / float(np.sqrt(cfg.query_pre_attn_scalar))
+        lens1 = lengths + 1
+        o_fl = mla_flash_decode_int8(
+            q, kc1, ks1, lens1, jnp.int32(1), r=cfg.kv_lora_rank,
+            scale=scale)
+        o_xl = llama.attention(
+            q[:, None], kc2[1], ks2[1], kc2[1][..., :cfg.kv_lora_rank],
+            ks2[1], (lens1 - 1)[:, None], lens1, cfg)[:, 0]
+        da = float(np.asarray(jnp.max(jnp.abs(o_fl - o_xl))))
+        rel = da / max(float(np.asarray(jnp.max(jnp.abs(o_xl)))), 1e-9)
+        print(f"  kernel checks: insert codes diff={dc} scales "
+              f"max|d|={ds:.1e}; flash vs xla attn rel={rel:.2e}",
+              flush=True)
+        assert dc == 0 and ds == 0.0, (dc, ds)
+        assert rel < 5e-3, rel  # bf16 MXU dots vs f32 XLA
+
     # decode timing at B=b, cache primed near s_max (fori_loop body pins
     # lengths so every rep reads the same context — decode_probe pattern)
     def make(n):
@@ -100,16 +148,41 @@ def run(cfg, tag, b=8, s_max=1024):
         cache, lengths=jnp.full((b,), s_max - 2, jnp.int32))
     per = differential_time(make, (params, tok, cache), 6, 30, iters=4)
     ms = per * 1e3
-    lat_bytes = cfg.n_layers * b * (cfg.mla_kv_dim + 4) * (s_max - 2)
+    lat_bytes = cfg.n_layers * b * (cfg.mla_cache_dim + 4) * (s_max - 2)
     print(f"  decode: {ms:.3f} ms/step at B={b}/S={s_max} "
           f"({b / per:.0f} tok/s); latent cache read "
           f"{lat_bytes / 1e6:.1f} MB/step", flush=True)
-    return ms
+    return (ms, params) if ret_params else ms
+
+
+def v2_lite_full(b=16, s_max=1024):
+    """FULL DeepSeek-V2-Lite geometry (27 layers, 64 experts + 2
+    shared, 15.7B params, int4 weights + int8 latent cache) decode on
+    ONE chip — the MoE decode reads every routed expert's packed codes
+    once per step (dense-all-experts), so the byte floor is
+    ~total-params/2 bytes/step."""
+    from quant_tpu.models.config import PRESETS
+
+    cfg = dataclasses.replace(
+        PRESETS["deepseek-v2-lite"], vocab_size=8192,
+        kernel_mode="auto")
+    ms, params = run(cfg, "deepseek-v2-lite FULL", b=b, s_max=s_max,
+                     ret_params=True)
+    wbytes = sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree.leaves((params.layers, params.layers0,
+                                  params.lm_head)))
+    print(f"  {wbytes / 1e9:.2f} GB weight reads/step (codes+scales+"
+          f"absorbed f32) -> {wbytes / ms / 1e6:.0f} GB/s effective",
+          flush=True)
 
 
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
-    run(mla_cfg(), "mla-dense")
-    if os.environ.get("SMOKE_MOE", "1") != "0":
-        run(mla_cfg(moe=True), "mla-moe-v3", b=4)
+    if os.environ.get("FULL_V2LITE", "0") == "1":
+        v2_lite_full()
+    else:
+        run(mla_cfg(), "mla-dense")
+        if os.environ.get("SMOKE_MOE", "1") != "0":
+            run(mla_cfg(moe=True), "mla-moe-v3", b=4)
     print("MLA TPU smoke OK", flush=True)

@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quant_tpu.checkpoint import (
     convert_hf_llama, load_checkpoint, save_checkpoint,
@@ -284,14 +285,16 @@ def test_load_pre_qknorm_checkpoint(tmp_path):
     from quant_tpu.parallel import make_mesh
 
     params = llama.init_params(CFG, seed=9)
+    params_tp = llama.init_params(CFG, seed=9, tp=2)
     save_checkpoint(tmp_path / "old", params, CFG)
-    man_path = tmp_path / "old" / "manifest.json"
-    man = json.loads(man_path.read_text())
-    for k in [k for k in man["tensors"]
-              if k.endswith(".q_norm") or k.endswith(".k_norm")]:
-        del man["tensors"][k]
-    man_path.write_text(json.dumps(man))
-
+    save_checkpoint(tmp_path / "old2", params_tp, CFG, tp=2)
+    for man_path in (tmp_path / "old" / "manifest.json",
+                     tmp_path / "old2" / "manifest.json"):
+        man = json.loads(man_path.read_text())
+        for k in [k for k in man["tensors"]
+                  if k.endswith(".q_norm") or k.endswith(".k_norm")]:
+            del man["tensors"][k]
+        man_path.write_text(json.dumps(man))
     loaded, cfg = load_checkpoint(tmp_path / "old", device=False)
     np.testing.assert_array_equal(
         np.asarray(loaded.layers.q_norm),
@@ -304,8 +307,13 @@ def test_load_pre_qknorm_checkpoint(tmp_path):
                                np.asarray(ref, np.float32),
                                rtol=1e-5, atol=1e-5)
 
+    # mesh path: the checkpoint's packing tp must MATCH the mesh
+    # (a tp=1 blob column-split over model>1 hands shard 0 all-q
+    # columns — silent corruption, now refused)
     mesh = make_mesh(model=2)
-    loaded_m, _ = load_checkpoint(tmp_path / "old", mesh=mesh)
+    with pytest.raises(ValueError, match="repack"):
+        load_checkpoint(tmp_path / "old", mesh=mesh)
+    loaded_m, _ = load_checkpoint(tmp_path / "old2", mesh=mesh)
     np.testing.assert_array_equal(
         np.asarray(loaded_m.layers.k_norm),
         np.ones((CFG.n_layers, CFG.head_dim), np.float32))

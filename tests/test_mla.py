@@ -50,14 +50,18 @@ def test_dsv3_decode_matches_prefill():
 
 
 def test_mla_cache_layout():
-    """The latent cache holds ONE r+dr row per token; V buffers are
-    zero-width (the value read is a prefix slice of the key read)."""
+    """The latent cache holds ONE row per token (r+dr logical values,
+    padded to a 128-multiple physical width for Mosaic DMA alignment);
+    V buffers are zero-width (the value read is a prefix slice of the
+    key read)."""
     cache = llama.init_cache(MLA, 3, 8)
-    assert cache.k_codes.shape == (2, 3, 1, 8, MLA.mla_kv_dim)
+    assert cache.k_codes.shape == (2, 3, 1, 8, MLA.mla_cache_dim)
+    assert MLA.mla_cache_dim == -(-MLA.mla_kv_dim // 128) * 128
     assert cache.v_codes.shape == (2, 3, 1, 8, 0)
-    # per token per layer: r+dr int8 codes + one f32 scale
-    bytes_tok_layer = MLA.mla_kv_dim + 4
-    assert bytes_tok_layer < 96  # vs 2*head_dim*n_kv+8 for GQA int8
+    # per token per layer at V3 geometry: 640 int8 codes + one f32
+    # scale = 644 B vs 2048+8 for Llama-8B int8 GQA
+    v3 = PRESETS["deepseek-v3"]
+    assert v3.mla_cache_dim + 4 == 644
 
 
 def test_mla_kv16_tight_roundtrip():
@@ -633,3 +637,87 @@ def test_mla_draft_model_speculation():
         assert o == _ref_greedy(params, cfg, p, 8), (p, o)
     s = eng2.stats
     assert s["spec_accepted"] == s["spec_proposed"], s
+
+
+def test_mla_convert_tp_mesh_roundtrip(tmp_path):
+    """convert_hf_llama(tp=2) writes interleave-packed MLA blobs that
+    mesh-load onto model=2 and match the tp=1 conversion's host-load
+    forward (the loader REFUSES mismatched packing — a tp=1 blob
+    column-split over model>1 silently corrupts)."""
+    import json as _json
+
+    import pytest
+    pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+    from quant_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache,
+    )
+
+    cfg = DSV3
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        q_lora_rank=cfg.q_lora_rank, kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim, v_head_dim=cfg.v_head_dim,
+        n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling, norm_topk_prob=True,
+        rope_interleave=True, pad_token_id=0, initializer_range=0.05,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    save_file({k: v.detach().numpy()
+               for k, v in model.state_dict().items()
+               if "rotary" not in k}, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(_json.dumps({
+        "model_type": "deepseek_v3", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim, "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_heads,
+        "intermediate_size": cfg.dense_intermediate,
+        "moe_intermediate_size": cfg.intermediate,
+        "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": False, "q_lora_rank": cfg.q_lora_rank,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "n_routed_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "n_shared_experts": cfg.n_shared_experts,
+        "first_k_dense_replace": cfg.first_k_dense,
+        "n_group": cfg.n_expert_groups, "topk_group": cfg.topk_groups,
+        "routed_scaling_factor": cfg.routed_scaling,
+        "norm_topk_prob": True, "rope_interleave": True,
+    }))
+    convert_hf_llama(hf_dir, tmp_path / "t1", bits=8, group_size=64)
+    convert_hf_llama(hf_dir, tmp_path / "t2", bits=8, group_size=64,
+                     tp=2)
+    p1, c1 = load_checkpoint(tmp_path / "t1")
+    c1 = dataclasses.replace(c1, dtype="float32")
+    toks = jnp.asarray(np.random.default_rng(7).integers(
+        2, cfg.vocab_size, (2, 6)), jnp.int32)
+    ref, _ = llama.forward(p1, toks, llama.init_cache(c1, 2, 16), c1)
+
+    mesh = make_mesh(model=2)
+    with pytest.raises(ValueError, match="repack"):
+        load_checkpoint(tmp_path / "t1", mesh=mesh)
+    p2, c2 = load_checkpoint(tmp_path / "t2", mesh=mesh)
+    c2 = dataclasses.replace(c2, dtype="float32")
+    sc = shard_cache(llama.init_cache(c2, 2, 16), mesh)
+    step = make_sharded_forward(c2, mesh, p2, sc)
+    out, _ = step(p2, toks, sc)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
