@@ -674,12 +674,34 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
 
         ekeys = jax.random.split(
             jax.random.fold_in(key, 7), cfg.n_experts * n_moe)
-        per_e = []
-        for e in range(cfg.n_experts):
+
+        # Fill preallocated [E, L, ...] buffers with DONATED in-place
+        # row updates: accumulating all per-expert stacks then stacking
+        # across E holds the expert weights TWICE transiently — at
+        # DeepSeek-V2-Lite scale that is ~2x 7 GB and OOMs the chip
+        # (measured 2026-08-20); peak is now weights + one expert row.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _set_row(buf, val, e):
+            return buf.at[e].set(val)
+
+        def erow(e):
             row = [make_expert(ekeys[e * n_moe + i])
                    for i in range(n_moe)]
-            per_e.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
-        wgu, wdn = jax.tree.map(lambda *xs: jnp.stack(xs), *per_e)
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *row)
+
+        row0 = erow(0)
+        bufs = jax.tree.map(
+            lambda a: jnp.zeros((cfg.n_experts,) + a.shape, a.dtype),
+            row0)
+        bufs = jax.tree.map(
+            lambda b, v: _set_row(b, v, jnp.int32(0)), bufs, row0)
+        del row0
+        for e in range(1, cfg.n_experts):
+            rowe = erow(e)
+            bufs = jax.tree.map(
+                lambda b, v: _set_row(b, v, jnp.int32(e)), bufs, rowe)
+            del rowe
+        wgu, wdn = bufs
         layers = dataclasses.replace(
             layers,
             router=0.5 * jax.random.normal(

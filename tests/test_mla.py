@@ -305,7 +305,7 @@ def test_mla_engine_data_seq_mesh():
     for p, o in zip(prompts, outs):
         assert o == _ref_greedy(params, cfg, p, 5), (p, o)
 
-    with pytest.raises(ValueError, match="MLA x pipeline"):
+    with pytest.raises(ValueError, match="x pipeline"):
         Engine(params, cfg, max_slots=4, max_seq=64,
                mesh=make_mesh(pipe=2))
 
