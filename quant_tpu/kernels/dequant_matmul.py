@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from quant_tpu.core.qtensor import QTensor
 
-__all__ = ["dequant_matmul", "dequant_matmul_reference"]
+__all__ = ["dequant_matmul", "dequant_matmul_moe",
+           "dequant_matmul_reference"]
 
 
 def _sublane(dtype) -> int:
@@ -316,14 +317,97 @@ class _Untileable(Exception):
     pass
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_experts", "stride", "mode", "out_dtype",
+                     "tile_m", "tile_n", "tile_k", "interpret",
+                     "act_quant"),
+)
+def dequant_matmul_moe(
+    x: jax.Array,
+    qt: QTensor,          # merged expert stack [E*L, K, N] (expert-major)
+    layer,
+    *,
+    n_experts: int,
+    stride: int,          # stacked-index stride between experts (= L)
+    mode: str = "concat",
+    out_dtype=None,
+    tile_m: int = 256,
+    tile_n: int = 4096,
+    tile_k: int = 512,
+    interpret: bool = False,
+    act_quant: bool = False,
+) -> jax.Array:
+    """All-experts dense MoE matmul in ONE kernel launch.
+
+    mode="concat": x [.., K] → [.., E*N] (every expert's gate|up
+    columns side by side). mode="sum": x [E, .., K] → [.., N]
+    (Σ_e x_e @ W_e — the routed down combine; fold routing weights
+    into x_e first). Raises the internal untileable error to the
+    caller as ValueError — callers fall back to the per-expert loop.
+    """
+    out_dtype = out_dtype or x.dtype
+    k, n = qt.shape
+    if mode == "sum":
+        e, *lead, kx = x.shape
+        m = 1
+        for d in lead:
+            m *= d
+        x2 = x.reshape(e, m, kx)
+    else:
+        *lead, kx = x.shape
+        m = 1
+        for d in lead:
+            m *= d
+        x2 = x.reshape(m, kx)
+    if kx != k:
+        raise ValueError(f"x last dim {kx} != K {k}")
+    y = _dequant_matmul_2d(
+        x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m,
+        tile_n=tile_n, tile_k=tile_k, interpret=interpret,
+        act_quant=act_quant, experts=(n_experts, stride),
+        expert_mode=mode,
+    )
+    if mode == "sum":
+        return y.reshape(*lead, n)
+    return y.reshape(*lead, n_experts * n)
+
+
 def _dequant_matmul_2d(
     x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret,
-    act_quant=False, lut_exact=False,
+    act_quant=False, lut_exact=False, experts=None, expert_mode="concat",
 ):
+    """``experts=(E, stride)`` fans ONE kernel launch over E stacked
+    tensors at indices layer + e*stride (the merged MoE expert stack):
+
+    * expert_mode="concat": x [M, K] against all E experts' columns →
+      [M, E*N] (the dense-all-experts gate|up in one launch — the
+      per-expert loop pays launch + issue latency E times per layer,
+      measured dominating the full DeepSeek-V2-Lite decode step).
+      Experts ride the parallel N grid dim.
+    * expert_mode="sum": x [E, M, K] per-expert inputs, output
+      Σ_e x_e @ W_e → [M, N] (the routed down-projection combine —
+      fold the routing weights into x_e first). Experts ride the
+      sequential K grid dim, accumulating in the same output block.
+    """
     stacked = qt.codes.ndim == 3
     if stacked and layer is None:
         raise ValueError("stacked QTensor requires a layer index")
-    m, k = x.shape
+    n_exp, e_stride = experts if experts is not None else (1, 0)
+    if experts is not None:
+        if not stacked:
+            raise _Untileable()
+        if qt.lut is not None:
+            # the in-kernel codebook row is indexed by lr[0] only
+            raise _Untileable()
+        if expert_mode == "sum":
+            n_exp_m, m, k = x.shape
+            assert n_exp_m == n_exp
+            x = x.reshape(n_exp * m, k)
+        else:
+            m, k = x.shape
+    else:
+        m, k = x.shape
     _, n = qt.shape
     gs = qt.group_size
     bits = qt.bits
@@ -358,7 +442,12 @@ def _dequant_matmul_2d(
     if m_pad % tm != 0:
         tm = m_pad  # few M tiles at decode sizes; just use one
     if m_pad != m:
-        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+        if experts is not None and expert_mode == "sum":
+            x = jnp.pad(x.reshape(n_exp, m, k),
+                        ((0, 0), (0, m_pad - m), (0, 0))
+                        ).reshape(n_exp * m_pad, k)
+        else:
+            x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
 
     # Logical K range handled per grid step (per nibble-half for int4).
     k_eff = k // 2 if bits == 4 else k
@@ -369,9 +458,21 @@ def _dequant_matmul_2d(
         tile_n = min(tile_n, 2048)
     try:
         tn = _largest_tile(n, tile_n, 128)
-        tk = _largest_tile(k_eff, tile_k, 128)
     except ValueError:
         raise _Untileable()
+    try:
+        tk = _largest_tile(k_eff, tile_k, 128)
+    except ValueError:
+        # No 128-multiple divides k_eff (e.g. DeepSeek-V2-Lite's int4
+        # down: K=1408 → 704 packed rows). A SINGLE full-dim K tile is
+        # still legal — the x operands are fed as pre-split nibble
+        # halves so their block lane dim equals the array dim, and the
+        # codes block's sublane dim only needs a multiple of 8. Cap the
+        # tile so the VMEM working set stays sane.
+        if k_eff <= 2048 and k_eff % 8 == 0:
+            tk = k_eff
+        else:
+            raise _Untileable()
     # Scale-group alignment: a K-tile must cover whole groups or sit inside one.
     if tk % gs != 0 and gs % tk != 0:
         g = tk - tk % gs if tk > gs else 0
@@ -386,6 +487,31 @@ def _dequant_matmul_2d(
         raise _Untileable()
 
     n_m, n_n, n_k = m_pad // tm, n // tn, k_eff // tk
+    # expert fan-out: concat mode widens the parallel N grid dim E-fold
+    # (out [M, E*N]); sum mode deepens the sequential K dim E-fold (the
+    # kernel's k==0 reset / k==last write bracket the whole E*n_k chain,
+    # accumulating all experts into one output block).
+    if experts is not None and expert_mode == "concat":
+        grid_n, grid_k = n_exp * n_n, n_k
+        e_of = lambda i, j, kk: j // n_n
+        j_of = lambda j: j % n_n
+        kk_of = lambda kk: kk
+        x_row = lambda i, kk: i
+        n_out = n_exp * n
+    elif experts is not None:
+        grid_n, grid_k = n_n, n_exp * n_k
+        e_of = lambda i, j, kk: kk // n_k
+        j_of = lambda j: j
+        kk_of = lambda kk: kk % n_k
+        x_row = lambda i, kk: (kk // n_k) * n_m + i
+        n_out = n
+    else:
+        grid_n, grid_k = n_n, n_k
+        e_of = lambda i, j, kk: 0
+        j_of = lambda j: j
+        kk_of = lambda kk: kk
+        x_row = lambda i, kk: i
+        n_out = n
     tile_g = max(1, tk // gs)
     gsz = min(gs, tk)
 
@@ -412,18 +538,23 @@ def _dequant_matmul_2d(
         hi_off = (k // 2) // gs if bits == 4 else 0
 
     acc = pltpu.VMEM((tm, tn), jnp.float32)
-    out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n_out), out_dtype)
     out_spec = pl.BlockSpec(
         (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
     )
     if stacked:
+        def sidx(i, j, kk, lr):
+            return lr[0] + e_of(i, j, kk) * e_stride
         s_lo_spec = pl.BlockSpec(
             (1, 1, tile_g, tn),
-            lambda i, j, kk, lr: (lr[0], lo_row(kk), 0, j),
+            lambda i, j, kk, lr: (sidx(i, j, kk, lr),
+                                  lo_row(kk_of(kk)), 0, j_of(j)),
             memory_space=pltpu.VMEM)
         s_hi_spec = pl.BlockSpec(
             (1, 1, tile_g, tn),
-            lambda i, j, kk, lr: (lr[0], hi_off + lo_row(kk), 0, j),
+            lambda i, j, kk, lr: (sidx(i, j, kk, lr),
+                                  hi_off + lo_row(kk_of(kk)), 0,
+                                  j_of(j)),
             memory_space=pltpu.VMEM)
     else:
         s_lo_spec = pl.BlockSpec(
@@ -441,37 +572,45 @@ def _dequant_matmul_2d(
     # cast, not the f32 MXU rate, is the binding cost and 64 stands.
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
-        kern = functools.partial(_kernel_int8, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt, stacked=stacked,
-                                 aq=act_quant)
+        kern = functools.partial(_kernel_int8, n_k=grid_k,
+                                 tile_g=tile_g, gsz=gsz, cdt=cdt,
+                                 stacked=stacked, aq=act_quant)
         if stacked:
             w_spec = pl.BlockSpec(
-                (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
+                (1, tk, tn),
+                lambda i, j, kk, lr: (sidx(i, j, kk, lr), kk_of(kk),
+                                      j_of(j)),
                 memory_space=pltpu.VMEM)
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        x_maps = [lambda i, j, kk: (i, kk)]
+        x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
         in_specs_tail = [w_spec, s_lo_spec]
         args = (x, qt.codes, s3)
-        w_bytes = k * n
+        w_bytes = k * n * n_exp
     else:
         k2 = k // 2
-        hi_x_off = k2 // tk  # x block index offset for the high-nibble half
-        kern = functools.partial(_kernel_int4, n_k=n_k, tile_g=tile_g,
-                                 gsz=gsz, cdt=cdt, stacked=stacked,
-                                 aq=act_quant, lut_mode=lut_mode)
+        # x arrives as SEPARATE lo/hi halves: their block lane dim can
+        # then be the FULL half-array dim, which is what makes the
+        # non-128-multiple k_eff fallback above legal (a (tm, 704)
+        # block of a [M, 1408] array is not, of a [M, 704] array it is)
+        kern = functools.partial(_kernel_int4, n_k=grid_k,
+                                 tile_g=tile_g, gsz=gsz, cdt=cdt,
+                                 stacked=stacked, aq=act_quant,
+                                 lut_mode=lut_mode)
         if stacked:
             w_spec = pl.BlockSpec(
-                (1, tk, tn), lambda i, j, kk, lr: (lr[0], kk, j),
+                (1, tk, tn),
+                lambda i, j, kk, lr: (sidx(i, j, kk, lr), kk_of(kk),
+                                      j_of(j)),
                 memory_space=pltpu.VMEM)
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        x_maps = [lambda i, j, kk: (i, kk),
-                  lambda i, j, kk: (i, kk + hi_x_off)]
+        x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk)),
+                  lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
         in_specs_tail = [w_spec, s_lo_spec, s_hi_spec]
-        args = (x, x, qt.codes, s3, s3)
+        args = (x[:, :k2], x[:, k2:], qt.codes, s3, s3)
         if lut_mode is not None:
             # whole (tiny) codebook array in SMEM; kernel reads scalars,
             # stacked kernels index the layer row via the prefetched lr
@@ -492,14 +631,14 @@ def _dequant_matmul_2d(
                      layer_ref=None):
                 return base4(x_lo, x_hi, w, s_lo, s_hi, o, acc,
                              lut_ref=lut, layer_ref=layer_ref)
-        w_bytes = (k // 2) * n
+        w_bytes = (k // 2) * n * n_exp
 
-    x_bytes = m_pad * k * x.dtype.itemsize
-    s_bytes = (k // gs) * n * 4
+    x_bytes = x.shape[0] * k * x.dtype.itemsize
+    s_bytes = (k // gs) * n * 4 * n_exp
     cost = pl.CostEstimate(
-        flops=2 * m_pad * n * k,
+        flops=2 * m_pad * n * k * n_exp,
         bytes_accessed=w_bytes + x_bytes + s_bytes
-        + m_pad * n * jnp.dtype(out_dtype).itemsize,
+        + m_pad * n_out * jnp.dtype(out_dtype).itemsize,
         transcendentals=0,
     )
     params = dict(
@@ -514,7 +653,7 @@ def _dequant_matmul_2d(
         in_specs = [pl.BlockSpec((tm, tk), xm, memory_space=pltpu.VMEM)
                     for xm in x_maps] + in_specs_tail
         y = pl.pallas_call(
-            kern, grid=(n_m, n_n, n_k), in_specs=in_specs,
+            kern, grid=(n_m, grid_n, grid_k), in_specs=in_specs,
             out_specs=out_spec, scratch_shapes=[acc], **params,
         )(*args)
     else:
@@ -529,7 +668,7 @@ def _dequant_matmul_2d(
         ] + in_specs_tail
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_m, n_n, n_k),
+            grid=(n_m, grid_n, grid_k),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((tm, tn),
                                    lambda i, j, kk, lr: (i, j),

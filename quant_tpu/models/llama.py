@@ -1002,6 +1002,39 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     # Mixtral 8x2), where the byte savings dominate the serialization.
     n_tok = int(np.prod(x.shape[:-1]))
     use_cond = n_tok * cfg.experts_per_token * 2 <= cfg.n_experts
+    mode = _resolve_mode(cfg)
+    if not use_cond and mode in ("pallas", "pallas_interpret"):
+        # Fused all-experts path: the per-expert loop launches 2*E
+        # kernels per layer — at DeepSeek-V2-Lite scale (64 experts x 27
+        # layers = 3456 launches/step) issue+launch latency caps the
+        # full decode at ~210 GB/s effective vs ~600 for the dense
+        # flagship (hardware, 2026-08-20). ONE launch computes every
+        # expert's gate|up (experts ride the parallel N grid) and ONE
+        # accumulates the routed down combine (experts ride the
+        # sequential K grid); routing weights fold into the down input.
+        from quant_tpu.kernels.dequant_matmul import (
+            _Untileable, dequant_matmul_moe,
+        )
+        interp = mode == "pallas_interpret"
+        try:
+            gu_all = dequant_matmul_moe(
+                x, wgu, idx, n_experts=e_loc, stride=l_stack,
+                mode="concat", interpret=interp,
+                act_quant=cfg.act_quant)           # [B, T, E*2I']
+            b_, t_ = x.shape[0], x.shape[1]
+            gu_all = gu_all.reshape(b_, t_, e_loc, -1)
+            gate, up = jnp.split(gu_all, 2, axis=-1)
+            a = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
+            a = a * w.astype(dt)[..., None]        # routing weights
+            xs = jnp.moveaxis(a, 2, 0)             # [E, B, T, I']
+            out = dequant_matmul_moe(
+                xs, wdn, idx, n_experts=e_loc, stride=l_stack,
+                mode="sum", interpret=interp, out_dtype=jnp.float32,
+                act_quant=cfg.act_quant)           # [B, T, D]
+            out = jax.lax.psum(out, axes) if axes else out
+            return out if shared is None else out + shared
+        except _Untileable:
+            pass  # awkward shapes: the per-expert loop below handles it
     out = jnp.zeros(x.shape[:-1] + (wdn.n,), jnp.float32)
     for e in range(e_loc):
         eidx = e * l_stack + idx

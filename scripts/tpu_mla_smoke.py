@@ -188,7 +188,7 @@ def v2_lite_full(b=16, s_max=1024):
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     if os.environ.get("FULL_V2LITE", "0") == "1":
-        v2_lite_full()
+        v2_lite_full(b=int(os.environ.get("FULL_B", "16")))
     else:
         run(mla_cfg(), "mla-dense")
         if os.environ.get("SMOKE_MOE", "1") != "0":

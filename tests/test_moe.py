@@ -415,3 +415,71 @@ def test_moe_capacity_prefill_sharded():
                                rtol=2e-2, atol=2e-2)
     assert np.array_equal(np.argmax(np.asarray(lg), -1),
                           np.argmax(np.asarray(ref), -1))
+
+
+def test_fused_all_experts_kernel_matches_loop():
+    """dequant_matmul_moe: ONE launch for every expert's gate|up columns
+    (concat over the parallel N grid) and ONE for the routed down
+    combine (sum over the sequential K grid) must match the per-expert
+    stacked-kernel calls exactly (same dequant math, same tiles)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from quant_tpu.core.qtensor import quantize_tensor
+    from quant_tpu.kernels.dequant_matmul import (
+        dequant_matmul, dequant_matmul_moe,
+    )
+
+    rng = np.random.default_rng(0)
+    E, L, K, N = 4, 3, 256, 512
+    ws = [rng.standard_normal((K, N)).astype(np.float32) / 16
+          for _ in range(E * L)]
+    for bits in (4, 8):
+        qts = [quantize_tensor(w, bits=bits, group_size=128) for w in ws]
+        merged = dc.replace(
+            qts[0], codes=jnp.stack([q.codes for q in qts]),
+            scales=jnp.stack([q.scales for q in qts]))
+        layer = jnp.int32(1)
+        x = jnp.asarray(rng.standard_normal((5, K)).astype(np.float32))
+        y = dequant_matmul_moe(x, merged, layer, n_experts=E, stride=L,
+                               mode="concat", interpret=True,
+                               out_dtype=jnp.float32)
+        refs = [np.asarray(dequant_matmul(
+            x, merged, jnp.int32(e * L + 1), interpret=True,
+            out_dtype=jnp.float32)) for e in range(E)]
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.concatenate(refs, -1),
+                                   rtol=1e-5, atol=1e-5)
+        xs = jnp.asarray(rng.standard_normal((E, 5, K)).astype(
+            np.float32))
+        y2 = dequant_matmul_moe(xs, merged, layer, n_experts=E,
+                                stride=L, mode="sum", interpret=True,
+                                out_dtype=jnp.float32)
+        want = sum(np.asarray(dequant_matmul(
+            xs[e], merged, jnp.int32(e * L + 1), interpret=True,
+            out_dtype=jnp.float32)) for e in range(E))
+        np.testing.assert_allclose(np.asarray(y2), want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_all_experts_model_matches_xla():
+    """mlp_block's fused all-experts path (interpret) must reproduce the
+    XLA per-expert loop through full forwards — DeepSeek (sigmoid+bias
+    groups, shared experts, dense prefix) AND Mixtral-style routing."""
+    import dataclasses as dc
+
+    for preset, seed in (("test-tiny-dsv3", 0), ("test-tiny-moe", 1)):
+        cfg_x = dc.replace(PRESETS[preset], dtype="float32",
+                           kernel_mode="xla")
+        cfg_f = dc.replace(cfg_x, kernel_mode="pallas_interpret")
+        params = llama.init_params(cfg_x, seed=seed)
+        toks = np.random.default_rng(seed).integers(
+            2, cfg_x.vocab_size, (2, 6))
+        lg_x, _ = llama.forward(params, jnp.asarray(toks, jnp.int32),
+                                llama.init_cache(cfg_x, 2, 16), cfg_x)
+        lg_f, _ = llama.forward(params, jnp.asarray(toks, jnp.int32),
+                                llama.init_cache(cfg_f, 2, 16), cfg_f)
+        np.testing.assert_allclose(np.asarray(lg_f, np.float32),
+                                   np.asarray(lg_x, np.float32),
+                                   rtol=5e-3, atol=5e-3)
