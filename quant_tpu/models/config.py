@@ -103,6 +103,15 @@ class ModelConfig:
     # this is an opt-in throughput mode, never used for decode.
     moe_prefill: str = "dense"
     moe_capacity_factor: float = 1.5
+    # Fused all-experts MoE matmuls (kernels.dequant_matmul_moe): one
+    # launch for every expert's gate|up + one for the routed down
+    # combine. OPT-IN: at DeepSeek-V2-Lite geometry (64 experts,
+    # per-expert width 1408, gs=64) the fused step measured 50.8 ms vs
+    # the per-expert loop's 38.6 (2026-08-20) — the kernel's per-group
+    # scaling loop degrades to 11 skinny [M,64] dots per tile and
+    # launch overhead was NOT the binding cost. Kept for geometries
+    # with wide K-groups where one launch/layer can win.
+    moe_fused: bool = False
     # DeepSeek-V2/V3 multi-head latent attention (MLA): kv_lora_rank > 0
     # enables it. Projections: (optionally low-rank) q → per-head
     # [qk_nope | qk_rope]; kv_a → a shared compressed latent

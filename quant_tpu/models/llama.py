@@ -1003,7 +1003,8 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
     n_tok = int(np.prod(x.shape[:-1]))
     use_cond = n_tok * cfg.experts_per_token * 2 <= cfg.n_experts
     mode = _resolve_mode(cfg)
-    if not use_cond and mode in ("pallas", "pallas_interpret"):
+    if (cfg.moe_fused and not use_cond
+            and mode in ("pallas", "pallas_interpret")):
         # Fused all-experts path: the per-expert loop launches 2*E
         # kernels per layer — at DeepSeek-V2-Lite scale (64 experts x 27
         # layers = 3456 launches/step) issue+launch latency caps the

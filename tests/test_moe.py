@@ -472,7 +472,8 @@ def test_fused_all_experts_model_matches_xla():
     for preset, seed in (("test-tiny-dsv3", 0), ("test-tiny-moe", 1)):
         cfg_x = dc.replace(PRESETS[preset], dtype="float32",
                            kernel_mode="xla")
-        cfg_f = dc.replace(cfg_x, kernel_mode="pallas_interpret")
+        cfg_f = dc.replace(cfg_x, kernel_mode="pallas_interpret",
+                           moe_fused=True)
         params = llama.init_params(cfg_x, seed=seed)
         toks = np.random.default_rng(seed).integers(
             2, cfg_x.vocab_size, (2, 6))
