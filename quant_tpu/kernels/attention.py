@@ -45,13 +45,31 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_decode_int8"]
 
 
-def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, s_blk, n_s, scale, hkv, rep,
-            stacked=False, kv4=False, prec=None):
+def _kernel(len_ref, *refs, s_blk, n_s, scale, hkv, rep,
+            stacked=False, kv4=False, prec=None, windowed=False,
+            softcap=0.0):
+    if windowed:
+        win_ref, refs = refs[0], refs[1:]
+    (q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
+     m_ref, l_ref, acc_ref) = refs
     s_idx = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     start = s_idx * s_blk
     kv = (lambda r: r[0, 0]) if stacked else (lambda r: r[0])
+    if windowed:
+        # sliding window (Mistral/Gemma-2/3): at decode the single query
+        # sits at position length-1, so the valid keys are
+        # [length - window, length); window <= 0 means full causal for
+        # this layer (Gemma's local/global alternation passes a traced
+        # per-layer window scalar). Blocks fully below the window start
+        # are skipped like past-the-end blocks — cost scales with
+        # min(window, context), the whole point of a sliding window.
+        w = win_ref[0]
+        wstart = jnp.where(w > 0, jnp.maximum(length - w, 0), 0)
+        run = (start < length) & (start + s_blk > wstart)
+    else:
+        wstart = 0
+        run = start < length
 
     def dq_pair(tile):
         # int4 KV: HEAD-PAIR nibble unpack (llama._kv_code_dims) —
@@ -91,7 +109,7 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(start < length)
+    @pl.when(run)
     def _():
         q = q_ref[0].astype(jnp.float32) * scale       # [hkv, rep, Dh]
         klo, khi = dq_pair(kv(kc_ref))               # [hkv(/2), S_blk, Dh]
@@ -105,8 +123,15 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
         # per-token scale on the small logits block (exact: the scale
         # factors out of the Dh contraction)
         logits = logits * kv(ks_ref)[:, None, :]
+        if softcap:
+            # Gemma-2 attention-logit softcapping; BEFORE the mask so the
+            # -1e30 fill is not saturated to -cap (llama._softcap_scores)
+            logits = softcap * jnp.tanh(logits / softcap)
         pos = start + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-        logits = jnp.where(pos < length, logits, -1e30)
+        ok = pos < length
+        if windowed:
+            ok &= pos >= wstart
+        logits = jnp.where(ok, logits, -1e30)
 
         m_prev = m_ref[:, :rep, :1]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
@@ -135,7 +160,8 @@ def _kernel(len_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_blk", "interpret", "precision")
+    jax.jit, static_argnames=("s_blk", "interpret", "precision", "softcap",
+                              "scale")
 )
 def flash_decode_int8(
     q: jax.Array,        # [B, Hq, Dh] (decode step, T=1)
@@ -146,7 +172,12 @@ def flash_decode_int8(
     v_scale: jax.Array,
     lengths: jax.Array,  # int32 [B] — valid cache length per slot
     layer=None,          # traced layer index for stacked [L, ...] caches
+    window=None,         # traced int32 sliding window (<=0 = full causal);
+                         # None compiles the window logic out entirely
     *,
+    softcap: float = 0.0,   # Gemma-2 tanh logit softcap (0 = off)
+    scale: float | None = None,  # q scale; default 1/sqrt(Dh)
+                                 # (Gemma-2 passes query_pre_attn_scalar)
     # 512 from a hardware sweep (2026-08-18, B=48/Hkv=8/S=1024/D=128):
     # 256 → 191 GB/s, 512 → 638 GB/s (int8; the Pallas-attainable BW
     # ceiling), 1024 → worse for int4. Per-program fixed overhead
@@ -189,11 +220,14 @@ def flash_decode_int8(
         s_blk = max(below) if below else (min(legal) if legal else s)
     n_s = s // s_blk
     qg = q.reshape(b, hkv, rep, dh)
+    windowed = window is not None
 
     kern = functools.partial(
-        _kernel, s_blk=s_blk, n_s=n_s, scale=1.0 / (dh ** 0.5),
+        _kernel, s_blk=s_blk, n_s=n_s,
+        scale=(scale if scale is not None else 1.0 / (dh ** 0.5)),
         hkv=hkv, rep=rep, stacked=stacked, kv4=kv4,
         prec=jax.lax.Precision(precision),
+        windowed=windowed, softcap=float(softcap),
     )
     stride = max(rep, 8)
     scratch = [
@@ -209,6 +243,9 @@ def flash_decode_int8(
             pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
+        win_specs = [pl.BlockSpec((1,), lambda bb, ss: (0,),
+                                  memory_space=pltpu.SMEM)] if windowed \
+            else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(b, n_s),
@@ -217,6 +254,7 @@ def flash_decode_int8(
                 # the array); kernel indexes it by the batch program id
                 pl.BlockSpec((b,), lambda bb, ss: (0,),
                              memory_space=pltpu.SMEM),
+                *win_specs,
                 pl.BlockSpec((1, hkv, rep, dh),
                              lambda bb, ss: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -228,7 +266,9 @@ def flash_decode_int8(
             ),
             scratch_shapes=scratch,
         )
-        args = (lengths, qg, k_codes, k_scale, v_codes, v_scale)
+        wargs = ((jnp.asarray(window, jnp.int32).reshape(1),)
+                 if windowed else ())
+        args = (lengths, *wargs, qg, k_codes, k_scale, v_codes, v_scale)
     else:
         kv_specs = [
             pl.BlockSpec((1, 1, hc, s_blk, dc),
@@ -238,12 +278,16 @@ def flash_decode_int8(
                          lambda bb, ss, lr: (lr[0], bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
+        win_specs = [pl.BlockSpec((1,), lambda bb, ss, lr: (0,),
+                                  memory_space=pltpu.SMEM)] if windowed \
+            else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_s),
             in_specs=[
                 pl.BlockSpec((b,), lambda bb, ss, lr: (0,),
                              memory_space=pltpu.SMEM),
+                *win_specs,
                 pl.BlockSpec((1, hkv, rep, dh),
                              lambda bb, ss, lr: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -263,7 +307,10 @@ def flash_decode_int8(
 
         kern = kern_p
         lr = jnp.asarray(layer, jnp.int32).reshape(1)
-        args = (lr, lengths, qg, k_codes, k_scale, v_codes, v_scale)
+        wargs = ((jnp.asarray(window, jnp.int32).reshape(1),)
+                 if windowed else ())
+        args = (lr, lengths, *wargs, qg, k_codes, k_scale, v_codes,
+                v_scale)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

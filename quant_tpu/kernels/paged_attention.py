@@ -42,15 +42,28 @@ __all__ = ["paged_flash_decode_int8", "paged_attention_reference",
            "paged_gather"]
 
 
-def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
-            o_ref, m_ref, l_ref, acc_ref, *, page, n_pages, scale, hkv,
-            rep, kv4=False, prec=None):
+def _kernel(lr_ref, len_ref, pt_ref, *refs, page, n_pages, scale, hkv,
+            rep, kv4=False, prec=None, windowed=False, softcap=0.0):
     del lr_ref, pt_ref
+    if windowed:
+        win_ref, refs = refs[0], refs[1:]
+    (q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+     o_ref, m_ref, l_ref, acc_ref) = refs
     s_idx = pl.program_id(1)
     b = pl.program_id(0)
     length = len_ref[b]
     start = s_idx * page
     stride = max(rep, 8)
+    if windowed:
+        # sliding window at decode: valid keys are [length-window, length)
+        # (window <= 0 = full causal). Pre-window pages are both clamped
+        # in the index maps (no DMA) and compute-skipped here.
+        w = win_ref[0]
+        wstart = jnp.where(w > 0, jnp.maximum(length - w, 0), 0)
+        run = (start < length) & (start + page > wstart)
+    else:
+        wstart = 0
+        run = start < length
 
     def dq_pair(tile):
         # int4 KV: head-pair nibble unpack via int32 (see
@@ -67,7 +80,7 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(start < length)
+    @pl.when(run)
     def _():
         # Batched dots over the head dim — same r4 rewrite as
         # attention.py._kernel (the per-head loop's tiny-dot issue
@@ -92,8 +105,15 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
                 [dot_k(q2[:, 0], klo), dot_k(q2[:, 1], khi)],
                 axis=1).reshape(hkv, rep, page)
         logits = logits * ks_ref[0, 0][:, None, :]
+        if softcap:
+            # Gemma-2 logit softcapping; BEFORE the mask (tanh would
+            # saturate -1e30 to -cap) — mirrors llama._softcap_scores
+            logits = softcap * jnp.tanh(logits / softcap)
         pos = start + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-        logits = jnp.where(pos < length, logits, -1e30)
+        ok = pos < length
+        if windowed:
+            ok &= pos >= wstart
+        logits = jnp.where(ok, logits, -1e30)
 
         m_prev = m_ref[:, :rep, :1]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
@@ -120,7 +140,8 @@ def _kernel(lr_ref, len_ref, pt_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision",
+                                             "softcap", "scale"))
 def paged_flash_decode_int8(
     q: jax.Array,         # [B, Hq, Dh] (decode step, T=1)
     pool_kc: jax.Array,   # int8 [L, P, Hkv, page, Dh]
@@ -130,12 +151,20 @@ def paged_flash_decode_int8(
     page_tbl: jax.Array,  # int32 [B, max_pages]
     lengths: jax.Array,   # int32 [B] — valid length per slot
     layer,                # traced layer index
+    window=None,          # traced int32 sliding window (<=0 = full causal)
     *,
     interpret: bool = False,
     precision: str = "default",
+    softcap: float = 0.0,        # Gemma-2 tanh logit softcap (0 = off)
+    scale: float | None = None,  # q scale; default 1/sqrt(Dh)
 ) -> jax.Array:
     """Returns attention output [B, Hq, Dh] (q.dtype). ``precision``
-    as in :func:`quant_tpu.kernels.attention.flash_decode_int8`."""
+    as in :func:`quant_tpu.kernels.attention.flash_decode_int8`.
+
+    With ``window`` the page index maps clamp BOTH ends: pages fully
+    below ``length - window`` map to the first in-window page (repeated
+    block index → no DMA, same trick as the past-the-end clamp), so HBM
+    traffic scales with min(window, context)."""
     b, hq, dh = q.shape
     _, _, hc, page, dc = pool_kc.shape   # hc = Hkv, or Hkv/2 int4-packed
     hkv = pool_ks.shape[2]               # scales are per REAL head
@@ -144,29 +173,55 @@ def paged_flash_decode_int8(
     rep = hq // hkv
     qg = q.reshape(b, hkv, rep, dh)
     lr = jnp.asarray(layer, jnp.int32).reshape(1)
+    windowed = window is not None
 
-    def kv_map(bb, ss, lr, lens, pt):
-        # clamp past-the-end pages to the slot's LAST used page: repeated
-        # block index → Mosaic skips the DMA (cost scales with context)
+    def page_idx(bb, ss, lens, win):
+        # clamp past-the-end pages to the slot's LAST used page (and,
+        # windowed, pre-window pages to the first in-window page):
+        # repeated block index → Mosaic skips the DMA, so cost scales
+        # with the actual (windowed) context
         last = jnp.maximum(lens[bb] - 1, 0) // page
-        return (lr[0], pt[bb, jnp.minimum(ss, last)], 0, 0, 0)
+        ss = jnp.minimum(ss, last)
+        if win is not None:
+            w = win[0]
+            first = jnp.where(
+                w > 0, jnp.maximum(lens[bb] - w, 0), 0) // page
+            ss = jnp.maximum(ss, first)
+        return ss
 
-    def kv_map_s(bb, ss, lr, lens, pt):
-        last = jnp.maximum(lens[bb] - 1, 0) // page
-        return (lr[0], pt[bb, jnp.minimum(ss, last)], 0, 0)
+    if windowed:
+        def kv_map(bb, ss, lr, lens, pt, win):
+            return (lr[0], pt[bb, page_idx(bb, ss, lens, win)], 0, 0, 0)
+
+        def kv_map_s(bb, ss, lr, lens, pt, win):
+            return (lr[0], pt[bb, page_idx(bb, ss, lens, win)], 0, 0)
+
+        def q_map(bb, ss, lr, lens, pt, win):
+            return (bb, 0, 0, 0)
+    else:
+        def kv_map(bb, ss, lr, lens, pt):
+            return (lr[0], pt[bb, page_idx(bb, ss, lens, None)], 0, 0, 0)
+
+        def kv_map_s(bb, ss, lr, lens, pt):
+            return (lr[0], pt[bb, page_idx(bb, ss, lens, None)], 0, 0)
+
+        def q_map(bb, ss, lr, lens, pt):
+            return (bb, 0, 0, 0)
 
     kern = functools.partial(
-        _kernel, page=page, n_pages=n_pages, scale=1.0 / (dh ** 0.5),
+        _kernel, page=page, n_pages=n_pages,
+        scale=(scale if scale is not None else 1.0 / (dh ** 0.5)),
         hkv=hkv, rep=rep, kv4=kv4,
         prec=jax.lax.Precision(precision),
+        windowed=windowed, softcap=float(softcap),
     )
     stride = max(rep, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # layer, lengths, page table
+        # layer, lengths, page table (+ window)
+        num_scalar_prefetch=4 if windowed else 3,
         grid=(b, n_pages),
         in_specs=[
-            pl.BlockSpec((1, hkv, rep, dh),
-                         lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
+            pl.BlockSpec((1, hkv, rep, dh), q_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hc, page, dc), kv_map,
                          memory_space=pltpu.VMEM),
@@ -178,7 +233,7 @@ def paged_flash_decode_int8(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, hkv, rep, dh), lambda bb, ss, lr, lens, pt: (bb, 0, 0, 0),
+            (1, hkv, rep, dh), q_map,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -187,6 +242,8 @@ def paged_flash_decode_int8(
             pltpu.VMEM((hkv, stride, dh), jnp.float32),
         ],
     )
+    wargs = ((jnp.asarray(window, jnp.int32).reshape(1),)
+             if windowed else ())
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -195,7 +252,8 @@ def paged_flash_decode_int8(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lr, lengths, page_tbl, qg, pool_kc, pool_ks, pool_vc, pool_vs)
+    )(lr, lengths, page_tbl, *wargs, qg, pool_kc, pool_ks, pool_vc,
+      pool_vs)
     return out.reshape(b, hq, dh)
 
 

@@ -328,10 +328,6 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
     signature for future re-sweeps on other chips.
     """
     del b
-    if cfg.sliding_window or cfg.attn_softcap:
-        # the Pallas decode kernels implement neither the window mask nor
-        # tanh softcapping; the XLA paths do
-        return "xla"
     if cfg.is_mla:
         # MLA decode is MQA over the latent with the value read being a
         # PREFIX SLICE of the key read (out = probs @ c_kv) — its own
@@ -1712,9 +1708,13 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 kc, ks, vc, vs = paged_cache_insert_int8(
                     kc, ks, vc, vs, k_q, k_s, v_q, v_s, lengths, gidx,
                     page_tbl, interpret=interp)
+                # window/softcap run IN-KERNEL (r5): Mistral/Gemma-2/3
+                # decode rides the flash path like everyone else
                 attn = paged_flash_decode_int8(
                     q[:, 0], kc, ks, vc, vs, page_tbl, new_lengths, gidx,
-                    interpret=interp)[:, None]
+                    window, interpret=interp,
+                    softcap=cfg.attn_softcap or 0.0,
+                    scale=_q_scale(cfg, cfg.head_dim))[:, None]
             else:
                 from quant_tpu.kernels.paged_attention import paged_gather
 
@@ -1753,8 +1753,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # straight from the stacked buffer (layer via scalar prefetch).
             from quant_tpu.kernels.attention import flash_decode_int8
             attn = flash_decode_int8(
-                q[:, 0], kc, ks, vc, vs, new_lengths, gidx,
+                q[:, 0], kc, ks, vc, vs, new_lengths, gidx, window,
                 interpret=(mode == "pallas_interpret"),
+                softcap=cfg.attn_softcap or 0.0,
+                scale=_q_scale(cfg, cfg.head_dim),
             )[:, None]
         else:
             def sl(a):

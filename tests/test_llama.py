@@ -216,11 +216,12 @@ def test_int8_embedding():
 
 
 def test_resolve_attn_kernel_auto():
-    """attn_kernel="auto" routes every window/softcap-free config to the
-    Pallas kernels (r4 re-sweep, scripts/tpu_attn_compare.py: the
-    batched-dot flash kernel beats XLA at every measured shape) EXCEPT
-    where Mosaic cannot serve them: no Pallas backend, sub-128 head_dim
-    (the insert kernel's DMA lane rule), or non-128-aligned local S.
+    """attn_kernel="auto" routes every config to the Pallas kernels
+    (r4 re-sweep, scripts/tpu_attn_compare.py: the batched-dot flash
+    kernel beats XLA at every measured shape; r5 adds in-kernel sliding
+    windows + softcaps so Mistral/Gemma-2/3 ride it too) EXCEPT where
+    Mosaic cannot serve them: no Pallas backend, sub-128 head_dim (the
+    insert kernel's DMA lane rule), or non-128-aligned local S.
     Explicit settings pass through untouched."""
     big = dataclasses.replace(CFG, head_dim=128)
     auto = dataclasses.replace(big, attn_kernel="auto")
@@ -228,6 +229,11 @@ def test_resolve_attn_kernel_auto():
     for b, s in ((8, 1024), (48, 1024), (16, 4096), (32, 2048),
                  (32, 16384)):
         assert r(auto, b, s, "pallas") == "flash", (b, s)
+    # r5: window/softcap configs go to flash (the kernels mask in-VMEM)
+    win = dataclasses.replace(auto, sliding_window=4096,
+                              attn_softcap=50.0)
+    assert r(win, 48, 1024, "pallas") == "flash"
+    assert r(win, 48, 1024, "pallas", paged=True) == "flash"
     assert r(auto, 64, 16384, "xla") == "xla"      # no pallas backend
     # kv4 packs nibbles across HEAD PAIRS — the lane dim stays head_dim,
     # so kv4 rides the kernels whenever int8 would
@@ -470,3 +476,65 @@ def test_codebook_lloyd_init():
     lg, _ = llama.forward(params, jnp.asarray([[1, 2]], jnp.int32),
                           cache, cfg)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_window_softcap_flash_decode_matches_xla():
+    """r5 (VERDICT r4 missing #1): Mistral/Gemma-2-style configs decode
+    through the Pallas flash kernels — window mask, tanh softcap and
+    query_pre_attn_scalar all run IN-KERNEL and must reproduce the XLA
+    attention path token for token (including window truncation and the
+    local/global layer alternation)."""
+    from quant_tpu.models.config import ModelConfig
+
+    g2 = ModelConfig(
+        vocab_size=512, dim=256, n_layers=4, n_heads=4, n_kv_heads=2,
+        intermediate=512, group_size=64, kernel_mode="xla",
+        sliding_window=6, sliding_pattern=2, attn_softcap=30.0,
+        final_softcap=30.0, post_norms=True, query_pre_attn_scalar=32.0,
+        norm_offset=1.0, act_fn="gelu_tanh", embed_scale=True,
+    )
+    mistral = ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        intermediate=512, group_size=64, kernel_mode="xla",
+        sliding_window=5,
+    )
+    # Matmul backend held constant (pallas_interpret both sides) so ONLY
+    # the attention/insert path differs; short decode because sub-ulp
+    # attention noise (~2e-7) eventually flips an int8 quantize boundary
+    # in the NEXT layer's cache insert and cascades (the same reason the
+    # MLA exactness checks are kernel-level — SURVEY r4). Exactness of
+    # the window/softcap math itself is pinned in
+    # test_attention_kernel.py; this pins the MODEL wiring (per-layer
+    # window alternation threaded into the kernel, softcap/scale args).
+    for cfg_base in (g2, mistral):
+        cfg_x = dataclasses.replace(cfg_base,
+                                    kernel_mode="pallas_interpret",
+                                    attn_kernel="xla")
+        cfg_f = dataclasses.replace(cfg_x, attn_kernel="flash")
+        params = llama.init_params(cfg_x, seed=6)
+        rng = np.random.default_rng(6)
+        toks = jnp.asarray(rng.integers(0, cfg_x.vocab_size, (2, 4)),
+                           jnp.int32)
+        cache_x = llama.init_cache(cfg_x, 2, 16)
+        cache_f = llama.init_cache(cfg_f, 2, 16)
+        _, cache_x = llama.forward(params, toks, cache_x, cfg_x)
+        _, cache_f = llama.forward(params, toks, cache_f, cfg_f)
+        # decode past the window (binds from new_length > window) so
+        # truncation actually bites on the local layers
+        for _ in range(4):
+            lx, cache_x = llama.forward(params, toks[:, -1:], cache_x,
+                                        cfg_x)
+            lf, cache_f = llama.forward(params, toks[:, -1:], cache_f,
+                                        cfg_f)
+            np.testing.assert_allclose(
+                np.asarray(lf, np.float32), np.asarray(lx, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+            assert np.array_equal(np.argmax(np.asarray(lf), -1),
+                                  np.argmax(np.asarray(lx), -1))
+            toks = jnp.argmax(lx[:, -1:], -1).astype(jnp.int32)
+        # any cache divergence is AT MOST a one-code quantize-boundary
+        # flip (a wrong mask/scale would shift codes by many steps)
+        dk = (np.asarray(cache_f.k_codes, np.int32)
+              - np.asarray(cache_x.k_codes, np.int32))
+        assert np.abs(dk).max() <= 1, np.abs(dk).max()

@@ -10,6 +10,8 @@ import pytest
 import jax.numpy as jnp
 import numpy as np
 
+import isolation
+
 from quant_tpu.models import PRESETS, llama
 from quant_tpu.models.config import ModelConfig
 
@@ -609,11 +611,17 @@ def test_mla_gptq_convert_beats_rtn(tmp_path):
     assert mse_g < mse_r, (mse_g, mse_r)
 
 
+@isolation.isolated
 def test_mla_draft_model_speculation():
     """Draft-model speculation with an MLA TARGET: a cheap GQA draft
     proposes, the MLA verify chain accepts (output == plain greedy);
     an MLA self-draft accepts every proposal (the draft's greedy chain
-    IS the target's)."""
+    IS the target's).
+
+    Runs fresh-interpreter isolated: the DSV3 two-stack spec engines are
+    the heaviest compile load in the suite and tipped XLA:CPU's LLVM JIT
+    over its in-process executable limit (order-dependent SIGSEGV in
+    backend_compile_and_load, VERDICT r4) — see tests/isolation.py."""
     from quant_tpu.engine import Engine
     from quant_tpu.engine.spec import DraftModelProposer
 

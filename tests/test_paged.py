@@ -304,3 +304,34 @@ def test_paged_engine_fsm_and_lora():
                   paged=True, page_size=16)
     base = eng2.generate([[9, 10, 11]], max_new_tokens=4)[0]
     assert rl.output != base
+
+
+def test_paged_flash_window_softcap_matches_xla():
+    """r5: sliding window + softcap through the paged kernel — the page
+    index-map clamps BOTH ends (pre-window pages never stream)."""
+    from quant_tpu.kernels.paged_attention import (
+        paged_gather, paged_flash_decode_int8,
+    )
+
+    cfg = dataclasses.replace(CFG, attn_softcap=30.0)
+    b, s_max, n_pages = 3, 32, 32
+    lengths = [9, 32, 17]
+    contig, pool, tbl, lens = _mk_pool_and_contig(7, b, s_max, n_pages,
+                                                  lengths)
+    rng = np.random.default_rng(8)
+    # scale q so pre-cap logits sit in tanh's ACTIVE range (the raw
+    # ±127-code pool data would saturate the cap, where online-softmax
+    # accumulation-order noise drowns the 2e-5 equality check)
+    q = jnp.asarray(0.02 * rng.standard_normal(
+        (b, CFG.n_heads, CFG.head_dim)), jnp.float32)
+    for window in (12, 0):
+        w = jnp.int32(window)
+        for layer in range(CFG.n_layers):
+            ref = llama.attention(
+                q[:, None], *(jnp.asarray(a[:, :][layer]) for a in contig),
+                (lens - 1)[:, None], lens, cfg, window=w)[:, 0]
+            out = paged_flash_decode_int8(
+                q, *(jnp.asarray(a) for a in pool), jnp.asarray(tbl),
+                lens, layer, w, interpret=True, softcap=30.0)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
