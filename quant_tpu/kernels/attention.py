@@ -236,16 +236,27 @@ def flash_decode_int8(
         pltpu.VMEM((hkv, stride, dh), jnp.float32),
     ]
     out_shape = jax.ShapeDtypeStruct((b, hkv, rep, dh), q.dtype)
-    if not stacked:
+
+    def blk_idx(bb, ss, lens, win):
+        # windowed: clamp the streamed block range to
+        # [(length-window)//s_blk, (length-1)//s_blk] — repeated block
+        # indices make Mosaic skip the re-fetch, so HBM traffic scales
+        # with min(window, context) (hardware 2026-08-20: the @pl.when
+        # compute skip alone did NOT drop the DMA — win=1024 at S=4096
+        # ran 1.24x the full-causal step before this clamp)
+        last = jnp.maximum(lens[bb] - 1, 0) // s_blk
+        ss = jnp.minimum(ss, last)
+        first = jnp.where(win[0] > 0,
+                          jnp.maximum(lens[bb] - win[0], 0), 0) // s_blk
+        return jnp.maximum(ss, first)
+
+    if not stacked and not windowed:
         kv_specs = [
             pl.BlockSpec((1, hc, s_blk, dc), lambda bb, ss: (bb, 0, ss, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
-        win_specs = [pl.BlockSpec((1,), lambda bb, ss: (0,),
-                                  memory_space=pltpu.SMEM)] if windowed \
-            else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(b, n_s),
@@ -254,7 +265,6 @@ def flash_decode_int8(
                 # the array); kernel indexes it by the batch program id
                 pl.BlockSpec((b,), lambda bb, ss: (0,),
                              memory_space=pltpu.SMEM),
-                *win_specs,
                 pl.BlockSpec((1, hkv, rep, dh),
                              lambda bb, ss: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -266,10 +276,39 @@ def flash_decode_int8(
             ),
             scratch_shapes=scratch,
         )
-        wargs = ((jnp.asarray(window, jnp.int32).reshape(1),)
-                 if windowed else ())
-        args = (lengths, *wargs, qg, k_codes, k_scale, v_codes, v_scale)
-    else:
+        args = (lengths, qg, k_codes, k_scale, v_codes, v_scale)
+    elif not stacked:
+        # windowed: lengths + window ride scalar prefetch so the kv
+        # index maps can clamp the block range (see blk_idx)
+        kv_specs = [
+            pl.BlockSpec((1, hc, s_blk, dc),
+                         lambda bb, ss, lens, win:
+                         (bb, 0, blk_idx(bb, ss, lens, win), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, s_blk),
+                         lambda bb, ss, lens, win:
+                         (bb, 0, blk_idx(bb, ss, lens, win)),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_s),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, dh),
+                             lambda bb, ss, lens, win: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hkv, rep, dh),
+                lambda bb, ss, lens, win: (bb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        args = (lengths, jnp.asarray(window, jnp.int32).reshape(1),
+                qg, k_codes, k_scale, v_codes, v_scale)
+    elif not windowed:
         kv_specs = [
             pl.BlockSpec((1, 1, hc, s_blk, dc),
                          lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
@@ -278,16 +317,12 @@ def flash_decode_int8(
                          lambda bb, ss, lr: (lr[0], bb, 0, ss),
                          memory_space=pltpu.VMEM),
         ]
-        win_specs = [pl.BlockSpec((1,), lambda bb, ss, lr: (0,),
-                                  memory_space=pltpu.SMEM)] if windowed \
-            else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_s),
             in_specs=[
                 pl.BlockSpec((b,), lambda bb, ss, lr: (0,),
                              memory_space=pltpu.SMEM),
-                *win_specs,
                 pl.BlockSpec((1, hkv, rep, dh),
                              lambda bb, ss, lr: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -307,10 +342,45 @@ def flash_decode_int8(
 
         kern = kern_p
         lr = jnp.asarray(layer, jnp.int32).reshape(1)
-        wargs = ((jnp.asarray(window, jnp.int32).reshape(1),)
-                 if windowed else ())
-        args = (lr, lengths, *wargs, qg, k_codes, k_scale, v_codes,
-                v_scale)
+        args = (lr, lengths, qg, k_codes, k_scale, v_codes, v_scale)
+    else:
+        # stacked + windowed: (layer, lengths, window) prefetch
+        kv_specs = [
+            pl.BlockSpec((1, 1, hc, s_blk, dc),
+                         lambda bb, ss, lr, lens, win:
+                         (lr[0], bb, 0, blk_idx(bb, ss, lens, win), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, s_blk),
+                         lambda bb, ss, lr, lens, win:
+                         (lr[0], bb, 0, blk_idx(bb, ss, lens, win)),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, n_s),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, dh),
+                             lambda bb, ss, lr, lens, win: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hkv, rep, dh),
+                lambda bb, ss, lr, lens, win: (bb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        base = kern
+
+        def kern_p(lr_ref, *rest):
+            del lr_ref
+            return base(*rest)
+
+        kern = kern_p
+        lr = jnp.asarray(layer, jnp.int32).reshape(1)
+        args = (lr, lengths, jnp.asarray(window, jnp.int32).reshape(1),
+                qg, k_codes, k_scale, v_codes, v_scale)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -364,14 +364,21 @@ def _resolve_attn_kernel(cfg: ModelConfig, b: int, s_max: int,
 
 def _mm(cfg: ModelConfig):
     cfg = dataclasses.replace(cfg, kernel_mode=_resolve_mode(cfg))
+    # lut_runtime="sel15": exact-f32 codebook table in-kernel (the slow,
+    # bit-faithful mode); "word4" uses the int8-requant gather; "int8"
+    # QTensors were already transcoded to linear int8 at load
+    # (core.qtensor.transcode_lut_int8) and carry no lut.
+    lut_exact = cfg.lut_runtime == "sel15"
     if cfg.kernel_mode == "xla":
         base = functools.partial(dequant_matmul_reference,
                                  act_quant=cfg.act_quant)
     elif cfg.kernel_mode == "pallas_interpret":
         base = functools.partial(dequant_matmul, interpret=True,
-                                 act_quant=cfg.act_quant)
+                                 act_quant=cfg.act_quant,
+                                 lut_exact=lut_exact)
     else:
-        base = functools.partial(dequant_matmul, act_quant=cfg.act_quant)
+        base = functools.partial(dequant_matmul, act_quant=cfg.act_quant,
+                                 lut_exact=lut_exact)
 
     xla = cfg.kernel_mode == "xla"
 

@@ -369,7 +369,9 @@ def test_codebook_checkpoint_roundtrip_and_mesh_load(tmp_path):
     cfg = dataclasses.replace(CFG, codebook="lloyd")
     params = llama.init_params(cfg, seed=3)
     save_checkpoint(tmp_path / "cb", params, cfg)
-    loaded, cfg2 = load_checkpoint(tmp_path / "cb")
+    # lut_runtime="word4" keeps the stored codebook form (the default
+    # "int8" transcodes at load — covered by test_lut_transcode_at_load)
+    loaded, cfg2 = load_checkpoint(tmp_path / "cb", lut_runtime="word4")
     assert cfg2.codebook == "lloyd"
     assert loaded.layers.wqkv.lut is not None
     np.testing.assert_array_equal(
@@ -391,10 +393,102 @@ def test_codebook_checkpoint_roundtrip_and_mesh_load(tmp_path):
         np.asarray(params2.layers.wqkv.lut))  # fit is column-order-free
     save_checkpoint(tmp_path / "cb2", params2, cfg, tp=2)
     mesh = make_mesh(data=1, model=2)
-    mp, mcfg = load_checkpoint(tmp_path / "cb2", mesh=mesh)
+    mp, mcfg = load_checkpoint(tmp_path / "cb2", mesh=mesh,
+                               lut_runtime="word4")
     assert mp.layers.wqkv.lut is not None
     cache = shard_cache(llama.init_cache(mcfg, 1, 8), mesh)
     fwd = jax.jit(sharded_forward_fn(mcfg, mesh, mp, cache))
     out2, _ = fwd(mp, toks, cache)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_lut_transcode_at_load(tmp_path):
+    """r5 codebook fast path (VERDICT r4 weak #3): the default
+    lut_runtime="int8" transcodes codebook QTensors at load into plain
+    linear int8 whose dequant is EXACTLY the word4 kernel's math
+    (round(lut*127)[idx] * scale/127) — so codebook checkpoints stream
+    at linear-kernel speed with no in-kernel table gather."""
+    from quant_tpu.core.qtensor import transcode_lut_int8
+
+    cfg = dataclasses.replace(CFG, codebook="nf4")
+    params = llama.init_params(cfg, seed=5)
+    save_checkpoint(tmp_path / "cb", params, cfg)
+
+    loaded, cfg2 = load_checkpoint(tmp_path / "cb")   # default: int8
+    qt = loaded.layers.wqkv
+    assert qt.lut is None and qt.bits == 8
+    # dequant == the word4 kernel's effective weights, bit-for-bit
+    orig = params.layers.wqkv
+    lut = np.asarray(orig.lut, np.float32)       # [L, 16] stacked tables
+    lq = np.round(lut * 127.0)
+    pk = np.asarray(orig.codes)
+    li = np.concatenate([(pk & 0xF).astype(np.int32),
+                         (pk >> 4).astype(np.int32)], axis=-2)
+    want = np.stack([
+        lq[i][li[i]] * (np.asarray(orig.scales[i], np.float32)
+                        * np.float32(1 / 127.0)
+                        ).repeat(orig.group_size, axis=-2)
+        for i in range(cfg.n_layers)])
+    got = np.stack([np.asarray(
+        dataclasses.replace(
+            qt, codes=qt.codes[i], scales=qt.scales[i]
+        ).local_view().dequantize()) for i in range(cfg.n_layers)])
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    # forward through the linear kernel == the word4 KERNEL's forward
+    # (the transcode bakes word4's int8-requant table in; the XLA
+    # reference path instead consumes the exact f32 table and sits a
+    # requant-error away — so hold the kernel backend constant)
+    w4, cfg_w4 = load_checkpoint(tmp_path / "cb", lut_runtime="word4")
+    assert w4.layers.wqkv.lut is not None
+    toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cfg2i = dataclasses.replace(cfg2, kernel_mode="pallas_interpret")
+    cfg_w4i = dataclasses.replace(cfg_w4, kernel_mode="pallas_interpret")
+    lg8, _ = llama.forward(loaded, toks, llama.init_cache(cfg2i, 1, 8),
+                           cfg2i)
+    lgw, _ = llama.forward(w4, toks, llama.init_cache(cfg_w4i, 1, 8),
+                           cfg_w4i)
+    np.testing.assert_allclose(np.asarray(lg8), np.asarray(lgw),
+                               rtol=1e-3, atol=1e-3)
+
+    lg8x, _ = llama.forward(loaded, toks, llama.init_cache(cfg2, 1, 8),
+                            cfg2)  # XLA-path baseline for the legs below
+
+    # kshards (tp-packed) transcode: unpacked rows land in natural K
+    # order — host canonicalized load must agree with the tp=1 one
+    params2 = llama.init_params(cfg, seed=5, tp=2)
+    save_checkpoint(tmp_path / "cb2", params2, cfg, tp=2)
+    l2, c2 = load_checkpoint(tmp_path / "cb2")
+    assert l2.layers.wqkv.lut is None and l2.layers.wqkv.bits == 8
+    lg2, _ = llama.forward(l2, toks, llama.init_cache(c2, 1, 8), c2)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg8x),
+                               rtol=1e-4, atol=1e-4)
+
+    # mesh-native load transcodes too, preserving shardings
+    from quant_tpu.parallel import make_mesh, shard_cache
+    from quant_tpu.parallel.tp import sharded_forward_fn
+
+    mesh = make_mesh(data=1, model=2)
+    mp, mcfg = load_checkpoint(tmp_path / "cb2", mesh=mesh)
+    assert mp.layers.wqkv.lut is None and mp.layers.wqkv.bits == 8
+    cache = shard_cache(llama.init_cache(mcfg, 1, 8), mesh)
+    fwd = jax.jit(sharded_forward_fn(mcfg, mesh, mp, cache))
+    out2, _ = fwd(mp, toks, cache)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(lg8x),
+                               rtol=2e-4, atol=2e-4)
+
+    # direct unit: interpret-mode word4 kernel == linear kernel on the
+    # transcoded QTensor (the whole point: same numbers, faster stream)
+    from quant_tpu.kernels.dequant_matmul import dequant_matmul
+
+    qt1 = params.layers.wqkv
+    qt1 = dataclasses.replace(qt1, codes=qt1.codes[0],
+                              scales=qt1.scales[0],
+                              lut=qt1.lut[0]).local_view()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, qt1.shape[0])), jnp.float32)
+    y_w4 = dequant_matmul(x, qt1, interpret=True)
+    y_i8 = dequant_matmul(x, transcode_lut_int8(qt1), interpret=True)
+    np.testing.assert_allclose(np.asarray(y_w4), np.asarray(y_i8),
+                               rtol=2e-5, atol=2e-5)
