@@ -87,7 +87,9 @@ class Request:
     # grammar-constrained decoding: a grammar.TokenFSM whose transition
     # table lives on device; the decode programs mask illegal tokens and
     # advance the per-slot state entirely inside the jit (no per-step
-    # host sync). Does not compose with speculative decoding.
+    # host sync). Composes with speculative decoding (r5): the verify
+    # program masks every chain position with the byte-walked state, so
+    # illegal drafts reject and guided output == guided plain decode.
     fsm: Any = None
     # OpenAI top-logprobs: also return the top-K raw-model logprobs per
     # output position (ids + logprobs computed on device, packed into
@@ -341,6 +343,8 @@ class Engine:
         self._fsm_tokl = jnp.zeros((1, cfg.vocab_size), jnp.int32)
         self._fsm_key: dict[int, int] = {}
         self._fsm_objs: list = [None]  # index 0 = trivial FSM
+        self._fsm_retraces = 0  # mid-serving registrations that grew
+        # the table shapes (each one retraces the decode programs)
         self._fsm_ids = np.zeros((max_slots,), np.int32)
         self._fsm_state = np.zeros((max_slots,), np.int32)
         # per-slot LoRA adapter ids (0 = base) for the decode programs
@@ -642,18 +646,43 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(2, 13),
                                static_argnames=("sampled", "use_pen",
-                                                "use_bias", "topk_lp"))
+                                                "use_bias", "use_fsm",
+                                                "topk_lp"))
             def verify_step(params, tokens, cache, slot_keys, temps,
                             topks, topps, minps, reps, freqs, press,
                             bias_toks, bias_vals, counts,
+                            fsm_tabs=None, fsm_ids=None, fsm_states=None,
                             adapter_ids=None, q_probs=None, sampled=True,
-                            use_pen=False, use_bias=False, topk_lp=0):
+                            use_pen=False, use_bias=False, use_fsm=False,
+                            topk_lp=0):
                 base = cache.lengths
                 logits, cache = fwd_full(params, tokens, cache,
                                          adapter_ids=adapter_ids)
                 ks = jax.vmap(jax.random.split)(
                     jax.random.wrap_key_data(slot_keys))
                 keyn = jax.random.key_data(ks[:, 0])
+                rows = None
+                if use_fsm:
+                    # FSM x speculation (r5, VERDICT r4 #8): position j's
+                    # legality row uses the state AFTER byte-walking the
+                    # draft prefix tokens[:, 1..j] (tokens[:, 0] is the
+                    # last committed token — its transition already
+                    # happened at commit). Masking the target with these
+                    # rows makes p(illegal)=0, so the first illegal
+                    # draft rejects with probability 1 and the commit
+                    # token is always legal — guided output is identical
+                    # to guided plain decode. gamma is small and static:
+                    # an unrolled walk keeps this a handful of gathers.
+                    st = fsm_states
+                    rows_l = [_fsm_mask_rows(fsm_tabs[0], fsm_ids, st,
+                                             cfg.vocab_size)]
+                    for j in range(1, tokens.shape[1]):
+                        st = _fsm_walk(fsm_tabs[1], fsm_tabs[2],
+                                       fsm_tabs[3], fsm_ids, st,
+                                       tokens[:, j], eos_id)
+                        rows_l.append(_fsm_mask_rows(
+                            fsm_tabs[0], fsm_ids, st, cfg.vocab_size))
+                    rows = jnp.stack(rows_l, axis=1)   # [B, g+1, V]
                 if sampled:
                     # On-device speculative rejection sampling against
                     # the delta proposal (sampler.spec_commit): greedy
@@ -670,11 +699,16 @@ class Engine:
                             else None)
                     out, acc = spec_commit(logits, tokens, ks[:, 1],
                                            temps, topks, topps, minps,
-                                           pen, bias, q_probs=q_probs)
+                                           pen, bias, q_probs=q_probs,
+                                           fsm_rows=rows)
                 else:
                     # all-greedy batch: pure argmax chain, no
                     # vocab-sized sort/filter work on device
-                    tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    lg = logits
+                    if use_fsm:
+                        lg = jnp.where(rows < 0, -jnp.inf,
+                                       lg.astype(jnp.float32))
+                    tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                     match = (tokens[:, 1:] == tgt[:, :-1]).astype(
                         jnp.int32)
                     acc = jnp.cumprod(match, axis=1).sum(axis=1)
@@ -1223,7 +1257,10 @@ class Engine:
         # grow-in-place: device-side pads + one upload of the new tables;
         # shape change → the decode programs retrace once per new
         # (F, S, L) high-water mark; register grammars before serving
-        # steady-state
+        # steady-state. Counted in Engine.stats (fsm_retraces) so
+        # operators can SEE a mid-serving registration latency cliff.
+        old_shapes = (self._fsm_bits.shape, self._fsm_bt.shape,
+                      self._fsm_tokl.shape)
         self._fsm_bits = self._stack_set(self._fsm_bits, fid, fsm.bits)
         self._fsm_bt = self._stack_set(self._fsm_bt, fid, fsm.byte_trans,
                                        fill=-1)
@@ -1231,6 +1268,15 @@ class Engine:
                                          fsm.tok_bytes)
         self._fsm_tokl = self._stack_set(self._fsm_tokl, fid, fsm.tok_len)
         self._fsm_key[key] = fid
+        if (self._fsm_bits.shape, self._fsm_bt.shape,
+                self._fsm_tokl.shape) != old_shapes and self._steps:
+            # table shapes grew after serving started → every decode/
+            # verify program retraces on its next dispatch
+            self._fsm_retraces += 1
+            log.warning(
+                "fsm %d registration grew the table shapes mid-serving "
+                "(retrace #%d) — register grammars up front to avoid "
+                "the latency cliff", fid, self._fsm_retraces)
         # retain the object: the id()-keyed cache must never see a
         # GC'd address reused by a DIFFERENT TokenFSM (silently wrong
         # grammar otherwise)
@@ -1253,10 +1299,10 @@ class Engine:
                 f"unknown lora adapter {req.lora!r} (registered: "
                 f"{[k for k in self.lora_names if k]})")
         if req.fsm is not None:
-            if self.spec_gamma:
-                raise ValueError(
-                    "grammar-constrained requests do not compose with "
-                    "speculative decoding (spec_gamma > 0)")
+            # composes with speculation too (r5): the verify program
+            # masks each chain position with the byte-walked FSM state,
+            # so illegal drafts reject and guided output is identical to
+            # guided plain decode
             self.register_fsm(req.fsm)
         if len(req.prompt) + req.max_new_tokens > self.max_seq:
             raise ValueError(
@@ -1580,7 +1626,7 @@ class Engine:
         toks = np.zeros((self.max_slots, g + 1), np.int32)
         toks[:, 0] = self.last_tokens
         n_prop = np.zeros((self.max_slots,), np.int64)
-        knobs, any_pen, any_bias, _ = self._sampling_knobs(active)
+        knobs, any_pen, any_bias, any_fsm = self._sampling_knobs(active)
         sampled = any(not self.slots[i].sampling.greedy for i in active)
         qprobs = None
         if self._stateful_proposer:
@@ -1611,10 +1657,16 @@ class Engine:
         packed, self.cache, self.counts, self.slot_keys = self._verify(
             self.params, jnp.asarray(toks), self.cache, self.slot_keys,
             *knobs,
-            self.counts, adapter_ids=jnp.asarray(self._adapter_slot),
+            self.counts,
+            fsm_tabs=(self._fsm_bits, self._fsm_bt,
+                      self._fsm_tokb, self._fsm_tokl),
+            fsm_ids=jnp.asarray(self._fsm_ids),
+            fsm_states=jnp.asarray(self._fsm_state),
+            adapter_ids=jnp.asarray(self._adapter_slot),
             q_probs=qprobs,
             sampled=sampled or any_pen or any_bias,
-            use_pen=any_pen, use_bias=any_bias, topk_lp=k_lp)
+            use_pen=any_pen, use_bias=any_bias, use_fsm=any_fsm,
+            topk_lp=k_lp)
         packed = np.asarray(packed)
         tgt = packed[:, :g + 1]
         lps = packed[:, g + 1:2 * (g + 1)].view(np.float32)
@@ -1639,6 +1691,8 @@ class Engine:
             # real proposals (the padding is a valid delta proposal for
             # correctness) — cap the stat so acceptance rate stays <= 1
             self._spec_accepted += min(int(acc[i]), int(n_prop[i]))
+            fid = (self._fsm_key[id(req.fsm)] if req.fsm is not None
+                   else None)
             for j in range(n_take):
                 tok = int(tgt[i, j])
                 req.output.append(tok)
@@ -1649,6 +1703,12 @@ class Engine:
                         [int(t) for t in t_ids[i, j, :kk]])
                     req.top_lps.append(
                         [float(v) for v in t_lps[i, j, :kk]])
+                if fid is not None:
+                    # replay the verify program's transitions host-side
+                    # for every COMMITTED token (accepted prefix + the
+                    # commit sample)
+                    self._fsm_state[i] = self._fsm_objs[fid].advance(
+                        self._fsm_state[i], [tok])
                 self.last_tokens[i] = tok
                 committed += 1
                 self._maybe_finish(i, tok)
@@ -1889,7 +1949,8 @@ class Engine:
             **self._pcts(self._tpots, "tpot"),
             **({"loras": len(self.lora_names) - 1}
                if len(self.lora_names) > 1 else {}),
-            **({"fsms": len(self._fsm_objs) - 1}
+            **({"fsms": len(self._fsm_objs) - 1,
+                "fsm_retraces": self._fsm_retraces}
                if len(self._fsm_objs) > 1 else {}),
             **({"prefix_hit_tokens": self._prefix_hit_tokens,
                 "cached_blocks": sum(len(m) for m in self._prefix_map)}

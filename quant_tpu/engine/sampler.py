@@ -220,7 +220,8 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                 temps: jax.Array, topks: jax.Array, topps: jax.Array,
                 minps: jax.Array | None = None,
                 penalties=None, bias=None,
-                q_probs: jax.Array | None = None
+                q_probs: jax.Array | None = None,
+                fsm_rows: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """Speculative rejection sampling, fully on device (one
     [B, gamma+2] host fetch stays enough).
@@ -268,6 +269,17 @@ def spec_commit(logits: jax.Array, tokens: jax.Array, key,
                                  reps, freqs, press)
     if bias is not None:
         logits = apply_logit_bias(logits, *bias)
+    if fsm_rows is not None:
+        # grammar mask (FSM x speculation, r5): fsm_rows [B, g+1, V] are
+        # the legality rows at each chain position (state walked through
+        # the draft prefix). Masking p makes p(illegal)=0, so an illegal
+        # draft token is rejected with probability 1 and the accepted
+        # prefix truncates at the first illegal proposal — the rule
+        # stays EXACT ancestral sampling of the grammar-constrained
+        # target chain (rejection only ever shortens). Mask LAST so a
+        # grammar ban survives penalties/bias (same order as sample()).
+        logits = jnp.where(fsm_rows < 0, -jnp.inf,
+                           logits.astype(jnp.float32))
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
     l2 = filter_logits(logits, temps, topks, topps, minps)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)

@@ -153,14 +153,66 @@ def test_engine_fsm_mixed_batch():
     assert rf.output != [30, 31, eos]
 
 
-def test_fsm_rejects_speculation():
+def test_fsm_composes_with_speculation():
+    """r5 (VERDICT r4 #8): guided + n-gram speculation produces output
+    IDENTICAL to guided plain decode — the verify program masks each
+    chain position with the byte-walked FSM state, so the first illegal
+    draft rejects and the commit token is always legal."""
+    eos = 500
+    fsm = regex_fsm(r"\d{6}", _digit_vocab(CFG.vocab_size, eos), eos)
     params = llama.init_params(CFG, seed=5)
-    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=7,
-                 spec_gamma=2)
-    fsm = choice_fsm([[1, 2]], CFG.vocab_size, 7)
-    with pytest.raises(ValueError, match="speculative"):
-        eng.add_request(Request(req_id=0, prompt=[5], max_new_tokens=4,
-                                fsm=fsm))
+
+    def run(spec_gamma, temperature=0.0):
+        eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=eos,
+                     spec_gamma=spec_gamma)
+        r = Request(req_id=0, prompt=[3, 1, 4, 3, 1], max_new_tokens=10,
+                    sampling=SamplingConfig(temperature=temperature),
+                    seed=11, fsm=fsm)
+        eng.add_request(r)
+        while eng.has_work():
+            eng.step()
+        assert r.output[-1] == eos and len(r.output) == 7, r.output
+        assert all(0 <= t <= 9 for t in r.output[:6]), r.output
+        return r.output
+
+    plain = run(0)
+    assert run(3) == plain          # greedy: bit-identical
+    run(3, temperature=1.0)         # sampled: grammar-valid
+
+
+def test_fsm_spec_mixed_batch_and_draft_model():
+    """Guided + unguided co-batch on a spec engine (only the guided slot
+    is masked), and the composition also holds under a DRAFT-MODEL
+    proposer (whose drafts know nothing about the grammar)."""
+    from quant_tpu.engine.spec import DraftModelProposer
+
+    eos = 500
+    fsm = regex_fsm(r"\d{4}", _digit_vocab(CFG.vocab_size, eos), eos)
+    params = llama.init_params(CFG, seed=6)
+
+    def ref_guided():
+        eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=eos)
+        r = Request(req_id=0, prompt=[9, 9, 2], max_new_tokens=8,
+                    fsm=fsm)
+        eng.add_request(r)
+        while eng.has_work():
+            eng.step()
+        return r.output
+
+    want = ref_guided()
+    dcfg = dataclasses.replace(CFG)
+    prop = DraftModelProposer(llama.init_params(dcfg, seed=9), dcfg,
+                              gamma=2, max_slots=2, max_seq=64)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=eos,
+                 spec_gamma=2, spec_proposer=prop)
+    rg = Request(req_id=0, prompt=[9, 9, 2], max_new_tokens=8, fsm=fsm)
+    rf = Request(req_id=1, prompt=[8, 9], max_new_tokens=6)
+    eng.add_request(rg)
+    eng.add_request(rf)
+    while eng.has_work():
+        eng.step()
+    assert rg.output == want, (rg.output, want)
+    assert len(rf.output) == 6 or (rf.output and rf.output[-1] == eos)
 
 
 def test_dead_row_forces_eos():
@@ -424,3 +476,25 @@ def test_engine_nested_guided_json():
     for row in doc["rows"]:
         assert set(row) == {"id", "ok"}
         assert isinstance(row["id"], int) and isinstance(row["ok"], bool)
+
+
+def test_fsm_retrace_counter():
+    """Mid-serving registrations that grow the table shapes are counted
+    in Engine.stats (fsm_retraces) — the retrace latency cliff is
+    invisible otherwise (VERDICT r4 weak #6)."""
+    eos = 7
+    params = llama.init_params(CFG, seed=8)
+    eng = Engine(params, CFG, max_slots=2, max_seq=64, eos_id=eos)
+    f1 = choice_fsm([[10, 11]], CFG.vocab_size, eos)
+    eng.add_request(Request(req_id=0, prompt=[5], max_new_tokens=4,
+                            fsm=f1))
+    while eng.has_work():
+        eng.step()
+    assert eng.stats.get("fsm_retraces", 0) == 0
+    # a LARGER grammar after steady-state grows (F, S, L) → counted
+    f2 = regex_fsm(r"\d{8}", _digit_vocab(CFG.vocab_size, eos), eos)
+    eng.register_fsm(f2)
+    assert eng.stats["fsm_retraces"] == 1
+    # same-shape re-registration of the same object: no new retrace
+    eng.register_fsm(f2)
+    assert eng.stats["fsm_retraces"] == 1
