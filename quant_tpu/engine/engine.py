@@ -278,6 +278,7 @@ class Engine:
         self.page_size = page_size
         self.prefix_cache = prefix_cache
         _data_groups0 = mesh.shape.get("data", 1) if mesh is not None else 1
+        _sp0 = mesh.shape.get("seq", 1) if mesh is not None else 1
         if prefix_cache:
             # Prompt-prefix page sharing (vLLM-style automatic prefix
             # caching, re-designed for the paged pool): full page-aligned
@@ -288,17 +289,19 @@ class Engine:
             # table. Freed pages whose blocks remain cached become
             # evictable (LRU) rather than free.
             #
-            # Meshes: page ids are SHARD-LOCAL and each data shard owns a
-            # private pool, so all prefix state is PER DATA GROUP — a
-            # block cached by group 0 can only be reused by slots of
-            # group 0 (the KV bytes live in that shard's pool).
+            # Meshes: page ids are SHARD-LOCAL and each (data, seq)
+            # shard owns a private pool, so all prefix state is PER
+            # (data group, seq shard) — a block cached by pool p can
+            # only be reused through pool p (the KV bytes live in that
+            # shard's pool; under seq a block's table COLUMN pins its
+            # seq shard, and the chained digest pins the column).
             if not paged:
                 raise ValueError("prefix_cache requires paged=True")
             if mesh is not None and mesh.shape.get("pipe", 1) > 1:
                 raise ValueError(
                     "prefix_cache composes with (data, model) meshes; "
                     "pipe>1 is not supported")
-            ng = _data_groups0
+            ng = _data_groups0 * _sp0
             self._prefix_map: list[dict] = [{} for _ in range(ng)]
             self._page_key: list[dict] = [{} for _ in range(ng)]
             self._evictable: list[dict] = [{} for _ in range(ng)]
@@ -357,17 +360,21 @@ class Engine:
 
         data_groups = mesh.shape.get("data", 1) if mesh is not None else 1
         self._data_groups = data_groups
+        self._sp_pools = _sp0
         if paged:
             # Paged KV pool (VERDICT r1 #4): HBM bounded by allocated
             # pages. Page 0 is RESERVED scratch — freed slots park their
             # table rows there and lengths at 0, so stale decode writes
             # can never corrupt reallocated pages.
             #
-            # With a mesh, each ``data`` shard owns a PRIVATE local pool of
-            # ``n_pages`` pages (pool dim shards over data, kv-heads over
-            # model); page-table rows are slot-major over data and hold
-            # SHARD-LOCAL ids, so the allocator keeps one free list per
-            # data group and the device programs never translate indices.
+            # With a mesh, each (``data``, ``seq``) shard owns a PRIVATE
+            # local pool of ``n_pages`` pages (pool dim shards over
+            # data x seq, kv-heads over model); page-table rows are
+            # slot-major over data, COLUMNS segment-major over seq
+            # (column j = global S pages [j*page, (j+1)*page), owned by
+            # seq shard j // ppseg), and entries hold SHARD-LOCAL ids —
+            # the allocator keeps one free list per (data group, seq
+            # shard) and the device programs never translate indices.
             # Under pipeline parallelism each (pipe, data) shard
             # additionally holds only its layer slice of the pool.
             if max_seq % page_size:
@@ -376,12 +383,16 @@ class Engine:
             if max_slots % data_groups:
                 raise ValueError(f"max_slots {max_slots} must divide by "
                                  f"data axis {data_groups}")
+            if (max_seq // page_size) % _sp0:
+                raise ValueError(
+                    f"seq axis {_sp0} must divide the page count "
+                    f"{max_seq // page_size} (max_seq/page_size)")
+            self._ppseg = (max_seq // page_size) // _sp0
             if n_pages is None:
-                n_pages = 1 + (max_slots // data_groups) * (
-                    max_seq // page_size)
-            self.n_pages = n_pages  # per data shard
+                n_pages = 1 + (max_slots // data_groups) * self._ppseg
+            self.n_pages = n_pages  # per (data, seq) shard
             self._free_pages = [list(range(n_pages - 1, 0, -1))
-                                for _ in range(data_groups)]
+                                for _ in range(data_groups * _sp0)]
             self._page_tbl = np.zeros(
                 (max_slots, max_seq // page_size), np.int32)
             self._n_alloc = np.zeros((max_slots,), np.int64)
@@ -390,7 +401,8 @@ class Engine:
             self._release_pending: list[int] = []
             self._tbl_dirty = False
             cache0 = llama.init_paged_cache(
-                cfg, max_slots, max_seq, n_pages * data_groups, page_size)
+                cfg, max_slots, max_seq, n_pages * data_groups * _sp0,
+                page_size)
         else:
             cache0 = llama.init_cache(cfg, max_slots, max_seq)
         pf0 = llama.init_cache(cfg, 1, max_seq)
@@ -427,11 +439,6 @@ class Engine:
                 # verify program's T=gamma+1 forward rides the same
                 # seq_axis machinery as chunked prefill (equality-tested
                 # for n-gram and draft-model proposers).
-                if paged:
-                    raise ValueError(
-                        "seq>1 engines use the contiguous cache (the "
-                        "paged pool's page ids are per-data-shard global "
-                        "in S; page-sharding over seq is not implemented)")
                 if max_seq % sp:
                     raise ValueError(
                         f"seq axis {sp} must divide max_seq {max_seq}")
@@ -471,7 +478,9 @@ class Engine:
                 insert_inner = jax.shard_map(
                     self._insert_paged_local,
                     mesh=mesh,
-                    in_specs=(full_specs, pf_specs, P(), P()),
+                    # ids columns shard over seq (each seq shard scatters
+                    # its own segment's blocks into its local pool)
+                    in_specs=(full_specs, pf_specs, P(), P("seq")),
                     out_specs=full_specs,
                     check_vma=False,
                 )
@@ -891,11 +900,13 @@ class Engine:
             cfg = self.cfg
             mesh = self.mesh
             p_specs = tp_mod.param_specs(self.params)
-            codes_spec = P(None, "data", "model", None, None)
-            scale_spec = P(None, "data", "model", None)
+            codes_spec = P(None, ("data", "seq"), "model", None, None)
+            scale_spec = P(None, ("data", "seq"), "model", None)
             pool_specs = (codes_spec, scale_spec, codes_spec, scale_spec)
             slots_per = self.max_slots // self._data_groups
-            fwd = functools.partial(llama.forward, cfg=cfg, axis="model")
+            fwd = functools.partial(
+                llama.forward, cfg=cfg, axis="model",
+                seq_axis="seq" if self._sp > 1 else None)
 
             def inner(params, tokens, pools, tbl_row, start, true_len,
                       slot, aid):
@@ -924,8 +935,9 @@ class Engine:
 
             sm = jax.shard_map(
                 inner, mesh=mesh,
-                in_specs=(p_specs, P(None, None), pool_specs, P(), P(),
-                          P(), P(), P()),
+                # tbl_row columns shard over seq (segment-major layout)
+                in_specs=(p_specs, P(None, None), pool_specs, P("seq"),
+                          P(), P(), P(), P()),
                 out_specs=(P(), pool_specs),
                 check_vma=False,
             )
@@ -1066,6 +1078,15 @@ class Engine:
         """Data group owning a slot (slot-major sharding over ``data``)."""
         return slot // (self.max_slots // self._data_groups)
 
+    def _pool_of(self, slot: int, col: int) -> int:
+        """Free-list / prefix-state index of the (data group, seq shard)
+        pool owning table column ``col`` of ``slot`` (r5 paged x seq:
+        column j pages global S range [j*page, (j+1)*page), which lives
+        in seq shard j // ppseg)."""
+        sp = self._sp_pools
+        return self._group(slot) * sp + (col // self._ppseg if sp > 1
+                                         else 0)
+
     def _block_keys(self, stream: list[int]) -> list[bytes]:
         """Chained content digests of the stream's FULL page-aligned
         blocks: key_j = H(key_{j-1} || tokens of block j), so a match at
@@ -1087,10 +1108,10 @@ class Engine:
         covered (prefill resumes there). At least one token is always left
         to prefill — its logits seed sampling."""
         page = self.page_size
-        g = self._group(slot)
         max_k = (len(stream) - 1) // page
         k = 0
         for j, key in enumerate(self._block_keys(stream)[:max_k]):
+            g = self._pool_of(slot, j)
             pg = self._prefix_map[g].get(key)
             if pg is None:
                 break
@@ -1109,8 +1130,8 @@ class Engine:
     def _register_prefix(self, slot: int, stream: list[int]) -> None:
         """Publish the slot's filled full blocks into the prefix map (the
         pages now hold exactly those blocks' KV)."""
-        g = self._group(slot)
         for j, key in enumerate(self._block_keys(stream)):
+            g = self._pool_of(slot, j)
             if key in self._prefix_map[g]:
                 continue
             pg = int(self._page_tbl[slot, j])
@@ -1120,9 +1141,10 @@ class Engine:
             self._page_key[g][pg] = key
 
     def _alloc_page(self, group: int) -> int | None:
-        """A blank page from the group's free list, else (prefix mode) the
-        least-recently-cached evictable page — its block leaves the
-        prefix map; else None (caller preempts)."""
+        """A blank page from the (data group, seq shard) pool's free
+        list, else (prefix mode) the least-recently-cached evictable
+        page — its block leaves the prefix map; else None (caller
+        preempts). ``group`` is a ``_pool_of`` index."""
         free = self._free_pages[group]
         if free:
             return free.pop()
@@ -1135,22 +1157,22 @@ class Engine:
 
     def _ensure_pages(self, slot: int, upto_len: int) -> bool:
         need = self._pages_for(min(upto_len, self.max_seq))
-        group = self._group(slot)
         while self._n_alloc[slot] < need:
-            pg = self._alloc_page(group)
+            col = int(self._n_alloc[slot])
+            pool = self._pool_of(slot, col)
+            pg = self._alloc_page(pool)
             if pg is None:
                 return False
             if self.prefix_cache:
-                self._page_ref[group][pg] = 1
-            self._page_tbl[slot, self._n_alloc[slot]] = pg
+                self._page_ref[pool][pg] = 1
+            self._page_tbl[slot, col] = pg
             self._n_alloc[slot] += 1
             self._tbl_dirty = True
         return True
 
     def _free_slot_pages(self, slot: int) -> None:
-        g = self._group(slot)
-        free = self._free_pages[g]
         for j in range(int(self._n_alloc[slot])):
+            g = self._pool_of(slot, j)
             pg = int(self._page_tbl[slot, j])
             if self.prefix_cache:
                 self._page_ref[g][pg] -= 1
@@ -1160,7 +1182,7 @@ class Engine:
                     # block stays cached; page becomes evictable (LRU)
                     self._evictable[g][pg] = None
                     continue
-            free.append(pg)
+            self._free_pages[g].append(pg)
         self._page_tbl[slot, :] = 0  # reserved scratch page
         self._n_alloc[slot] = 0
         self._release_pending.append(slot)
@@ -1181,7 +1203,7 @@ class Engine:
             tbl = jnp.asarray(self._page_tbl)
             if self.mesh is not None:
                 tbl = jax.device_put(
-                    tbl, NamedSharding(self.mesh, P("data", None)))
+                    tbl, NamedSharding(self.mesh, P("data", "seq")))
             self.cache = dataclasses.replace(self.cache, page_tbl=tbl)
             self._tbl_dirty = False
 
@@ -1309,8 +1331,11 @@ class Engine:
                 f"request {req.req_id}: prompt({len(req.prompt)}) + "
                 f"max_new({req.max_new_tokens}) exceeds max_seq {self.max_seq}"
             )
-        if self.paged and self._pages_for(
-                len(req.prompt) + req.max_new_tokens) > self.n_pages - 1:
+        if self.paged and min(
+                self._pages_for(len(req.prompt) + req.max_new_tokens),
+                self._ppseg) > self.n_pages - 1:
+            # per-shard bound: the fullest (data, seq) pool sees at most
+            # ppseg of a slot's columns
             raise ValueError(
                 f"request {req.req_id} needs more pages than the pool has")
         if (self.max_pending is not None

@@ -1297,21 +1297,28 @@ def _cache_insert_at_layer(cc_full, cs_full, codes, scale, lengths, layer,
     return cc_full, cs_full
 
 
-def _paged_insert_at_layer(cc, cs, codes, scale, lengths, layer, page_tbl):
+def _paged_insert_at_layer(cc, cs, codes, scale, lengths, layer, page_tbl,
+                           s0=0):
     """Write T entries into the PAGE POOL at per-slot positions via the
     page table. Same one-scatter/in-place property as the contiguous
     insert; positions beyond the table capacity are dropped.
 
     cc [L, P, H, page, D]; codes [B, T, H, D]; page_tbl [B, max_pages].
+    ``s0``: this shard's global S offset under sequence sharding (r5
+    paged x seq): the table holds only this shard's columns with
+    SHARD-LOCAL page ids, so positions outside [s0, s0 + cap) drop —
+    the owning shard commits them (scatter-drop straddling semantics,
+    same as the contiguous ``_cache_insert``).
     """
     page = cc.shape[3]
     b, t = codes.shape[0], codes.shape[1]
-    pos = lengths[:, None] + jnp.arange(t)[None, :]          # [B, T]
+    pos = lengths[:, None] + jnp.arange(t)[None, :] - s0     # [B, T]
     cap = page_tbl.shape[1] * page
     pg_ix = jnp.take_along_axis(
         page_tbl, jnp.clip(pos // page, 0, page_tbl.shape[1] - 1), axis=1)
-    pg_ix = jnp.where(pos < cap, pg_ix, cc.shape[1])  # over-cap → dropped
-    row = pos % page
+    # out-of-shard / over-cap → sentinel page → dropped
+    pg_ix = jnp.where((pos >= 0) & (pos < cap), pg_ix, cc.shape[1])
+    row = jnp.clip(pos, 0, cap - 1) % page
     cc = cc.at[layer, pg_ix, :, row].set(codes, mode="drop",
                                          unique_indices=True)
     cs = cs.at[layer, pg_ix, :, row].set(scale, mode="drop",
@@ -1512,10 +1519,13 @@ def forward(
     mm = _mm(cfg)
     b, t = tokens.shape
     paged = isinstance(cache, PagedKVCache)
-    if paged and seq_axis is not None:
-        raise ValueError("paged cache does not compose with seq sharding")
     if seq_axis is not None:
-        s_loc = cache.k_codes.shape[3]
+        # this shard's global S offset: contiguous caches S-shard their
+        # [.., S, ..] dim; paged caches shard the TABLE columns
+        # segment-major over seq (r5 paged x seq), so the local capacity
+        # is columns * page
+        s_loc = (cache.page_tbl.shape[1] * cache.k_codes.shape[3]
+                 if paged else cache.k_codes.shape[3])
         s0 = jax.lax.axis_index(seq_axis) * s_loc
     else:
         s0 = 0
@@ -1701,7 +1711,10 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
             # kv4 Pallas pair Mosaic-validated on hardware 2026-08-18
             # (tpu_kv4_kernel_check.py: exact vs f64 oracle, 547 GB/s of
             # packed bytes) — auto mode may route kv4 through it.
-            pg_flash = (t == 1 and ak in ("flash", "paged")
+            # seq-sharded pools (r5) take the gather + LSE-merge path —
+            # same attention the contiguous seq>1 decode uses.
+            pg_flash = (t == 1 and seq_axis is None
+                        and ak in ("flash", "paged")
                         and cfg.kv_bits in (8, 4)
                         and mode in ("pallas", "pallas_interpret"))
             interp = mode == "pallas_interpret"
@@ -1726,15 +1739,29 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
                 from quant_tpu.kernels.paged_attention import paged_gather
 
                 kc, ks = _paged_insert_at_layer(kc, ks, k_q, k_s, lengths,
-                                                gidx, page_tbl)
+                                                gidx, page_tbl, s0=s0)
                 vc, vs = _paged_insert_at_layer(vc, vs, v_q, v_s, lengths,
-                                                gidx, page_tbl)
-                att = attention_blockwise if t > 1 else attention
-                attn = att(q, paged_gather(kc, page_tbl, gidx),
-                           paged_gather(ks, page_tbl, gidx),
-                           paged_gather(vc, page_tbl, gidx),
-                           paged_gather(vs, page_tbl, gidx),
-                           positions, new_lengths, cfg, window=window)
+                                                gidx, page_tbl, s0=s0)
+                if seq_axis is not None:
+                    # paged x seq (r5): each seq shard gathers its OWN
+                    # segment's pages (local ids, local pool) and the
+                    # shards LSE-merge — identical math to the
+                    # contiguous S-sharded decode, with key_offset = s0
+                    attn = attention(q, paged_gather(kc, page_tbl, gidx),
+                                     paged_gather(ks, page_tbl, gidx),
+                                     paged_gather(vc, page_tbl, gidx),
+                                     paged_gather(vs, page_tbl, gidx),
+                                     positions, new_lengths, cfg,
+                                     seq_axis=seq_axis, key_offset=s0,
+                                     window=window)
+                else:
+                    att = attention_blockwise if t > 1 else attention
+                    attn = att(q, paged_gather(kc, page_tbl, gidx),
+                               paged_gather(ks, page_tbl, gidx),
+                               paged_gather(vc, page_tbl, gidx),
+                               paged_gather(vs, page_tbl, gidx),
+                               positions, new_lengths, cfg,
+                               window=window)
             return _tail(h, attn, kc, ks, vc, vs, mlp_norm, idx, router,
                          post_attn, post_mlp, r_bias)
         ak = _resolve_attn_kernel(cfg, b, kc.shape[3], mode)

@@ -103,12 +103,16 @@ def cache_specs(cache, batch_axis: str | None = "data"):
     batch-1 prefill cache, which every data shard computes redundantly and
     then inserts into its own slot range.
 
-    A :class:`llama.PagedKVCache` shards its page POOL over ``data`` (each
-    data shard owns a private local pool) and kv-heads over ``model``;
-    page-table rows are slot-major over ``data`` and hold SHARD-LOCAL page
-    ids — the engine's allocator maintains per-data-group free lists, so
-    inside ``shard_map`` every shard sees exactly its own slots' rows with
-    indices valid in its local pool.
+    A :class:`llama.PagedKVCache` shards its page POOL over ``data`` AND
+    ``seq`` (each (data, seq) shard owns a private local pool — under
+    sequence sharding a seq shard pages only its own global-S segment,
+    r5) and kv-heads over ``model``; page-table rows are slot-major over
+    ``data``, COLUMNS are segment-major over ``seq`` (column j addresses
+    global S range [j*page, (j+1)*page), which lives in exactly one seq
+    shard), and entries hold SHARD-LOCAL page ids — the engine's
+    allocator maintains per-(data-group, seq-shard) free lists, so
+    inside ``shard_map`` every shard sees exactly its own slots' rows /
+    its own segment's columns with indices valid in its local pool.
     """
     if isinstance(cache, llama.PagedKVCache):
         def pspec(path, leaf):
@@ -116,10 +120,12 @@ def cache_specs(cache, batch_axis: str | None = "data"):
             if field == "lengths":
                 return P(batch_axis)
             if field == "page_tbl":
-                return P(batch_axis, None)
+                return P(batch_axis, "seq")
             if field.endswith("codes"):   # [L, P, Hkv, page, Dh]
-                return P(None, batch_axis, "model", None, None)
-            return P(None, batch_axis, "model", None)
+                return P(None, (batch_axis, "seq") if batch_axis
+                         else "seq", "model", None, None)
+            return P(None, (batch_axis, "seq") if batch_axis
+                     else "seq", "model", None)
         return jax.tree_util.tree_map_with_path(pspec, cache)
 
     def spec(path, leaf):

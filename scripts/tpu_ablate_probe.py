@@ -18,8 +18,11 @@ from quant_tpu.utils.timing import differential_time
 import os
 CFG = ModelConfig(
     vocab_size=int(os.environ.get("ABLATE_V", "4096")),
-    dim=4096, n_layers=2, n_heads=32, n_kv_heads=8,
+    dim=4096, n_layers=int(os.environ.get("ABLATE_L", "2")),
+    n_heads=32, n_kv_heads=8,
     intermediate=14336, group_size=128, kernel_mode="pallas",
+    kv_bits=int(os.environ.get("ABLATE_KV", "8")),
+    embed_bits=int(os.environ.get("ABLATE_EMB", "16")),
 )
 B = int(os.environ.get("ABLATE_B", "8"))
 S = int(os.environ.get("ABLATE_S", "1024"))
@@ -45,7 +48,7 @@ def make_step(variant):
         dt = llama._act_dtype(cfg)
         positions = cache.lengths[:, None]
         new_lengths = cache.lengths + 1
-        h = params.embed[tok].astype(dt)
+        h = llama._embed_lookup(params.embed, tok, dt, cfg)
 
         def layer_step(carry, xs):
             h, kc, ks, vc, vs = carry
@@ -135,15 +138,39 @@ def main():
         "full,noinsert,noattn,xla_attn,nolayers").split(",")
     lo = int(os.environ.get("ABLATE_LO", "2"))
     hi = int(os.environ.get("ABLATE_HI", "14"))
+    res = {}
     for variant in variants:
         try:
             t0 = time.perf_counter()
             per = differential_time(
                 make_step(variant), (params, tok, cache), lo, hi, iters=3)
+            res[variant] = per
             print(f"{variant:10s}: {per*1e3:.2f} ms/step "
                   f"(compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
         except Exception as e:
             print(f"{variant:10s}: FAIL {repr(e)[:200]}", flush=True)
+    # Differential per-phase breakdown (VERDICT r4 #4: itemize the decode
+    # residue): each phase = full minus the variant with that phase
+    # removed; "qkv/wo+fixed" is what remains after subtracting them all.
+    if "full" in res:
+        t = res["full"]
+        phases = {}
+        if "noattn" in res:
+            phases["attention read+compute"] = t - res["noattn"]
+        if "noinsert" in res:
+            phases["kv insert"] = t - res["noinsert"]
+        if "nomlp" in res:
+            phases["mlp matmuls"] = t - res["nomlp"]
+        if "nolmhead" in res:
+            phases["lm_head+logits"] = t - res["nolmhead"]
+        if phases:
+            rem = t - sum(phases.values())
+            print("-- breakdown (differential vs full) --", flush=True)
+            for k, v in phases.items():
+                print(f"  {k:22s}: {v*1e3:6.2f} ms ({100*v/t:4.1f}%)",
+                      flush=True)
+            print(f"  {'qkv/wo + norms + fixed':22s}: {rem*1e3:6.2f} ms "
+                  f"({100*rem/t:4.1f}%)", flush=True)
 
 
 if __name__ == "__main__":
