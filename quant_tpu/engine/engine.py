@@ -279,6 +279,7 @@ class Engine:
         self.prefix_cache = prefix_cache
         _data_groups0 = mesh.shape.get("data", 1) if mesh is not None else 1
         _sp0 = mesh.shape.get("seq", 1) if mesh is not None else 1
+        _pipe0 = mesh.shape.get("pipe", 1) if mesh is not None else 1
         if prefix_cache:
             # Prompt-prefix page sharing (vLLM-style automatic prefix
             # caching, re-designed for the paged pool): full page-aligned
@@ -402,22 +403,16 @@ class Engine:
             self._tbl_dirty = False
             cache0 = llama.init_paged_cache(
                 cfg, max_slots, max_seq, n_pages * data_groups * _sp0,
-                page_size)
+                page_size, pipe=_pipe0)
         else:
-            cache0 = llama.init_cache(cfg, max_slots, max_seq)
-        pf0 = llama.init_cache(cfg, 1, max_seq)
+            cache0 = llama.init_cache(cfg, max_slots, max_seq,
+                                      pipe=_pipe0)
+        pf0 = llama.init_cache(cfg, 1, max_seq, pipe=_pipe0)
 
         if mesh is not None:
             from quant_tpu.parallel import pp as pp_mod
             from quant_tpu.parallel import tp as tp_mod
 
-            if (cfg.is_mla or cfg.first_k_dense) and \
-                    mesh.shape.get("pipe", 1) > 1:
-                raise ValueError(
-                    "MLA / first_k_dense x pipeline parallelism: these "
-                    "models carry TWO layer stacks (layers0 + layers), "
-                    "which the per-stage stacked slicing does not "
-                    "handle yet")
             sp = mesh.shape.get("seq", 1)
             if cfg.is_mla or cfg.first_k_dense:
                 # MLA / first_k_dense long prompts always take the
@@ -454,6 +449,11 @@ class Engine:
                     f"max_slots {max_slots} must divide data axis "
                     f"{mesh.shape['data']}")
             if pipe > 1:
+                if paged and sp > 1:
+                    raise ValueError(
+                        "paged x seq x pipe>1 is not implemented (pp "
+                        "paged pools page the full S per slot); drop "
+                        "one of paged/seq with pipeline stages")
                 params = pp_mod.shard_params_pp(params, mesh)
                 self.cache = pp_mod.shard_cache_pp(cache0, mesh)
                 pf_specs = pp_mod.pp_cache_specs(pf0, batch_axis=None)

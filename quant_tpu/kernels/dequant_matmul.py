@@ -108,13 +108,32 @@ def dequant_matmul_reference(x: jax.Array, qt: QTensor, out_dtype=None,
 
 
 def _scaled_dots(x, w, s, tile_g, gsz, acc):
-    """acc += sum_g (x[:, g] @ w[g]) * s[g] — scales on [M, TN] partials."""
-    for g in range(tile_g):
-        part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
-                       w[g * gsz:(g + 1) * gsz],
-                       preferred_element_type=jnp.float32)
-        acc = acc + part * s[g:g + 1]
-    return acc
+    """acc += sum_g (x[:, g] @ w[g]) * s[g] — scales on [M, TN] partials.
+
+    Few groups: an unrolled loop of full-width dots (the proven dense
+    flagship path, gs=128/tk=512 → 4 dots). Many groups (small
+    group_size, e.g. DeepSeek's gs=64 → 8-11 per tile): the loop's
+    skinny [M, gsz] dots serialize on MXU issue latency — the same
+    pathology the r4 flash-decode rewrite fixed — so batch them as ONE
+    dot_general with g as a batch dimension and apply the scales on the
+    [G, M, TN] partials (same VPU work as the loop)."""
+    if tile_g <= 4:
+        for g in range(tile_g):
+            part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
+                           w[g * gsz:(g + 1) * gsz],
+                           preferred_element_type=jnp.float32)
+            acc = acc + part * s[g:g + 1]
+        return acc
+    m = x.shape[0]
+    # Mosaic requires the batch dims at EQUAL positions (hardware
+    # 2026-08-20: "batch dims must be equal" for lhs batch=1/rhs
+    # batch=0) — swap G to the front of the small x tile
+    xg = jnp.swapaxes(x.reshape(m, tile_g, gsz), 0, 1)   # [G, M, gsz]
+    wg = w.reshape(tile_g, gsz, w.shape[1])
+    parts = jax.lax.dot_general(
+        xg, wg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # [G, M, TN]
+    return acc + jnp.sum(parts * s[:, None, :], axis=0)
 
 
 def _scaled_dots_aq(x, w_i8, s, tile_g, gsz, acc):
@@ -136,9 +155,15 @@ def _scaled_dots_aq(x, w_i8, s, tile_g, gsz, acc):
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
                  cdt, stacked=False, aq=False):
+    # ``n_k`` is the accumulation CHAIN length along grid dim 2: the
+    # bracket resets/writes per chain (k % n_k), which equals the old
+    # k==0 / k==grid_k-1 behavior when the whole dim is one chain and
+    # lets the hot-routed MoE concat run experts as consecutive chains
+    # on the sequential dim (consecutive repeated weight blocks skip
+    # their DMA — the cold-expert byte savings).
     k = pl.program_id(2)
 
-    @pl.when(k == 0)
+    @pl.when(k % n_k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -155,7 +180,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
         acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w.astype(cdt),
                                   s, tile_g, gsz, acc_ref[:])
 
-    @pl.when(k == n_k - 1)
+    @pl.when(k % n_k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
@@ -195,9 +220,10 @@ def _kernel_int4(
     tile_g, gsz, cdt, stacked=False, aq=False, lut_mode=None, lut_ref=None,
     layer_ref=None,
 ):
+    # n_k = accumulation chain length (see _kernel_int8)
     k = pl.program_id(2)
 
-    @pl.when(k == 0)
+    @pl.when(k % n_k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -237,7 +263,7 @@ def _kernel_int4(
                            gsz, acc)
     acc_ref[:] = acc
 
-    @pl.when(k == n_k - 1)
+    @pl.when(k % n_k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 

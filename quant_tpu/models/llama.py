@@ -209,8 +209,23 @@ def _kv_code_dims(cfg: ModelConfig) -> tuple[int, int]:
     return h, cfg.head_dim
 
 
-def init_cache(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache:
-    l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
+def cache_rows(cfg: ModelConfig, pipe: int = 1) -> int:
+    """Cache layer rows. ``pipe > 1`` on a first_k_dense model pads to
+    ``pipe*k0 + (L-k0)`` (r5 MLA x PP): the cache's layer dim shards
+    EVENLY over pipe, giving every stage k0 local prefix rows + its
+    (L-k0)/pipe MoE rows — the replicated dense-prefix scan runs on
+    stage 0 and writes local rows [0, k0); other stages' prefix rows
+    stay unused (k0 is 1-3 layers, the waste is noise next to even
+    sharding of the two-stack model)."""
+    k0 = cfg.first_k_dense
+    if pipe > 1 and k0:
+        return pipe * k0 + (cfg.n_layers - k0)
+    return cfg.n_layers
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
+               pipe: int = 1) -> KVCache:
+    l, (hc, d) = cache_rows(cfg, pipe), _kv_code_dims(cfg)
     hs = cfg.n_kv_heads   # scales stay per REAL head
     cdt = _kv_dtype(cfg)
     if cfg.is_mla:
@@ -262,12 +277,14 @@ class PagedKVCache:
 
 
 def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
-                     n_pages: int, page: int = 128) -> PagedKVCache:
+                     n_pages: int, page: int = 128,
+                     pipe: int = 1) -> PagedKVCache:
     """Pool of ``n_pages`` pages; per-slot tables sized for max_seq.
-    ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point)."""
+    ``n_pages`` < batch * max_seq/page oversubscribes HBM (the point).
+    ``pipe``: see :func:`cache_rows` (first_k_dense x PP row padding)."""
     if cfg.is_mla:
         # paged latent pool: same zero-width V convention as init_cache
-        l, d = cfg.n_layers, cfg.mla_cache_dim
+        l, d = cache_rows(cfg, pipe), cfg.mla_cache_dim
         if max_seq % page:
             raise ValueError(
                 f"max_seq {max_seq} must divide by page {page}")
@@ -280,7 +297,7 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
             page_tbl=jnp.zeros((batch, max_seq // page), jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
         )
-    l, (hc, d) = cfg.n_layers, _kv_code_dims(cfg)
+    l, (hc, d) = cache_rows(cfg, pipe), _kv_code_dims(cfg)
     hs = cfg.n_kv_heads   # scales stay per REAL head
     if max_seq % page:
         raise ValueError(f"max_seq {max_seq} must divide by page {page}")
@@ -1551,9 +1568,7 @@ def forward(
         # DeepSeek dense-prefix layers: same attention, plain dense MLP —
         # a separate scan over the prefix stack (uniform scan leaves),
         # then the MoE stack with cache writes offset to global layers.
-        cfg0 = dataclasses.replace(
-            cfg, n_experts=0, first_k_dense=0, n_shared_experts=0,
-            router_bias=False, n_expert_groups=0, topk_groups=0)
+        cfg0 = dense_prefix_cfg(cfg)
         step0 = make_layer_step(
             params.layers0, cache.lengths, cfg0, mm, b, t, positions,
             new_lengths, s0, axis, dt, seq_axis, **common)
@@ -1603,6 +1618,14 @@ def forward(
             k_codes=kc, k_scale=ks, v_codes=vc, v_scale=vs,
             lengths=new_lengths)
     return logits, new_cache
+
+
+def dense_prefix_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Config variant for the first_k_dense prefix stack: same attention,
+    plain dense MLP (no MoE knobs) — shared by forward and forward_pp."""
+    return dataclasses.replace(
+        cfg, n_experts=0, first_k_dense=0, n_shared_experts=0,
+        router_bias=False, n_expert_groups=0, topk_groups=0)
 
 
 def scan_xs(layers, cfg: ModelConfig, layer0=None) -> tuple:

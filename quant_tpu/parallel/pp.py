@@ -46,11 +46,19 @@ def pp_param_specs(params: llama.LlamaParams):
     def fix(path, leaf):
         names = tp_mod._path_names(path)
         spec = tp_mod._spec_for(path, leaf)
-        if "lora" in names:
+        owner = names[-2] if len(names) >= 2 else ""
+        if "lora" in names or owner in ("we_gate_up", "we_down"):
+            # expert-major stacks [E, L, ...] (and LoRA [A, L, ...]):
+            # the LAYER dim is dim 1 — putting pipe on dim 0 would
+            # silently shard the EXPERTS across stages (each stage
+            # would route over a fraction of the experts: wrong
+            # results, caught by the r5 DSV3 x PP equality test)
             axes = list(tuple(spec))
             axes += [None] * (leaf.ndim - len(axes))
             axes[1] = "pipe"
             return P(*axes)
+        # layers0 (the first_k_dense dense prefix) REPLICATES across
+        # stages — stage 0 runs it (forward_pp)
         return _with_pipe(spec, "layers" in names)
     return jax.tree_util.tree_map_with_path(fix, params)
 
@@ -79,9 +87,12 @@ def pp_cache_specs(cache, batch_axis: str | None = "data"):
         field = tp_mod._path_names(path)[-1]
         if field == "lengths":
             return P(batch_axis)
+        # MLA latent caches hold ONE shared head (plus zero-width V
+        # buffers): replicate the kv-head dim over model (tp.cache_specs)
+        model_ax = "model" if leaf.shape[2] > 1 else None
         if field.endswith("codes"):
-            return P("pipe", batch_axis, "model", "seq", None)
-        return P("pipe", batch_axis, "model", "seq")
+            return P("pipe", batch_axis, model_ax, "seq", None)
+        return P("pipe", batch_axis, model_ax, "seq")
     return jax.tree_util.tree_map_with_path(spec, cache)
 
 
@@ -127,10 +138,17 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     my = jax.lax.axis_index(pipe_axis)
     pp = jax.lax.axis_size(pipe_axis)
 
-    l_local = cache.k_codes.shape[0]
-    # layer0 = my * l_local: the sliding/global alternation (Gemma-2)
-    # indexes by GLOBAL layer, so each stage slices its window stretch
-    xs = llama.scan_xs(params.layers, cfg, layer0=my * l_local)
+    # first_k_dense (DeepSeek two-stack models, r5 MLA x PP): the MoE
+    # stack shards evenly over pipe ((L-k0)/pp layers per stage); the
+    # tiny dense-prefix stack REPLICATES and runs on stage 0 only,
+    # writing local cache rows [0, k0) (llama.cache_rows pads the cache
+    # so every stage has those k0 prefix rows; only stage 0's are live).
+    # The MoE layer steps then write local rows [k0, k0 + m).
+    k0 = cfg.first_k_dense if params.layers0 is not None else 0
+    m_local = params.layers.attn_norm.shape[0]
+    # global layer offset: the sliding/global alternation (Gemma-2) and
+    # the dense-prefix offset index by GLOBAL layer
+    xs = llama.scan_xs(params.layers, cfg, layer0=k0 + my * m_local)
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
     def scan_local(layer_step, h, kc, ks, vc, vs):
@@ -141,13 +159,33 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
     kc, ks = cache.k_codes, cache.k_scale
     vc, vs = cache.v_codes, cache.v_scale
 
+    def prefix_scan(h, kc, ks, vc, vs, b_mb=None, b0=None):
+        cfg0 = llama.dense_prefix_cfg(cfg)
+        step0 = llama.make_layer_step(
+            params.layers0, cache.lengths, cfg0, mm, b_mb or b, t,
+            positions, new_lengths, s0, axis, dt, seq_axis, batch0=b0,
+            page_tbl=page_tbl, lora=None, adapter_ids=None,
+        )
+        (h, kc, ks, vc, vs), _ = jax.lax.scan(
+            step0, (h, kc, ks, vc, vs),
+            llama.scan_xs(params.layers0, cfg0, layer0=0))
+        return h, kc, ks, vc, vs
+
     if n_micro == 1:
         layer_step = llama.make_layer_step(
             params.layers, cache.lengths, cfg, mm, b, t, positions,
             new_lengths, s0, axis, dt, seq_axis, page_tbl=page_tbl,
             lora=params.lora, adapter_ids=adapter_ids,
+            layer_off=k0,
         )
         h = llama._embed_lookup(params.embed, tokens, dt, cfg)
+        if k0:
+            h, kc, ks, vc, vs = jax.lax.cond(
+                my == 0,
+                lambda h: prefix_scan(h, kc, ks, vc, vs),
+                lambda h: (h, kc, ks, vc, vs),
+                h,
+            )
         for s in range(pp):
             h2, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 my == s,
@@ -183,7 +221,18 @@ def forward_pp(params, tokens, cache, cfg: ModelConfig,
                 new_lengths, s0, axis, dt, seq_axis, batch0=b0,
                 page_tbl=page_tbl,
                 lora=params.lora, adapter_ids=adapter_ids,
+                layer_off=k0,
             )
+            if k0:
+                # stage 0 runs the dense prefix on each incoming
+                # microbatch before its MoE slice
+                h_in, kc, ks, vc, vs = jax.lax.cond(
+                    active & (my == 0),
+                    lambda h: prefix_scan(h, kc, ks, vc, vs, b_mb=b_mb,
+                                          b0=b0),
+                    lambda h: (h, kc, ks, vc, vs),
+                    h_in,
+                )
             h_out, kc2, ks2, vc2, vs2 = jax.lax.cond(
                 active,
                 lambda h: scan_local(layer_step, h, kc, ks, vc, vs),
@@ -228,10 +277,24 @@ def pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params, cache,
     pp = mesh.shape["pipe"]
     tp = mesh.shape["model"]
     sp = mesh.shape.get("seq", 1)
-    if cfg.n_layers % pp:
-        raise ValueError(f"pipe axis {pp} must divide n_layers "
-                         f"{cfg.n_layers}")
-    if cfg.n_kv_heads % tp or cfg.n_heads % tp:
+    k0 = cfg.first_k_dense
+    if (cfg.n_layers - k0) % pp:
+        raise ValueError(
+            f"pipe axis {pp} must divide the staged layer count "
+            f"{cfg.n_layers - k0}"
+            + (f" (n_layers {cfg.n_layers} minus the replicated "
+               f"first_k_dense prefix {k0})" if k0 else ""))
+    if cfg.is_mla:
+        # MLA TP is a head split with the latent replicated (see
+        # tp.sharded_forward_fn)
+        qw = cfg.q_lora_rank or cfg.n_heads * (
+            cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+        if cfg.n_heads % tp or qw % tp or cfg.mla_kv_dim % tp:
+            raise ValueError(
+                f"model axis {tp} must divide n_heads={cfg.n_heads}, "
+                f"the q column width {qw} and the latent width "
+                f"{cfg.mla_kv_dim}")
+    elif cfg.n_kv_heads % tp or cfg.n_heads % tp:
         raise ValueError(f"model axis {tp} must divide head counts")
     if mesh.shape.get("expert", 1) > 1:
         # MoE composes with PP via the layer-sliced [E, L_local] stacks

@@ -65,11 +65,25 @@ def make_step(variant):
             k = llama._rope(k, positions, cfg.rope_theta)
             k_q, k_s = llama.quantize_kv(k)
             v_q, v_s = llama.quantize_kv(v)
-            if variant != "noinsert":
+            if variant == "xla_attn":
+                # XLA path pairs with the scatter insert (production's
+                # xla mode)
                 kc, ks = llama._cache_insert_at_layer(
                     kc, ks, k_q, k_s, cache.lengths, idx)
                 vc, vs = llama._cache_insert_at_layer(
                     vc, vs, v_q, v_s, cache.lengths, idx)
+            elif variant != "noinsert":
+                # flash variants use the ALIASED Pallas insert exactly
+                # like llama.forward — an XLA scatter feeding the opaque
+                # flash kernel forces a full cache copy per layer
+                # (measured 2026-08-20: 332 ms/step vs 14 at the
+                # flagship shape — the very pathology forward avoids)
+                from quant_tpu.kernels.cache_insert import (
+                    cache_insert_int8,
+                )
+                kc, ks, vc, vs = cache_insert_int8(
+                    kc, ks, vc, vs, k_q, k_s, v_q, v_s, cache.lengths,
+                    idx, 0)
             if variant == "noattn":
                 attn = q
             elif variant == "xla_attn":

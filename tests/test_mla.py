@@ -288,8 +288,8 @@ def test_mla_engine_matches_reference():
 
 def test_mla_engine_data_seq_mesh():
     """MLA on a (data=2, seq=2) mesh: S-sharded latent cache, LSE-merge
-    decode, chunked seq-axis prefill — greedy equality vs single-device.
-    (model>1 / pipe>1 are rejected with actionable errors.)"""
+    decode, chunked seq-axis prefill — greedy equality vs
+    single-device."""
     import pytest
 
     from quant_tpu.engine import Engine
@@ -307,9 +307,42 @@ def test_mla_engine_data_seq_mesh():
     for p, o in zip(prompts, outs):
         assert o == _ref_greedy(params, cfg, p, 5), (p, o)
 
-    with pytest.raises(ValueError, match="x pipeline"):
-        Engine(params, cfg, max_slots=4, max_seq=64,
-               mesh=make_mesh(pipe=2))
+
+def test_mla_pp_engine_matches_reference():
+    """r5 (VERDICT r4 missing #4): MLA / first_k_dense x pipeline
+    stages. The MoE stack shards evenly over pipe; the tiny dense
+    prefix REPLICATES and runs on stage 0, writing the cache's padded
+    per-stage prefix rows (llama.cache_rows). Greedy equality vs
+    single-device on (pipe=2, model=2), plus the single-stack MLA toy
+    on pipe=2 and a GPipe-microbatched leg."""
+    from quant_tpu.engine import Engine
+    from quant_tpu.parallel import make_mesh
+
+    # DSV3 two-stack toy (L=3, k0=1 -> 1 staged layer per stage)
+    cfg = dataclasses.replace(DSV3, dtype="float32")
+    params1 = llama.init_params(cfg, seed=5)
+    params2 = llama.init_params(cfg, seed=5, tp=2)
+    rng = np.random.default_rng(5)
+    prompts = [list(map(int, rng.integers(3, cfg.vocab_size, n)))
+               for n in (6, 3)]
+    eng = Engine(params2, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=make_mesh(pipe=2, model=2))
+    for p, o in zip(prompts, eng.generate(prompts, max_new_tokens=5)):
+        assert o == _ref_greedy(params1, cfg, p, 5), (p, o)
+
+    # microbatched pipeline schedule
+    eng = Engine(params1, cfg, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=make_mesh(pipe=2), pp_micro=2)
+    for p, o in zip(prompts, eng.generate(prompts, max_new_tokens=5)):
+        assert o == _ref_greedy(params1, cfg, p, 5), (p, o)
+
+    # single-stack MLA (no dense prefix) across 2 stages
+    mcfg = dataclasses.replace(MLA, dtype="float32")
+    mp = llama.init_params(mcfg, seed=6)
+    eng = Engine(mp, mcfg, max_slots=2, max_seq=64, eos_id=-1,
+                 mesh=make_mesh(pipe=2))
+    for p, o in zip(prompts, eng.generate(prompts, max_new_tokens=5)):
+        assert o == _ref_greedy(mp, mcfg, p, 5), (p, o)
 
 
 # ── Pallas kernel pair (interpret mode; hardware runs via scripts) ──────

@@ -51,7 +51,7 @@ def test_pp_requires_layer_divisibility():
     mesh = make_mesh(pipe=4)  # 2 layers % 4 != 0
     params = llama.init_params(CFG, seed=0)
     cache = llama.init_cache(CFG, 2, 16)
-    with pytest.raises(ValueError, match="must divide n_layers"):
+    with pytest.raises(ValueError, match="must divide the staged"):
         make_pp_forward(CFG, mesh, params, cache)
 
 
@@ -85,4 +85,28 @@ def test_pp_microbatched_matches_single_device(n_micro, embed_bits):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out2, np.float32),
                                np.asarray(ref2, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pp_moe_expert_stacks_match_single_device():
+    """r5 regression pin: expert-major stacks [E, L, ...] must slice
+    their LAYER dim (dim 1) over pipe — the old pp_param_specs put pipe
+    on dim 0, silently routing over a fraction of the experts per stage
+    (wrong results, no error)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-moe"], dtype="float32")
+    params = llama.init_params(cfg, seed=3)
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 6)),
+        jnp.int32)
+    ref, _ = llama.forward(params, toks, llama.init_cache(cfg, 2, 16),
+                           cfg)
+    mesh = make_mesh(pipe=2)
+    sp = shard_params_pp(params, mesh)
+    sc = shard_cache_pp(llama.init_cache(cfg, 2, 16), mesh)
+    step = make_pp_forward(cfg, mesh, sp, sc)
+    out, _ = step(sp, toks, sc)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
                                rtol=2e-4, atol=2e-4)
