@@ -114,26 +114,24 @@ def _scaled_dots(x, w, s, tile_g, gsz, acc):
     flagship path, gs=128/tk=512 → 4 dots). Many groups (small
     group_size, e.g. DeepSeek's gs=64 → 8-11 per tile): the loop's
     skinny [M, gsz] dots serialize on MXU issue latency — the same
-    pathology the r4 flash-decode rewrite fixed — so batch them as ONE
-    dot_general with g as a batch dimension and apply the scales on the
-    [G, M, TN] partials (same VPU work as the loop)."""
-    if tile_g <= 4:
+    pathology the r4 flash-decode rewrite fixed. A g-batched
+    dot_general does NOT lower (Mosaic: lhs [M, G, gsz] "batch dims
+    must be equal"; the [M, TK] → [M, G, gsz] lane split to 64 is also
+    unsupported), so scale the WEIGHT tile instead — a sublane-split
+    reshape is legal — and run ONE full-width dot. f32 compute only
+    (decode tiles): scaling a bf16 tile would round w*s to bf16. Same
+    math as the reference path (dequantize = codes * scales, then
+    dot)."""
+    if tile_g <= 4 or w.dtype != jnp.float32:
         for g in range(tile_g):
             part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
                            w[g * gsz:(g + 1) * gsz],
                            preferred_element_type=jnp.float32)
             acc = acc + part * s[g:g + 1]
         return acc
-    m = x.shape[0]
-    # Mosaic requires the batch dims at EQUAL positions (hardware
-    # 2026-08-20: "batch dims must be equal" for lhs batch=1/rhs
-    # batch=0) — swap G to the front of the small x tile
-    xg = jnp.swapaxes(x.reshape(m, tile_g, gsz), 0, 1)   # [G, M, gsz]
-    wg = w.reshape(tile_g, gsz, w.shape[1])
-    parts = jax.lax.dot_general(
-        xg, wg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)       # [G, M, TN]
-    return acc + jnp.sum(parts * s[:, None, :], axis=0)
+    ws = (w.reshape(tile_g, gsz, w.shape[1])
+          * s[:, None, :]).reshape(w.shape)
+    return acc + jnp.dot(x, ws, preferred_element_type=jnp.float32)
 
 
 def _scaled_dots_aq(x, w_i8, s, tile_g, gsz, acc):
@@ -363,6 +361,7 @@ def dequant_matmul_moe(
     tile_k: int = 512,
     interpret: bool = False,
     act_quant: bool = False,
+    hot: jax.Array | None = None,
 ) -> jax.Array:
     """All-experts dense MoE matmul in ONE kernel launch.
 
@@ -371,6 +370,16 @@ def dequant_matmul_moe(
     (Σ_e x_e @ W_e — the routed down combine; fold routing weights
     into x_e first). Raises the internal untileable error to the
     caller as ValueError — callers fall back to the per-expert loop.
+
+    ``hot`` (r5 routed decode, VERDICT r4 #7): [1+E] int32 =
+    [n_hot, compacted hot expert ids with the last id repeated past
+    n_hot]. Expert SLOT j computes with expert hot[1+j]'s weights;
+    slots >= n_hot clamp to one repeated weight block whose DMA Mosaic
+    skips, so cold experts' packed bytes never stream. Outputs are in
+    HOT-SLOT order (concat) — permute the routing weights to match and
+    ZERO them past n_hot (they gate the tail's garbage); for "sum" the
+    tail x slots must be zero rows (they are, with zeroed weights).
+    HBM cost scales with the ACTUAL hot-expert count per step.
     """
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
@@ -392,7 +401,7 @@ def dequant_matmul_moe(
         x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m,
         tile_n=tile_n, tile_k=tile_k, interpret=interpret,
         act_quant=act_quant, experts=(n_experts, stride),
-        expert_mode=mode,
+        expert_mode=mode, hot=hot,
     )
     if mode == "sum":
         return y.reshape(*lead, n)
@@ -402,6 +411,7 @@ def dequant_matmul_moe(
 def _dequant_matmul_2d(
     x, qt, layer=None, *, out_dtype, tile_m, tile_n, tile_k, interpret,
     act_quant=False, lut_exact=False, experts=None, expert_mode="concat",
+    hot=None,
 ):
     """``experts=(E, stride)`` fans ONE kernel launch over E stacked
     tensors at indices layer + e*stride (the merged MoE expert stack):
@@ -515,9 +525,31 @@ def _dequant_matmul_2d(
     n_m, n_n, n_k = m_pad // tm, n // tn, k_eff // tk
     # expert fan-out: concat mode widens the parallel N grid dim E-fold
     # (out [M, E*N]); sum mode deepens the sequential K dim E-fold (the
-    # kernel's k==0 reset / k==last write bracket the whole E*n_k chain,
+    # kernel's per-chain reset/write brackets the whole E*n_k chain,
     # accumulating all experts into one output block).
-    if experts is not None and expert_mode == "concat":
+    #
+    # Hot-routed decode (``hot`` = [1+E] int32: [n_hot, compacted hot
+    # expert ids, clamped-repeat tail], r5 VERDICT #7): expert slot j
+    # streams expert hot[1+j]'s weights; slots >= n_hot clamp BOTH the
+    # expert id (to the last hot expert) AND the K-chain block (to 0),
+    # so the tail's weight fetches are consecutive repeats of one block
+    # — Mosaic skips the DMA and cold experts' bytes never leave HBM
+    # (the same repeated-block-index trick as the paged-attention page
+    # clamp). Tail outputs are garbage; the caller zeroes them with the
+    # permuted routing weights (concat) / zero x rows (sum), keeping
+    # the math EXACT. Concat mode moves experts onto the SEQUENTIAL
+    # grid dim (chains of n_k) so the repeats are consecutive.
+    use_hot = hot is not None and experts is not None
+    chain = grid_k_chain = None
+    if use_hot and expert_mode == "concat":
+        grid_n, grid_k = n_n, n_exp * n_k
+        e_of = lambda i, j, kk: kk // n_k
+        j_of = lambda j: j
+        kk_of = lambda kk: kk % n_k
+        x_row = lambda i, kk: i
+        n_out = n_exp * n
+        chain = n_k
+    elif experts is not None and expert_mode == "concat":
         grid_n, grid_k = n_exp * n_n, n_k
         e_of = lambda i, j, kk: j // n_n
         j_of = lambda j: j % n_n
@@ -538,6 +570,8 @@ def _dequant_matmul_2d(
         kk_of = lambda kk: kk
         x_row = lambda i, kk: i
         n_out = n
+    if chain is None:
+        chain = grid_k
     tile_g = max(1, tk // gs)
     gsz = min(gs, tk)
 
@@ -569,18 +603,31 @@ def _dequant_matmul_2d(
         (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
     )
     if stacked:
-        def sidx(i, j, kk, lr):
-            return lr[0] + e_of(i, j, kk) * e_stride
+        def sidx(i, j, kk, lr, *pf):
+            e = e_of(i, j, kk)
+            if use_hot:
+                e = pf[0][1 + e]       # remap slot -> hot expert id
+            return lr[0] + e * e_stride
+
+        def kko(i, j, kk, *pf):
+            # hot tail: clamp the chain block to 0 (consecutive repeats
+            # -> fetch skipped); active slots keep their real block
+            if use_hot:
+                return jnp.where(e_of(i, j, kk) < pf[0][0],
+                                 kk_of(kk), 0)
+            return kk_of(kk)
         s_lo_spec = pl.BlockSpec(
             (1, 1, tile_g, tn),
-            lambda i, j, kk, lr: (sidx(i, j, kk, lr),
-                                  lo_row(kk_of(kk)), 0, j_of(j)),
+            lambda i, j, kk, lr, *pf: (sidx(i, j, kk, lr, *pf),
+                                       lo_row(kko(i, j, kk, *pf)), 0,
+                                       j_of(j)),
             memory_space=pltpu.VMEM)
         s_hi_spec = pl.BlockSpec(
             (1, 1, tile_g, tn),
-            lambda i, j, kk, lr: (sidx(i, j, kk, lr),
-                                  hi_off + lo_row(kk_of(kk)), 0,
-                                  j_of(j)),
+            lambda i, j, kk, lr, *pf: (sidx(i, j, kk, lr, *pf),
+                                       hi_off + lo_row(kko(i, j, kk,
+                                                           *pf)), 0,
+                                       j_of(j)),
             memory_space=pltpu.VMEM)
     else:
         s_lo_spec = pl.BlockSpec(
@@ -598,14 +645,15 @@ def _dequant_matmul_2d(
     # cast, not the f32 MXU rate, is the binding cost and 64 stands.
     cdt = jnp.float32 if tm <= 64 else x.dtype
     if bits == 8:
-        kern = functools.partial(_kernel_int8, n_k=grid_k,
+        kern = functools.partial(_kernel_int8, n_k=chain,
                                  tile_g=tile_g, gsz=gsz, cdt=cdt,
                                  stacked=stacked, aq=act_quant)
         if stacked:
             w_spec = pl.BlockSpec(
                 (1, tk, tn),
-                lambda i, j, kk, lr: (sidx(i, j, kk, lr), kk_of(kk),
-                                      j_of(j)),
+                lambda i, j, kk, lr, *pf: (sidx(i, j, kk, lr, *pf),
+                                           kko(i, j, kk, *pf),
+                                           j_of(j)),
                 memory_space=pltpu.VMEM)
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
@@ -620,15 +668,16 @@ def _dequant_matmul_2d(
         # then be the FULL half-array dim, which is what makes the
         # non-128-multiple k_eff fallback above legal (a (tm, 704)
         # block of a [M, 1408] array is not, of a [M, 704] array it is)
-        kern = functools.partial(_kernel_int4, n_k=grid_k,
+        kern = functools.partial(_kernel_int4, n_k=chain,
                                  tile_g=tile_g, gsz=gsz, cdt=cdt,
                                  stacked=stacked, aq=act_quant,
                                  lut_mode=lut_mode)
         if stacked:
             w_spec = pl.BlockSpec(
                 (1, tk, tn),
-                lambda i, j, kk, lr: (sidx(i, j, kk, lr), kk_of(kk),
-                                      j_of(j)),
+                lambda i, j, kk, lr, *pf: (sidx(i, j, kk, lr, *pf),
+                                           kko(i, j, kk, *pf),
+                                           j_of(j)),
                 memory_space=pltpu.VMEM)
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
@@ -683,31 +732,42 @@ def _dequant_matmul_2d(
             out_specs=out_spec, scratch_shapes=[acc], **params,
         )(*args)
     else:
-        # Scalar-prefetched layer index: every index map takes the
-        # prefetch ref first; x inputs ignore it (weight + scale specs
-        # already take it).
-        def lift(f):
-            return lambda i, j, kk, lr: f(i, j, kk)
+        # Scalar-prefetched layer index (and, hot-routed, the hot-expert
+        # list): every index map takes the prefetch refs first; x inputs
+        # use only the chain-clamped column (weight + scale specs take
+        # the full remap).
+        def xlift(f):
+            return lambda i, j, kk, lr, *pf: (f(i, j, kk)[0],
+                                              kko(i, j, kk, *pf))
         in_specs = [
-            pl.BlockSpec((tm, tk), lift(xm), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tm, tk), xlift(xm), memory_space=pltpu.VMEM)
             for xm in x_maps
         ] + in_specs_tail
+        if use_hot and expert_mode == "concat":
+            # expert slots ride the sequential dim: out block j_e*n_n+j
+            out_map = lambda i, j, kk, lr, *pf: (
+                i, e_of(i, j, kk) * n_n + j)
+        else:
+            out_map = lambda i, j, kk, lr, *pf: (i, j)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if use_hot else 1,
             grid=(n_m, grid_n, grid_k),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, tn),
-                                   lambda i, j, kk, lr: (i, j),
+            out_specs=pl.BlockSpec((tm, tn), out_map,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[acc],
         )
 
         def kern_p(lr_ref, *rest):
+            if use_hot:
+                rest = rest[1:]        # drop the hot-list ref
             if bits == 4 and lut_mode is not None:
                 return kern(*rest, layer_ref=lr_ref)
             del lr_ref
             return kern(*rest)
 
         lr = jnp.asarray(layer, jnp.int32).reshape(1)
-        y = pl.pallas_call(kern_p, grid_spec=grid_spec, **params)(lr, *args)
+        pargs = (lr, hot) if use_hot else (lr,)
+        y = pl.pallas_call(kern_p, grid_spec=grid_spec,
+                           **params)(*pargs, *args)
     return y[:m] if m_pad != m else y

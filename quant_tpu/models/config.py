@@ -105,13 +105,23 @@ class ModelConfig:
     moe_capacity_factor: float = 1.5
     # Fused all-experts MoE matmuls (kernels.dequant_matmul_moe): one
     # launch for every expert's gate|up + one for the routed down
-    # combine. OPT-IN: at DeepSeek-V2-Lite geometry (64 experts,
-    # per-expert width 1408, gs=64) the fused step measured 50.8 ms vs
-    # the per-expert loop's 38.6 (2026-08-20) — the kernel's per-group
-    # scaling loop degrades to 11 skinny [M,64] dots per tile and
-    # launch overhead was NOT the binding cost. Kept for geometries
-    # with wide K-groups where one launch/layer can win.
-    moe_fused: bool = False
+    # combine. DEFAULT ON since r5: the r4 measurement that had the
+    # fused path LOSING at DeepSeek-V2-Lite geometry (50.8 ms vs the
+    # loop's 38.6 — the per-group scaling loop degraded to 8-11 skinny
+    # [M,64] dots per tile) was fixed by scaling the weight tile in
+    # VMEM and issuing ONE full-width dot (_scaled_dots, f32 decode
+    # tiles); re-measured 2026-08-20: fused 393 GB/s vs loop 240 at
+    # V2-Lite geometry (scripts/tpu_moe_fused_probe.py, 1.64x). The
+    # per-expert loop remains the fallback for untileable shapes and
+    # the low-batch lax.cond skip regime.
+    moe_fused: bool = True
+    # Routed-hot MoE decode (r5): "auto" streams only the experts some
+    # token routed to whenever the expected hot coverage at the decode
+    # batch is < 7/8 (E >> tokens*k regime — DeepSeek-V3's E=256; a
+    # compacted hot-expert list rides scalar prefetch and cold slots
+    # clamp to one DMA-skipped block, so HBM scales with the ACTUAL hot
+    # count, exactly). "on"/"off" force it (measurement/ablation).
+    moe_routed: str = "auto"
     # DeepSeek-V2/V3 multi-head latent attention (MLA): kv_lora_rank > 0
     # enables it. Projections: (optionally low-rank) q → per-head
     # [qk_nope | qk_rope]; kv_a → a shared compressed latent
@@ -295,6 +305,9 @@ class ModelConfig:
         if self.moe_prefill not in ("dense", "capacity"):
             raise ValueError(f"moe_prefill must be dense|capacity, "
                              f"got {self.moe_prefill!r}")
+        if self.moe_routed not in ("auto", "on", "off"):
+            raise ValueError(f"moe_routed must be auto|on|off, "
+                             f"got {self.moe_routed!r}")
         if self.sliding_pattern and not self.sliding_window:
             raise ValueError("sliding_pattern needs sliding_window > 0")
         if self.rope_scaling not in ("none", "linear", "llama3", "yarn"):

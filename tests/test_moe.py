@@ -484,3 +484,89 @@ def test_fused_all_experts_model_matches_xla():
         np.testing.assert_allclose(np.asarray(lg_f, np.float32),
                                    np.asarray(lg_x, np.float32),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_moe_routed_hot_list_kernel():
+    """r5 routed decode (VERDICT r4 #7): the hot-expert list variant of
+    dequant_matmul_moe must reproduce the dense all-experts result on
+    the hot slots exactly (tail slots carry garbage that the caller
+    zero-gates)."""
+    import jax
+
+    from quant_tpu.core.qtensor import quantize_tensor_device
+    from quant_tpu.kernels.dequant_matmul import (
+        dequant_matmul, dequant_matmul_moe,
+    )
+
+    E, L, K, N, M = 4, 2, 256, 256, 4
+    qts = [quantize_tensor_device(
+        jax.random.normal(k, (K, N)) * 0.05, 4, 64)
+        for k in jax.random.split(jax.random.key(0), E * L)]
+    qt = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    x = jax.random.normal(jax.random.key(1), (M, 1, K), jnp.float32)
+    # experts 0 and 2 hot
+    hot = jnp.asarray([2, 0, 2, 2, 2], jnp.int32)
+    layer = jnp.int32(1)
+    gu = dequant_matmul_moe(x, qt, layer, n_experts=E, stride=L,
+                            mode="concat", interpret=True, hot=hot)
+    gu = gu.reshape(M, 1, E, N)
+    for slot, e in ((0, 0), (1, 2)):
+        ref = dequant_matmul(x, _slice_qt(qt, e * L + 1), interpret=True)
+        np.testing.assert_allclose(np.asarray(gu[:, :, slot]),
+                                   np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # sum mode: tail x slots zero → result == sum over the hot slots
+    xs = jax.random.normal(jax.random.key(2), (E, M, 1, K), jnp.float32)
+    xs = xs.at[2:].set(0.0)
+    out = dequant_matmul_moe(xs, qt, layer, n_experts=E, stride=L,
+                             mode="sum", interpret=True,
+                             out_dtype=jnp.float32, hot=hot)
+    want = sum(np.asarray(dequant_matmul(
+        xs[s], _slice_qt(qt, e * L + 1), interpret=True,
+        out_dtype=jnp.float32)) for s, e in ((0, 0), (1, 2)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-5,
+                               atol=2e-5)
+
+
+def _slice_qt(qt, i):
+    import dataclasses as _dc
+
+    return _dc.replace(qt, codes=qt.codes[i], scales=qt.scales[i])
+
+
+def test_moe_routed_decode_matches_dense():
+    """The routed-hot decode policy (E >> expected hot) must reproduce
+    the dense-all-experts forward: hot list covers every routed
+    expert, the permuted weights zero the tail. Backend held constant
+    (pallas_interpret both sides, moe_routed on vs off) so only the
+    dispatch differs — generic interpret-vs-XLA kernel noise cascading
+    through int8 KV quantize boundaries is NOT re-tested here."""
+    from quant_tpu.models.config import ModelConfig
+
+    cfg_d = ModelConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        intermediate=256, group_size=64,
+        kernel_mode="pallas_interpret",
+        n_experts=8, experts_per_token=2, moe_routed="off",
+    )
+    cfg_r = dataclasses.replace(cfg_d, moe_routed="on")
+    params = llama.init_params(cfg_d, seed=3)
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (5, 4)),
+                       jnp.int32)
+    cache_d = llama.init_cache(cfg_d, 5, 16)
+    cache_r = llama.init_cache(cfg_r, 5, 16)
+    _, cache_d = llama.forward(params, toks, cache_d, cfg_d)
+    _, cache_r = llama.forward(params, toks, cache_r, cfg_r)
+    t = toks[:, -1:]
+    for _ in range(3):
+        ld, cache_d = llama.forward(params, t, cache_d, cfg_d)
+        lr, cache_r = llama.forward(params, t, cache_r, cfg_r)
+        # only the k>=2 per-token SUM order differs (hot-slot vs
+        # expert order) — pure fp-add noise
+        np.testing.assert_allclose(
+            np.asarray(lr, np.float32), np.asarray(ld, np.float32),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(cache_r.k_codes),
+                                      np.asarray(cache_d.k_codes))
+        t = jnp.argmax(ld[:, -1:], -1).astype(jnp.int32)
