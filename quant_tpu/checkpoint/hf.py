@@ -19,7 +19,8 @@ import numpy as np
 from quant_tpu.checkpoint.format import CheckpointWriter
 from quant_tpu.core.qtensor import concat_columns, quantize_tensor
 from quant_tpu.models.config import ModelConfig
-from quant_tpu.models.llama import QEmbed, _pad_cols, _pad_vocab
+from quant_tpu.models.llama import (QEmbed, _pad_cols,
+                                    _pad_moe_down_k, _pad_vocab)
 
 _LAYER_MAP = {
     "wq": "self_attn.q_proj",
@@ -374,7 +375,9 @@ def convert_hf_llama(
                     [t(f"{epre}{names[0]}.weight"),
                      t(f"{epre}{names[1]}.weight")], tp)))
                 w.add(f"layers.{i}.we_down.{e}",
-                      qz(t(f"{epre}{names[2]}.weight"), kshards=tp))
+                      qz(_pad_moe_down_k(
+                          t(f"{epre}{names[2]}.weight"), tp),
+                         kshards=tp))
         else:
             w.add(f"layers.{i}.w_gate_up", qz(concat_columns(
                 _gu_parts(hf, cfg, pre, t), tp)))
@@ -494,8 +497,9 @@ def _convert_layer_deepseek(w, hf, cfg, i, t, qz, tp=1):
         w.add(f"{dst}.we_gate_up.{e}", qz(concat_columns(
             [t(epre + "gate_proj.weight"),
              t(epre + "up_proj.weight")], tp)))
-        w.add(f"{dst}.we_down.{e}", qz(t(epre + "down_proj.weight"),
-                                       kshards=tp))
+        w.add(f"{dst}.we_down.{e}",
+              qz(_pad_moe_down_k(t(epre + "down_proj.weight"), tp),
+                 kshards=tp))
 
 
 def _convert_layer_deepseek_gptq(w, hf, cfg, cal, i, t):

@@ -55,7 +55,9 @@ def _cmd_generate(args):
     import dataclasses
 
     mesh = _parse_mesh(args.mesh) if args.mesh else None
-    params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
+    params, cfg = load_checkpoint(args.ckpt, mesh=mesh,
+                              lut_runtime=getattr(
+                                  args, "lut_runtime", None))
     if args.kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if getattr(args, "moe_prefill", None):
@@ -149,7 +151,9 @@ def _cmd_serve(args):
     import dataclasses
 
     mesh = _parse_mesh(args.mesh) if args.mesh else None
-    params, cfg = load_checkpoint(args.ckpt, mesh=mesh)
+    params, cfg = load_checkpoint(args.ckpt, mesh=mesh,
+                              lut_runtime=getattr(
+                                  args, "lut_runtime", None))
     if args.kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if getattr(args, "moe_prefill", None):
@@ -379,6 +383,11 @@ def main(argv=None):
     g.add_argument("--kv-bits", type=int, default=0, choices=(0, 4, 8, 16),
                    help="KV cache quantization override (0 = checkpoint "
                         "default): 4 int4 packed, 8 int8, 16 off")
+    g.add_argument("--lut-runtime", default=None,
+                   choices=["int8", "word4", "sel15"],
+                   help="codebook checkpoint execution: int8 = one-time "
+                        "transcode at load (default, linear-kernel "
+                        "speed), word4/sel15 = in-kernel table gather")
     g.add_argument("--mesh", default=None,
                    help="multi-chip mesh, e.g. 'data=2,model=4', 'expert=4' or "
                         "'pipe=2,model=4' (axes: pipe,data,model,seq)")
@@ -437,6 +446,10 @@ def main(argv=None):
                     choices=(0, 4, 8, 16),
                     help="KV cache quantization override (0 = checkpoint "
                          "default): 4 int4 packed, 8 int8, 16 off")
+    sv.add_argument("--lut-runtime", default=None,
+                    choices=["int8", "word4", "sel15"],
+                    help="codebook checkpoint execution mode "
+                         "(see generate --lut-runtime)")
     sv.add_argument("--mesh", default=None,
                     help="multi-chip mesh, e.g. 'data=2,model=4', 'expert=4' or "
                          "'pipe=2,model=4' (axes: pipe,data,model,seq)")

@@ -152,7 +152,7 @@ def _scaled_dots_aq(x, w_i8, s, tile_g, gsz, acc):
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
-                 cdt, stacked=False, aq=False):
+                 cdt, stacked=False, aq=False, res=None):
     # ``n_k`` is the accumulation CHAIN length along grid dim 2: the
     # bracket resets/writes per chain (k % n_k), which equals the old
     # k==0 / k==grid_k-1 behavior when the whole dim is one chain and
@@ -167,15 +167,16 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, tile_g, gsz,
 
     w = w_ref[0] if stacked else w_ref[:]
     s = s_ref[0, 0] if stacked else s_ref[0]         # [tile_g, TN]
+    xv = _x_slice(x_ref, res)
     if aq:
         # W8A8: int8 weights feed the MXU directly
-        acc_ref[:] = _scaled_dots_aq(x_ref[:], w, s, tile_g, gsz,
+        acc_ref[:] = _scaled_dots_aq(xv, w, s, tile_g, gsz,
                                      acc_ref[:])
     else:
         # cdt: f32 compute at decode M (int8→f32 converts measure faster
         # than →bf16 on this chip and the MXU is nowhere near the limit at
         # small M); bf16 for large-M prefill where MXU rate matters.
-        acc_ref[:] = _scaled_dots(x_ref[:].astype(cdt), w.astype(cdt),
+        acc_ref[:] = _scaled_dots(xv.astype(cdt), w.astype(cdt),
                                   s, tile_g, gsz, acc_ref[:])
 
     @pl.when(k % n_k == n_k - 1)
@@ -213,10 +214,25 @@ def _lut_sel15(idx, f):
     return lvl[0]
 
 
+def _x_slice(x_ref, res):
+    """VMEM-resident per-expert x (psum mode, r5): the WHOLE [E*TM, tk]
+    x block loads once (constant index map — consecutive grid steps skip
+    the re-fetch) and each expert slot slices its own TM rows here, so
+    the HBM side streams ONLY weights. Fetching a different 45-90 KB x
+    block per expert slot instead measured the down stage at 80-216 GB/s
+    vs gate_up's 532-672 (2026-08-20) — the interleaved small strided
+    DMAs defeat the weight prefetch on this chip."""
+    if res is None:
+        return x_ref[:]
+    nn_, tm_ = res
+    e = pl.program_id(1) // nn_
+    return x_ref[pl.ds(e * tm_, tm_), :]
+
+
 def _kernel_int4(
     x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, n_k,
     tile_g, gsz, cdt, stacked=False, aq=False, lut_mode=None, lut_ref=None,
-    layer_ref=None,
+    layer_ref=None, res=None,
 ):
     # n_k = accumulation chain length (see _kernel_int8)
     k = pl.program_id(2)
@@ -252,12 +268,16 @@ def _kernel_int4(
 
     acc = acc_ref[:]
     if aq:
-        acc = _scaled_dots_aq(x_lo_ref[:], lo, s_lo, tile_g, gsz, acc)
-        acc = _scaled_dots_aq(x_hi_ref[:], hi, s_hi, tile_g, gsz, acc)
+        acc = _scaled_dots_aq(_x_slice(x_lo_ref, res), lo, s_lo,
+                              tile_g, gsz, acc)
+        acc = _scaled_dots_aq(_x_slice(x_hi_ref, res), hi, s_hi,
+                              tile_g, gsz, acc)
     else:
-        acc = _scaled_dots(x_lo_ref[:].astype(cdt), lo, s_lo, tile_g,
+        acc = _scaled_dots(_x_slice(x_lo_ref, res).astype(cdt), lo,
+                           s_lo, tile_g,
                            gsz, acc)
-        acc = _scaled_dots(x_hi_ref[:].astype(cdt), hi, s_hi, tile_g,
+        acc = _scaled_dots(_x_slice(x_hi_ref, res).astype(cdt), hi,
+                           s_hi, tile_g,
                            gsz, acc)
     acc_ref[:] = acc
 
@@ -383,7 +403,7 @@ def dequant_matmul_moe(
     """
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
-    if mode == "sum":
+    if mode in ("sum", "psum"):
         e, *lead, kx = x.shape
         m = 1
         for d in lead:
@@ -405,6 +425,10 @@ def dequant_matmul_moe(
     )
     if mode == "sum":
         return y.reshape(*lead, n)
+    if mode == "psum":
+        # per-expert-slot outputs [M, E*N]: sum the slots in XLA (tail
+        # slots under ``hot`` have zero x rows → contribute 0 exactly)
+        return y.reshape(m, n_experts, n).sum(axis=1).reshape(*lead, n)
     return y.reshape(*lead, n_experts * n)
 
 
@@ -436,7 +460,7 @@ def _dequant_matmul_2d(
         if qt.lut is not None:
             # the in-kernel codebook row is indexed by lr[0] only
             raise _Untileable()
-        if expert_mode == "sum":
+        if expert_mode in ("sum", "psum"):
             n_exp_m, m, k = x.shape
             assert n_exp_m == n_exp
             x = x.reshape(n_exp * m, k)
@@ -478,7 +502,7 @@ def _dequant_matmul_2d(
     if m_pad % tm != 0:
         tm = m_pad  # few M tiles at decode sizes; just use one
     if m_pad != m:
-        if experts is not None and expert_mode == "sum":
+        if experts is not None and expert_mode in ("sum", "psum"):
             x = jnp.pad(x.reshape(n_exp, m, k),
                         ((0, 0), (0, m_pad - m), (0, 0))
                         ).reshape(n_exp * m_pad, k)
@@ -549,12 +573,23 @@ def _dequant_matmul_2d(
         x_row = lambda i, kk: i
         n_out = n_exp * n
         chain = n_k
-    elif experts is not None and expert_mode == "concat":
+    elif experts is not None and expert_mode in ("concat", "psum"):
+        # "psum" (r5): the routed down combine with experts on the
+        # PARALLEL grid — each expert slot reads ITS OWN x rows and
+        # writes its own [M, N] slice; the caller sums over slots in
+        # XLA (a few MB). The old "sum" mode chained E sequential
+        # accumulation steps over strided expert rows and measured
+        # 187 GB/s at L=8 collapsing to 80 at L=26 (2026-08-20) while
+        # the parallel-expert grid holds 532-672 — the sequential
+        # chain's prefetch never hides the strided jumps.
         grid_n, grid_k = n_exp * n_n, n_k
         e_of = lambda i, j, kk: j // n_n
         j_of = lambda j: j % n_n
         kk_of = lambda kk: kk
-        x_row = lambda i, kk: i
+        if expert_mode == "psum":
+            x_row = None   # per-expert x rows; see x_maps below
+        else:
+            x_row = lambda i, kk: i
         n_out = n_exp * n
     elif experts is not None:
         grid_n, grid_k = n_n, n_exp * n_k
@@ -644,6 +679,7 @@ def _dequant_matmul_2d(
     # tiles at M=48 made the whole step WORSE (16.8 vs 14.7 ms), so the
     # cast, not the f32 MXU rate, is the binding cost and 64 stands.
     cdt = jnp.float32 if tm <= 64 else x.dtype
+    res, x_blk = None, (tm, tk)
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=chain,
                                  tile_g=tile_g, gsz=gsz, cdt=cdt,
@@ -658,7 +694,18 @@ def _dequant_matmul_2d(
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
+        if x_row is None and n_m == 1:
+            # psum decode: ALL experts' x rows resident in one VMEM
+            # block (constant index map → fetched once); kernel slices
+            # per expert (_x_slice) so HBM streams only weights
+            res = (n_n, tm)
+            x_blk = (n_exp * tm, tk)
+            x_maps = [lambda i, j, kk: (0, kk_of(kk))]
+        elif x_row is None:    # psum prefill: per-expert x blocks
+            x_maps = [lambda i, j, kk: ((j // n_n) * n_m + i,
+                                        kk_of(kk))]
+        else:
+            x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
         in_specs_tail = [w_spec, s_lo_spec]
         args = (x, qt.codes, s3)
         w_bytes = k * n * n_exp
@@ -682,8 +729,18 @@ def _dequant_matmul_2d(
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk)),
-                  lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
+        if x_row is None and n_m == 1:
+            # psum decode: resident x halves (see the int8 branch)
+            res = (n_n, tm)
+            x_blk = (n_exp * tm, tk)
+            xm = lambda i, j, kk: (0, kk_of(kk))
+            x_maps = [xm, xm]
+        elif x_row is None:    # psum prefill: per-expert x blocks
+            xm = lambda i, j, kk: ((j // n_n) * n_m + i, kk_of(kk))
+            x_maps = [xm, xm]
+        else:
+            x_maps = [lambda i, j, kk: (x_row(i, kk), kk_of(kk)),
+                      lambda i, j, kk: (x_row(i, kk), kk_of(kk))]
         in_specs_tail = [w_spec, s_lo_spec, s_hi_spec]
         args = (x[:, :k2], x[:, k2:], qt.codes, s3, s3)
         if lut_mode is not None:
@@ -708,6 +765,8 @@ def _dequant_matmul_2d(
                              lut_ref=lut, layer_ref=layer_ref)
         w_bytes = (k // 2) * n * n_exp
 
+    if res is not None:
+        kern = functools.partial(kern, res=res)
     x_bytes = x.shape[0] * k * x.dtype.itemsize
     s_bytes = (k // gs) * n * 4 * n_exp
     cost = pl.CostEstimate(
@@ -725,7 +784,7 @@ def _dequant_matmul_2d(
         interpret=interpret,
     )
     if not stacked:
-        in_specs = [pl.BlockSpec((tm, tk), xm, memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec(x_blk, xm, memory_space=pltpu.VMEM)
                     for xm in x_maps] + in_specs_tail
         y = pl.pallas_call(
             kern, grid=(n_m, grid_n, grid_k), in_specs=in_specs,
@@ -740,7 +799,7 @@ def _dequant_matmul_2d(
             return lambda i, j, kk, lr, *pf: (f(i, j, kk)[0],
                                               kko(i, j, kk, *pf))
         in_specs = [
-            pl.BlockSpec((tm, tk), xlift(xm), memory_space=pltpu.VMEM)
+            pl.BlockSpec(x_blk, xlift(xm), memory_space=pltpu.VMEM)
             for xm in x_maps
         ] + in_specs_tail
         if use_hot and expert_mode == "concat":

@@ -429,6 +429,45 @@ def _dense(rng: np.random.Generator, k: int, n: int) -> np.ndarray:
     return rng.standard_normal((k, n), dtype=np.float32) / np.sqrt(k)
 
 
+def _pad_moe_down_k(w, kshards: int = 1):
+    """Pad the MoE down-projection's contraction dim (per-expert
+    intermediate I) up to a 1024 multiple with zero rows BEFORE
+    quantization (r5). Hardware finding (2026-08-20, probes in the
+    session log): the stacked int4 kernel streams K=2048-class shapes at
+    532-537 GB/s at ANY stack depth, while K=1408 (V2-Lite, k_eff=704
+    single-tile fallback) and K=1536 (k_eff=768, tk=384) collapse to
+    73-82 GB/s at 26 stacked layers — tk=512 (k_eff % 512 == 0) is the
+    fast configuration on this chip. Zero rows quantize to zero codes
+    (absmax-0 groups guard to scale 1.0) and the caller zero-pads x, so
+    the math is exact; DeepSeek-V3 (I=2048) and Mixtral (I=14336) need
+    no padding — V2-Lite's I=1408 pays +45%% down bytes for ~6.5x the
+    down-stage stream. ``kshards``: pad PER TP row-block (each shard's
+    x slice must stay aligned to its own true rows — the padded local
+    k is what the kernel sees, so each block pads to a 1024 multiple)."""
+    k = w.shape[0]
+    kb = k // kshards
+    kb_pad = -(-kb // 1024) * 1024
+    if kb_pad == kb:
+        return w
+    xp = np if isinstance(w, np.ndarray) else jnp
+    blocks = xp.reshape(w, (kshards, kb) + w.shape[1:])
+    blocks = xp.pad(blocks, ((0, 0), (0, kb_pad - kb), (0, 0)))
+    return xp.reshape(blocks, (kshards * kb_pad,) + w.shape[1:])
+
+
+def _pad_x_to_k(a, k, kshards: int = 1):
+    """Zero-pad the last dim of ``a`` to ``k`` (the x side of a
+    _pad_moe_down_k-padded weight; zeros meet zero rows → exact).
+    Per kshards block, mirroring the weight padding."""
+    if a.shape[-1] == k:
+        return a
+    blk = a.shape[-1] // kshards
+    kb = k // kshards
+    a2 = a.reshape(a.shape[:-1] + (kshards, blk))
+    a2 = jnp.pad(a2, [(0, 0)] * (a.ndim - 1) + [(0, 0), (0, kb - blk)])
+    return a2.reshape(a.shape[:-1] + (k,))
+
+
 def _pad_vocab(n: int) -> int:
     """lm_head column padding: awkward vocab sizes (e.g. 128256) only admit
     tiny N-tiles in the matmul kernel; padding to a 4096 multiple restores
@@ -569,7 +608,8 @@ def init_params(cfg: ModelConfig, seed: int = 0, tp: int = 1) -> LlamaParams:
                 jnp.float32),
             we_gate_up=estack(lambda: q(concat_columns(
                 [_dense(rng, d, it), _dense(rng, d, it)], tp))),
-            we_down=estack(lambda: q(_dense(rng, it, d), kshards=tp)),
+            we_down=estack(lambda: q(_pad_moe_down_k(
+                _dense(rng, it, d), tp), kshards=tp)),
         )
     return LlamaParams(
         layers0=layers0,
@@ -690,7 +730,8 @@ def init_params_device(cfg: ModelConfig, seed: int = 0,
         def make_expert(key):
             ks = jax.random.split(key, 3)
             return (qz(cat([(ks[0], (d, it)), (ks[1], (d, it))])),
-                    qz(dense(ks[2], it, d), kshards=tp))
+                    qz(_pad_moe_down_k(dense(ks[2], it, d), tp),
+                       kshards=tp))
 
         ekeys = jax.random.split(
             jax.random.fold_in(key, 7), cfg.n_experts * n_moe)
@@ -824,7 +865,8 @@ def quantize_dense_params(
             layers,
             we_gate_up=estack(lambda e, i: qz(concat_columns(
                 [ge(e, i, "w_gate"), ge(e, i, "w_up")], tp))),
-            we_down=estack(lambda e, i: qz(ge(e, i, "w_down"), tp)),
+            we_down=estack(lambda e, i: qz(
+                _pad_moe_down_k(ge(e, i, "w_down"), tp), tp)),
         )
     return LlamaParams(
         embed=_make_embed(np.asarray(dense["embed"], np.float32), cfg),
@@ -1073,10 +1115,14 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
             gate, up = jnp.split(gu_all, 2, axis=-1)
             a = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
             a = a * w_eff.astype(dt)[..., None]    # routing weights
+            a = _pad_x_to_k(a, wdn.k, wdn.kshards)  # K-padded down
             xs = jnp.moveaxis(a, 2, 0)             # [E, B, T, I']
+            # "psum": experts on the parallel grid, per-expert x rows,
+            # XLA sums the slots — the sequential "sum" chain measured
+            # 187->80 GB/s (L=8->26) vs 532-672 on the parallel grid
             out = dequant_matmul_moe(
                 xs, wdn, idx, n_experts=e_loc, stride=l_stack,
-                mode="sum", interpret=interp, out_dtype=jnp.float32,
+                mode="psum", interpret=interp, out_dtype=jnp.float32,
                 act_quant=cfg.act_quant, hot=hot)  # [B, T, D]
             out = jax.lax.psum(out, axes) if axes else out
             return out if shared is None else out + shared
@@ -1090,8 +1136,9 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
         def _expert(x, we, eidx=eidx):
             gu = mm(x, wgu, eidx)
             gate, up = jnp.split(gu, 2, axis=-1)
-            y = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-                   wdn, eidx, out_dtype=jnp.float32)
+            a_e = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
+            y = mm(_pad_x_to_k(a_e, wdn.k, wdn.kshards), wdn, eidx,
+                   out_dtype=jnp.float32)
             return y * we
 
         if use_cond:
@@ -1136,8 +1183,9 @@ def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
         eidx = e * l_stack + idx
         gu = mm(x2[slot_tok], wgu, eidx)               # [C, 2I]
         gate, up = jnp.split(gu, 2, axis=-1)
-        ye = mm(_act(cfg)(gate.astype(jnp.float32)).astype(dt) * up,
-                wdn, eidx, out_dtype=jnp.float32)
+        a_e = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
+        ye = mm(_pad_x_to_k(a_e, wdn.k, wdn.kshards), wdn, eidx,
+                out_dtype=jnp.float32)
         # unused slots carry slot_w=0 (scatter-adds 0 to token 0)
         out = out.at[slot_tok].add(ye * slot_w[:, None])
     out = out.reshape(b, t, -1)

@@ -21,15 +21,25 @@ from quant_tpu.core.qtensor import quantize_tensor_device
 from quant_tpu.kernels.dequant_matmul import dequant_matmul, dequant_matmul_moe
 from quant_tpu.utils.timing import differential_time
 
+import os
+
 D, I, GS = 2048, 1408, 64
-NW = 8
+NW = int(os.environ.get("PROBE_L", "8"))
+# "expert" = production [E, L] expert-major merge (row = e*L + l);
+# "layer" = [L, E] layer-major (row = l*E + e): one layer's experts are
+# CONTIGUOUS (l*E..(l+1)*E), probing whether the strided expert walk
+# over a multi-GB stack is what makes per-layer cost grow with depth
+LAYOUT = os.environ.get("PROBE_LAYOUT", "expert")
 
 
 def stack_qt(e, k, n, seed=2):
-    qts = [quantize_tensor_device(
-        jax.random.normal(kk, (k, n)) * 0.02, 4, GS)
-        for kk in jax.random.split(jax.random.key(seed), e * NW)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    # one representative tensor replicated E*NW times (device init time;
+    # the DMA pattern, not the values, is under test)
+    qt0 = quantize_tensor_device(
+        jax.random.normal(jax.random.key(seed), (k, n)) * 0.02, 4, GS)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (e * NW,) + a.shape) + 0,
+        qt0)
 
 
 def main():
@@ -52,8 +62,10 @@ def main():
 
             def outer(_, a):
                 def body(c, i):
+                    lidx = i if LAYOUT == "expert" else i * e
+                    stride = NW if LAYOUT == "expert" else 1
                     g_all = dequant_matmul_moe(
-                        c, qgu, i, n_experts=e, stride=NW,
+                        c, qgu, lidx, n_experts=e, stride=stride,
                         mode="concat")                # [M, 1, E*2I]
                     g_all = g_all.reshape(m, 1, e, 2 * I)
                     g, u = jnp.split(g_all, 2, axis=-1)
@@ -62,8 +74,8 @@ def main():
                     z = z * w.astype(c.dtype)[..., None]
                     xs_ = jnp.moveaxis(z, 2, 0)       # [E, M, 1, I]
                     o = dequant_matmul_moe(
-                        xs_, qdn, i, n_experts=e, stride=NW,
-                        mode="sum", out_dtype=jnp.float32)
+                        xs_, qdn, lidx, n_experts=e, stride=stride,
+                        mode="psum", out_dtype=jnp.float32)
                     return c + jnp.sum(o)[None, None] * 1e-20, None
                 a, _ = jax.lax.scan(body, a, jnp.arange(NW))
                 return a
@@ -81,7 +93,8 @@ def main():
                 def body(c, i):
                     out = jnp.zeros((m, 1, D), jnp.float32)
                     for ee in range(e):
-                        eidx = ee * NW + i
+                        eidx = (ee * NW + i if LAYOUT == "expert"
+                                else i * e + ee)
                         g_ = dequant_matmul(c, qgu, eidx)
                         g, u = jnp.split(g_, 2, axis=-1)
                         z = jax.nn.silu(g.astype(jnp.float32)).astype(

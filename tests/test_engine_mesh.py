@@ -104,9 +104,11 @@ def test_mesh_engine_rejections():
     params = llama.init_params(CFG, seed=0, tp=2)
     with pytest.raises(ValueError, match="must divide data"):
         Engine(params, CFG, max_slots=3, mesh=make_mesh(data=2, model=2))
-    with pytest.raises(ValueError, match="contiguous cache"):
-        Engine(params, CFG, max_slots=4, paged=True,
-               mesh=make_mesh(model=2, seq=2))
+    # r5: seq x paged is now SUPPORTED (per-(data, seq)-shard pools) —
+    # the remaining paged-seq constraint is page-count divisibility
+    with pytest.raises(ValueError, match="divide the page count"):
+        Engine(params, CFG, max_slots=4, paged=True, page_size=32,
+               max_seq=32, mesh=make_mesh(model=2, seq=2))
     with pytest.raises(ValueError, match="divide max_seq"):
         Engine(params, CFG, max_slots=4, max_seq=65,
                mesh=make_mesh(model=2, seq=2))

@@ -714,7 +714,8 @@ def test_mixtral_logits_match_transformers():
             sd[epre + "w2.weight"] = t(dc.replace(
                 params.layers.we_down,
                 codes=params.layers.we_down.codes[e, i],
-                scales=params.layers.we_down.scales[e, i]).dequantize())
+                scales=params.layers.we_down.scales[e, i]
+            ).dequantize()[:half])  # drop the K-pad zero rows (r5)
     missing, unexpected = model.load_state_dict(sd, strict=False)
     assert not unexpected, unexpected
     assert all("inv_freq" in m for m in missing), missing
@@ -801,7 +802,8 @@ def test_qwen3_moe_logits_match_transformers():
             sd[epre + "down_proj.weight"] = t(dc.replace(
                 params.layers.we_down,
                 codes=params.layers.we_down.codes[e, i],
-                scales=params.layers.we_down.scales[e, i]).dequantize())
+                scales=params.layers.we_down.scales[e, i]
+            ).dequantize()[:half])  # drop the K-pad zero rows (r5)
     missing, unexpected = model.load_state_dict(sd, strict=False)
     assert not unexpected, unexpected
     assert all("inv_freq" in m for m in missing), missing
@@ -893,7 +895,8 @@ def _deepseek_sd(params, cfg):
             sd[epre + "down_proj.weight"] = t(dc.replace(
                 params.layers.we_down,
                 codes=params.layers.we_down.codes[e, j],
-                scales=params.layers.we_down.scales[e, j]).dequantize())
+                scales=params.layers.we_down.scales[e, j]
+            ).dequantize()[:half])  # drop the K-pad zero rows (r5)
     return sd
 
 
