@@ -571,3 +571,26 @@ def test_moe_routed_decode_matches_dense():
         np.testing.assert_array_equal(np.asarray(cache_r.k_codes),
                                       np.asarray(cache_d.k_codes))
         t = jnp.argmax(ld[:, -1:], -1).astype(jnp.int32)
+
+
+def test_moe_down_k_padding_exact():
+    """r5: we_down's K pads to a 1024 multiple per TP block (the
+    stacked kernel streams tk=512 shapes ~6.5x faster at depth on
+    hardware). Zero rows meet zero x columns — forward must EQUAL an
+    unpadded dense reference, incl. the tp=2 block-interleaved case."""
+    from quant_tpu.models.llama import _pad_moe_down_k, _pad_x_to_k
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((1408, 256)).astype(np.float32)
+    for tp in (1, 2):
+        wp = _pad_moe_down_k(w, tp)
+        assert wp.shape[0] % 1024 == 0 and wp.shape[0] % tp == 0
+        x = jnp.asarray(rng.standard_normal((3, 1408)), jnp.float32)
+        xp = _pad_x_to_k(x, wp.shape[0], tp)
+        got = np.asarray(xp) @ np.asarray(wp)
+        want = np.asarray(x) @ w
+        # fp32 sum-order noise over K=1408 (values ~1e2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # already-tileable shapes stay untouched (DeepSeek-V3 / Mixtral)
+    w2 = rng.standard_normal((2048, 128)).astype(np.float32)
+    assert _pad_moe_down_k(w2, 1) is w2
