@@ -250,28 +250,38 @@ def flash_decode_int8(
                           jnp.maximum(lens[bb] - win[0], 0), 0) // s_blk
         return jnp.maximum(ss, first)
 
+    def last_blk(bb, ss, lens):
+        # clamp past-the-end blocks to the slot's LAST in-length block:
+        # repeated block indices make Mosaic skip the re-fetch, so HBM
+        # traffic scales with the actual context. The @pl.when compute
+        # skip alone does NOT drop the DMA — measured 2026-08-20 at
+        # B=48/S=4096: 0.56 ms FLAT across fill 512/1024/4096 before
+        # this clamp (6x byte waste at fill=512); the paged kernel
+        # always clamped (its r4 numbers were honest).
+        return jnp.minimum(ss, jnp.maximum(lens[bb] - 1, 0) // s_blk)
+
     if not stacked and not windowed:
         kv_specs = [
-            pl.BlockSpec((1, hc, s_blk, dc), lambda bb, ss: (bb, 0, ss, 0),
+            pl.BlockSpec((1, hc, s_blk, dc),
+                         lambda bb, ss, lens:
+                         (bb, 0, last_blk(bb, ss, lens), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, s_blk), lambda bb, ss: (bb, 0, ss),
+            pl.BlockSpec((1, hkv, s_blk),
+                         lambda bb, ss, lens:
+                         (bb, 0, last_blk(bb, ss, lens)),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,   # lengths (drives the block clamp)
             grid=(b, n_s),
             in_specs=[
-                # whole lengths vector in SMEM (rank-1 blocks must cover
-                # the array); kernel indexes it by the batch program id
-                pl.BlockSpec((b,), lambda bb, ss: (0,),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, hkv, rep, dh),
-                             lambda bb, ss: (bb, 0, 0, 0),
+                             lambda bb, ss, lens: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
             ],
             out_specs=pl.BlockSpec(
-                (1, hkv, rep, dh), lambda bb, ss: (bb, 0, 0, 0),
+                (1, hkv, rep, dh), lambda bb, ss, lens: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
@@ -311,25 +321,26 @@ def flash_decode_int8(
     elif not windowed:
         kv_specs = [
             pl.BlockSpec((1, 1, hc, s_blk, dc),
-                         lambda bb, ss, lr: (lr[0], bb, 0, ss, 0),
+                         lambda bb, ss, lr, lens:
+                         (lr[0], bb, 0, last_blk(bb, ss, lens), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hkv, s_blk),
-                         lambda bb, ss, lr: (lr[0], bb, 0, ss),
+                         lambda bb, ss, lr, lens:
+                         (lr[0], bb, 0, last_blk(bb, ss, lens)),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,   # layer, lengths
             grid=(b, n_s),
             in_specs=[
-                pl.BlockSpec((b,), lambda bb, ss, lr: (0,),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, hkv, rep, dh),
-                             lambda bb, ss, lr: (bb, 0, 0, 0),
+                             lambda bb, ss, lr, lens: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 kv_specs[0], kv_specs[1], kv_specs[0], kv_specs[1],
             ],
             out_specs=pl.BlockSpec(
-                (1, hkv, rep, dh), lambda bb, ss, lr: (bb, 0, 0, 0),
+                (1, hkv, rep, dh),
+                lambda bb, ss, lr, lens: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
