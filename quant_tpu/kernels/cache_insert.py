@@ -41,7 +41,7 @@ _LANES = 128  # f32 lane tile along S
 def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
             kc_in, ks_in, vc_in, vs_in,
             kc_ref, ks_ref, vc_ref, vs_ref,
-            *scratch, s_loc, b, wave, d, q):
+            *scratch, s_loc, b, wave, d, q, m=1):
     # cache inputs are aliased to the outputs — write through the output
     # refs; the input refs exist only to satisfy the aliasing contract.
     #
@@ -73,7 +73,7 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     def copies(i, to_vmem):
         pos, _ = pos_of(i)
         w = i % wave
-        row = pos // q   # code row in the [.., S/q, 128] lane view
+        row = pos // q   # row in the [.., S/q, lanes] (lane) view
         cbase = pl.multiple_of((row // crows) * crows, crows)
         sbase = pl.multiple_of((pos // srows) * srows, srows)
         pairs = [
@@ -96,7 +96,12 @@ def _kernel(lr_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
         lsel = pos - row * q          # which d-wide lane slot of the row
         soff = pos - (pos // srows) * srows
         # codes RMW in the [H, crows, 128] lane view: the new row (lane-
-        # tiled to 128 by the dispatcher) selects on (row, lane-slot)
+        # tiled to 128 by the dispatcher) selects on (row, lane-slot);
+        # for d = m*128 (e.g. Gemma's head_dim 256) the token spans m
+        # consecutive rows and the new data arrives [H, m, 128]
+        # codes RMW: for d >= 128 the tile lanes span the whole d (one
+        # token per row, lanes//d == 0 == lsel); for d < 128 the lane
+        # view packs q tokens per 128-lane row
         for new_ref, tile in ((kn_ref, ktiles[w]), (vn_ref, vtiles[w])):
             rows_i = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
             lanes = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 2)
@@ -144,12 +149,22 @@ def cache_insert_int8(
     # flattened [.., S*d/128, 128] lane layout — a free bitcast — with q
     # tokens per 128-lane row; the kernel selects (row, lane-slot) and the
     # new rows arrive lane-tiled q times.
-    if d > _LANES or _LANES % d:
-        raise ValueError(f"code dim {d} must divide {_LANES}")
-    q = _LANES // d
+    if d < _LANES:
+        if _LANES % d:
+            raise ValueError(f"code dim {d} must divide {_LANES}")
+        q, m, lanes_d = _LANES // d, 1, _LANES
+    else:
+        # d a 128 multiple (head_dim 128, or Gemma's 256): NO lane view
+        # needed — the minor dim is already DMA-aligned, so the RMW
+        # tiles slice [.., S, d] directly (the d<128 lane view exists
+        # only because Mosaic rejects sub-128 minor slices)
+        if d % _LANES:
+            raise ValueError(f"code dim {d} must be a multiple of "
+                             f"{_LANES}")
+        q, m, lanes_d = 1, 1, d
     if s_loc % q:
         raise ValueError(f"S per shard ({s_loc}) must divide by {q}")
-    rv = s_loc // q                      # code rows in the lane view
+    rv = s_loc // q                      # code rows in the (lane) view
     crows = _ROWS if rv % _ROWS == 0 else rv
     srows = s_loc if s_loc < _LANES else _LANES
     if s_loc % srows or rv % crows:
@@ -161,14 +176,14 @@ def cache_insert_int8(
                     jnp.asarray(s0, jnp.int32)])
 
     wave = min(b, 12)  # <= 48 outstanding DMAs per wave
-    kcv = kc.reshape(l, b, h, rv, _LANES)
-    vcv = vc.reshape(l, b, h, rv, _LANES)
+    kcv = kc.reshape(l, b, h, rv, lanes_d)
+    vcv = vc.reshape(l, b, h, rv, lanes_d)
     k_new = jnp.tile(k_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
     v_new = jnp.tile(v_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
     k_s = k_s.transpose(0, 2, 1)          # [B, H, 1]
     v_s = v_s.transpose(0, 2, 1)
     kern = functools.partial(_kernel, s_loc=s_loc, b=b, wave=wave, d=d,
-                             q=q)
+                             q=q, m=m)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -176,11 +191,11 @@ def cache_insert_int8(
         in_specs=[
             pl.BlockSpec((b,), lambda g, lr: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, lanes_d), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hs, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1, _LANES), lambda g, lr: (0, 0, 0, 0),
+            pl.BlockSpec((b, h, 1, lanes_d), lambda g, lr: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hs, 1), lambda g, lr: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -188,9 +203,9 @@ def cache_insert_int8(
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
         scratch_shapes=(
-            [pltpu.VMEM((h, crows, _LANES), kc.dtype)
+            [pltpu.VMEM((h, crows, lanes_d), kc.dtype)
              for _ in range(wave)]
-            + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
+            + [pltpu.VMEM((h, crows, lanes_d), vc.dtype)
                for _ in range(wave)]
             + [pltpu.VMEM((hs, srows), ks.dtype) for _ in range(wave)]
             + [pltpu.VMEM((hs, srows), vs.dtype) for _ in range(wave)]
@@ -217,7 +232,7 @@ def cache_insert_int8(
 def _paged_kernel(lr_ref, pt_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
                   kc_in, ks_in, vc_in, vs_in,
                   kc_ref, ks_ref, vc_ref, vs_ref,
-                  *scratch, page, cap, b, wave, d, q):
+                  *scratch, page, cap, b, wave, d, q, m=1):
     # single-program batched-DMA structure — see _kernel above
     del kc_in, ks_in, vc_in, vs_in
     sems = scratch[-1]
@@ -240,7 +255,7 @@ def _paged_kernel(lr_ref, pt_ref, len_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     def copies(i, to_vmem):
         off, pg, _ = pos_of(i)
         w = i % wave
-        row = off // q   # code row in the [.., page/q, 128] lane view
+        row = off // q   # (lane-)view row — see _kernel.copies
         cbase = pl.multiple_of((row // crows) * crows, crows)
         sbase = pl.multiple_of((off // srows) * srows, srows)
         pairs = [
@@ -310,9 +325,15 @@ def paged_cache_insert_int8(
     cap = page_tbl.shape[1] * page
     h, d = k_new.shape[2], k_new.shape[3]   # code heads (Hkv/2 for int4)
     hs = k_s.shape[2]                       # scale heads = REAL Hkv
-    if d > _LANES or _LANES % d:
-        raise ValueError(f"code dim {d} must divide {_LANES}")
-    q = _LANES // d   # lane-view layout — see cache_insert_int8
+    if d < _LANES:
+        if _LANES % d:
+            raise ValueError(f"code dim {d} must divide {_LANES}")
+        q, m, lanes_d = _LANES // d, 1, _LANES
+    else:
+        if d % _LANES:
+            raise ValueError(f"code dim {d} must be a multiple of "
+                             f"{_LANES}")
+        q, m, lanes_d = 1, 1, d   # direct view — see cache_insert_int8
     if page % q:
         raise ValueError(f"page size {page} must divide by {q}")
     rv = page // q
@@ -323,14 +344,14 @@ def paged_cache_insert_int8(
                          f"smaller than it) for aligned RMW tiles")
     lr = jnp.asarray(layer, jnp.int32).reshape(1)
     wave = min(b, 12)  # <= 48 outstanding DMAs per wave
-    kcv = kc.reshape(l, n_pool, h, rv, _LANES)
-    vcv = vc.reshape(l, n_pool, h, rv, _LANES)
+    kcv = kc.reshape(l, n_pool, h, rv, lanes_d)
+    vcv = vc.reshape(l, n_pool, h, rv, lanes_d)
     k_new = jnp.tile(k_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
     v_new = jnp.tile(v_new.transpose(0, 2, 1, 3), (1, 1, 1, q))
     k_s = k_s.transpose(0, 2, 1)          # [B, H, 1]
     v_s = v_s.transpose(0, 2, 1)
     kern = functools.partial(_paged_kernel, page=page, cap=cap, b=b,
-                             wave=wave, d=d, q=q)
+                             wave=wave, d=d, q=q, m=m)
     any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # layer, page table
@@ -338,12 +359,12 @@ def paged_cache_insert_int8(
         in_specs=[
             pl.BlockSpec((b,), lambda g, lr, pt: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, h, 1, _LANES),
+            pl.BlockSpec((b, h, 1, lanes_d),
                          lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hs, 1), lambda g, lr, pt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h, 1, _LANES),
+            pl.BlockSpec((b, h, 1, lanes_d),
                          lambda g, lr, pt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hs, 1), lambda g, lr, pt: (0, 0, 0),
@@ -352,9 +373,9 @@ def paged_cache_insert_int8(
         ],
         out_specs=(any_spec(), any_spec(), any_spec(), any_spec()),
         scratch_shapes=(
-            [pltpu.VMEM((h, crows, _LANES), kc.dtype)
+            [pltpu.VMEM((h, crows, lanes_d), kc.dtype)
              for _ in range(wave)]
-            + [pltpu.VMEM((h, crows, _LANES), vc.dtype)
+            + [pltpu.VMEM((h, crows, lanes_d), vc.dtype)
                for _ in range(wave)]
             + [pltpu.VMEM((hs, srows), ks.dtype) for _ in range(wave)]
             + [pltpu.VMEM((hs, srows), vs.dtype) for _ in range(wave)]

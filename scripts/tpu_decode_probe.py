@@ -109,6 +109,14 @@ def main():
     cfg = PRESETS[preset]
     if layers:
         cfg = dataclasses.replace(cfg, n_layers=layers)
+    import os
+    if os.environ.get("PROBE_VOCAB"):
+        # geometry probes for huge-vocab models (Gemma-2's 256k embeds
+        # OOM the worker via the dense f32 init transients): shrink the
+        # vocab — attention/MLP geometry, the thing under test, is
+        # untouched; the floor math scales with the actual lm_head
+        cfg = dataclasses.replace(
+            cfg, vocab_size=int(os.environ["PROBE_VOCAB"]))
     if kv_bits:
         cfg = dataclasses.replace(cfg, kv_bits=kv_bits)
     mode = llama._resolve_mode(cfg)
