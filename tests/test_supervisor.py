@@ -39,7 +39,7 @@ def test_requests_complete(ckpt):
     try:
         for r in _reqs(4):
             sup.submit(r)
-        results = sup.wait_all(timeout=300)
+        results = sup.wait_all(timeout=900)
         assert len(results) == 4
         assert all(len(v) == 3 for v in results.values())
     finally:
@@ -60,7 +60,7 @@ def test_fault_injection_worker_killed(ckpt):
         # request, then hard-kill that worker while its request is in
         # flight — the supervisor must re-enqueue it and respawn.
         victim = None
-        deadline = time.time() + 120
+        deadline = time.time() + 300
         while victim is None and time.time() < deadline:
             try:
                 ev = sup.event_q.get(timeout=0.5)
@@ -71,7 +71,7 @@ def test_fault_injection_worker_killed(ckpt):
                 victim = ev[1]
         assert victim is not None, "no claim observed"
         sup.kill_worker(victim)
-        results = sup.wait_all(timeout=300)
+        results = sup.wait_all(timeout=900)
         assert len(results) == 6
         assert all(len(v) == 3 for v in results.values())
         sup._check_workers()  # ensure detection even if results beat it
