@@ -79,7 +79,13 @@ def run(cfg, tag, b=8, s_max=1024, ret_params=False, checks=True):
     rel = float(np.asarray(diff)) / max(float(np.asarray(
         jnp.max(jnp.abs(full)))), 1e-6)
     print(f"  decode-vs-prefill max rel diff (f32): {rel:.2e}", flush=True)
-    assert rel < 2e-3, rel
+    # 5e-3: decode (T=1) takes the ROUTED-hot MoE path (r5) whose slot
+    # summation order differs from prefill's dense expert order — ~1 ulp
+    # of f32 per layer, amplified through the int8 latent quantize
+    # (measured 2.36e-3 at E=8/k=2; dense-vs-dense measured 1.8e-3 at
+    # E=64). Routed==dense is pinned bitwise-on-identical-inputs in
+    # tests/test_moe.py; this check pins the PATH, not fp sum order.
+    assert rel < 5e-3, rel
 
     # Pallas-pair exactness ON HARDWARE, kernel-level (a full-model
     # flash-vs-xla decode diff cascades layer-1 precision differences
