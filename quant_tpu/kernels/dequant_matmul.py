@@ -62,6 +62,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Scoped-VMEM budget for the psum-decode resident-x plan (all experts'
+# rows in one [E*TM, tk] block, both nibble halves for int4). Mosaic
+# bills the kernel's WHOLE footprint against a 16 MiB scoped-vmem limit:
+# double-buffered windows for every operand (the resident block too,
+# despite its constant index map) PLUS the dequantized-tile temporaries
+# (~tk*tn*cdt bytes). Hardware-measured 2026-08-20 at DeepSeek-V3
+# geometry (N=7168, tn=3584): a 2.1 MiB resident block billed 16.62 MiB
+# total and died by 632 KiB, while the same block at V2-Lite geometry
+# (N=2048) runs the validated 22 ms flagship — so the guard estimates
+# the total and keeps 2 MiB headroom rather than capping x bytes alone.
+# Past the budget the kernel falls back to per-expert x blocks (always
+# compile).
+_SCOPED_VMEM_BUDGET = 14 * 2 ** 20
+
+
 def _largest_tile(dim: int, target: int, mult: int) -> int:
     """Largest t <= target with t % mult == 0 and dim % t == 0."""
     t = min(target, dim)
@@ -391,15 +406,21 @@ def dequant_matmul_moe(
     into x_e first). Raises the internal untileable error to the
     caller as ValueError — callers fall back to the per-expert loop.
 
-    ``hot`` (r5 routed decode, VERDICT r4 #7): [1+E] int32 =
+    ``hot`` (r5 routed decode, VERDICT r4 #7): [1+n_experts] int32 =
     [n_hot, compacted hot expert ids with the last id repeated past
     n_hot]. Expert SLOT j computes with expert hot[1+j]'s weights;
-    slots >= n_hot clamp to one repeated weight block whose DMA Mosaic
-    skips, so cold experts' packed bytes never stream. Outputs are in
+    slots >= n_hot clamp to one repeated weight block. Outputs are in
     HOT-SLOT order (concat) — permute the routing weights to match and
     ZERO them past n_hot (they gate the tail's garbage); for "sum" the
     tail x slots must be zero rows (they are, with zeroed weights).
-    HBM cost scales with the ACTUAL hot-expert count per step.
+
+    NOTE (hardware-measured 2026-08-20, scripts/tpu_moe_routed_probe):
+    Mosaic does NOT elide the clamped cold slots' repeated fetches —
+    with n_experts=E the hot path streams the same bytes as dense.
+    Callers get real savings by passing a BUCKETED static n_experts
+    (smallest of a few compiled slot counts covering n_hot; see
+    models/llama.py _routed_buckets) so the grid itself shrinks; the
+    clamp then only covers the bucket-rounding tail.
     """
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
@@ -552,17 +573,20 @@ def _dequant_matmul_2d(
     # kernel's per-chain reset/write brackets the whole E*n_k chain,
     # accumulating all experts into one output block).
     #
-    # Hot-routed decode (``hot`` = [1+E] int32: [n_hot, compacted hot
-    # expert ids, clamped-repeat tail], r5 VERDICT #7): expert slot j
-    # streams expert hot[1+j]'s weights; slots >= n_hot clamp BOTH the
-    # expert id (to the last hot expert) AND the K-chain block (to 0),
-    # so the tail's weight fetches are consecutive repeats of one block
-    # — Mosaic skips the DMA and cold experts' bytes never leave HBM
-    # (the same repeated-block-index trick as the paged-attention page
-    # clamp). Tail outputs are garbage; the caller zeroes them with the
+    # Hot-routed decode (``hot`` = [1+n_exp] int32: [n_hot, compacted
+    # hot expert ids, clamped-repeat tail], r5 VERDICT #7): expert slot
+    # j streams expert hot[1+j]'s weights; slots >= n_hot clamp BOTH
+    # the expert id (to the last hot expert) AND the K-chain block (to
+    # 0). Tail outputs are garbage; the caller zeroes them with the
     # permuted routing weights (concat) / zero x rows (sum), keeping
     # the math EXACT. Concat mode moves experts onto the SEQUENTIAL
-    # grid dim (chains of n_k) so the repeats are consecutive.
+    # grid dim (chains of n_k) so the clamped repeats are consecutive.
+    # Hardware note (2026-08-20): unlike the paged-attention page
+    # clamp, Mosaic does NOT skip these repeated weight fetches — a
+    # full-E hot grid measured byte-for-byte even with dense. The
+    # caller must shrink n_exp itself (bucketed slot counts,
+    # models/llama.py _routed_buckets); the clamp's job is only the
+    # bucket-rounding tail's correctness.
     use_hot = hot is not None and experts is not None
     chain = grid_k_chain = None
     if use_hot and expert_mode == "concat":
@@ -680,6 +704,20 @@ def _dequant_matmul_2d(
     # cast, not the f32 MXU rate, is the binding cost and 64 stands.
     cdt = jnp.float32 if tm <= 64 else x.dtype
     res, x_blk = None, (tm, tk)
+    # Resident psum-decode x only while the estimated whole-kernel VMEM
+    # footprint fits _SCOPED_VMEM_BUDGET (see the constant's comment):
+    # 2 buffers per operand window + the dequantized-tile temporaries.
+    # Past the budget, fall back to per-expert x blocks (slower HBM
+    # pattern, but always compiles).
+    halves = 2 if bits == 4 else 1
+    x_res = halves * n_exp * tm * tk * jnp.dtype(x.dtype).itemsize
+    est = (2 * x_res                       # resident x windows
+           + 2 * tk * tn                   # packed u8 weight windows
+           + tk * tn * jnp.dtype(cdt).itemsize   # dequant temporaries
+           + 4 * halves * tile_g * tn * 4  # scale windows
+           + tm * tn * 4                   # f32 accumulator
+           + 2 * tm * tn * jnp.dtype(out_dtype).itemsize)
+    res_ok = est <= _SCOPED_VMEM_BUDGET
     if bits == 8:
         kern = functools.partial(_kernel_int8, n_k=chain,
                                  tile_g=tile_g, gsz=gsz, cdt=cdt,
@@ -694,14 +732,14 @@ def _dequant_matmul_2d(
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        if x_row is None and n_m == 1:
+        if x_row is None and n_m == 1 and res_ok:
             # psum decode: ALL experts' x rows resident in one VMEM
             # block (constant index map → fetched once); kernel slices
             # per expert (_x_slice) so HBM streams only weights
             res = (n_n, tm)
             x_blk = (n_exp * tm, tk)
             x_maps = [lambda i, j, kk: (0, kk_of(kk))]
-        elif x_row is None:    # psum prefill: per-expert x blocks
+        elif x_row is None:    # psum prefill / big-B: per-expert blocks
             x_maps = [lambda i, j, kk: ((j // n_n) * n_m + i,
                                         kk_of(kk))]
         else:
@@ -729,13 +767,13 @@ def _dequant_matmul_2d(
         else:
             w_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                                   memory_space=pltpu.VMEM)
-        if x_row is None and n_m == 1:
+        if x_row is None and n_m == 1 and res_ok:
             # psum decode: resident x halves (see the int8 branch)
             res = (n_n, tm)
             x_blk = (n_exp * tm, tk)
             xm = lambda i, j, kk: (0, kk_of(kk))
             x_maps = [xm, xm]
-        elif x_row is None:    # psum prefill: per-expert x blocks
+        elif x_row is None:    # psum prefill / big-B: per-expert blocks
             xm = lambda i, j, kk: ((j // n_n) * n_m + i, kk_of(kk))
             x_maps = [xm, xm]
         else:

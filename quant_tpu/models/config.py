@@ -117,10 +117,14 @@ class ModelConfig:
     moe_fused: bool = True
     # Routed-hot MoE decode (r5): "auto" streams only the experts some
     # token routed to whenever the expected hot coverage at the decode
-    # batch is < 7/8 (E >> tokens*k regime — DeepSeek-V3's E=256; a
-    # compacted hot-expert list rides scalar prefetch and cold slots
-    # clamp to one DMA-skipped block, so HBM scales with the ACTUAL hot
-    # count, exactly). "on"/"off" force it (measurement/ablation).
+    # batch is < 7/8 (E >> tokens*k regime — DeepSeek-V3's E=256). The
+    # fused matmuls run on a BUCKETED static hot-slot grid (lax.switch
+    # over E/8*2^i..E slot counts picks the smallest bucket covering
+    # the step's hot count) — only the bucket's expert bytes stream;
+    # tail slots clamp + zero-gate, keeping the math exact. Measured at
+    # real V3 geometry: 9.03x at B=4, 1.98x at B=16, parity past
+    # n_hot > E/2 (scripts/tpu_moe_routed_probe.py). "on"/"off" force
+    # it (measurement/ablation).
     moe_routed: str = "auto"
     # DeepSeek-V2/V3 multi-head latent attention (MLA): kv_lora_rank > 0
     # enables it. Projections: (optionally low-rank) q → per-head

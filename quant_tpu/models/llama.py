@@ -468,6 +468,20 @@ def _pad_x_to_k(a, k, kshards: int = 1):
     return a2.reshape(a.shape[:-1] + (k,))
 
 
+def _routed_buckets(e: int) -> list[int]:
+    """Static hot-slot bucket ladder for routed MoE decode: doublings
+    from max(8, E/8) up to E. lax.switch picks the smallest bucket
+    covering the step's actual hot-expert count, so the kernel grid —
+    and with it the expert bytes streamed — shrinks to within 2x of the
+    true hot set (Mosaic does NOT elide the clamped cold-slot fetches
+    of a full-E grid; hardware-measured 2026-08-20, routed == dense)."""
+    bs, b = [], max(8, e // 8)
+    while b < e:
+        bs.append(b)
+        b *= 2
+    return bs + [e]
+
+
 def _pad_vocab(n: int) -> int:
     """lm_head column padding: awkward vocab sizes (e.g. 128256) only admit
     tiny N-tiles in the matmul kernel; padding to a 4096 multiple restores
@@ -1082,18 +1096,24 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
         # Routed decode (r5, VERDICT r4 #7): when the expected hot-
         # expert coverage is materially below 1 (E >> tokens*k regime,
         # DeepSeek-V3 E=256 at small decode batches), stream only the
-        # experts some token actually routed to: a compacted hot-expert
-        # list rides scalar prefetch and cold slots clamp to one
-        # repeated (DMA-skipped) block — HBM scales with the ACTUAL hot
-        # count, exactly (tail outputs are zero-gated). Dense stays
-        # when nearly everything is expected hot (the indirection buys
-        # nothing) and for prefill.
+        # experts some token actually routed to. A compacted hot-expert
+        # list rides scalar prefetch and the kernel runs with a BUCKETED
+        # static slot count (E/8, E/4, E/2, E — lax.switch picks the
+        # smallest bucket covering the actual hot count): the grid
+        # itself shrinks, so cold experts' packed bytes never enter the
+        # DMA schedule. (The earlier clamp-only design kept the full-E
+        # grid and relied on Mosaic eliding the repeated cold-slot
+        # fetches — hardware-measured 2026-08-20 at V3 geometry it
+        # elides NOTHING: routed == dense +-1% at every batch. Slots
+        # between n_hot and the bucket still clamp, but now waste at
+        # most the bucket rounding, < 2x the true hot bytes.) Tail
+        # outputs are zero-gated, so the math stays exact. Dense stays
+        # when nearly everything is expected hot and for prefill.
         exp_hot = 1.0 - (1.0 - cfg.experts_per_token / cfg.n_experts
                          ) ** n_tok
         routed = (not use_cond and x.shape[-2] == 1
                   and (cfg.moe_routed == "on"
                        or (cfg.moe_routed == "auto" and exp_hot < 0.875)))
-        hot, w_eff = None, w
         if routed:
             any_e = jnp.any(w > 0, axis=tuple(range(w.ndim - 1)))
             n_hot = jnp.sum(any_e.astype(jnp.int32))
@@ -1101,29 +1121,45 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
                                 stable=True).astype(jnp.int32)
             hotc = order[jnp.minimum(jnp.arange(e_loc),
                                      jnp.maximum(n_hot - 1, 0))]
-            hot = jnp.concatenate([n_hot[None], hotc])
-            # permute routing weights into hot-slot order; zero the tail
-            w_eff = (jnp.take(w, hotc, axis=-1)
-                     * (jnp.arange(e_loc) < n_hot))
-        try:
+
+        def _fused(ns):
+            # ns = static hot-slot bucket; None = dense all-experts
+            if ns is None:
+                hot_b, w_b, ns = None, w, e_loc
+            else:
+                hot_b = jnp.concatenate([n_hot[None], hotc[:ns]])
+                # routing weights in hot-slot order; zero the tail
+                w_b = (jnp.take(w, hotc[:ns], axis=-1)
+                       * (jnp.arange(ns) < n_hot))
             gu_all = dequant_matmul_moe(
-                x, wgu, idx, n_experts=e_loc, stride=l_stack,
+                x, wgu, idx, n_experts=ns, stride=l_stack,
                 mode="concat", interpret=interp,
-                act_quant=cfg.act_quant, hot=hot)  # [B, T, E*2I']
+                act_quant=cfg.act_quant, hot=hot_b)  # [B, T, ns*2I']
             b_, t_ = x.shape[0], x.shape[1]
-            gu_all = gu_all.reshape(b_, t_, e_loc, -1)
+            gu_all = gu_all.reshape(b_, t_, ns, -1)
             gate, up = jnp.split(gu_all, 2, axis=-1)
             a = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
-            a = a * w_eff.astype(dt)[..., None]    # routing weights
+            a = a * w_b.astype(dt)[..., None]      # routing weights
             a = _pad_x_to_k(a, wdn.k, wdn.kshards)  # K-padded down
-            xs = jnp.moveaxis(a, 2, 0)             # [E, B, T, I']
+            xs = jnp.moveaxis(a, 2, 0)             # [ns, B, T, I']
             # "psum": experts on the parallel grid, per-expert x rows,
             # XLA sums the slots — the sequential "sum" chain measured
             # 187->80 GB/s (L=8->26) vs 532-672 on the parallel grid
-            out = dequant_matmul_moe(
-                xs, wdn, idx, n_experts=e_loc, stride=l_stack,
+            return dequant_matmul_moe(
+                xs, wdn, idx, n_experts=ns, stride=l_stack,
                 mode="psum", interpret=interp, out_dtype=jnp.float32,
-                act_quant=cfg.act_quant, hot=hot)  # [B, T, D]
+                act_quant=cfg.act_quant, hot=hot_b)  # [B, T, D]
+
+        try:
+            if routed:
+                buckets = _routed_buckets(e_loc)
+                bidx = sum((n_hot > b).astype(jnp.int32)
+                           for b in buckets[:-1]) if len(buckets) > 1 \
+                    else 0
+                out = jax.lax.switch(
+                    bidx, [functools.partial(_fused, b) for b in buckets])
+            else:
+                out = _fused(None)
             out = jax.lax.psum(out, axes) if axes else out
             return out if shared is None else out + shared
         except _Untileable:

@@ -535,6 +535,40 @@ def _slice_qt(qt, i):
     return _dc.replace(qt, codes=qt.codes[i], scales=qt.scales[i])
 
 
+def test_moe_psum_decode_fallback_past_vmem_budget():
+    """psum-mode decode normally keeps ALL experts' x rows resident in
+    ONE [E*TM, tk] VMEM block; past _SCOPED_VMEM_BUDGET (DeepSeek-V3 scale:
+    E=256 at batch >= 32) that block cannot fit and the kernel must
+    fall back to per-expert x blocks — same math, different index maps
+    (kernels/dequant_matmul.py ``res_ok``)."""
+    import dataclasses as dc
+
+    import importlib
+
+    from quant_tpu.core.qtensor import quantize_tensor
+    dm = importlib.import_module("quant_tpu.kernels.dequant_matmul")
+
+    E, M, K, N = 64, 136, 1024, 128
+    rng = np.random.default_rng(3)
+    qts = [quantize_tensor(
+        rng.standard_normal((K, N)).astype(np.float32) / 32,
+        bits=8, group_size=128) for _ in range(E)]
+    qt = dc.replace(qts[0], codes=jnp.stack([q.codes for q in qts]),
+                    scales=jnp.stack([q.scales for q in qts]))
+    # the guard must actually fire at these shapes (tm=M pad, tk=512:
+    # the resident x windows alone already blow the scoped budget)
+    assert 2 * E * 136 * 512 * 4 > dm._SCOPED_VMEM_BUDGET
+    xs = jnp.asarray(rng.standard_normal((E, M, K)).astype(np.float32))
+    out = dm.dequant_matmul_moe(xs, qt, jnp.int32(0), n_experts=E,
+                                stride=1, mode="psum", interpret=True,
+                                out_dtype=jnp.float32)
+    want = sum(np.asarray(dm.dequant_matmul_reference(
+        xs[e], _slice_qt(qt, e), out_dtype=jnp.float32))
+        for e in range(E))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_moe_routed_decode_matches_dense():
     """The routed-hot decode policy (E >> expected hot) must reproduce
     the dense-all-experts forward: hot list covers every routed
@@ -543,34 +577,40 @@ def test_moe_routed_decode_matches_dense():
     dispatch differs — generic interpret-vs-XLA kernel noise cascading
     through int8 KV quantize boundaries is NOT re-tested here."""
     from quant_tpu.models.config import ModelConfig
+    from quant_tpu.models.llama import _routed_buckets
 
-    cfg_d = ModelConfig(
-        vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
-        intermediate=256, group_size=64,
-        kernel_mode="pallas_interpret",
-        n_experts=8, experts_per_token=2, moe_routed="off",
-    )
-    cfg_r = dataclasses.replace(cfg_d, moe_routed="on")
-    params = llama.init_params(cfg_d, seed=3)
-    rng = np.random.default_rng(3)
-    toks = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (5, 4)),
-                       jnp.int32)
-    cache_d = llama.init_cache(cfg_d, 5, 16)
-    cache_r = llama.init_cache(cfg_r, 5, 16)
-    _, cache_d = llama.forward(params, toks, cache_d, cfg_d)
-    _, cache_r = llama.forward(params, toks, cache_r, cfg_r)
-    t = toks[:, -1:]
-    for _ in range(3):
-        ld, cache_d = llama.forward(params, t, cache_d, cfg_d)
-        lr, cache_r = llama.forward(params, t, cache_r, cfg_r)
-        # only the k>=2 per-token SUM order differs (hot-slot vs
-        # expert order) — pure fp-add noise
-        np.testing.assert_allclose(
-            np.asarray(lr, np.float32), np.asarray(ld, np.float32),
-            rtol=1e-4, atol=1e-4)
-        np.testing.assert_array_equal(np.asarray(cache_r.k_codes),
-                                      np.asarray(cache_d.k_codes))
-        t = jnp.argmax(ld[:, -1:], -1).astype(jnp.int32)
+    # E=8 -> single bucket [8]; E=16 -> ladder [8, 16] whose SMALL
+    # bucket the 5x2 routing actually lands in (the r5 bucketed grid)
+    assert _routed_buckets(16) == [8, 16]
+    assert _routed_buckets(256) == [32, 64, 128, 256]
+    for n_exp in (8, 16):
+        cfg_d = ModelConfig(
+            vocab_size=512, dim=256, n_layers=2, n_heads=4,
+            n_kv_heads=2, intermediate=256, group_size=64,
+            kernel_mode="pallas_interpret",
+            n_experts=n_exp, experts_per_token=2, moe_routed="off",
+        )
+        cfg_r = dataclasses.replace(cfg_d, moe_routed="on")
+        params = llama.init_params(cfg_d, seed=3)
+        rng = np.random.default_rng(3)
+        toks = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (5, 4)),
+                           jnp.int32)
+        cache_d = llama.init_cache(cfg_d, 5, 16)
+        cache_r = llama.init_cache(cfg_r, 5, 16)
+        _, cache_d = llama.forward(params, toks, cache_d, cfg_d)
+        _, cache_r = llama.forward(params, toks, cache_r, cfg_r)
+        t = toks[:, -1:]
+        for _ in range(3):
+            ld, cache_d = llama.forward(params, t, cache_d, cfg_d)
+            lr, cache_r = llama.forward(params, t, cache_r, cfg_r)
+            # only the k>=2 per-token SUM order differs (hot-slot vs
+            # expert order) — pure fp-add noise
+            np.testing.assert_allclose(
+                np.asarray(lr, np.float32), np.asarray(ld, np.float32),
+                rtol=1e-4, atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(cache_r.k_codes),
+                                          np.asarray(cache_d.k_codes))
+            t = jnp.argmax(ld[:, -1:], -1).astype(jnp.int32)
 
 
 def test_moe_down_k_padding_exact():
