@@ -338,11 +338,6 @@ def convert_hf_llama(
               qz(_pad_cols(read_lm_head(), _pad_vocab(cfg.vocab_size))))
     del embed
 
-    if cfg.is_mla and cal is not None and tp != 1:
-        raise NotImplementedError(
-            "MLA GPTQ calibration runs with tp=1 (the calibrator's "
-            "MLA forward has no departition step); convert rtn for "
-            "tp-packed blobs or calibrate then repack")
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         if cfg.is_mla:

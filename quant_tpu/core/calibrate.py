@@ -206,11 +206,11 @@ class GPTQCalibrator:
             raise ValueError("awq scale folding is not supported for "
                              "MoE models (expert up-proj folds would "
                              "need per-expert scales)")
-        if cfg.is_mla and (awq or tp != 1):
-            raise ValueError("MLA calibration runs with tp=1 and no AWQ "
-                             "fold (the low-rank a-projections feed "
-                             "norms whose gains the fold would have to "
-                             "split across two parts)")
+        if cfg.is_mla and awq:
+            raise ValueError("MLA calibration has no AWQ fold (the "
+                             "low-rank a-projections feed norms whose "
+                             "gains the fold would have to split "
+                             "across two parts)")
         self.cfg = cfg
         self.percdamp = percdamp
         self.blocksize = blocksize
@@ -296,10 +296,21 @@ class GPTQCalibrator:
         x1 = self._norm(self.h, attn_norm)
         qpart = np.asarray(
             dense["w_q_a" if cfg.q_lora_rank else "wq"], np.float32)
-        wqkv = self._gptq(np.concatenate(
-            [qpart, np.asarray(dense["w_kv_a"], np.float32)], axis=1), x1)
+        # tp > 1 (r5): the fused [q(_a)|kv_a] packs with the deployment
+        # concat_columns interleave (GPTQ columns are independent given
+        # the shared Hessian, so interleaving before quantization
+        # changes nothing numerically); the calibration forward
+        # de-interleaves the OUTPUT back to part-major, mirroring
+        # layer()'s GQA handling. w_q_b / w_uk / w_uv shard
+        # contiguously in deployment — no interleave.
+        wqkv = self._gptq(concat_columns(
+            [qpart, np.asarray(dense["w_kv_a"], np.float32)], self.tp),
+            x1)
         out["wqkv"], out["attn_norm"] = wqkv, attn_norm
         akv = self._mm(x1, wqkv)
+        if self.tp > 1:
+            akv = _departition_columns(
+                akv, (qpart.shape[1], r + dr), self.tp)
         qp, ckv = akv[..., :-(r + dr)], akv[..., -(r + dr):]
         if cfg.q_lora_rank:
             q_a_norm = np.asarray(dense["q_a_norm"], np.float32)
@@ -334,7 +345,8 @@ class GPTQCalibrator:
             cfg), np.float32)
         attn = np.einsum("bthr,hrv->bthv", o_lat, w_uv).reshape(
             self.b, self.t, -1)
-        wo = self._gptq(np.asarray(dense["wo"], np.float32), attn)
+        wo = self._gptq(np.asarray(dense["wo"], np.float32), attn,
+                        kshards=self.tp)
         out["wo"] = wo
         self.h = self.h + self._mm(attn, wo)
 
@@ -344,19 +356,23 @@ class GPTQCalibrator:
         act = jax.nn.silu
         d = cfg.dim
 
-        def glu(wgu_qt, wdn_dense, wgt=None):
-            gate, up = np.split(self._mm(x2, wgu_qt), 2, axis=-1)
+        def glu(wgu_qt, wdn_dense, it_w, wgt=None):
+            gu = self._mm(x2, wgu_qt)
+            if self.tp > 1:
+                gu = _departition_columns(gu, (it_w, it_w), self.tp)
+            gate, up = np.split(gu, 2, axis=-1)
             a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
             wdn = self._gptq(np.asarray(wdn_dense, np.float32), a,
-                             wgt=wgt)
+                             wgt=wgt, kshards=self.tp)
             return wdn, self._mm(a, wdn)
 
         moe_l = cfg.n_experts and self._layer_idx >= cfg.first_k_dense
         if not moe_l:
-            wgu = self._gptq(np.concatenate(
-                [np.asarray(dense["w_gate"], np.float32),
-                 np.asarray(dense["w_up"], np.float32)], axis=1), x2)
-            wdn, m = glu(wgu, dense["w_down"])
+            wg = np.asarray(dense["w_gate"], np.float32)
+            wgu = self._gptq(concat_columns(
+                [wg, np.asarray(dense["w_up"], np.float32)], self.tp),
+                x2)
+            wdn, m = glu(wgu, dense["w_down"], wg.shape[1])
             out["w_gate_up"], out["w_down"] = wgu, wdn
         else:
             router = np.asarray(dense["router"], np.float32)
@@ -370,29 +386,35 @@ class GPTQCalibrator:
             if bias is not None:
                 out["router_bias"] = bias
             # always-on shared expert: plain GPTQ against x2
-            wsgu = self._gptq(np.concatenate(
-                [np.asarray(dense["shared.w_gate"], np.float32),
-                 np.asarray(dense["shared.w_up"], np.float32)],
-                axis=1), x2)
-            wsdn, m = glu(wsgu, dense["shared.w_down"])
+            wsg = np.asarray(dense["shared.w_gate"], np.float32)
+            wsgu = self._gptq(concat_columns(
+                [wsg, np.asarray(dense["shared.w_up"], np.float32)],
+                self.tp), x2)
+            wsdn, m = glu(wsgu, dense["shared.w_down"], wsg.shape[1])
             out["ws_gate_up"], out["ws_down"] = wsgu, wsdn
             x2_flat = x2.reshape(-1, d)
             for e in range(cfg.n_experts):
                 wgt = rw[..., e].reshape(-1)
                 h_e = accumulate_hessian(x2_flat, wgt)
+                weg = np.asarray(dense[f"expert{e}.w_gate"], np.float32)
                 wgu = gptq_quantize_tensor(
-                    np.concatenate(
-                        [np.asarray(dense[f"expert{e}.w_gate"],
-                                    np.float32),
-                         np.asarray(dense[f"expert{e}.w_up"],
-                                    np.float32)], axis=1),
+                    concat_columns(
+                        [weg, np.asarray(dense[f"expert{e}.w_up"],
+                                         np.float32)], self.tp),
                     h_e, cfg.bits, cfg.group_size,
                     percdamp=self.percdamp, blocksize=self.blocksize)
-                gate, up = np.split(self._mm(x2, wgu), 2, axis=-1)
+                gu_e = self._mm(x2, wgu)
+                if self.tp > 1:
+                    gu_e = _departition_columns(
+                        gu_e, (weg.shape[1], weg.shape[1]), self.tp)
+                gate, up = np.split(gu_e, 2, axis=-1)
                 a = np.asarray(act(jnp.asarray(gate)), np.float32) * up
-                wdn = self._gptq(
-                    np.asarray(dense[f"expert{e}.w_down"], np.float32),
-                    a, wgt=wgt)
+                wdn_d = llama._pad_moe_down_k(np.asarray(
+                    dense[f"expert{e}.w_down"], np.float32), self.tp)
+                a = np.asarray(llama._pad_x_to_k(
+                    jnp.asarray(a), wdn_d.shape[0], self.tp),
+                    np.float32)
+                wdn = self._gptq(wdn_d, a, wgt=wgt, kshards=self.tp)
                 out[f"we_gate_up.{e}"], out[f"we_down.{e}"] = wgu, wdn
                 m = m + self._mm(a, wdn) * rw[..., e:e + 1]
         self.h = self.h + m

@@ -1663,11 +1663,6 @@ def forward(
 
     if params.lora is not None and adapter_ids is None:
         adapter_ids = jnp.zeros((b,), jnp.int32)  # all-base
-    if params.lora is not None and cfg.is_mla:
-        raise NotImplementedError(
-            "LoRA adapters target the GQA/GLU projection shapes; MLA "
-            "(low-rank q/kv + absorbed up-projections) needs its own "
-            "adapter wiring")
     common = dict(
         page_tbl=cache.page_tbl if paged else None,
         expert_axis=expert_axis,
@@ -1965,6 +1960,15 @@ def make_layer_step(layers, lengths, cfg, mm, b, t, positions, new_lengths,
         r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
         dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
         akv = mm(x, layers.wqkv, idx)            # [B,T, qpart + r + dr]
+        if lora is not None:
+            # MLA LoRA (r5): adapters on q(-a)/kv_a ride the fused
+            # down-projection exactly like GQA's fused qkv (b_qkv is
+            # block-diagonal in the same tp-interleaved column layout);
+            # o_proj adapts in _tail. q_b/kv_b are rejected at stack
+            # build (absorbed form).
+            from quant_tpu.models.lora import lora_delta
+            akv = akv + lora_delta(x, lora.a_qkv, lora.b_qkv, idx,
+                                   adapter_ids).astype(akv.dtype)
         if axis is not None:
             # MLA TP: wqkv is column-split (concat_columns interleave) —
             # each shard holds 1/tp of the q(-a) columns AND 1/tp of the

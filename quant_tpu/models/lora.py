@@ -27,6 +27,15 @@ TPU-first design decisions:
   partial matmul BEFORE the existing TP psum — no extra collectives.
 * **Scaling folded in.** Each adapter's alpha/r is multiplied into B at
   stack-build time; the runtime is a pure two-matmul delta.
+* **MLA (r5).** DeepSeek adapters target the projections that keep
+  their dense shape in the absorbed decode path: the fused
+  down-projection's q(-a)/kv_a column slots (same block-diagonal fused-B
+  machinery as GQA's qkv) and o_proj; dense-prefix (first_k_dense)
+  layers additionally take the standard MLP hooks. q_b/kv_b adapters
+  are rejected — kv_b folds into the per-head w_uk/w_uv at conversion,
+  so a runtime delta there would have to re-absorb per step. MoE-layer
+  MLP adapters are rejected on any MoE model (no single dense
+  projection to shadow).
 
 No reference counterpart (serving-side generalization, SURVEY.md §0).
 """
@@ -92,21 +101,68 @@ def make_lora_stack(adapters: list[dict], cfg, tp: int = 1) -> LoraStack:
 
     Each adapter dict: ``{"alpha": float, "layers.<i>.<proj>.a": [K, r],
     "layers.<i>.<proj>.b": [r, N], ...}`` with proj in wq/wk/wv/wo/
-    w_gate/w_up/w_down (missing projections contribute zeros; ranks may
-    differ per projection and per adapter — everything pads to the
-    per-group max). alpha/r scaling folds into B. A leading all-zero
-    base adapter (id 0) is prepended.
+    w_gate/w_up/w_down — or, for MLA configs, wq (the q or q_a
+    projection), wkv_a (kv_a_proj_with_mqa) and wo (missing projections
+    contribute zeros; ranks may differ per projection and per adapter —
+    everything pads to the per-group max). alpha/r scaling folds into
+    B. A leading all-zero base adapter (id 0) is prepended. MoE MLP
+    projections and the MLA q_b/kv_b (absorbed) projections are
+    rejected.
     """
+    mlp_projs = ("w_gate", "w_up", "w_down")
     if cfg.n_experts:
-        raise ValueError("LoRA is not supported for MoE models")
-    d, hd = cfg.dim, cfg.head_dim
-    nq, nkv, it = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.intermediate
-    groups = {
-        "qkv": (_QKV, d, (nq, nkv, nkv)),
-        "o": (("wo",), nq, (d,)),
-        "gu": (_GU, d, (it, it)),
-        "down": (("w_down",), it, (d,)),
-    }
+        # MoE MLPs have no single dense projection to adapt (experts
+        # are [E, L, ...] stacks); attention-side adapters still
+        # compose, as do MLP adapters on dense-PREFIX layers
+        # (first_k_dense — those run the standard dense hooks).
+        k0 = cfg.first_k_dense or 0
+        bad = [k for ad in adapters for k in ad
+               if any(f".{p}." in k for p in mlp_projs)
+               and int(k.split(".")[1]) >= k0]
+        if bad:
+            raise ValueError(
+                "LoRA on MoE-layer MLP projections is not supported — "
+                "attention projections (and dense-prefix-layer MLPs) "
+                f"only (got {bad[:3]})")
+    d, hd, it = cfg.dim, cfg.head_dim, cfg.intermediate
+    if cfg.n_experts:
+        # the only dense MLP in an MoE model is the first_k_dense
+        # prefix — its width is dense_intermediate
+        it = cfg.dense_intermediate or cfg.intermediate
+    if cfg.is_mla:
+        # MLA (r5): adapters target the projections that keep their
+        # dense shape in the ABSORBED decode path — the fused
+        # down-projection wqkv = [q(-a) | kv_a] and o_proj. q_b/kv_b
+        # cannot be adapted (kv_b is folded into the per-head
+        # w_uk/w_uv; a delta there changes the absorption).
+        bad = [k for ad in adapters for k in ad
+               if ".wq_b." in k or ".wkv_b." in k]
+        if bad:
+            raise ValueError(
+                "LoRA on q_b_proj/kv_b_proj is not supported: the MLA "
+                "decode path runs the absorbed form (kv_b folds into "
+                "w_uk/w_uv). Target q(_a)_proj, kv_a_proj_with_mqa "
+                f"and o_proj instead (got {bad[:3]})")
+        r_lat, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        qw = cfg.q_lora_rank or cfg.n_heads * (cfg.qk_nope_head_dim
+                                               + dr)
+        groups = {
+            "qkv": (("wq", "wkv_a"), d, (qw, r_lat + dr)),
+            "o": (("wo",), cfg.n_heads * cfg.v_head_dim, (d,)),
+            # dense-prefix (first_k_dense) layers reuse the standard
+            # MLP hooks; MoE layers ignore these stacks (zeros unless
+            # an adapter targets a dense-prefix layer's MLP)
+            "gu": (_GU, d, (it, it)),
+            "down": (("w_down",), it, (d,)),
+        }
+    else:
+        nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+        groups = {
+            "qkv": (_QKV, d, (nq, nkv, nkv)),
+            "o": (("wo",), nq, (d,)),
+            "gu": (_GU, d, (it, it)),
+            "down": (("w_down",), it, (d,)),
+        }
 
     def adapter_group(ad: dict, projs, k_in, widths, i):
         """(A [k_in, r_tot], B [r_tot, sum(widths)] fused) for layer i,
@@ -199,6 +255,11 @@ def lora_delta(x, a, b, idx, adapter_ids):
 _HF_PROJ = {
     "q_proj": "wq", "k_proj": "wk", "v_proj": "wv", "o_proj": "wo",
     "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
+    # DeepSeek MLA names: q(-a) and the shared latent projection map to
+    # the fused wqkv slots; q_b/kv_b pass through so make_lora_stack
+    # can reject them with an actionable message (absorbed projections)
+    "q_a_proj": "wq", "kv_a_proj_with_mqa": "wkv_a",
+    "q_b_proj": "wq_b", "kv_b_proj": "wkv_b",
 }
 
 

@@ -352,3 +352,154 @@ def test_lora_pp_mesh_matches_single_device():
     while eng.has_work():
         eng.step()
     assert [r.output for r in reqs] == ref
+
+
+def _mla_adapter(cfg, seed, r=4, alpha=8.0, projs=("wq", "wkv_a", "wo"),
+                 extra=()):
+    """Adapter dict in the MLA projection vocabulary (models/lora.py r5:
+    the fused down-projection's q(-a)/kv_a slots + o_proj)."""
+    rng = np.random.default_rng(seed)
+    d = cfg.dim
+    qw = cfg.q_lora_rank or cfg.n_heads * (cfg.qk_nope_head_dim
+                                           + cfg.qk_rope_head_dim)
+    k_in = {"wq": d, "wkv_a": d,
+            "wo": cfg.n_heads * cfg.v_head_dim}
+    n_out = {"wq": qw,
+             "wkv_a": cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+             "wo": cfg.dim}
+    for p, ki, no in extra:
+        k_in[p], n_out[p] = ki, no
+        projs = tuple(projs) + (p,)
+    ad = {"alpha": alpha}
+    for i in range(cfg.n_layers):
+        for p in projs:
+            ad[f"layers.{i}.{p}.a"] = (rng.standard_normal(
+                (k_in[p], r)) * 0.1).astype(np.float32)
+            ad[f"layers.{i}.{p}.b"] = (rng.standard_normal(
+                (r, n_out[p])) * 0.1).astype(np.float32)
+    return ad
+
+
+def test_lora_mla_fused_layout_and_forward():
+    """MLA LoRA (r5): the fused b_qkv is block-diagonal in [q | kv_a]
+    column order (tp=1), so the delta's column slices equal the
+    per-projection (x@A)@B exactly; through a full forward, a zero-B
+    adapter is a no-op and a real adapter moves ONLY the slots that
+    selected it."""
+    cfg = dataclasses.replace(PRESETS["test-tiny-mla"], bits=8,
+                              group_size=64, dtype="float32")
+    ad = _mla_adapter(cfg, 7)
+    stack = make_lora_stack([ad], cfg)
+    qw = cfg.n_heads * (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 1, cfg.dim)), jnp.float32)
+    dlt = np.asarray(lora_delta(x, stack.a_qkv, stack.b_qkv,
+                                jnp.int32(1),
+                                jnp.asarray([1, 1], jnp.int32)))
+    xf = np.asarray(x)
+    sc = 8.0 / 4  # alpha / r folded into B at stack build
+    np.testing.assert_allclose(
+        dlt[..., :qw],
+        (xf @ ad["layers.1.wq.a"]) @ ad["layers.1.wq.b"] * sc,
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        dlt[..., qw:],
+        (xf @ ad["layers.1.wkv_a.a"]) @ ad["layers.1.wkv_a.b"] * sc,
+        rtol=1e-5, atol=1e-6)
+
+    params = llama.init_params(cfg, seed=3)
+    toks = jnp.asarray(np.random.default_rng(4).integers(
+        2, cfg.vocab_size, (2, 5)), jnp.int32)
+    base, _ = llama.forward(params, toks, llama.init_cache(cfg, 2, 16),
+                            cfg)
+    # zero-B adapter: exact no-op through the whole forward
+    zad = {k: (np.zeros_like(v) if k.endswith(".b") else v)
+           for k, v in ad.items() if k != "alpha"}
+    zad["alpha"] = 8.0
+    pz = dataclasses.replace(params, lora=make_lora_stack([zad], cfg))
+    lz, _ = llama.forward(pz, toks, llama.init_cache(cfg, 2, 16), cfg,
+                          adapter_ids=jnp.asarray([1, 1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(lz), np.asarray(base))
+    # real adapter: slot 0 (base) unchanged, slot 1 moved
+    pa = dataclasses.replace(params, lora=stack)
+    la, _ = llama.forward(pa, toks, llama.init_cache(cfg, 2, 16), cfg,
+                          adapter_ids=jnp.asarray([0, 1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(la[0]),
+                                  np.asarray(base[0]))
+    assert not np.allclose(np.asarray(la[1]), np.asarray(base[1]))
+
+
+def test_lora_mla_tp_mesh_matches_single_device():
+    """MLA LoRA under TP: b_qkv's block-diagonal columns follow wqkv's
+    tp-interleaved [q | kv_a] split and a_o row-slices with wo — the
+    (data, model) mesh must equal the single-device forward."""
+    from quant_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache, shard_params,
+    )
+
+    cfg = dataclasses.replace(PRESETS["test-tiny-mla"], bits=8,
+                              group_size=64, dtype="float32")
+    ads = [_mla_adapter(cfg, 80, r=2), _mla_adapter(cfg, 81, r=3)]
+    toks = np.random.default_rng(82).integers(
+        2, cfg.vocab_size, (4, 6)).astype(np.int32)
+    ids = jnp.asarray([0, 1, 2, 1], jnp.int32)
+
+    params_ref = dataclasses.replace(
+        llama.init_params(cfg, seed=79, tp=1),
+        lora=make_lora_stack(ads, cfg, tp=1))
+    ref, _ = llama.forward(params_ref, jnp.asarray(toks),
+                           llama.init_cache(cfg, 4, 16), cfg,
+                           adapter_ids=ids)
+
+    params = dataclasses.replace(
+        llama.init_params(cfg, seed=79, tp=2),
+        lora=make_lora_stack(ads, cfg, tp=2))
+    mesh = make_mesh(data=2, model=2)
+    p_sh = shard_params(params, mesh)
+    c_sh = shard_cache(llama.init_cache(cfg, 4, 16), mesh)
+    step = make_sharded_forward(cfg, mesh, p_sh, c_sh)
+    out, _ = step(p_sh, jnp.asarray(toks), c_sh, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lora_mla_dsv3_composition_and_rejections():
+    """DeepSeek-V3-flavor MLA (low-rank q, MoE + dense prefix): q_a /
+    kv_a / o / dense-prefix-MLP adapters compose through the forward;
+    kv_b (absorbed) and MoE-layer MLP targets reject at stack build."""
+    cfg = dataclasses.replace(PRESETS["test-tiny-dsv3"], bits=8,
+                              group_size=64, dtype="float32")
+    di = cfg.dense_intermediate
+    ad = _mla_adapter(
+        cfg, 11,
+        extra=(("w_gate", cfg.dim, di), ("w_up", cfg.dim, di),
+               ("w_down", di, cfg.dim)))
+    # MLP keys only legal on the dense-prefix layer (layer 0)
+    for i in range(cfg.first_k_dense, cfg.n_layers):
+        for p in ("w_gate", "w_up", "w_down"):
+            del ad[f"layers.{i}.{p}.a"], ad[f"layers.{i}.{p}.b"]
+    stack = make_lora_stack([ad], cfg)
+    params = llama.init_params(cfg, seed=5)
+    toks = jnp.asarray(np.random.default_rng(6).integers(
+        2, cfg.vocab_size, (2, 4)), jnp.int32)
+    base, _ = llama.forward(params, toks, llama.init_cache(cfg, 2, 16),
+                            cfg)
+    pa = dataclasses.replace(params, lora=stack)
+    la, _ = llama.forward(pa, toks, llama.init_cache(cfg, 2, 16), cfg,
+                          adapter_ids=jnp.asarray([0, 1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(la[0]),
+                                  np.asarray(base[0]))
+    assert not np.allclose(np.asarray(la[1]), np.asarray(base[1]))
+
+    bad = dict(ad)
+    bad["layers.0.wkv_b.a"] = np.zeros((4, 1), np.float32)
+    bad["layers.0.wkv_b.b"] = np.zeros((1, 4), np.float32)
+    with pytest.raises(ValueError, match="absorbed"):
+        make_lora_stack([bad], cfg)
+    bad2 = dict(ad)
+    bad2[f"layers.{cfg.first_k_dense}.w_gate.a"] = np.zeros(
+        (cfg.dim, 1), np.float32)
+    bad2[f"layers.{cfg.first_k_dense}.w_gate.b"] = np.zeros(
+        (1, di), np.float32)
+    with pytest.raises(ValueError, match="MoE-layer MLP"):
+        make_lora_stack([bad2], cfg)

@@ -762,3 +762,149 @@ def test_mla_convert_tp_mesh_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mla_gptq_convert_tp2_mesh_matches_tp1(tmp_path):
+    """MLA GPTQ calibration at tp>1 (r5, closing the VERDICT hole): the
+    calibrator packs the fused [q(_a)|kv_a] and gate|up products with
+    the deployment concat_columns interleave, de-interleaves its own
+    forward's outputs, row-packs wo/down with kshards, and K-pads the
+    expert downs like the RTN converter. tp=2 quantized values are
+    BITWISE equal to tp=1 (modulo the column interleave) up to the
+    first expert down — whose per-shard pad geometry legitimately
+    differs (1024- vs 2048-row padded K changes the GPTQ damping), so
+    downstream layers quantize slightly differently. The invariants
+    pinned: pre-pad bitwise equality (the wiring proof) and
+    GPTQ-at-tp2 still beating RTN-at-tp2 on logits vs the near-fp
+    reference (a mis-interleave would destroy the GPTQ advantage)."""
+    import json as _json
+
+    import pytest
+    pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from quant_tpu.checkpoint import convert_hf_llama, load_checkpoint
+    from quant_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache,
+    )
+
+    cfg = DSV3
+    hf_cfg = DeepseekV3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        intermediate_size=cfg.dense_intermediate,
+        moe_intermediate_size=cfg.intermediate,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_heads, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        q_lora_rank=cfg.q_lora_rank, kv_lora_rank=cfg.kv_lora_rank,
+        qk_nope_head_dim=cfg.qk_nope_head_dim,
+        qk_rope_head_dim=cfg.qk_rope_head_dim,
+        v_head_dim=cfg.v_head_dim, n_routed_experts=cfg.n_experts,
+        num_experts_per_tok=cfg.experts_per_token,
+        n_shared_experts=cfg.n_shared_experts,
+        first_k_dense_replace=cfg.first_k_dense,
+        n_group=cfg.n_expert_groups, topk_group=cfg.topk_groups,
+        routed_scaling_factor=cfg.routed_scaling, norm_topk_prob=True,
+        rope_interleave=True, pad_token_id=0, initializer_range=0.05,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    save_file({k: v.detach().numpy()
+               for k, v in model.state_dict().items()
+               if "rotary" not in k}, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(_json.dumps({
+        "model_type": "deepseek_v3", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim, "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_heads,
+        "intermediate_size": cfg.dense_intermediate,
+        "moe_intermediate_size": cfg.intermediate,
+        "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": False, "q_lora_rank": cfg.q_lora_rank,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "n_routed_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.experts_per_token,
+        "n_shared_experts": cfg.n_shared_experts,
+        "first_k_dense_replace": cfg.first_k_dense,
+        "n_group": cfg.n_expert_groups, "topk_group": cfg.topk_groups,
+        "routed_scaling_factor": cfg.routed_scaling,
+        "norm_topk_prob": True, "rope_interleave": True,
+    }))
+    calib = np.random.default_rng(17).integers(2, cfg.vocab_size,
+                                               (2, 32))
+    convert_hf_llama(hf_dir, tmp_path / "g1", bits=4, group_size=64,
+                     algo="gptq", calib_tokens=calib)
+    convert_hf_llama(hf_dir, tmp_path / "g2", bits=4, group_size=64,
+                     algo="gptq", calib_tokens=calib, tp=2)
+    convert_hf_llama(hf_dir, tmp_path / "r2", bits=4, group_size=64,
+                     tp=2)
+    convert_hf_llama(hf_dir, tmp_path / "ref", bits=8, group_size=16)
+
+    p1, _ = load_checkpoint(tmp_path / "g1", device=False)
+    # GPTQ expert downs carry the same K padding as RTN's
+    assert p1.layers.we_down.k % 1024 == 0
+    mesh = make_mesh(model=2)
+    p2, c2 = load_checkpoint(tmp_path / "g2", mesh=mesh)
+
+    def deinter(a, widths, tp=2):
+        # undo concat_columns' shard-major interleave on the N dim
+        parts, off = [[] for _ in widths], 0
+        for _ in range(tp):
+            for p, w in enumerate(widths):
+                parts[p].append(a[..., off:off + w // tp])
+                off += w // tp
+        return np.concatenate([np.concatenate(c, -1) for c in parts],
+                              -1)
+
+    # wiring proof: bitwise equality up to the expert-down pad
+    # divergence — dense-prefix layer 0 and the first MoE layer's
+    # attention/shared/expert gate_up all quantize identically
+    qw, rr, dr = (cfg.q_lora_rank, cfg.kv_lora_rank,
+                  cfg.qk_rope_head_dim)
+    di, si = cfg.dense_intermediate, \
+        cfg.n_shared_experts * cfg.intermediate
+    for tag, a1, a2, widths in [
+        ("l0.wqkv", p1.layers0.wqkv.codes, p2.layers0.wqkv.codes,
+         (qw, rr + dr)),
+        ("l0.w_q_b", p1.layers0.w_q_b.codes, p2.layers0.w_q_b.codes,
+         None),
+        ("l0.w_gate_up", p1.layers0.w_gate_up.codes,
+         p2.layers0.w_gate_up.codes, (di, di)),
+        ("l1.wqkv", p1.layers.wqkv.codes[0], p2.layers.wqkv.codes[0],
+         (qw, rr + dr)),
+        ("l1.ws_gate_up", p1.layers.ws_gate_up.codes[0],
+         p2.layers.ws_gate_up.codes[0], (si, si)),
+        ("l1.we_gate_up[0]", p1.layers.we_gate_up.codes[0, 0],
+         p2.layers.we_gate_up.codes[0, 0],
+         (cfg.intermediate, cfg.intermediate)),
+    ]:
+        a2 = np.asarray(a2)
+        if widths is not None:
+            a2 = deinter(a2, widths)
+        assert np.array_equal(np.asarray(a1), a2), tag
+
+    # quality proof: tp=2 GPTQ must still beat tp=2 RTN vs the near-fp
+    # reference ON THE CALIBRATION TOKENS (as the tp=1 variant asserts
+    # — GPTQ optimizes the calibration distribution; a wiring error
+    # would feed the Hessians garbage and destroy the advantage)
+    toks = jnp.asarray(calib, jnp.int32)
+    pr, cr = load_checkpoint(tmp_path / "ref")
+    cr = dataclasses.replace(cr, dtype="float32", kv_bits=16)
+    ref_lg = np.asarray(llama.forward(
+        pr, toks, llama.init_cache(cr, 2, 64), cr)[0], np.float32)
+
+    def mesh_logits(path):
+        p, c = load_checkpoint(path, mesh=mesh)
+        c = dataclasses.replace(c, dtype="float32", kv_bits=16)
+        sc = shard_cache(llama.init_cache(c, 2, 64), mesh)
+        step = make_sharded_forward(c, mesh, p, sc)
+        return np.asarray(step(p, toks, sc)[0], np.float32)
+
+    mse_g = float(np.mean((mesh_logits(tmp_path / "g2") - ref_lg) ** 2))
+    mse_r = float(np.mean((mesh_logits(tmp_path / "r2") - ref_lg) ** 2))
+    assert mse_g < mse_r, (mse_g, mse_r)
