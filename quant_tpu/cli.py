@@ -62,6 +62,8 @@ def _cmd_generate(args):
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if getattr(args, "moe_prefill", None):
         cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
+    if getattr(args, "moe_routed", None):
+        cfg = dataclasses.replace(cfg, moe_routed=args.moe_routed)
     tok = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -137,6 +139,8 @@ def _cmd_eval(args):
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if getattr(args, "moe_prefill", None):
         cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
+    if getattr(args, "moe_routed", None):
+        cfg = dataclasses.replace(cfg, moe_routed=args.moe_routed)
     toks = tokens_from_file(args.text, args.tokenizer)
     res = perplexity(params, cfg, toks, window=args.window,
                      limit_windows=args.limit_windows)
@@ -158,6 +162,8 @@ def _cmd_serve(args):
         cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if getattr(args, "moe_prefill", None):
         cfg = dataclasses.replace(cfg, moe_prefill=args.moe_prefill)
+    if getattr(args, "moe_routed", None):
+        cfg = dataclasses.replace(cfg, moe_routed=args.moe_routed)
     proposer = None
     if args.draft_ckpt:
         if not args.spec_gamma:
@@ -380,6 +386,11 @@ def main(argv=None):
                    help="MoE prefill dispatch: exact dense-all (default) "
                         "or GShard-style capacity (1.5x prefill, "
                         "capacity-drop semantics)")
+    g.add_argument("--moe-routed", default=None,
+                   choices=("auto", "on", "off"),
+                   help="routed-hot MoE decode (bucketed hot-slot "
+                        "grids): auto gates on expected coverage < 7/8 "
+                        "(default), on/off force it")
     g.add_argument("--kv-bits", type=int, default=0, choices=(0, 4, 8, 16),
                    help="KV cache quantization override (0 = checkpoint "
                         "default): 4 int4 packed, 8 int8, 16 off")
@@ -442,6 +453,8 @@ def main(argv=None):
                          "'lora' or the OpenAI 'model' field")
     sv.add_argument("--moe-prefill", default=None,
                     choices=("dense", "capacity"))
+    sv.add_argument("--moe-routed", default=None,
+                    choices=("auto", "on", "off"))
     sv.add_argument("--kv-bits", type=int, default=0,
                     choices=(0, 4, 8, 16),
                     help="KV cache quantization override (0 = checkpoint "
