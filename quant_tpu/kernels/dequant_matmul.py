@@ -403,8 +403,12 @@ def dequant_matmul_moe(
     mode="concat": x [.., K] → [.., E*N] (every expert's gate|up
     columns side by side). mode="sum": x [E, .., K] → [.., N]
     (Σ_e x_e @ W_e — the routed down combine; fold routing weights
-    into x_e first). Raises the internal untileable error to the
-    caller as ValueError — callers fall back to the per-expert loop.
+    into x_e first). mode="psum": like "sum" but the slots sum in XLA
+    (experts ride the parallel grid). mode="grouped": x [E, .., K] →
+    [E, .., N] per-expert outputs in ONE launch (the fused grouped
+    GEMM of the capacity dispatch). Raises the internal untileable
+    error to the caller as ValueError — callers fall back to the
+    per-expert loop.
 
     ``hot`` (r5 routed decode, VERDICT r4 #7): [1+n_experts] int32 =
     [n_hot, compacted hot expert ids with the last id repeated past
@@ -424,7 +428,7 @@ def dequant_matmul_moe(
     """
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
-    if mode in ("sum", "psum"):
+    if mode in ("sum", "psum", "grouped"):
         e, *lead, kx = x.shape
         m = 1
         for d in lead:
@@ -442,7 +446,7 @@ def dequant_matmul_moe(
         x2, qt, layer, out_dtype=out_dtype, tile_m=tile_m,
         tile_n=tile_n, tile_k=tile_k, interpret=interpret,
         act_quant=act_quant, experts=(n_experts, stride),
-        expert_mode=mode, hot=hot,
+        expert_mode=("psum" if mode == "grouped" else mode), hot=hot,
     )
     if mode == "sum":
         return y.reshape(*lead, n)
@@ -450,6 +454,12 @@ def dequant_matmul_moe(
         # per-expert-slot outputs [M, E*N]: sum the slots in XLA (tail
         # slots under ``hot`` have zero x rows → contribute 0 exactly)
         return y.reshape(m, n_experts, n).sum(axis=1).reshape(*lead, n)
+    if mode == "grouped":
+        # fused grouped GEMM (r5 capacity dispatch): same per-expert-x
+        # grid as "psum" but each slot's output is RETURNED instead of
+        # summed — y[:, e*N:(e+1)*N] = x_e @ W_e → [E, .., N]
+        return jnp.moveaxis(y.reshape(m, n_experts, n), 1, 0).reshape(
+            (n_experts,) + tuple(lead) + (n,))
     return y.reshape(*lead, n_experts * n)
 
 

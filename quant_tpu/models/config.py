@@ -93,14 +93,18 @@ class ModelConfig:
     n_experts: int = 0
     experts_per_token: int = 2
     norm_topk: bool = True
-    # MoE prefill dispatch. "dense" (default): every expert runs on every
-    # token — EXACT (no drops) and HBM-optimal at decode, but prefill
-    # pays ~E/k x the routed FLOPs on the MXU-bound phase. "capacity":
-    # GShard-style fixed-capacity gather/scatter dispatch for prefill
-    # calls (T>1) — each expert processes at most
-    # ceil(tokens*k/E * moe_capacity_factor) tokens; overflow tokens
-    # LOSE that expert's contribution (standard capacity semantics), so
-    # this is an opt-in throughput mode, never used for decode.
+    # MoE high-load dispatch. "dense" (default): every expert runs on
+    # every token — EXACT (no drops) and HBM-optimal at low-batch
+    # decode, but past tokens*k >= 2E the all-experts matmul is
+    # MXU-bound (~E/k x the routed FLOPs; hardware 2026-08-21: B=128
+    # decode at DeepSeek-V3 geometry = 2.9 PFLOP/layer, 35.6 ms vs the
+    # capacity path's 11.9 flat). "capacity": GShard-style
+    # fixed-capacity gather/scatter dispatch for ANY call past that
+    # threshold (prefill and r5 high-batch decode) — each expert
+    # processes at most ceil(tokens*k/E * moe_capacity_factor) tokens
+    # via one fused grouped-GEMM pair; overflow tokens LOSE that
+    # expert's contribution (standard capacity semantics), so this is
+    # an opt-in throughput mode.
     moe_prefill: str = "dense"
     moe_capacity_factor: float = 1.5
     # Fused all-experts MoE matmuls (kernels.dequant_matmul_moe): one

@@ -1061,7 +1061,13 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
         e0 = jax.lax.axis_index(expert_axis) * e_loc
         w = jax.lax.dynamic_slice_in_dim(w, e0, e_loc, axis=-1)
     axes = tuple(a for a in (axis, expert_axis) if a)
-    if (cfg.moe_prefill == "capacity" and x.shape[-2] > 1
+    # capacity dispatch (opt-in drop semantics) applies to prefill AND
+    # — r5 — high-batch decode: past tokens*k >= 2E the dense
+    # all-experts matmul is COMPUTE-bound (B=128 at V3 geometry = a
+    # 14.7 ms/layer MXU floor for 16x the routed FLOPs), so gathering
+    # the routed rows wins there too. Below the threshold decode stays
+    # on the exact dense/routed-bucket paths.
+    if (cfg.moe_prefill == "capacity"
             and int(np.prod(x.shape[:-1])) * cfg.experts_per_token
             >= 2 * cfg.n_experts):
         routed = _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg,
@@ -1191,13 +1197,23 @@ def mlp_block(x, layers, idx, cfg, mm, dt, axis=None, router=None,
 
 def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
     """GShard-style fixed-capacity MoE dispatch (cfg.moe_prefill =
-    "capacity", prefill only). Per expert: gather the first C routed
-    tokens (C = ceil(N*k/E * capacity_factor), sublane-aligned), run the
-    expert on [C, D], scatter-add the weighted output. FLOPs drop from
-    N*E to N*k*cf expert-rows; tokens beyond an expert's capacity lose
-    that expert's contribution (standard capacity-drop semantics — the
-    reason this mode is opt-in). Composes with EP/TP: the gather/scatter
-    are per LOCAL expert and the combine psums over (expert, model).
+    "capacity"; prefill, and — r5 — high-batch decode past the same
+    tokens*k >= 2E threshold). Per expert: gather the first C routed
+    tokens (C = ceil(N*k/E * capacity_factor), sublane-aligned), run
+    the expert on [C, D], scatter-add the weighted output. FLOPs drop
+    from N*E to N*k*cf expert-rows (dense all-experts decode at
+    DeepSeek-V3 geometry is COMPUTE-bound from B~64: 2.9 PFLOP/layer at
+    B=128 = a 14.7 ms MXU floor, hardware 2026-08-21); tokens beyond an
+    expert's capacity lose that expert's contribution (standard
+    capacity-drop semantics — the reason this mode is opt-in).
+
+    The dispatch is ONE fused grouped-GEMM pair when the shapes tile
+    (dequant_matmul_moe mode="grouped": per-expert [C, D] blocks
+    against the stacked weights in one launch — the per-expert loop
+    pays 2*E launches/layer, the very pattern measured launch-bound on
+    this chip), with the loop as fallback. Composes with EP/TP: the
+    gather/scatter are per LOCAL expert and the combine psums over
+    (expert, model).
     """
     b, t, d = x.shape
     n = b * t
@@ -1206,6 +1222,47 @@ def _moe_capacity(x, w, wgu, wdn, e_loc, l_stack, idx, cfg, mm, dt, axes):
     cap = int(np.ceil(n * cfg.experts_per_token / cfg.n_experts
                       * cfg.moe_capacity_factor))
     cap = min(max(8, -(-cap // 8) * 8), n)
+    mode = _resolve_mode(cfg)
+    if cfg.moe_fused and mode in ("pallas", "pallas_interpret"):
+        from quant_tpu.kernels.dequant_matmul import (
+            _Untileable, dequant_matmul_moe,
+        )
+        try:
+            # vectorized slotting: rank each token among its expert's
+            # routed tokens; rank >= cap drops (slot cap scatters into
+            # a spare column that is sliced away)
+            sel = w2 > 0                                     # [N, E]
+            pos = jnp.cumsum(sel.astype(jnp.int32), axis=0) - 1
+            slot = jnp.where(sel & (pos < cap), pos, cap).T  # [E, N]
+            erows = jnp.arange(e_loc, dtype=jnp.int32)[:, None]
+            st = jnp.zeros((e_loc, cap + 1), jnp.int32).at[
+                erows, slot].set(
+                jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                 (e_loc, n)), mode="drop")[:, :cap]
+            sw = jnp.zeros((e_loc, cap + 1), jnp.float32).at[
+                erows, slot].set(w2.T, mode="drop")[:, :cap]
+            interp = mode == "pallas_interpret"
+            xs = x2[st].astype(dt)                       # [E, C, D]
+            gu = dequant_matmul_moe(
+                xs, wgu, idx, n_experts=e_loc, stride=l_stack,
+                mode="grouped", interpret=interp,
+                act_quant=cfg.act_quant)                 # [E, C, 2I]
+            gate, up = jnp.split(gu, 2, axis=-1)
+            a = _act(cfg)(gate.astype(jnp.float32)).astype(dt) * up
+            a = _pad_x_to_k(a, wdn.k, wdn.kshards)
+            y = dequant_matmul_moe(
+                a, wdn, idx, n_experts=e_loc, stride=l_stack,
+                mode="grouped", interpret=interp,
+                out_dtype=jnp.float32,
+                act_quant=cfg.act_quant)                 # [E, C, D]
+            # unused slots carry sw=0 (scatter-add 0 to token 0)
+            out = jnp.zeros((n, wdn.n), jnp.float32).at[
+                st.reshape(-1)].add(
+                y.reshape(e_loc * cap, -1) * sw.reshape(-1, 1))
+            out = out.reshape(b, t, -1)
+            return jax.lax.psum(out, axes) if axes else out
+        except _Untileable:
+            pass
     out = jnp.zeros((n, wdn.n), jnp.float32)
     for e in range(e_loc):
         we = w2[:, e]                                  # [N]

@@ -634,3 +634,75 @@ def test_moe_down_k_padding_exact():
     # already-tileable shapes stay untouched (DeepSeek-V3 / Mixtral)
     w2 = rng.standard_normal((2048, 128)).astype(np.float32)
     assert _pad_moe_down_k(w2, 1) is w2
+
+
+def test_moe_grouped_kernel_mode():
+    """mode="grouped" (r5 capacity dispatch): per-expert [E, C, N]
+    outputs from ONE launch must equal the per-expert stacked matmuls
+    exactly (same psum grid, slots returned instead of summed)."""
+    import dataclasses as dc
+
+    from quant_tpu.core.qtensor import quantize_tensor
+    from quant_tpu.kernels.dequant_matmul import (
+        dequant_matmul, dequant_matmul_moe,
+    )
+
+    rng = np.random.default_rng(5)
+    E, L, K, N, C = 4, 3, 256, 512, 8
+    ws = [rng.standard_normal((K, N)).astype(np.float32) / 16
+          for _ in range(E * L)]
+    for bits in (4, 8):
+        qts = [quantize_tensor(w, bits=bits, group_size=128) for w in ws]
+        merged = dc.replace(
+            qts[0], codes=jnp.stack([q.codes for q in qts]),
+            scales=jnp.stack([q.scales for q in qts]))
+        layer = jnp.int32(1)
+        xs = jnp.asarray(rng.standard_normal((E, C, K)).astype(
+            np.float32))
+        y = dequant_matmul_moe(xs, merged, layer, n_experts=E, stride=L,
+                               mode="grouped", interpret=True,
+                               out_dtype=jnp.float32)
+        assert y.shape == (E, C, N)
+        for e in range(E):
+            ref = dequant_matmul(xs[e], merged, jnp.int32(e * L + 1),
+                                 interpret=True, out_dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_moe_capacity_fused_matches_loop_and_decode():
+    """r5: the capacity dispatch runs as ONE fused grouped-GEMM pair
+    (vectorized slotting) when shapes tile — must match the per-expert
+    loop on the same backend; and capacity now engages at high-batch
+    DECODE (tokens*k >= 2E at T=1), matching the dense path when the
+    capacity factor guarantees no drops."""
+    cfg_loop = dataclasses.replace(
+        CFG, moe_prefill="capacity", moe_capacity_factor=4.0,
+        kernel_mode="pallas_interpret", dtype="float32",
+        moe_fused=False)
+    cfg_fused = dataclasses.replace(cfg_loop, moe_fused=True)
+    cfg_dense = dataclasses.replace(cfg_fused, moe_prefill="dense")
+    params = llama.init_params(cfg_loop, seed=6)
+    rng = np.random.default_rng(6)
+    toks = jnp.asarray(rng.integers(2, CFG.vocab_size, (4, 8)),
+                       jnp.int32)
+
+    def run(cfg):
+        cache = llama.init_cache(cfg, 4, 16)
+        lg, cache = llama.forward(params, toks, cache, cfg)
+        outs = [lg[:, -1]]
+        t = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+        for _ in range(2):   # B=4, T=1: tokens*k = 8 >= 2E = 8
+            lg, cache = llama.forward(params, t, cache, cfg)
+            outs.append(lg[:, -1])
+            t = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+        return np.asarray(jnp.stack(outs, 1), np.float32)
+
+    lo, fu, de = run(cfg_loop), run(cfg_fused), run(cfg_dense)
+    # fused vs loop: identical slotting, same kernel family — only the
+    # scatter-add order differs
+    np.testing.assert_allclose(fu, lo, rtol=2e-5, atol=2e-5)
+    # cf=4.0 → cap = tokens: nothing drops, so capacity == dense up to
+    # combine order (dense weights every expert; capacity gathers)
+    np.testing.assert_allclose(fu, de, rtol=1e-4, atol=1e-4)
+    assert np.array_equal(np.argmax(fu, -1), np.argmax(de, -1))
