@@ -706,3 +706,30 @@ def test_moe_capacity_fused_matches_loop_and_decode():
     # combine order (dense weights every expert; capacity gathers)
     np.testing.assert_allclose(fu, de, rtol=1e-4, atol=1e-4)
     assert np.array_equal(np.argmax(fu, -1), np.argmax(de, -1))
+
+
+def test_moe_capacity_fused_sharded():
+    """The FUSED grouped-GEMM capacity dispatch (r5) composes with
+    EP x TP the same way the loop does: per-LOCAL-expert slotting and
+    gather/scatter inside the shard, (expert, model) psum combine."""
+    cfg_cap = dataclasses.replace(
+        CFG, moe_prefill="capacity", moe_capacity_factor=4.0,
+        kernel_mode="pallas_interpret", moe_fused=True,
+        dtype="float32")
+    cfg_ref = dataclasses.replace(cfg_cap, moe_prefill="dense")
+    params_ref = llama.init_params(cfg_ref, seed=12, tp=1)
+    toks = jnp.asarray(
+        np.random.default_rng(12).integers(3, CFG.vocab_size, (2, 16)),
+        jnp.int32)
+    ref, _ = llama.forward(params_ref, toks,
+                           llama.init_cache(cfg_ref, 2, 32), cfg_ref)
+    params = llama.init_params(cfg_cap, seed=12, tp=2)
+    mesh = make_mesh(expert=2, model=2)
+    ps = shard_params(params, mesh)
+    cs = shard_cache(llama.init_cache(cfg_cap, 2, 32), mesh)
+    fwd = make_sharded_forward(cfg_cap, mesh, ps, cs)
+    lg, _ = fwd(ps, toks, cs)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert np.array_equal(np.argmax(np.asarray(lg), -1),
+                          np.argmax(np.asarray(ref), -1))
