@@ -383,9 +383,11 @@ def main(argv=None):
                    help="generate with this registered adapter")
     g.add_argument("--moe-prefill", default=None,
                    choices=("dense", "capacity"),
-                   help="MoE prefill dispatch: exact dense-all (default) "
-                        "or GShard-style capacity (1.5x prefill, "
-                        "capacity-drop semantics)")
+                   help="MoE high-load dispatch: exact dense-all "
+                        "(default) or GShard-style capacity (fused "
+                        "grouped-GEMM gather past tokens*k >= 2E, "
+                        "prefill AND high-batch decode; capacity-drop "
+                        "semantics)")
     g.add_argument("--moe-routed", default=None,
                    choices=("auto", "on", "off"),
                    help="routed-hot MoE decode (bucketed hot-slot "
